@@ -1,0 +1,16 @@
+"""bodo_spark: a PySpark-native analytics engine with the query and
+data-processing capabilities of the reference system (bodo-ai/Bodo),
+re-expressed Spark-first.
+
+Public surface:
+  - session.get_spark()           tuned SparkSession factory
+  - sources.*                     read_parquet/csv/json/sql/iceberg, from_pandas, sinks
+  - frame                         pandas-flavored lazy DataFrame veneer
+  - sql                           Snowflake-ish SQL context (QUALIFY, fn shims)
+  - operators.*                   asof join, dedup, similarity, text analysis
+  - queries                       registered correctness/bench query battery
+"""
+
+from .session import get_spark  # noqa: F401
+
+__version__ = "0.1.0"

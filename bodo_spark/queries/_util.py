@@ -1,0 +1,60 @@
+"""Shared helpers for the query battery.
+
+Numeric-determinism policy (so the driver's value-hash matches the DuckDB
+oracle bit-for-bit):
+  - All money/ratio columns in the test data are 2-decimal values stored as
+    doubles. We cast to DECIMAL(18,2) *before* aggregating: decimal
+    arithmetic is exact in both engines, so SUM/aggregations agree exactly;
+    the final CAST(... AS DOUBLE) then yields identical doubles.
+  - Averages are written explicitly as CAST(sum_dec AS DOUBLE)/count so both
+    engines do the same single double division (their built-in AVG/decimal
+    division rules differ).
+  - Outputs never contain raw timestamps (tz-awareness differs across
+    engines' pandas conversion); we format to 'yyyy-MM-dd[ HH:mm:ss]'
+    strings or extract integer parts.
+  - Genuinely float-fuzzy results (trig, cosine similarity) are aggregated
+    and/or rounded so a low-bit difference cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    """A registered query: the Spark implementation + optional DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB, same output column names
+    doc: str = ""
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
+    """Exact-arithmetic cast; see module docstring."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def dsum(expr: Column) -> Column:
+    """Exact decimal sum, emitted as double (bitwise-stable across engines)."""
+    return F.sum(expr).cast("double")
+
+
+def davg(expr: Column, count_col: Column) -> Column:
+    """sum(dec)/count as a single double division."""
+    return F.sum(expr).cast("double") / count_col
+
+
+def fmt_date(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd")

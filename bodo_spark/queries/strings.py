@@ -1,0 +1,5 @@
+"""strings query battery (filled in incrementally)."""
+
+from ._util import QueryDef
+
+QUERIES: dict[str, QueryDef] = {}

@@ -1,0 +1,172 @@
+"""I/O entry points (reference parity: SURVEY.md 2.1).
+
+Design notes for scale:
+  - Reads are lazy scans; never collect/inspect data at read time so that
+    predicate pushdown / partition pruning stay available to Catalyst.
+  - Writes go through the DataFrame writer so they distribute; callers can
+    pass partition_cols to get hive-style partitioned layouts (the 100 TB
+    path: partitioned+sorted parquet, one file per task).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import get_spark
+
+
+def read_parquet(path: str | list[str], columns: list[str] | None = None,
+                 spark: SparkSession | None = None, **options: Any) -> DataFrame:
+    """Parquet scan. Reference: bodo/pandas/base.py:183, physical/read_parquet.h:23.
+
+    Column selection is applied as a .select so Catalyst prunes the
+    ReadSchema down to exactly these columns.
+    """
+    spark = spark or get_spark()
+    paths = path if isinstance(path, list) else [path]
+    df = spark.read.options(**options).parquet(*paths)
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def to_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+               partition_cols: Iterable[str] | None = None,
+               max_records_per_file: int | None = None) -> None:
+    """Parquet sink. Reference: bodo/pandas/frame.py:455, physical/write_parquet.h:25."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def read_csv(path: str, header: bool = True, sep: str = ",",
+             schema: Any | None = None, infer_schema: bool = True,
+             spark: SparkSession | None = None, **options: Any) -> DataFrame:
+    """CSV scan. Reference: bodo/pandas/base.py:392, bodo/ir/csv_ext.py."""
+    spark = spark or get_spark()
+    reader = spark.read.options(header=header, sep=sep, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def to_csv(df: DataFrame, path: str, mode: str = "overwrite",
+           header: bool = True, sep: str = ",") -> None:
+    """CSV sink. Reference: bodo/pandas/frame.py (to_csv)."""
+    df.write.mode(mode).options(header=header, sep=sep).csv(path)
+
+
+def read_json(path: str, lines: bool = True, schema: Any | None = None,
+              spark: SparkSession | None = None, **options: Any) -> DataFrame:
+    """JSON scan. Reference: bodo/ir/json_ext.py."""
+    spark = spark or get_spark()
+    reader = spark.read.options(multiLine=not lines, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def to_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink. Reference: bodo/pandas/frame.py:942."""
+    df.write.mode(mode).json(path)
+
+
+def read_sql(query_or_table: str, url: str, spark: SparkSession | None = None,
+             partition_column: str | None = None, lower_bound: Any = None,
+             upper_bound: Any = None, num_partitions: int | None = None,
+             **options: Any) -> DataFrame:
+    """JDBC scan. Reference: bodo/ir/sql_ext.py:140 (distributed batch fetch).
+
+    The reference parallelizes Snowflake fetches across workers; the Spark
+    analogue is JDBC partitioned reads (partitionColumn/lowerBound/
+    upperBound/numPartitions) -- pass them for any large table or the read
+    is a single task.
+    """
+    spark = spark or get_spark()
+    reader = spark.read.format("jdbc").option("url", url)
+    q = query_or_table.strip()
+    if q.lower().startswith("select"):
+        reader = reader.option("query", q)
+    else:
+        reader = reader.option("dbtable", q)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions or 32)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def to_sql(df: DataFrame, table: str, url: str, mode: str = "append",
+           **options: Any) -> None:
+    """JDBC sink. Reference: bodo/pandas/frame.py:775."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def read_iceberg(table: str, spark: SparkSession | None = None,
+                 snapshot_id: int | None = None,
+                 as_of_timestamp: str | None = None) -> DataFrame:
+    """Iceberg scan. Reference: bodo/pandas/base.py:313, bodo/io/iceberg/.
+
+    Requires an Iceberg catalog configured on the session
+    (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog).
+    The iceberg-spark runtime jar is not baked into this container, so this
+    raises a clear error when the format is unavailable; the API surface
+    and time-travel options mirror the reference.
+    """
+    spark = spark or get_spark()
+    reader = spark.read
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    if as_of_timestamp is not None:
+        reader = reader.option("as-of-timestamp", as_of_timestamp)
+    try:
+        return reader.format("iceberg").load(table)
+    except Exception as e:  # pragma: no cover - depends on runtime jars
+        raise NotImplementedError(
+            "Iceberg runtime not available in this environment; on a real "
+            "cluster add the iceberg-spark-runtime jar and a catalog conf."
+        ) from e
+
+
+def to_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
+    """Iceberg sink. Reference: bodo/pandas/frame.py:507, physical/write_iceberg.h."""
+    try:
+        if mode == "append":
+            df.writeTo(table).append()
+        elif mode == "overwrite":
+            df.writeTo(table).overwritePartitions()
+        else:
+            df.writeTo(table).create()
+    except Exception as e:  # pragma: no cover - depends on runtime jars
+        raise NotImplementedError(
+            "Iceberg runtime not available in this environment."
+        ) from e
+
+
+def from_pandas(pdf: pd.DataFrame, spark: SparkSession | None = None,
+                num_partitions: int | None = None) -> DataFrame:
+    """In-memory scan. Reference: bodo/pandas/base.py:74 (LogicalGetPandasRead*).
+
+    Arrow-backed createDataFrame; repartition only when asked (the
+    reference distinguishes seq/parallel scatter -- Spark broadcasts the
+    plan and parallelizes automatically).
+    """
+    spark = spark or get_spark()
+    df = spark.createDataFrame(pdf)
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    return df

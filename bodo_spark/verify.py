@@ -1,0 +1,134 @@
+"""Local correctness harness: run each registered query on Spark and its
+DuckDB oracle side-by-side, compare row count, schema and order-insensitive
+values. Mirrors (defensively) what the driver's t2 check does.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from .queries import all_queries
+from .queries._util import QueryDef
+from .sources.tables import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon_cell(v: Any) -> Any:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        # guard against low-bit drift; queries are designed to be exact,
+        # round(12 sig) catches anything that slipped
+        if v == 0:
+            return 0.0
+        return float(f"{v:.12g}")
+    if isinstance(v, (pd.Timestamp,)):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    try:
+        import numpy as np
+        if isinstance(v, np.generic):
+            return _canon_cell(v.item())
+        if isinstance(v, np.ndarray):
+            return tuple(_canon_cell(x) for x in v.tolist())
+    except ImportError:
+        pass
+    return v
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows, key=repr)
+
+
+def compare_one(name: str, qd: QueryDef, spark, con, sf_dir: str) -> dict:
+    res: dict[str, Any] = {"name": name}
+    try:
+        sdf = qd.fn(spark, sf_dir).toPandas()
+        res["spark_rows"] = len(sdf)
+    except Exception as e:
+        res["error"] = f"spark: {type(e).__name__}: {e}"
+        return res
+    if qd.oracle is None:
+        res["status"] = "rows_only"
+        res["ok"] = res["spark_rows"] >= 0
+        return res
+    try:
+        odf = con.execute(qd.oracle).df()
+    except Exception as e:
+        res["error"] = f"oracle: {type(e).__name__}: {e}"
+        return res
+    res["oracle_rows"] = len(odf)
+    s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+    res["schema_match"] = s_cols == o_cols
+    if not res["schema_match"]:
+        res["spark_cols"], res["oracle_cols"] = s_cols, o_cols
+        res["ok"] = False
+        return res
+    sc, oc = _canon(sdf), _canon(odf)
+    res["values_match"] = sc == oc
+    res["ok"] = res["values_match"] and res["spark_rows"] == res["oracle_rows"]
+    if not res["values_match"]:
+        diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+        res["first_diffs"] = [f"spark={a} oracle={b}" for a, b in diffs]
+        if len(sc) != len(oc):
+            res["first_diffs"].append(f"len {len(sc)} vs {len(oc)}")
+    return res
+
+
+def run_all(sf_dir: str = "/root/testdata/sf0.01",
+            only: list[str] | None = None, verbose: bool = True) -> list[dict]:
+    import json
+    import time
+
+    from .session import get_spark
+    spark = get_spark()
+    con = duckdb_conn(sf_dir)
+    out = []
+    qs = all_queries()
+    for name, qd in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        r = compare_one(name, qd, spark, con, sf_dir)
+        r["sec"] = round(time.time() - t0, 2)
+        out.append(r)
+        if verbose:
+            flag = "OK  " if r.get("ok") else (
+                "ROWS" if r.get("status") == "rows_only" else "FAIL")
+            detail = "" if r.get("ok") else json.dumps(
+                {k: v for k, v in r.items() if k != "name"}, default=str)[:400]
+            print(f"{flag} {r['sec']:7.2f}s {name} {detail}", flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+    only = sys.argv[1:] or None
+    results = run_all(only=only)
+    from pyspark.sql import SparkSession
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()  # don't leave the JVM holding stdout open
+    n_ok = sum(1 for r in results if r.get("ok"))
+    for r in results:
+        flag = "OK  " if r.get("ok") else ("ROWS" if r.get("status") == "rows_only" else "FAIL")
+        print(flag, r["name"],
+              "" if r.get("ok") else json.dumps({k: v for k, v in r.items() if k != "name"}, default=str)[:500])
+    print(f"\n{n_ok}/{len(results)} ok")

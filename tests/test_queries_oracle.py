@@ -1,0 +1,28 @@
+"""Differential tests: every registered query vs its DuckDB oracle at
+sf0.001 (fast). Mirrors the reference's own test strategy of comparing
+against SparkSQL/DuckDB baselines (reference BodoSQL/bodosql/tests/
+utils.py:60 check_query).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bodo_spark.queries import all_queries
+from bodo_spark.verify import compare_one
+
+from .conftest import SF_DIR
+
+_QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    r = compare_one(name, _QUERIES[name], spark, duck, SF_DIR)
+    assert "error" not in r, r.get("error")
+    if r.get("status") == "rows_only":
+        assert r["spark_rows"] >= 0
+        return
+    assert r["schema_match"], f"schema: {r.get('spark_cols')} vs {r.get('oracle_cols')}"
+    assert r["values_match"], f"values differ: {r.get('first_diffs')}"
+    assert r["spark_rows"] == r["oracle_rows"]
