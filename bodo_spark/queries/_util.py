@@ -36,7 +36,25 @@ class QueryDef:
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load a test table; normalizes nanosecond parquet timestamps.
+
+    The events table stores TIMESTAMP(NANOS), which Spark 4 cannot read
+    natively; with spark.sql.legacy.parquet.nanosAsLong the column scans
+    as epoch-nanos LongType and is converted here to a microsecond
+    timestamp (values in the test data are us-aligned, so lossless --
+    DuckDB likewise reads this file at us precision).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import types as T
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
 
 
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:

@@ -1,5 +1,242 @@
-"""joins query battery (filled in incrementally)."""
+"""Join battery (SURVEY.md 2.3): all join types incl. semi/anti/full,
+non-equi range joins, and the as-of join custom operator.
 
-from ._util import QueryDef
+Reference parity: streaming partitioned hash join w/ adaptive broadcast
+(reference bodo/libs/streaming/_join.cpp, _join.h:1377) -> Spark
+BHJ/SMJ/SHJ + AQE; interval joins (reference bodo/libs/_interval_join.cpp)
+-> range-predicate joins; merge_asof (reference
+bodo/hiframes/dataframe_impl.py:3768) -> bodo_spark.operators.asof.
+"""
 
-QUERIES: dict[str, QueryDef] = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import QueryDef, dec, dsum, tbl
+
+
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi (EXISTS): customers that have orders, per segment."""
+    c = tbl(spark, sf, "customer")
+    o = tbl(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_with_orders"))
+            .orderBy("c_mktsegment"))
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_with_orders
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti (NOT EXISTS): customers without orders, per nation."""
+    c = tbl(spark, sf, "customer")
+    o = tbl(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_no_orders"))
+            .orderBy("c_nationkey"))
+
+
+_JOIN_ANTI_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_no_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    c = (tbl(spark, sf, "customer").groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_cust")))
+    s = (tbl(spark, sf, "supplier").groupBy("s_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_supp")))
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return (j.select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
+        .orderBy("nationkey"))
+
+
+_JOIN_FULL_SQL = """
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+  ON c.c_nationkey = s.s_nationkey
+ORDER BY nationkey
+"""
+
+
+def join_right_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Right outer join keeps all nations."""
+    s = tbl(spark, sf, "supplier")
+    n = tbl(spark, sf, "nation")
+    return (s.join(n, s.s_nationkey == n.n_nationkey, "right")
+            .groupBy("n_nationkey", "n_name")
+            .agg(F.count("s_suppkey").alias("n_supp"))
+            .orderBy("n_nationkey"))
+
+
+_JOIN_RIGHT_SQL = """
+SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_supp
+FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name ORDER BY n_nationkey
+"""
+
+
+def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross join (reference LogicalCrossProduct, plan.py:436)."""
+    r1 = tbl(spark, sf, "region").select(F.col("r_name").alias("r1"))
+    r2 = tbl(spark, sf, "region").select(F.col("r_name").alias("r2"))
+    return (r1.crossJoin(r2)
+            .where(F.col("r1") < F.col("r2"))
+            .orderBy("r1", "r2"))
+
+
+_JOIN_CROSS_SQL = """
+SELECT r1.r_name AS r1, r2.r_name AS r2
+FROM region r1 CROSS JOIN region r2
+WHERE r1.r_name < r2.r_name
+ORDER BY r1, r2
+"""
+
+
+def join_range_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi + range predicate join (reference interval join,
+    bodo/libs/_interval_join.cpp): clicks within 1 hour after a signup
+    by the same user. Spark executes the equi part hashed, range as a
+    join condition -- the scalable plan shape for point-in-interval."""
+    e = tbl(spark, sf, "events")
+    sign = (e.where(F.col("event_type") == "signup")
+            .select(F.col("user_id").alias("s_uid"), F.col("ts").alias("s_ts"),
+                    F.col("event_id").alias("s_eid")))
+    click = (e.where(F.col("event_type") == "click")
+             .select("user_id", "ts", "value"))
+    cond = ((click.user_id == sign.s_uid)
+            & (click.ts >= sign.s_ts)
+            & (click.ts < sign.s_ts + F.expr("INTERVAL 1 HOUR")))
+    return (sign.join(click, cond, "inner")
+            .groupBy("s_uid")
+            .agg(F.count(F.lit(1)).alias("n_clicks_1h"),
+                 dsum(dec("value", 12)).alias("sum_value"))
+            .orderBy("s_uid"))
+
+
+_JOIN_RANGE_SQL = """
+SELECT s.user_id AS s_uid, COUNT(*) AS n_clicks_1h,
+       CAST(SUM(CAST(c.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON c.user_id = s.user_id
+ AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+GROUP BY s.user_id ORDER BY s_uid
+"""
+
+
+def join_asof_events(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (backward): each purchase matched to the same user's
+    most recent prior-or-equal click. Uses the engine's merge_asof
+    operator (bodo_spark.operators.asof; reference pd.merge_asof,
+    bodo/hiframes/dataframe_impl.py:3768)."""
+    from ..operators.asof import merge_asof
+
+    e = tbl(spark, sf, "events")
+    buys = (e.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    # de-dup clicks per (user, ts) so the as-of match is unique
+    clicks = (e.where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id"),
+                   F.max("value").alias("click_value")))
+    j = merge_asof(buys, clicks, on="ts", by="user_id",
+                   direction="backward")
+    return (j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_id").alias("n_matched"),
+        F.max("click_id").alias("max_click_id"),
+        dsum(dec("click_value", 12)).alias("sum_click_value"))
+        .orderBy("user_id"))
+
+
+_JOIN_ASOF_SQL = """
+WITH buys AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT b.user_id AS user_id, COUNT(*) AS n_purchases,
+       COUNT(click_id) AS n_matched, MAX(click_id) AS max_click_id,
+       CAST(SUM(CAST(click_value AS DECIMAL(12,2))) AS DOUBLE) AS sum_click_value
+FROM buys b ASOF LEFT JOIN clicks c
+  ON b.user_id = c.user_id AND b.ts >= c.ts
+GROUP BY b.user_id ORDER BY user_id
+"""
+
+
+def join_broadcast_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit broadcast-hash join of fact x small dim (reference
+    adaptive broadcast decision _join.h:1377 -> F.broadcast hint)."""
+    li = tbl(spark, sf, "lineitem")
+    p = tbl(spark, sf, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(dsum(dec("l_extendedprice", 12)).alias("brand_revenue"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("p_brand"))
+
+
+_JOIN_BCAST_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS brand_revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (<=>) (reference equal_null kernel)."""
+    e = tbl(spark, sf, "events")
+    a = e.select(F.when(F.col("value") > 50, F.col("event_type"))
+                 .alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("n_a"))
+    b = e.select(F.when(F.col("value") > 80, F.col("event_type"))
+                 .alias("k2")).groupBy("k2").agg(F.count(F.lit(1)).alias("n_b"))
+    return (a.join(b, a.k.eqNullSafe(b.k2), "inner")
+            .select("k", "n_a", "n_b")
+            .orderBy(F.col("k").asc_nulls_first()))
+
+
+_JOIN_NULLSAFE_SQL = """
+WITH a AS (
+  SELECT CASE WHEN value > 50 THEN event_type END AS k, COUNT(*) AS n_a
+  FROM events GROUP BY 1),
+b AS (
+  SELECT CASE WHEN value > 80 THEN event_type END AS k2, COUNT(*) AS n_b
+  FROM events GROUP BY 1)
+SELECT k, n_a, n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+ORDER BY k NULLS FIRST
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "join_semi": QueryDef(join_semi, _JOIN_SEMI_SQL),
+    "join_anti": QueryDef(join_anti, _JOIN_ANTI_SQL),
+    "join_full_outer": QueryDef(join_full_outer, _JOIN_FULL_SQL),
+    "join_right_outer": QueryDef(join_right_outer, _JOIN_RIGHT_SQL),
+    "join_cross": QueryDef(join_cross, _JOIN_CROSS_SQL),
+    "join_range_events": QueryDef(join_range_events, _JOIN_RANGE_SQL),
+    "join_asof_events": QueryDef(join_asof_events, _JOIN_ASOF_SQL),
+    "join_broadcast_dim": QueryDef(join_broadcast_dim, _JOIN_BCAST_SQL),
+    "join_null_safe": QueryDef(join_null_safe, _JOIN_NULLSAFE_SQL),
+}

@@ -1,5 +1,267 @@
-"""windows query battery (filled in incrementally)."""
+"""Window-function battery (SURVEY.md 2.5).
 
-from ._util import QueryDef
+Covers the reference's window set (reference bodo/libs/window/
+_window_compute.cpp:950-1490, streaming/_window.cpp): rank family,
+lead/lag, first/last/nth, running and sliding frames, range frames,
+ratio_to_report, conditional_change_event, and the QUALIFY
+min-row-number-filter pattern. All windows order by a unique key chain
+so results are deterministic.
+"""
 
-QUERIES: dict[str, QueryDef] = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ._util import QueryDef, dec, fmt_date, tbl
+
+
+def win_rank_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """rank / dense_rank / row_number per customer over order value."""
+    o = tbl(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3))
+
+
+_WIN_RANK_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         row_number() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) t WHERE rn <= 3
+"""
+
+
+def win_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative sum per user (reference MPI_Exscan cumulatives,
+    bodo/libs/groupby/_groupby_mpi_exscan.cpp -> plain window here)."""
+    e = tbl(spark, sf, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        F.sum(dec("value", 12)).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"))
+
+
+_WIN_RUNNING_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_value,
+       COUNT(*) OVER w AS running_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def win_lead_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """lead/lag with default values (reference bodo/libs/_lead_lag.cpp)."""
+    e = tbl(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+        (dec("value", 12) - dec(F.lag("value", 1).over(w), 12))
+        .cast("double").alias("delta"))
+
+
+_WIN_LEADLAG_SQL = """
+SELECT event_id, user_id, value,
+       lag(value, 1) OVER w AS prev_value,
+       lead(value, 1) OVER w AS next_value,
+       lag(value, 2, -1.0) OVER w AS prev2_value,
+       CAST(CAST(value AS DECIMAL(12,2))
+            - CAST(lag(value, 1) OVER w AS DECIMAL(12,2)) AS DOUBLE) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def win_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding rows frame: 4-row moving average (reference rolling,
+    bodo/hiframes/rolling.py:28)."""
+    e = tbl(spark, sf, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, W.currentRow))
+    return e.select(
+        "event_id",
+        (F.sum(dec("value", 12)).over(w).cast("double")
+         / F.count(F.lit(1)).over(w)).alias("mavg"),
+        F.min("value").over(w).alias("mmin"),
+        F.max("value").over(w).alias("mmax"))
+
+
+_WIN_MAVG_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS mavg,
+       MIN(value) OVER w AS mmin,
+       MAX(value) OVER w AS mmax
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def win_ntile_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a unique ordering."""
+    s = tbl(spark, sf, "supplier")
+    w = W.orderBy(F.col("s_acctbal"), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey", "s_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"))
+
+
+_WIN_NTILE_SQL = """
+SELECT s_suppkey, s_acctbal,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cdist
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+"""
+
+
+def win_first_last_nth(spark: SparkSession, sf: str) -> DataFrame:
+    """first/last/nth value over the full partition frame."""
+    e = tbl(spark, sf, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (e.select(
+        "user_id",
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w).alias("last_value"),
+        F.nth_value("value", 2).over(w).alias("second_value"))
+        .distinct())
+
+
+_WIN_FLN_SQL = """
+SELECT DISTINCT user_id,
+       first_value(value) OVER w AS first_value,
+       last_value(value) OVER w AS last_value,
+       nth_value(value, 2) OVER w AS second_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def win_qualify_latest_order(spark: SparkSession, sf: str) -> DataFrame:
+    """QUALIFY row_number()=1 (latest order per customer) -- the
+    min-row-number-filter op (reference MinRowNumberFilterRule;
+    Spark 3.5+ rewrites this to InferWindowGroupLimit, no full sort)."""
+    o = tbl(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    fmt_date("o_orderdate").alias("latest_date")))
+
+
+_WIN_QUALIFY_SQL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+def win_ratio_to_report(spark: SparkSession, sf: str) -> DataFrame:
+    """ratio_to_report (reference WindowAggregateFuncTable.kt) =
+    x / sum(x) over partition."""
+    e = tbl(spark, sf, "events")
+    w = W.partitionBy("event_type")
+    return e.select(
+        "event_id", "event_type",
+        (dec("value", 12).cast("double")
+         / F.sum(dec("value", 12)).over(w).cast("double")).alias("ratio"))
+
+
+_WIN_RATIO_SQL = """
+SELECT event_id, event_type,
+       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)
+       / CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY event_type) AS DOUBLE)
+       AS ratio
+FROM events
+"""
+
+
+def win_change_event(spark: SparkSession, sf: str) -> DataFrame:
+    """conditional_change_event (reference window kernel): running count
+    of event_type changes per user."""
+    e = tbl(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") == F.lag("event_type").over(w)), 0).otherwise(1)
+    return (e.select("event_id", "user_id",
+                     F.sum(changed).over(wcum).alias("change_seq")))
+
+
+_WIN_CHANGE_SQL = """
+SELECT event_id, user_id,
+       SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS change_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type = lag(event_type) OVER w THEN 0 ELSE 1 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) t
+"""
+
+
+def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame on a numeric ordering: peers within 100.0 of current
+    order value (reference Bounds.kt range frames). PySpark's
+    Window.rangeBetween only accepts integer offsets, so the fractional
+    frame goes through the SQL surface."""
+    tbl(spark, sf, "orders").createOrReplaceTempView("_wrf_orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+               AS peers_within_100
+        FROM _wrf_orders
+    """)
+
+
+_WIN_RANGE_SQL = """
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+       AS peers_within_100
+FROM orders
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "win_rank_orders": QueryDef(win_rank_orders, _WIN_RANK_SQL),
+    "win_running_sum": QueryDef(win_running_sum, _WIN_RUNNING_SQL),
+    "win_lead_lag": QueryDef(win_lead_lag, _WIN_LEADLAG_SQL),
+    "win_moving_avg": QueryDef(win_moving_avg, _WIN_MAVG_SQL),
+    "win_ntile_dist": QueryDef(win_ntile_dist, _WIN_NTILE_SQL),
+    "win_first_last_nth": QueryDef(win_first_last_nth, _WIN_FLN_SQL),
+    "win_qualify_latest_order": QueryDef(win_qualify_latest_order, _WIN_QUALIFY_SQL),
+    "win_ratio_to_report": QueryDef(win_ratio_to_report, _WIN_RATIO_SQL),
+    "win_change_event": QueryDef(win_change_event, _WIN_CHANGE_SQL),
+    "win_range_frame": QueryDef(win_range_frame, _WIN_RANGE_SQL),
+}

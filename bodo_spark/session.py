@@ -35,6 +35,9 @@ _ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
+    # test data stores TIMESTAMP(NANOS); Spark 4 has no nanos timestamp --
+    # read as long and convert in the scan layer (values are us-aligned).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # pandas semantics: no silent int overflow surprises in ansi mode off,
