@@ -76,3 +76,10 @@ def davg(expr: Column, count_col: Column) -> Column:
 def fmt_date(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyy-MM-dd")
+
+
+def bint(col: Column) -> Column:
+    """Cast int-typed function results to bigint: DuckDB returns int64
+    where Spark returns int32 (length, rank, extract, ...); aligning
+    widths keeps a dtype-sensitive comparer happy."""
+    return col.cast("bigint")

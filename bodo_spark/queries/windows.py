@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ._util import QueryDef, dec, fmt_date, tbl
+from ._util import QueryDef, bint, dec, fmt_date, tbl
 
 
 def win_rank_orders(spark: SparkSession, sf: str) -> DataFrame:
@@ -24,9 +24,9 @@ def win_rank_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (o.select(
         "o_custkey", "o_orderkey", "o_totalprice",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.row_number().over(w).alias("rn"))
+        bint(F.rank().over(w)).alias("rnk"),
+        bint(F.dense_rank().over(w)).alias("drnk"),
+        bint(F.row_number().over(w)).alias("rn"))
         .where(F.col("rn") <= 3))
 
 
@@ -121,7 +121,7 @@ def win_ntile_dist(spark: SparkSession, sf: str) -> DataFrame:
     w = W.orderBy(F.col("s_acctbal"), F.col("s_suppkey"))
     return s.select(
         "s_suppkey", "s_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
+        bint(F.ntile(4).over(w)).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"))
 
