@@ -1,0 +1,149 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Extends the reference's data-pipeline surface (reference
+drop_duplicates bodo/pandas/frame.py:1873 is the exact path) with the
+near-dup family every pretraining corpus needs.
+
+Scale design (the whole point):
+  - Signatures (shingles, minhash, simhash) are per-row expressions /
+    narrow maps -- zero shuffle, embarrassingly parallel over any
+    number of executors.
+  - Candidate generation shuffles once on (band, signature) -- the LSH
+    trick keeps the candidate set ~linear instead of O(n^2).
+  - Verification joins only candidate pairs.
+  - All hashes derive from md5 (bit-identical across engines and JVMs),
+    so results are deterministic under any partitioning/ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def h60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+    (DuckDB twin: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT).)"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams of a text column -> array<string>.
+    Short texts (< k words) fall back to the whole text."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), "\\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.when(F.size(words) >= k, F.array_distinct(grams)) \
+            .otherwise(F.array(F.trim(c)))
+
+
+def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
+    """MinHash signature: array of num_perm 60-bit minima.
+    Permutation i hashes shingle s as h60(i || '|' || s)."""
+    sigs = [
+        F.array_min(F.transform(
+            shingles, lambda s, i=i: h60(F.concat(F.lit(f"{i}|"), s))))
+        for i in range(num_perm)
+    ]
+    return F.array(*sigs)
+
+
+def band_signatures(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: md5 over each band's slice of the signature."""
+    return F.array(*[
+        F.md5(F.concat_ws(
+            "_", F.lit(str(b)),
+            *[F.element_at(sig, b * rows + r + 1).cast("string")
+              for r in range(rows)]))
+        for b in range(bands)
+    ])
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup = hash-groupBy dropDuplicates (reference
+    drop_duplicates). One shuffle on the subset key."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with the
+    true Jaccard over shingle sets. Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+    """
+    rows = num_perm // bands
+    docs = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+            .withColumn("sh", word_shingles(F.col("t"), k))
+            .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+            .withColumn("bands", band_signatures(F.col("sig"), bands, rows))
+            .select("id", "sh", F.explode("bands").alias("band_sig")))
+    # candidates: ids sharing any band bucket (shuffle #1, on band_sig)
+    a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                    "band_sig")
+    b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                    "band_sig")
+    cand = (a.join(b, "band_sig")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (cand.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", bits: int = 16, k: int = 3) -> DataFrame:
+    """SimHash over word shingles: bit j is the sign of the sum of
+    (+1/-1) votes from each shingle's hash bit j. Distributed as
+    explode -> per-(doc,bit) conditional sums -> reassemble; one shuffle
+    on doc id."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    word_shingles(F.col(text_col), k).alias("sh"))
+          .select("id", F.explode("sh").alias("s"))
+          .withColumn("h", h60(F.col("s"))))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = sh.groupBy("id").agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs, blocked by ``block_col`` to bound the
+    quadratic comparison (at scale: block on a cheap key -- source,
+    length band, LSH bucket -- never all-pairs)."""
+    d = df.select(F.col(id_col).alias("id"),
+                  *( [F.col(block_col).alias("blk")] if block_col else
+                     [F.lit(1).alias("blk")] ),
+                  word_shingles(F.col(text_col), k).alias("sh"))
+    a = d.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
+    b = d.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
+    pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+These extend the reference's LLM-ops surface (reference
+bodo/pandas/series.py:1903 Series.ai.tokenize and friends) with the
+classic pretraining-corpus filters. Everything is built from built-in
+Spark SQL expressions (JVM-side, codegen'd, no Python in the hot path),
+so they run unchanged over 100 TB of documents: per-row expressions,
+no shuffle at all until an aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# (public common function words; enough signal for a deterministic lang-id)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokenize_ws(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (reference Series.ai.tokenize counts via
+    HF tokenizers; this is the cheap JVM-side estimate)."""
+    return F.size(tokenize_ws(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored estimate: word-pieces + digits + punctuation runs,
+    via a GPT-style pre-tokenizer regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces).cast("bigint")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are language stopwords."""
+    toks = tokenize_ws(col)
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite 0..1 quality score: length band + punctuation sanity +
+    mean-token-length band (the C4-style cheap filters)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_toks = token_count(c)
+    mean_tok = n_chars.cast("double") / F.greatest(n_toks, F.lit(1))
+    len_ok = (n_chars >= 100) & (n_chars <= 20000)
+    tok_ok = (mean_tok >= 3.0) & (mean_tok <= 12.0)
+    punct_ok = punct_ratio(c) <= 0.1
+    return ((len_ok.cast("int") + tok_ok.cast("int") + punct_ok.cast("int"))
+            .cast("double") / 3.0)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Deterministic stopword-vote language ID: the language with the
+    most marker-word hits wins; ties break by language code order.
+
+    SQL-expressible (scored CASE chain) so it has an exact DuckDB twin.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    scores = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        score = None
+        for w in words:
+            hit = F.when(padded.contains(f" {w} "), 1).otherwise(0)
+            score = hit if score is None else score + hit
+        scores.append((lang, score))
+    # argmax with lexicographic tiebreak: pack (score, revlang) and take max
+    best = None
+    for lang, score in scores:
+        cand = F.struct(score.alias("s"),
+                        F.lit(_rev_ord(lang)).alias("r"),
+                        F.lit(lang).alias("lang"))
+        best = cand if best is None else F.when(
+            (cand.getField("s") > best.getField("s"))
+            | ((cand.getField("s") == best.getField("s"))
+               & (cand.getField("r") > best.getField("r"))), cand).otherwise(best)
+    return best.getField("lang")
+
+
+def _rev_ord(lang: str) -> int:
+    """Higher value = earlier alphabetically, so max() breaks ties toward
+    'de' < 'en' < ... order."""
+    order = sorted(LANG_MARKERS)
+    return len(order) - order.index(lang)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical-form document fingerprint: lowercase, collapse
+    whitespace, strip punctuation, md5. Identical content -> identical
+    128-bit key; the exact-dedup key at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    return F.md5(canon)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-analysis columns."""
+    return (df
+            .withColumn("n_tokens", token_count(text_col))
+            .withColumn("n_bpe_tokens", bpe_ish_token_count(text_col))
+            .withColumn("punct_ratio", punct_ratio(text_col))
+            .withColumn("quality", quality_score(text_col))
+            .withColumn("pred_lang", lang_id(text_col))
+            .withColumn("fingerprint", fingerprint(text_col)))

@@ -1,5 +1,148 @@
-"""dedup query battery (filled in incrementally)."""
+"""Deduplication battery over the documents table: exact, MinHash+LSH,
+SimHash, blocked n-gram Jaccard. Implementations in
+bodo_spark.operators.dedup; every hash derives from md5 so the DuckDB
+oracles reproduce signatures bit-for-bit.
+"""
 
-from ._util import QueryDef
+from __future__ import annotations
 
-QUERIES: dict[str, QueryDef] = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ._util import QueryDef, tbl
+
+# ---- DuckDB twins of the operator building blocks ----
+_SQL_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_SHINGLES = (
+    "CASE WHEN len({w}) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len({w}) - 1), "
+    "i -> array_to_string(({w})[i:i+2], ' '))) "
+    "ELSE [trim(text)] END"
+).format(w=_SQL_WORDS)
+
+
+def _sql_h60(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _sql_minhash(num_perm: int) -> str:
+    sigs = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _sql_h60(f"concat('{i}|', s)") + "))"
+        for i in range(num_perm))
+    return f"[{sigs}]"
+
+
+def _sql_bands(bands: int, rows: int) -> str:
+    outs = []
+    for b in range(bands):
+        parts = ", ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)"
+                          for r in range(rows))
+        outs.append(f"md5(concat_ws('_', '{b}', {parts}))")
+    return f"[{', '.join(outs)}]"
+
+
+def dedup_exact_subset(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on a column subset (reference drop_duplicates,
+    frame.py:1873): one survivor per (lang, source)."""
+    d = tbl(spark, sf, "documents")
+    deduped = D.exact_dedup(d.select("lang", "source"), ["lang", "source"])
+    return (deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_groups"))
+            .orderBy("lang"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT lang, COUNT(*) AS n_groups
+FROM (SELECT DISTINCT lang, source FROM documents) t
+GROUP BY lang ORDER BY lang
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, jaccard-verified (16 perms, 8 bands)."""
+    d = tbl(spark, sf, "documents")
+    return (D.minhash_lsh_pairs(d, num_perm=16, bands=8, threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+_DEDUP_MINHASH_SQL = f"""
+WITH docs AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES} AS sh FROM documents),
+sigs AS (
+  SELECT id, sh, {_sql_minhash(16)} AS sig FROM docs),
+banded AS (
+  SELECT id, sh, unnest({_sql_bands(8, 2)}) AS band_sig FROM sigs),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band_sig = b.band_sig AND a.id < b.id),
+verified AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
+  FROM cand JOIN docs da ON cand.id_a = da.id
+            JOIN docs db ON cand.id_b = db.id)
+SELECT id_a, id_b, jaccard FROM verified
+WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash fingerprints: histogram of fingerprint collisions
+    (docs sharing a simhash are near-dup candidates)."""
+    d = tbl(spark, sf, "documents")
+    sh = D.simhash64(d, bits=16)
+    return (sh.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("id").alias("min_doc"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy("simhash"))
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits))
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)"
+                    for j in range(bits))
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES} AS sh FROM documents),
+hashes AS (
+  SELECT id, {_sql_h60('s')} AS h
+  FROM (SELECT id, unnest(sh) AS s FROM docs) t),
+votes AS (
+  SELECT id, {votes} FROM hashes GROUP BY id),
+fps AS (
+  SELECT id, CAST({fp} AS BIGINT) AS simhash FROM votes)
+SELECT simhash, COUNT(*) AS n_docs, MIN(id) AS min_doc
+FROM fps GROUP BY simhash HAVING COUNT(*) >= 2 ORDER BY simhash
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked exact 3-gram Jaccard pairs (blocked on source)."""
+    d = tbl(spark, sf, "documents")
+    return (D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+_DEDUP_NGRAM_SQL = f"""
+WITH docs AS (
+  SELECT doc_id AS id, source, {_SQL_SHINGLES} AS sh FROM documents)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM docs a JOIN docs b ON a.source = b.source AND a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "dedup_exact_subset": QueryDef(dedup_exact_subset, _DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, _DEDUP_MINHASH_SQL),
+    "dedup_simhash": QueryDef(dedup_simhash, _sql_simhash(16)),
+    "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, _DEDUP_NGRAM_SQL),
+}

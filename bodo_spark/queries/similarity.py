@@ -1,5 +1,131 @@
-"""similarity query battery (filled in incrementally)."""
+"""Similarity-search battery over the embeddings table (ANN over
+array<float>). Implementations in bodo_spark.operators.similarity.
 
-from ._util import QueryDef
+Cosines are computed as sequential-fold double dot products in both
+engines and rounded to 6 digits before any ranking/thresholding, so
+ordering is stable across float low-bit differences.
+"""
 
-QUERIES: dict[str, QueryDef] = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ._util import QueryDef, tbl
+
+_SQL_COS = (
+    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 5 query vectors (vec_id < 5).
+    The oracle baseline every ANN variant is measured against."""
+    emb = tbl(spark, sf, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (S.brute_force_topk(emb, queries, k=5)
+            .orderBy("q_id", "rn"))
+
+
+_ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         {_SQL_COS.format(a='e.embedding', b='q.q_vec')} AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id, cos,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+FROM scored
+QUALIFY rn <= 5
+ORDER BY q_id, rn
+"""
+
+
+def ann_blocked_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-bucket pruned ANN (LSH-style): same queries, but candidates
+    limited to vectors sharing the 3-bit sign bucket."""
+    emb = tbl(spark, sf, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (S.blocked_topk(emb, queries, k=5, bits=3)
+            .orderBy("q_id", "rn"))
+
+
+def _sql_bucket(vec: str, bits: int = 3) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN ({vec})[{j + 1}] >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(bits))
+    return f"({terms})"
+
+
+_ANN_BLOCKED_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+                  {_sql_bucket('embedding')} AS qb
+           FROM embeddings WHERE vec_id < 5),
+v AS (SELECT vec_id, embedding, {_sql_bucket('embedding')} AS vb FROM embeddings),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+         {_SQL_COS.format(a='v.embedding', b='q.q_vec')} AS cos
+  FROM v JOIN q ON v.vb = q.qb
+  WHERE v.vec_id <> q.q_id)
+SELECT q_id, vec_id, cos,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+FROM scored
+QUALIFY rn <= 5
+ORDER BY q_id, rn
+"""
+
+
+def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9), blocked on the
+    label column to bound the quadratic join."""
+    emb = tbl(spark, sf, "embeddings")
+    return (S.embedding_neardup_pairs(emb, threshold=0.9, block_col="label")
+            .orderBy("id_a", "id_b"))
+
+
+_EMB_NEARDUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def emb_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector norms / dimension stats per label (sanity surface for the
+    embedding column plumbing)."""
+    emb = tbl(spark, sf, "embeddings")
+    norm = F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
+    return (emb.groupBy("label").agg(
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.min(F.size("embedding")).cast("bigint").alias("dim"),
+        F.count(F.lit(1)).alias("n"))
+        .orderBy("label"))
+
+
+_EMB_NORM_SQL = """
+SELECT label,
+       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+       CAST(MIN(len(embedding)) AS BIGINT) AS dim,
+       COUNT(*) AS n
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "ann_cosine_topk": QueryDef(ann_cosine_topk, _ANN_TOPK_SQL),
+    "ann_blocked_topk": QueryDef(ann_blocked_topk, _ANN_BLOCKED_SQL),
+    "emb_neardup_pairs": QueryDef(emb_neardup_pairs, _EMB_NEARDUP_SQL),
+    "emb_norm_stats": QueryDef(emb_norm_stats, _EMB_NORM_SQL),
+}

@@ -1,5 +1,160 @@
-"""text query battery (filled in incrementally)."""
+"""Text-analysis battery over the documents table (training-data
+pipeline operators: token counting, quality scoring, language ID,
+fingerprinting). Implementations live in bodo_spark.operators.text;
+oracles mirror the exact same expressions in DuckDB SQL.
+"""
 
-from ._util import QueryDef
+from __future__ import annotations
 
-QUERIES: dict[str, QueryDef] = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ._util import QueryDef, bint, tbl
+
+# DuckDB twin of operators.text.tokenize_ws size
+_SQL_NTOK = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts, per language."""
+    d = tbl(spark, sf, "documents")
+    d = (d.withColumn("n_tokens", T.token_count("text"))
+         .withColumn("n_bpe", T.bpe_ish_token_count("text")))
+    return (d.groupBy("lang").agg(
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_bpe").alias("sum_bpe_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang"))
+
+
+_TEXT_TOK_SQL = f"""
+SELECT lang,
+       SUM({_SQL_NTOK}) AS sum_tokens,
+       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
+         AS sum_bpe_tokens,
+       MAX({_SQL_NTOK}) AS max_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def text_quality_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score histogram per source (C4-style filters:
+    length band, mean token length, punctuation ratio)."""
+    d = tbl(spark, sf, "documents").withColumn("q", T.quality_score("text"))
+    return (d.groupBy("source").agg(
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.count_if(F.col("q") >= 0.99).alias("n_keep"),
+        F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source"))
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         ((CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(length(text) AS DOUBLE) / greatest({_SQL_NTOK}, 1) >= 3.0
+                   AND CAST(length(text) AS DOUBLE) / greatest({_SQL_NTOK}, 1) <= 12.0
+                  THEN 1 ELSE 0 END
+           + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+                       AS DOUBLE) / greatest(length(text), 1) <= 0.1
+                  THEN 1 ELSE 0 END)) / 3.0 AS q
+  FROM documents)
+SELECT source, round(avg(q), 6) AS avg_quality,
+       count_if(q >= 0.99) AS n_keep, COUNT(*) AS n_docs
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-vote language ID vs the labeled lang column: confusion
+    counts per (actual, predicted)."""
+    d = tbl(spark, sf, "documents").withColumn("pred", T.lang_id("text"))
+    return (d.groupBy("lang", "pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang", "pred"))
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang, words in sorted(T.LANG_MARKERS.items()):
+        hits = " + ".join(
+            f"CASE WHEN contains(' ' || text || ' ', ' {w} ') THEN 1 ELSE 0 END"
+            for w in words)
+        score_cols.append(f"({hits}) AS s_{lang}")
+    langs = sorted(T.LANG_MARKERS)
+    # same argmax-with-alphabetic-tiebreak as operators.text.lang_id
+    best = "CASE "
+    for lang in langs:
+        others = [o for o in langs if o != lang]
+        conds = []
+        for o in others:
+            cmp = ">" if o < lang else ">="
+            conds.append(f"s_{lang} {cmp} s_{o}")
+        best += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    best += "END"
+    return f"""
+WITH scored AS (SELECT lang, {', '.join(score_cols)} FROM documents)
+SELECT lang, {best} AS pred, COUNT(*) AS n
+FROM scored GROUP BY 1, 2 ORDER BY lang, pred
+"""
+
+
+def text_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical md5 fingerprint -> distinct-document counts per source
+    (the exact-dedup map at corpus scale)."""
+    d = tbl(spark, sf, "documents").withColumn("fp", T.fingerprint("text"))
+    return (d.groupBy("source").agg(
+        F.countDistinct("fp").alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("fp").alias("min_fp"))
+        .orderBy("source"))
+
+
+_TEXT_FP_SQL = """
+WITH fp AS (
+  SELECT source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fp
+  FROM documents)
+SELECT source, COUNT(DISTINCT fp) AS n_unique, COUNT(*) AS n_docs,
+       MIN(fp) AS min_fp
+FROM fp GROUP BY source ORDER BY source
+"""
+
+
+def text_stopword_punct(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword ratio (en) + punctuation ratio aggregates per lang."""
+    d = (tbl(spark, sf, "documents")
+         .withColumn("swr", T.stopword_ratio("text", "en"))
+         .withColumn("pr", T.punct_ratio("text")))
+    return (d.groupBy("lang").agg(
+        F.round(F.avg("swr"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("pr"), 6).alias("avg_punct_ratio"))
+        .orderBy("lang"))
+
+
+_TEXT_SW_SQL = f"""
+WITH r AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> list_contains(['the','and','of','to','is'], t)))
+              AS DOUBLE) / greatest({_SQL_NTOK}, 1) AS swr,
+         CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+              AS DOUBLE) / greatest(length(text), 1) AS pr
+  FROM documents)
+SELECT lang, round(avg(swr), 6) AS avg_stopword_ratio,
+       round(avg(pr), 6) AS avg_punct_ratio
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "text_token_stats": QueryDef(text_token_stats, _TEXT_TOK_SQL),
+    "text_quality_stats": QueryDef(text_quality_stats, _TEXT_QUALITY_SQL),
+    "text_lang_id": QueryDef(text_lang_id, _langid_sql()),
+    "text_fingerprint_dedup": QueryDef(text_fingerprint_dedup, _TEXT_FP_SQL),
+    "text_stopword_punct": QueryDef(text_stopword_punct, _TEXT_SW_SQL),
+}
