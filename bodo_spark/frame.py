@@ -1,0 +1,578 @@
+"""Pandas-flavored lazy DataFrame veneer over pyspark.sql.DataFrame.
+
+Reference parity: the Bodo DataFrames front-end (reference
+bodo/pandas/frame.py, series.py, groupby.py) -- a lazy, pandas-like API
+whose every method appends to a logical plan. Here the "LazyPlan" IS the
+pyspark DataFrame (Catalyst plan); methods translate pandas semantics to
+DataFrame operations 1:1, so the optimizer sees the whole declarative
+plan (pushdown/pruning/broadcast all apply).
+
+Deliberate deltas from pandas, documented per SURVEY.md section 7 "hard
+parts":
+  - No implicit row order: head(n) is "some n rows" unless the frame was
+    sorted (sort_values) first; a positional index is materialized only
+    on to_pandas(). (Reference carries index columns through plans --
+    bodo/pandas/plan.py:1475; we materialize lazily instead.)
+  - len(df)/shape trigger one count and cache it (reference lazy
+    metadata, bodo/pandas/lazy_metadata.py).
+  - NaN vs NULL: Spark nulls map to NaN/None on collection, like the
+    reference's nullable arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame as SparkDF
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["BodoDataFrame", "BodoSeries", "read_parquet", "read_csv",
+           "from_pandas", "concat", "merge_asof"]
+
+
+# --------------------------------------------------------------------------
+# Series: a named Column expression bound to a parent frame
+# --------------------------------------------------------------------------
+class BodoSeries:
+    """Lazy column expression (reference bodo/pandas/series.py)."""
+
+    def __init__(self, frame: "BodoDataFrame", col: Column, name: str):
+        self._frame = frame
+        self._col = col
+        self.name = name
+
+    # -- arithmetic / comparison / boolean ops → new Series
+    def _bin(self, other, op) -> "BodoSeries":
+        o = other._col if isinstance(other, BodoSeries) else F.lit(other)
+        return BodoSeries(self._frame, op(self._col, o), self.name)
+
+    def __add__(self, o): return self._bin(o, lambda a, b: a + b)
+    def __radd__(self, o): return self._bin(o, lambda a, b: b + a)
+    def __sub__(self, o): return self._bin(o, lambda a, b: a - b)
+    def __rsub__(self, o): return self._bin(o, lambda a, b: b - a)
+    def __mul__(self, o): return self._bin(o, lambda a, b: a * b)
+    def __rmul__(self, o): return self._bin(o, lambda a, b: b * a)
+    def __truediv__(self, o): return self._bin(o, lambda a, b: a / b)
+    def __mod__(self, o): return self._bin(o, lambda a, b: a % b)
+    def __neg__(self): return BodoSeries(self._frame, -self._col, self.name)
+    def __eq__(self, o): return self._bin(o, lambda a, b: a == b)  # type: ignore[override]
+    def __ne__(self, o): return self._bin(o, lambda a, b: a != b)  # type: ignore[override]
+    def __lt__(self, o): return self._bin(o, lambda a, b: a < b)
+    def __le__(self, o): return self._bin(o, lambda a, b: a <= b)
+    def __gt__(self, o): return self._bin(o, lambda a, b: a > b)
+    def __ge__(self, o): return self._bin(o, lambda a, b: a >= b)
+    def __and__(self, o): return self._bin(o, lambda a, b: a & b)
+    def __or__(self, o): return self._bin(o, lambda a, b: a | b)
+    def __invert__(self): return BodoSeries(self._frame, ~self._col, self.name)
+
+    # -- pandas Series API subset
+    def isin(self, values) -> "BodoSeries":
+        """reference series.py:1236; Series-valued isin becomes a
+        left-semi join at the frame level (frame.isin_frame)."""
+        return BodoSeries(self._frame, self._col.isin(list(values)), self.name)
+
+    def isna(self): return BodoSeries(self._frame, self._col.isNull(), self.name)
+    def notna(self): return BodoSeries(self._frame, self._col.isNotNull(), self.name)
+
+    def fillna(self, value) -> "BodoSeries":
+        return BodoSeries(self._frame,
+                          F.coalesce(self._col, F.lit(value)), self.name)
+
+    def astype(self, dtype) -> "BodoSeries":
+        spark_t = _dtype_to_spark(dtype)
+        return BodoSeries(self._frame, self._col.cast(spark_t), self.name)
+
+    def between(self, lo, hi) -> "BodoSeries":
+        return BodoSeries(self._frame, self._col.between(lo, hi), self.name)
+
+    def where(self, cond: "BodoSeries", other=None) -> "BodoSeries":
+        """reference series.py:1422 (CaseExpression)."""
+        o = other._col if isinstance(other, BodoSeries) else F.lit(other)
+        return BodoSeries(self._frame,
+                          F.when(cond._col, self._col).otherwise(o), self.name)
+
+    def abs(self): return BodoSeries(self._frame, F.abs(self._col), self.name)
+    def round(self, n=0): return BodoSeries(self._frame, F.round(self._col, n), self.name)
+
+    def map(self, func: Callable, return_type: str = "string") -> "BodoSeries":
+        """Arrow-batched pandas UDF (reference Series.map,
+        series.py:737 -> PythonScalarFuncExpression). The slow path;
+        prefer builtin exprs."""
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(return_type)
+        def _u(s: pd.Series) -> pd.Series:
+            return s.map(func)
+        return BodoSeries(self._frame, _u(self._col), self.name)
+
+    # aggregations (trigger execution)
+    def _agg(self, fn) -> Any:
+        row = self._frame._df.select(fn(self._col).alias("v")).collect()[0]
+        return row["v"]
+
+    def sum(self): return self._agg(F.sum)
+    def mean(self): return self._agg(F.avg)
+    def min(self): return self._agg(F.min)
+    def max(self): return self._agg(F.max)
+    def count(self): return self._agg(F.count)
+    def nunique(self): return self._agg(F.countDistinct)
+    def std(self): return self._agg(F.stddev_samp)
+    def var(self): return self._agg(F.var_samp)
+
+    def quantile(self, q=0.5):
+        """reference series.py:1355 (t-digest approx / exact); exact here."""
+        return self._agg(lambda c: F.expr(f"percentile({self.name}, {q})"))
+
+    def value_counts(self) -> "BodoDataFrame":
+        out = (self._frame._df.groupBy(self._col.alias(self.name))
+               .agg(F.count(F.lit(1)).alias("count"))
+               .orderBy(F.col("count").desc(), F.col(self.name)))
+        return BodoDataFrame(out)
+
+    @property
+    def str(self): return _StrAccessor(self)
+    @property
+    def dt(self): return _DtAccessor(self)
+
+    def to_pandas(self) -> pd.Series:
+        return self._frame._df.select(self._col.alias(self.name)) \
+            .toPandas()[self.name]
+
+
+class _StrAccessor:
+    """reference series.py str accessor table -> F.* builtins."""
+
+    def __init__(self, s: BodoSeries):
+        self._s = s
+
+    def _wrap(self, col: Column) -> BodoSeries:
+        return BodoSeries(self._s._frame, col, self._s.name)
+
+    def upper(self): return self._wrap(F.upper(self._s._col))
+    def lower(self): return self._wrap(F.lower(self._s._col))
+    def len(self): return self._wrap(F.length(self._s._col))
+    def strip(self): return self._wrap(F.trim(self._s._col))
+    def lstrip(self): return self._wrap(F.ltrim(self._s._col))
+    def rstrip(self): return self._wrap(F.rtrim(self._s._col))
+    def title(self): return self._wrap(F.initcap(self._s._col))
+    def contains(self, pat, regex=True):
+        return self._wrap(self._s._col.rlike(pat) if regex
+                          else self._s._col.contains(pat))
+    def startswith(self, p): return self._wrap(self._s._col.startswith(p))
+    def endswith(self, p): return self._wrap(self._s._col.endswith(p))
+    def replace(self, pat, repl, regex=True):
+        return self._wrap(F.regexp_replace(self._s._col, pat, repl) if regex
+                          else F.replace(self._s._col, F.lit(pat), F.lit(repl)))
+    def slice(self, start=0, stop=None):
+        length = (stop - start) if stop is not None else 1 << 30
+        return self._wrap(F.substring(self._s._col, start + 1, length))
+    def split(self, pat=" "): return self._wrap(F.split(self._s._col, pat))
+    def get(self, i): return self._wrap(F.element_at(self._s._col, i + 1))
+    def pad(self, width, side="left", fillchar=" "):
+        fn = F.lpad if side == "left" else F.rpad
+        return self._wrap(fn(self._s._col, width, fillchar))
+    def zfill(self, width): return self._wrap(F.lpad(self._s._col, width, "0"))
+    def repeat(self, n): return self._wrap(F.repeat(self._s._col, n))
+    def find(self, sub): return self._wrap(F.instr(self._s._col, sub) - 1)
+    def extract(self, pat, group=1):
+        return self._wrap(F.regexp_extract(self._s._col, pat, group))
+
+
+class _DtAccessor:
+    """reference series.py dt accessor table -> F.* builtins."""
+
+    def __init__(self, s: BodoSeries):
+        self._s = s
+
+    def _wrap(self, col: Column) -> BodoSeries:
+        return BodoSeries(self._s._frame, col, self._s.name)
+
+    @property
+    def year(self): return self._wrap(F.year(self._s._col))
+    @property
+    def month(self): return self._wrap(F.month(self._s._col))
+    @property
+    def day(self): return self._wrap(F.dayofmonth(self._s._col))
+    @property
+    def hour(self): return self._wrap(F.hour(self._s._col))
+    @property
+    def minute(self): return self._wrap(F.minute(self._s._col))
+    @property
+    def second(self): return self._wrap(F.second(self._s._col))
+    @property
+    def quarter(self): return self._wrap(F.quarter(self._s._col))
+    @property
+    def dayofweek(self): return self._wrap(F.weekday(self._s._col))  # Mon=0, pandas-compatible
+    @property
+    def dayofyear(self): return self._wrap(F.dayofyear(self._s._col))
+    @property
+    def date(self): return self._wrap(F.to_date(self._s._col))
+
+    def floor(self, freq: str):
+        unit = {"D": "day", "H": "hour", "T": "minute", "min": "minute"}[freq]
+        return self._wrap(F.date_trunc(unit, self._s._col))
+
+    def strftime(self, fmt: str):
+        java_fmt = (fmt.replace("%Y", "yyyy").replace("%m", "MM")
+                    .replace("%d", "dd").replace("%H", "HH")
+                    .replace("%M", "mm").replace("%S", "ss"))
+        return self._wrap(F.date_format(self._s._col, java_fmt))
+
+
+# --------------------------------------------------------------------------
+# DataFrame
+# --------------------------------------------------------------------------
+class BodoDataFrame:
+    """Lazy pandas-like frame (reference bodo/pandas/frame.py)."""
+
+    def __init__(self, df: SparkDF):
+        self._df = df
+        self._cached_len: int | None = None
+
+    # -- plumbing
+    @property
+    def spark(self) -> SparkDF:
+        """Escape hatch: the underlying pyspark DataFrame."""
+        return self._df
+
+    @property
+    def columns(self) -> list[str]:
+        return list(self._df.columns)
+
+    @property
+    def dtypes(self) -> pd.Series:
+        return pd.Series({f.name: f.dataType.simpleString()
+                          for f in self._df.schema.fields})
+
+    def __len__(self) -> int:
+        if self._cached_len is None:
+            self._cached_len = self._df.count()
+        return self._cached_len
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (len(self), len(self.columns))
+
+    def __repr__(self) -> str:
+        return f"BodoDataFrame[{', '.join(self.columns)}]"
+
+    # -- selection / projection / filter (reference plan.py:355,364)
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return BodoSeries(self, F.col(key), key)
+        if isinstance(key, list):
+            return BodoDataFrame(self._df.select(*key))
+        if isinstance(key, BodoSeries):  # boolean mask
+            return BodoDataFrame(self._df.where(key._col))
+        raise TypeError(f"unsupported key type {type(key)}")
+
+    def __setitem__(self, name: str, value):
+        if isinstance(value, BodoSeries):
+            self._df = self._df.withColumn(name, value._col)
+        else:
+            self._df = self._df.withColumn(name, F.lit(value))
+        self._cached_len = None if isinstance(value, BodoSeries) else self._cached_len
+
+    def assign(self, **kwargs) -> "BodoDataFrame":
+        df = self._df
+        for name, v in kwargs.items():
+            df = df.withColumn(name, v._col if isinstance(v, BodoSeries)
+                               else F.lit(v))
+        return BodoDataFrame(df)
+
+    def query(self, expr: str) -> "BodoDataFrame":
+        """reference frame.py:1563 (.query); SQL-dialect predicate."""
+        return BodoDataFrame(self._df.where(F.expr(expr)))
+
+    def rename(self, columns: Mapping[str, str]) -> "BodoDataFrame":
+        df = self._df
+        for old, new in columns.items():
+            df = df.withColumnRenamed(old, new)
+        return BodoDataFrame(df)
+
+    def drop(self, columns: Iterable[str]) -> "BodoDataFrame":
+        return BodoDataFrame(self._df.drop(*columns))
+
+    def astype(self, dtypes: Mapping[str, Any]) -> "BodoDataFrame":
+        df = self._df
+        for c, t in dtypes.items():
+            df = df.withColumn(c, F.col(c).cast(_dtype_to_spark(t)))
+        return BodoDataFrame(df)
+
+    def fillna(self, value) -> "BodoDataFrame":
+        return BodoDataFrame(self._df.fillna(value))
+
+    def dropna(self, subset: list[str] | None = None) -> "BodoDataFrame":
+        return BodoDataFrame(self._df.dropna(subset=subset))
+
+    def isin_frame(self, col: str, other: "BodoDataFrame",
+                   other_col: str) -> "BodoDataFrame":
+        """Series.isin(Series) -> left-semi join (reference
+        frame.py:2106 get_isin_filter_plan)."""
+        return BodoDataFrame(self._df.join(
+            other._df.select(F.col(other_col).alias("__isin_k")).distinct(),
+            F.col(col) == F.col("__isin_k"), "left_semi"))
+
+    # -- joins (reference frame.py:1061 merge)
+    def merge(self, right: "BodoDataFrame", how: str = "inner",
+              on: str | list[str] | None = None,
+              left_on: str | list[str] | None = None,
+              right_on: str | list[str] | None = None,
+              suffixes: tuple[str, str] = ("_x", "_y"),
+              broadcast: bool = False) -> "BodoDataFrame":
+        how_map = {"inner": "inner", "left": "left", "right": "right",
+                   "outer": "full_outer", "cross": "cross",
+                   "semi": "left_semi", "anti": "left_anti"}
+        spark_how = how_map[how]
+        rdf = F.broadcast(right._df) if broadcast else right._df
+        if how == "cross":
+            return BodoDataFrame(self._df.crossJoin(rdf))
+        if on is not None:
+            left_on = right_on = on
+        lk = [left_on] if isinstance(left_on, str) else list(left_on)
+        rk = [right_on] if isinstance(right_on, str) else list(right_on)
+        # disambiguate overlapping non-key columns like pandas suffixes
+        overlap = (set(self.columns) & set(right.columns)) - \
+            (set(lk) & set(rk))
+        ldf = self._df
+        for c in overlap:
+            ldf = ldf.withColumnRenamed(c, c + suffixes[0])
+            rdf = rdf.withColumnRenamed(c, c + suffixes[1])
+        if lk == rk:
+            out = ldf.join(rdf, on=lk, how=spark_how)
+        else:
+            cond = None
+            for a, b in zip(lk, rk):
+                c = ldf[a] == rdf[b]
+                cond = c if cond is None else cond & c
+            out = ldf.join(rdf, cond, spark_how)
+        return BodoDataFrame(out)
+
+    # -- dedup / set ops
+    def drop_duplicates(self, subset: list[str] | None = None) -> "BodoDataFrame":
+        return BodoDataFrame(self._df.dropDuplicates(subset))
+
+    def distinct(self) -> "BodoDataFrame":
+        return BodoDataFrame(self._df.distinct())
+
+    # -- sort / limit / sample (reference 2.6)
+    def sort_values(self, by: str | list[str], ascending=True,
+                    na_position: str = "last") -> "BodoDataFrame":
+        bys = [by] if isinstance(by, str) else list(by)
+        ascs = [ascending] * len(bys) if isinstance(ascending, bool) \
+            else list(ascending)
+        cols = []
+        for b, a in zip(bys, ascs):
+            c = F.col(b)
+            if a:
+                c = c.asc_nulls_last() if na_position == "last" else c.asc_nulls_first()
+            else:
+                c = c.desc_nulls_last() if na_position == "last" else c.desc_nulls_first()
+            cols.append(c)
+        return BodoDataFrame(self._df.orderBy(*cols))
+
+    def head(self, n: int = 5) -> "BodoDataFrame":
+        return BodoDataFrame(self._df.limit(n))
+
+    def nlargest(self, n: int, columns: str | list[str]) -> "BodoDataFrame":
+        return self.sort_values(columns, ascending=False).head(n)
+
+    def sample(self, frac: float, seed: int | None = None) -> "BodoDataFrame":
+        return BodoDataFrame(self._df.sample(fraction=frac, seed=seed))
+
+    # -- groupby (reference bodo/pandas/groupby.py)
+    def groupby(self, by: str | list[str]) -> "BodoGroupBy":
+        return BodoGroupBy(self, [by] if isinstance(by, str) else list(by))
+
+    # -- reshaping
+    def melt(self, id_vars: list[str], value_vars: list[str],
+             var_name: str = "variable", value_name: str = "value"
+             ) -> "BodoDataFrame":
+        return BodoDataFrame(self._df.unpivot(
+            id_vars, value_vars, var_name, value_name))
+
+    def pivot_table(self, index: str, columns: str, values: str,
+                    aggfunc: str = "sum") -> "BodoDataFrame":
+        agg = getattr(F, {"sum": "sum", "mean": "avg", "count": "count",
+                          "min": "min", "max": "max"}[aggfunc])
+        return BodoDataFrame(
+            self._df.groupBy(index).pivot(columns).agg(agg(values)))
+
+    # -- UDF surfaces (reference 2.9)
+    def apply(self, func: Callable[[pd.Series], Any], axis: int = 1,
+              return_type: str = "string",
+              result_name: str = "apply_out") -> "BodoDataFrame":
+        """Row-wise apply as an Arrow-batched pandas UDF over a struct of
+        all columns (reference frame.py:1410 df.apply(axis=1))."""
+        if axis != 1:
+            raise NotImplementedError("only axis=1")
+        from pyspark.sql.functions import pandas_udf
+        cols = self.columns
+
+        @pandas_udf(return_type)
+        def _u(s: pd.DataFrame) -> pd.Series:
+            return s.apply(func, axis=1)
+
+        return BodoDataFrame(self._df.withColumn(
+            result_name, _u(F.struct(*[F.col(c) for c in cols]))))
+
+    def map_partitions(self, func: Callable[[pd.DataFrame], pd.DataFrame],
+                       schema: str) -> "BodoDataFrame":
+        """reference series.py:857 map_partitions -> mapInPandas."""
+        def gen(batches):
+            for pdf in batches:
+                yield func(pdf)
+        return BodoDataFrame(self._df.mapInPandas(gen, schema))
+
+    def rolling(self, window: int, order_by: str,
+                partition_by: str | None = None) -> "BodoRolling":
+        """reference bodo/hiframes/rolling.py; fixed windows over an
+        explicit ordering (no implicit row order at scale)."""
+        return BodoRolling(self, window, order_by, partition_by)
+
+    # -- stats
+    def describe(self, cols: list[str] | None = None) -> pd.DataFrame:
+        return self._df.describe(*(cols or [])).toPandas()
+
+    # -- materialization / sinks
+    def to_pandas(self) -> pd.DataFrame:
+        return self._df.toPandas()
+
+    collect = to_pandas
+
+    def to_parquet(self, path: str, mode: str = "overwrite",
+                   partition_cols: Iterable[str] | None = None) -> None:
+        from .sources.io import to_parquet as _tp
+        _tp(self._df, path, mode=mode, partition_cols=partition_cols)
+
+    def to_csv(self, path: str, **kw) -> None:
+        from .sources.io import to_csv as _tc
+        _tc(self._df, path, **kw)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+
+class BodoGroupBy:
+    """reference bodo/pandas/groupby.py:159 (named aggs, fn strings,
+    applyInPandas)."""
+
+    _FN = {"sum": F.sum, "mean": F.avg, "avg": F.avg, "min": F.min,
+           "max": F.max, "count": F.count, "nunique": F.countDistinct,
+           "std": F.stddev_samp, "var": F.var_samp, "first": F.first,
+           "last": F.last, "median": F.median,
+           "skew": F.skewness, "kurt": F.kurtosis,
+           "collect_list": F.collect_list, "collect_set": F.collect_set}
+
+    def __init__(self, frame: BodoDataFrame, keys: list[str]):
+        self._frame = frame
+        self._keys = keys
+
+    def agg(self, spec: Mapping[str, str | list[str]] | None = None,
+            **named) -> BodoDataFrame:
+        exprs: list[Column] = []
+        if spec:
+            for col, fns in spec.items():
+                for fn in ([fns] if isinstance(fns, str) else fns):
+                    exprs.append(self._FN[fn](col).alias(
+                        f"{col}_{fn}" if not isinstance(fns, str) else col))
+        for out_name, (col, fn) in named.items():
+            exprs.append(self._FN[fn](col).alias(out_name))
+        return BodoDataFrame(
+            self._frame._df.groupBy(*self._keys).agg(*exprs))
+
+    def _simple(self, fn: str, cols: list[str] | None = None) -> BodoDataFrame:
+        cols = cols or [c for c in self._frame.columns if c not in self._keys]
+        exprs = [self._FN[fn](c).alias(c) for c in cols]
+        return BodoDataFrame(self._frame._df.groupBy(*self._keys).agg(*exprs))
+
+    def sum(self, cols=None): return self._simple("sum", cols)
+    def mean(self, cols=None): return self._simple("mean", cols)
+    def min(self, cols=None): return self._simple("min", cols)
+    def max(self, cols=None): return self._simple("max", cols)
+    def count(self, cols=None): return self._simple("count", cols)
+    def nunique(self, cols=None): return self._simple("nunique", cols)
+
+    def size(self) -> BodoDataFrame:
+        return BodoDataFrame(self._frame._df.groupBy(*self._keys)
+                             .agg(F.count(F.lit(1)).alias("size")))
+
+    def apply(self, func: Callable[[pd.DataFrame], pd.DataFrame],
+              schema: str) -> BodoDataFrame:
+        """groupby.apply -> applyInPandas (reference groupby.py:159;
+        full shuffle on the keys, Arrow both ways)."""
+        return BodoDataFrame(
+            self._frame._df.groupBy(*self._keys).applyInPandas(func, schema))
+
+    def cumsum(self, col: str, order_by: str) -> BodoDataFrame:
+        """Distributed cumulative sum (reference MPI_Exscan path,
+        distributed_api.py:2205) = window prefix sum."""
+        w = (W.partitionBy(*self._keys).orderBy(order_by)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        return BodoDataFrame(self._frame._df.withColumn(
+            f"{col}_cumsum", F.sum(col).over(w)))
+
+
+class BodoRolling:
+    def __init__(self, frame: BodoDataFrame, window: int, order_by: str,
+                 partition_by: str | None):
+        self._frame = frame
+        base = (W.partitionBy(partition_by) if partition_by
+                else W.partitionBy(F.lit(1)))
+        self._w = base.orderBy(order_by).rowsBetween(-(window - 1), 0)
+        self._window = window
+
+    def _roll(self, col: str, fn, suffix: str) -> BodoDataFrame:
+        n = F.count(F.lit(1)).over(self._w)
+        val = F.when(n >= self._window, fn(F.col(col)).over(self._w))
+        return BodoDataFrame(self._frame._df.withColumn(
+            f"{col}_roll_{suffix}", val))
+
+    def sum(self, col: str): return self._roll(col, F.sum, "sum")
+    def mean(self, col: str): return self._roll(col, F.avg, "mean")
+    def min(self, col: str): return self._roll(col, F.min, "min")
+    def max(self, col: str): return self._roll(col, F.max, "max")
+    def count(self, col: str): return self._roll(col, F.count, "count")
+    def std(self, col: str): return self._roll(col, F.stddev_samp, "std")
+
+
+# --------------------------------------------------------------------------
+# module-level constructors (reference bodo/pandas/base.py)
+# --------------------------------------------------------------------------
+def read_parquet(path: str, columns: list[str] | None = None,
+                 **kw) -> BodoDataFrame:
+    from .sources.io import read_parquet as _rp
+    return BodoDataFrame(_rp(path, columns=columns, **kw))
+
+
+def read_csv(path: str, **kw) -> BodoDataFrame:
+    from .sources.io import read_csv as _rc
+    return BodoDataFrame(_rc(path, **kw))
+
+
+def from_pandas(pdf: pd.DataFrame, **kw) -> BodoDataFrame:
+    from .sources.io import from_pandas as _fp
+    return BodoDataFrame(_fp(pdf, **kw))
+
+
+def concat(frames: list[BodoDataFrame]) -> BodoDataFrame:
+    """reference base.py:588 -> unionByName(allowMissingColumns)."""
+    out = frames[0]._df
+    for f in frames[1:]:
+        out = out.unionByName(f._df, allowMissingColumns=True)
+    return BodoDataFrame(out)
+
+
+def merge_asof(left: BodoDataFrame, right: BodoDataFrame, **kw) -> BodoDataFrame:
+    from .operators.asof import merge_asof as _ma
+    return BodoDataFrame(_ma(left._df, right._df, **kw))
+
+
+def _dtype_to_spark(dtype) -> str:
+    m = {"int64": "bigint", "int32": "int", "float64": "double",
+         "float32": "float", "str": "string", "string": "string",
+         "bool": "boolean", "datetime64[ns]": "timestamp",
+         int: "bigint", float: "double", str: "string", bool: "boolean"}
+    return m.get(dtype, str(dtype))

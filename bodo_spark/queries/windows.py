@@ -253,7 +253,30 @@ FROM orders
 """
 
 
+def win_qualify_sql_dialect(spark: SparkSession, sf: str) -> DataFrame:
+    """QUALIFY through the engine's SQL context (desugared -- Spark has
+    no QUALIFY clause; DuckDB runs the same text natively as oracle)."""
+    from ..sql import BodoSQLContext
+    bc = BodoSQLContext({"orders_q": tbl(spark, sf, "orders")}, spark=spark)
+    return bc.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders_q
+        QUALIFY rank() OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """).spark
+
+
+_WIN_QUALIFY_DIALECT_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY rank() OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey) <= 3
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "win_qualify_sql_dialect": QueryDef(win_qualify_sql_dialect,
+                                        _WIN_QUALIFY_DIALECT_SQL),
     "win_rank_orders": QueryDef(win_rank_orders, _WIN_RANK_SQL),
     "win_running_sum": QueryDef(win_running_sum, _WIN_RUNNING_SQL),
     "win_lead_lag": QueryDef(win_lead_lag, _WIN_LEADLAG_SQL),

@@ -1,0 +1,200 @@
+"""Differential tests of the pandas-flavored frontend vs real pandas
+(mirrors the reference's check_func strategy, bodo/tests/utils.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+
+from bodo_spark import frame as bd
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return pd.read_parquet(f"{SF_DIR}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def bdf(spark, pdf):
+    return bd.read_parquet(f"{SF_DIR}/orders.parquet", spark=spark)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _cmp(bodo_df, pandas_df, **kw):
+    got = bodo_df.to_pandas() if hasattr(bodo_df, "to_pandas") else bodo_df
+    pdt.assert_frame_equal(_sorted(got), _sorted(pandas_df),
+                           check_dtype=False, **kw)
+
+
+def test_filter_projection(bdf, pdf):
+    got = bdf[bdf["o_totalprice"] > 200000.0][["o_orderkey", "o_orderstatus"]]
+    exp = pdf[pdf["o_totalprice"] > 200000.0][["o_orderkey", "o_orderstatus"]]
+    _cmp(got, exp)
+
+
+def test_assign_arith(bdf, pdf):
+    got = bdf.assign(t2=bdf["o_totalprice"] * 2 + 1)[["o_orderkey", "t2"]]
+    exp = pdf.assign(t2=pdf["o_totalprice"] * 2 + 1)[["o_orderkey", "t2"]]
+    _cmp(got, exp)
+
+
+def test_isin_fillna_astype(bdf, pdf):
+    got = bdf[bdf["o_orderstatus"].isin(["O", "F"])]
+    exp = pdf[pdf["o_orderstatus"].isin(["O", "F"])]
+    assert len(got) == len(exp)
+    got2 = bdf.assign(k=bdf["o_custkey"].astype("string"))[["k"]]
+    exp2 = pdf.assign(k=pdf["o_custkey"].astype("string"))[["k"]]
+    _cmp(got2, exp2)
+
+
+def test_groupby_agg(bdf, pdf):
+    got = bdf.groupby("o_orderstatus").agg(
+        total=("o_totalprice", "sum"), n=("o_orderkey", "count"))
+    exp = (pdf.groupby("o_orderstatus", as_index=False)
+           .agg(total=("o_totalprice", "sum"), n=("o_orderkey", "count")))
+    _cmp(got, exp, check_exact=False, rtol=1e-9)
+
+
+def test_groupby_size_nunique(bdf, pdf):
+    got = bdf.groupby("o_orderpriority").size()
+    exp = (pdf.groupby("o_orderpriority").size()
+           .reset_index(name="size"))
+    _cmp(got, exp)
+
+
+def test_merge_inner_left(spark, bdf, pdf):
+    cust_b = bd.read_parquet(f"{SF_DIR}/customer.parquet", spark=spark)
+    cust_p = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    got = bdf.merge(cust_b, how="inner", left_on="o_custkey",
+                    right_on="c_custkey")[["o_orderkey", "c_name"]]
+    exp = pdf.merge(cust_p, how="inner", left_on="o_custkey",
+                    right_on="c_custkey")[["o_orderkey", "c_name"]]
+    _cmp(got, exp)
+    got_l = bdf.merge(cust_b, how="left", left_on="o_custkey",
+                      right_on="c_custkey")
+    exp_l = pdf.merge(cust_p, how="left", left_on="o_custkey",
+                      right_on="c_custkey")
+    assert len(got_l) == len(exp_l)
+
+
+def test_merge_semi_anti(spark, bdf):
+    cust = bd.read_parquet(f"{SF_DIR}/customer.parquet", spark=spark)
+    hi = cust[cust["c_acctbal"] > 5000.0]
+    semi = bdf.merge(hi, how="semi", left_on="o_custkey", right_on="c_custkey")
+    anti = bdf.merge(hi, how="anti", left_on="o_custkey", right_on="c_custkey")
+    assert len(semi) + len(anti) == len(bdf)
+    assert semi.columns == bdf.columns  # semi keeps left schema
+
+
+def test_sort_values_head(bdf, pdf):
+    got = (bdf.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]).head(10).to_pandas())
+    exp = (pdf.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    pdt.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_drop_duplicates(bdf, pdf):
+    got = bdf.drop_duplicates(["o_orderstatus", "o_orderpriority"])
+    exp = pdf.drop_duplicates(["o_orderstatus", "o_orderpriority"])
+    assert len(got) == len(exp)
+
+
+def test_value_counts(bdf, pdf):
+    got = bdf["o_orderpriority"].value_counts().to_pandas()
+    exp = (pdf["o_orderpriority"].value_counts().reset_index())
+    exp.columns = ["o_orderpriority", "count"]
+    _cmp(got, exp)
+
+
+def test_str_accessor(spark):
+    part_b = bd.read_parquet(f"{SF_DIR}/part.parquet", spark=spark)
+    part_p = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    got = part_b.assign(u=part_b["p_name"].str.upper(),
+                        n=part_b["p_name"].str.len(),
+                        w=part_b["p_name"].str.split(" ").str.get(0),
+                        )[["u", "n", "w"]]
+    exp = part_p.assign(u=part_p["p_name"].str.upper(),
+                        n=part_p["p_name"].str.len(),
+                        w=part_p["p_name"].str.split(" ").str.get(0),
+                        )[["u", "n", "w"]]
+    _cmp(got, exp)
+
+
+def test_dt_accessor(bdf, pdf):
+    got = bdf.assign(y=bdf["o_orderdate"].dt.year,
+                     m=bdf["o_orderdate"].dt.month,
+                     dw=bdf["o_orderdate"].dt.dayofweek)[["y", "m", "dw"]]
+    exp = pdf.assign(y=pdf["o_orderdate"].dt.year,
+                     m=pdf["o_orderdate"].dt.month,
+                     dw=pdf["o_orderdate"].dt.dayofweek)[["y", "m", "dw"]]
+    _cmp(got, exp)
+
+
+def test_series_reductions(bdf, pdf):
+    assert abs(bdf["o_totalprice"].sum() - pdf["o_totalprice"].sum()) < 1.0
+    assert bdf["o_orderkey"].nunique() == pdf["o_orderkey"].nunique()
+    assert bdf["o_totalprice"].max() == pdf["o_totalprice"].max()
+
+
+def test_concat(spark, bdf):
+    two = bd.concat([bdf.head(5), bdf.head(7)])
+    assert len(two) == 12
+
+
+def test_apply_pandas_udf(bdf, pdf):
+    got = (bdf.head(50).apply(
+        lambda r: f"{r['o_orderstatus']}:{int(r['o_custkey']) % 10}",
+        return_type="string")
+        .to_pandas()["apply_out"].sort_values().tolist())
+    exp = (pdf.head(50).apply(
+        lambda r: f"{r['o_orderstatus']}:{int(r['o_custkey']) % 10}",
+        axis=1).sort_values().tolist())
+    assert sorted(got) == sorted(exp)
+
+
+def test_map_partitions(bdf):
+    out = bdf.map_partitions(
+        lambda pdf_: pdf_[["o_orderkey"]].assign(flag=1),
+        "o_orderkey long, flag int")
+    assert len(out) == len(bdf)
+
+
+def test_groupby_apply(bdf):
+    out = bdf.groupby("o_orderstatus").apply(
+        lambda g: pd.DataFrame({
+            "o_orderstatus": [g["o_orderstatus"].iloc[0]],
+            "spread": [g["o_totalprice"].max() - g["o_totalprice"].min()]}),
+        "o_orderstatus string, spread double")
+    assert len(out) == 3
+
+
+def test_rolling(bdf, pdf):
+    got = (bdf.rolling(3, order_by="o_orderkey").mean("o_totalprice")
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    exp_roll = exp["o_totalprice"].rolling(3).mean()
+    pd.testing.assert_series_equal(
+        got["o_totalprice_roll_mean"], exp_roll,
+        check_names=False, rtol=1e-9)
+
+
+def test_asof_frame(spark):
+    ev = bd.read_parquet(f"{SF_DIR}/events.parquet", spark=spark)
+    # events ts arrives as ns-long (see _util.tbl); convert here like tbl()
+    from pyspark.sql import functions as F
+    edf = bd.BodoDataFrame(ev.spark.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+    buys = edf[edf["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+    clicks = edf[edf["event_type"] == "click"][["user_id", "ts", "value"]] \
+        .drop_duplicates(["user_id", "ts"])
+    j = bd.merge_asof(buys, clicks, on="ts", by="user_id")
+    assert len(j) == len(buys)
+    assert "value" in j.columns

@@ -1,0 +1,89 @@
+"""Tests for the Snowflake-ish SQL context: QUALIFY desugar (DuckDB runs
+QUALIFY natively as oracle), dialect function shims."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from bodo_spark.sql import BodoSQLContext, desugar_qualify
+
+from .conftest import SF_DIR
+
+
+def _ctx(spark):
+    return BodoSQLContext(
+        {"orders": f"{SF_DIR}/orders.parquet",
+         "customer": f"{SF_DIR}/customer.parquet"}, spark=spark)
+
+
+def test_qualify_rn1(spark, duck):
+    bc = _ctx(spark)
+    q = """
+    SELECT o_custkey, o_orderkey
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """
+    got = bc.sql(q).to_pandas().sort_values("o_custkey").reset_index(drop=True)
+    exp = duck.execute(q).df().sort_values("o_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_qualify_with_tail(spark, duck):
+    bc = _ctx(spark)
+    q = """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY rank() OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 5
+    """
+    got = bc.sql(q).to_pandas().reset_index(drop=True)
+    exp = duck.execute(q).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_desugar_no_qualify_passthrough():
+    q = "SELECT 1 AS x"
+    assert desugar_qualify(q) == q
+
+
+def test_snowflake_shims(spark):
+    bc = _ctx(spark)
+    row = bc.sql("""
+        SELECT IFF(1 > 0, 10.0, 20.0) AS iff_v,
+               DIV0(5.0, 0.0) AS div0_v,
+               DIV0(10.0, 4.0) AS div_v,
+               SQUARE(3.0) AS sq,
+               EDITDISTANCE('kitten', 'sitting') AS ed,
+               STRTOK('a,b,c', ',', 2) AS tok,
+               DATE_FROM_PARTS(2024, 2, 29) AS dfp,
+               TRY_TO_DOUBLE('x') AS bad_num
+    """).to_pandas().iloc[0]
+    assert row["iff_v"] == 10.0
+    assert row["div0_v"] == 0.0
+    assert row["div_v"] == 2.5
+    assert row["sq"] == 9.0
+    assert row["ed"] == 3
+    assert row["tok"] == "b"
+    assert str(row["dfp"])[:10] == "2024-02-29"
+    assert pd.isna(row["bad_num"])
+
+
+def test_sql_join_agg_vs_duck(spark, duck):
+    bc = _ctx(spark)
+    q = """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+    got = bc.sql(q).to_pandas().reset_index(drop=True)
+    exp = duck.execute(q).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pandas_table_registration(spark):
+    bc = BodoSQLContext({"t": pd.DataFrame({"a": [1, 2, 3]})}, spark=spark)
+    assert bc.sql("SELECT SUM(a) AS s FROM t").to_pandas()["s"][0] == 6
