@@ -17,6 +17,7 @@ def all_queries() -> dict[str, "QueryDef"]:
         datetimes,
         dedup,
         joins,
+        multimodal,
         scalars,
         setops,
         similarity,
@@ -28,7 +29,7 @@ def all_queries() -> dict[str, "QueryDef"]:
 
     merged: dict[str, QueryDef] = {}
     for mod in (tpch, aggregates, windows, joins, setops, strings,
-                datetimes, scalars, text, dedup, similarity):
+                datetimes, scalars, text, dedup, similarity, multimodal):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,19 @@
+"""Structured Streaming surface.
+
+Scoping note (SURVEY.md section 0 / 2.10): the reference's "streaming"
+is batch pipelining (chunked operators with is_last flags) -- Spark's
+ordinary execution subsumes it, and the reference has NO event-time
+semantics (no watermarks/session windows) to reach parity with. This
+module therefore goes beyond the reference: real Structured Streaming
+wrappers (file/rate sources, watermarked tumbling/sliding windows,
+stateful sessionization via applyInPandasWithState) so stream-shaped
+workloads run on the same engine.
+"""
+
+from .windows import (  # noqa: F401
+    read_stream_parquet,
+    run_available_now,
+    sessionize_stateful,
+    sliding_agg,
+    tumbling_agg,
+)

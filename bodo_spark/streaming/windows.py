@@ -1,0 +1,69 @@
+"""Streaming building blocks: sources, windowed aggs, stateful sessions."""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_stream_parquet(spark: SparkSession, path: str,
+                        schema: T.StructType,
+                        max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a parquet directory (micro-batch per
+    file; at scale: one directory partition per hour/day)."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def tumbling_agg(df: DataFrame, ts_col: str, window: str,
+                 group_cols: Iterable[str] = (),
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts/sums; late rows beyond the
+    watermark are dropped, state is bounded."""
+    return (df.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("win"),
+                     *group_cols)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    *group_cols, "n", "sum_value"))
+
+
+def sliding_agg(df: DataFrame, ts_col: str, window: str, slide: str,
+                group_cols: Iterable[str] = (),
+                watermark: str = "10 minutes") -> DataFrame:
+    return (df.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window, slide).alias("win"),
+                     *group_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("win_start"), *group_cols, "n"))
+
+
+def sessionize_stateful(df: DataFrame, ts_col: str, key_col: str,
+                        gap: str = "30 minutes",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Session windows via the built-in session_window (Spark's native
+    stateful operator; custom state logic would use
+    applyInPandasWithState with the same shape)."""
+    return (df.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(ts_col, gap).alias("win"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("sess_start"),
+                    F.col(key_col), "n_events"))
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming plan over all currently-available input
+    (Trigger.AvailableNow) into an in-memory sink and return the result
+    as a batch DataFrame -- deterministic, test-friendly."""
+    spark = stream_df.sparkSession
+    q = (stream_df.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,67 @@
+"""Structured Streaming tests: stream the events table as a file source
+and check windowed results equal the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bodo_spark.streaming import (
+    read_stream_parquet,
+    run_available_now,
+    sessionize_stateful,
+    tumbling_agg,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, tmp_path_factory):
+    """Events with a proper timestamp column, rewritten to a temp dir so
+    the stream source reads normal us timestamps."""
+    from bodo_spark.queries._util import tbl
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    tbl(spark, SF_DIR, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_tumbling_counts_match_batch(spark, events_batch):
+    batch = spark.read.parquet(events_batch)
+    stream = read_stream_parquet(spark, events_batch, batch.schema)
+    got = run_available_now(
+        tumbling_agg(stream, "ts", "6 hours", ["event_type"]),
+        "t_tumble").toPandas()
+    exp = (batch.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+           .select(F.col("win.start").alias("win_start"),
+                   F.col("win.end").alias("win_end"),
+                   "event_type", "n", "sum_value")
+           .toPandas())
+    key = ["win_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s)
+    assert (got_s["n"].to_numpy() == exp_s["n"].to_numpy()).all()
+
+
+def test_session_windows_stateful(spark, events_batch):
+    batch = spark.read.parquet(events_batch)
+    stream = read_stream_parquet(spark, events_batch, batch.schema)
+    got = run_available_now(
+        sessionize_stateful(stream, "ts", "user_id", gap="30 minutes"),
+        "t_sess").toPandas()
+    # session count per user must match the batch gaps-and-islands count
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_flag = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+           > 1800), 1).otherwise(0)
+    exp = (batch.withColumn("new_sess", gap_flag)
+           .groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+           .toPandas())
+    got_counts = got.groupby("user_id").size()
+    exp_counts = exp.set_index("user_id")["n_sessions"]
+    for uid, n in exp_counts.items():
+        assert got_counts.get(uid, 0) == n, f"user {uid}"
