@@ -11,6 +11,16 @@ Public surface:
   - queries                       registered correctness/bench query battery
 """
 
+from .frame import (  # noqa: F401
+    BodoDataFrame,
+    BodoSeries,
+    concat,
+    from_pandas,
+    merge_asof,
+    read_csv,
+    read_parquet,
+)
 from .session import get_spark  # noqa: F401
+from .sql import BodoSQLContext  # noqa: F401
 
 __version__ = "0.1.0"
