@@ -25,6 +25,12 @@ HEADLINE = [
     "q13_customer_distribution",
     "q18_large_volume_customer",
     "q21_suppliers_kept_waiting",
+    "win_running_sum",
+    "dt_sessionize",
+    "join_asof_events",
+    "text_quality_stats",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
 ]
 
 

@@ -82,16 +82,35 @@ def minhash_lsh_pairs(
     id_a < id_b and jaccard >= threshold.
     """
     rows = num_perm // bands
-    docs = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-            .withColumn("sh", word_shingles(F.col("t"), k))
-            .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
-            .withColumn("bands", band_signatures(F.col("sig"), bands, rows))
-            .select("id", "sh", F.explode("bands").alias("band_sig")))
-    # candidates: ids sharing any band bucket (shuffle #1, on band_sig)
-    a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                    "band_sig")
-    b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                    "band_sig")
+    # Explode to (id, shingle) rows FIRST: each md5 is then evaluated
+    # exactly once per (doc, shingle, perm). Building the signature as
+    # nested array expressions instead lets Catalyst's CollapseProject
+    # inline the whole tree into every downstream reference -- observed
+    # 50x recompute blowup.
+    exploded = (df.select(F.col(id_col).alias("id"),
+                          word_shingles(F.col(text_col), k).alias("sh"))
+                .select("id", F.explode("sh").alias("s")))
+    hashed = exploded.select(
+        "id", "s",
+        *[h60(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
+          for i in range(num_perm)])
+    # signature + shingle set per doc: one shuffle on id
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)],
+        F.collect_set("s").alias("sh"))
+    banded = sig.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.md5(F.concat_ws(
+                "_", F.lit(str(b)),
+                *[F.col(f"m{b * rows + r}").cast("string")
+                  for r in range(rows)])).alias(f"b{b}")
+            for b in range(bands)])).alias("band_sig"))
+    # candidates: ids sharing any band bucket (shuffle #2, on band_sig)
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                      "band_sig")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                      "band_sig")
     cand = (a.join(b, "band_sig")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sh_a", "sh_b")
@@ -140,6 +159,9 @@ def ngram_jaccard_pairs(
                   *( [F.col(block_col).alias("blk")] if block_col else
                      [F.lit(1).alias("blk")] ),
                   word_shingles(F.col(text_col), k).alias("sh"))
+    # exchange boundary: materialize shingle arrays once per doc instead
+    # of letting the join re-inline the shingle expression per pair
+    d = d.repartition(F.col("blk"))
     a = d.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
     b = d.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
     pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
