@@ -14,6 +14,7 @@ from ._util import QueryDef  # noqa: F401
 def all_queries() -> dict[str, "QueryDef"]:
     from . import (
         aggregates,
+        ai_ops,
         datetimes,
         dedup,
         joins,
@@ -29,7 +30,7 @@ def all_queries() -> dict[str, "QueryDef"]:
 
     merged: dict[str, QueryDef] = {}
     for mod in (tpch, aggregates, windows, joins, setops, strings,
-                datetimes, scalars, text, dedup, similarity, multimodal):
+                datetimes, scalars, text, dedup, similarity, multimodal, ai_ops):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
