@@ -295,6 +295,91 @@ FROM customer GROUP BY 1 ORDER BY bucket
 """
 
 
+def agg_skew_kurt_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Skewness/kurtosis from exact decimal moment sums (reference skew/
+    kurtosis ftypes). Built-in skewness()/kurtosis() accumulate floats
+    in partition order (non-deterministic across engines); raw moments
+    over DECIMAL are exact, and the final double algebra is identical on
+    both sides."""
+    e = tbl(spark, sf, "events")
+    x = dec("value", 12)
+    g = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(30,4)")).cast("double").alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum(((x * x).cast("decimal(30,4)") * (x * x).cast("decimal(30,4)"))
+              .cast("decimal(38,8)")).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3 * m * s2 / n + 2 * m * m * m
+    m4 = (s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * m * m * m * m)
+    return g.select(
+        "event_type", "n",
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("kurt_excess"),
+    ).orderBy("event_type")
+
+
+_AGG_SKEW_SQL = """
+WITH g AS (
+  SELECT event_type, COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                       AS DECIMAL(30,4))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                       * CAST(value AS DECIMAL(12,2)) AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                            AS DECIMAL(30,4))
+                       * CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                              AS DECIMAL(30,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s4
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       round((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n))
+             / pow(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skew_pop,
+       round((s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+              - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6)
+         AS kurt_excess
+FROM g ORDER BY event_type
+"""
+
+
+def agg_object_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """object_agg (reference object_agg ftype = map_from_entries of
+    collected pairs); emitted as a sorted k:v string so the value is
+    order-insensitive and hashable."""
+    o = tbl(spark, sf, "orders").where(F.col("o_orderkey") < 200)
+    pairs = F.concat(F.col("o_orderkey").cast("string"), F.lit(":"),
+                     F.col("o_orderstatus"))
+    return (o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_list(pairs)), ",").alias("omap"),
+        F.count(F.lit(1)).alias("n"))
+        .orderBy("o_custkey"))
+
+
+_AGG_OBJAGG_SQL = """
+SELECT o_custkey,
+       string_agg(concat(CAST(o_orderkey AS VARCHAR), ':', o_orderstatus),
+                  ',' ORDER BY concat(CAST(o_orderkey AS VARCHAR), ':', o_orderstatus)) AS omap,
+       COUNT(*) AS n
+FROM orders WHERE o_orderkey < 200
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def agg_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """TABLESAMPLE / df.sample (reference physical/sample.h:22).
+    Sampling RNGs differ across engines -> rows-only check; result is a
+    one-row summary so the driver sees a stable schema."""
+    li = tbl(spark, sf, "lineitem")
+    s = li.sample(fraction=0.1, seed=42)
+    return s.agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.countDistinct("l_orderkey").alias("n_orders"))
+
+
 def agg_approx_ndv(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (reference theta sketches,
     bodo/libs/_theta_sketches.cpp). Sketches differ across engines ->
@@ -318,5 +403,8 @@ QUERIES: dict[str, QueryDef] = {
     "agg_pivot": QueryDef(agg_pivot, _AGG_PIVOT_SQL),
     "agg_unpivot": QueryDef(agg_unpivot, _AGG_UNPIVOT_SQL),
     "agg_width_bucket_histogram": QueryDef(agg_width_bucket_histogram, _AGG_WB_SQL),
+    "agg_skew_kurt_moments": QueryDef(agg_skew_kurt_moments, _AGG_SKEW_SQL),
+    "agg_object_agg": QueryDef(agg_object_agg, _AGG_OBJAGG_SQL),
+    "agg_sample": QueryDef(agg_sample, None),
     "agg_approx_ndv": QueryDef(agg_approx_ndv, None),
 }

@@ -1,0 +1,91 @@
+"""Source/sink round-trip tests (SURVEY.md 2.1): parquet (plain +
+hive-partitioned with partition pruning), CSV, JSON, pandas
+interchange; Iceberg/JDBC surfaces raise cleanly without their runtimes."""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bodo_spark.sources import io as bio
+from bodo_spark.queries._util import tbl
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return tbl(spark, SF_DIR, "orders")
+
+
+def test_parquet_roundtrip(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pq") / "orders")
+    bio.to_parquet(orders, path)
+    back = bio.read_parquet(path, spark=spark)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+
+
+def test_parquet_partitioned_write_prunes(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pqp") / "orders_part")
+    bio.to_parquet(orders, path, partition_cols=["o_orderstatus"])
+    back = bio.read_parquet(path, spark=spark).where(
+        F.col("o_orderstatus") == "F")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1][:200], \
+        "partition filter did not reach the scan"
+    exp = orders.where(F.col("o_orderstatus") == "F").count()
+    assert back.count() == exp
+
+
+def test_parquet_column_selection(spark, tmp_path_factory, orders):
+    path = str(tmp_path_factory.mktemp("pqc") / "o")
+    bio.to_parquet(orders, path)
+    two = bio.read_parquet(path, columns=["o_orderkey", "o_totalprice"],
+                           spark=spark)
+    assert two.columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_csv_roundtrip(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("csv") / "orders_csv")
+    sub = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    bio.to_csv(sub, path)
+    back = bio.read_csv(path, spark=spark)
+    assert back.count() == sub.count()
+    assert set(back.columns) == set(sub.columns)
+    got = back.agg(F.sum("o_totalprice").alias("s")).collect()[0]["s"]
+    exp = sub.agg(F.sum("o_totalprice").alias("s")).collect()[0]["s"]
+    assert abs(got - exp) < 1e-6
+
+
+def test_json_roundtrip(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("js") / "orders_json")
+    sub = orders.select("o_orderkey", "o_orderpriority").limit(100)
+    bio.to_json(sub, path)
+    back = bio.read_json(path, spark=spark)
+    assert back.count() == 100
+    assert set(back.columns) == {"o_orderkey", "o_orderpriority"}
+
+
+def test_from_pandas_arrow(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df = bio.from_pandas(pdf, spark=spark)
+    assert df.count() == 3
+    assert df.orderBy("a").collect()[0]["b"] == "x"
+
+
+def test_iceberg_raises_cleanly(spark):
+    with pytest.raises(NotImplementedError, match="[Ii]ceberg"):
+        bio.read_iceberg("nosuch.catalog.table", spark=spark)
+
+
+def test_jdbc_surface_exists():
+    assert callable(bio.read_sql) and callable(bio.to_sql)
