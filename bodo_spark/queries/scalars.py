@@ -303,7 +303,37 @@ FROM events
 """
 
 
+def sql_snowflake_dialect(spark: SparkSession, sf: str) -> DataFrame:
+    """Snowflake-dialect functions through the engine's SQL context
+    (IFF/DIV0/SQUARE/EDITDISTANCE/STRTOK shims as inlined SQL UDFs)."""
+    from ..sql import BodoSQLContext
+    bc = BodoSQLContext({"events_sf": tbl(spark, sf, "events")}, spark=spark)
+    return bc.sql("""
+        SELECT event_type,
+               SUM(CAST(IFF(value > 50.0, 1.0, 0.0) AS BIGINT)) AS n_hi,
+               round(AVG(DIV0(100.0, value - 50.0)), 4) AS avg_div0,
+               SUM(CAST(SQUARE(CAST(event_id % 10 AS DOUBLE)) AS BIGINT)) AS sq_sum,
+               MIN(EDITDISTANCE(event_type, 'click')) AS ed,
+               MIN(STRTOK('a,b,c', ',', 2)) AS tok
+        FROM events_sf
+        GROUP BY event_type ORDER BY event_type
+    """).spark
+
+
+_SQL_SNOWFLAKE_SQL = """
+SELECT event_type,
+       SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_hi,
+       round(AVG(CASE WHEN value - 50.0 = 0 THEN 0
+                      ELSE 100.0 / (value - 50.0) END), 4) AS avg_div0,
+       SUM(CAST((event_id % 10) * (event_id % 10) AS BIGINT)) AS sq_sum,
+       MIN(levenshtein(event_type, 'click')) AS ed,
+       MIN('b') AS tok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sql_snowflake_dialect": QueryDef(sql_snowflake_dialect, _SQL_SNOWFLAKE_SQL),
     "math_basic": QueryDef(math_basic, _MATH_BASIC_SQL),
     "math_transcendental": QueryDef(math_transcendental, _MATH_TRANS_SQL),
     "math_trig": QueryDef(math_trig, _MATH_TRIG_SQL),
