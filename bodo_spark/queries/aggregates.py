@@ -347,6 +347,56 @@ FROM g ORDER BY event_type
 """
 
 
+def agg_corr_covar(spark: SparkSession, sf: str) -> DataFrame:
+    """corr / covar_pop / covar_samp (reference covar_pop/samp, corr
+    window+agg kernels) from exact decimal cross-moment sums."""
+    li = tbl(spark, sf, "lineitem")
+    x, y = dec("l_quantity", 12), dec("l_extendedprice", 12)
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(30,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(30,4)")).cast("double").alias("sx2"),
+        F.sum((y * y).cast("decimal(30,4)")).cast("double").alias("sy2"),
+    )
+    n, sx, sy, sxy, sx2, sy2 = (F.col(c) for c in
+                                ("n", "sx", "sy", "sxy", "sx2", "sy2"))
+    cov_pop = sxy / n - (sx / n) * (sy / n)
+    var_x = sx2 / n - (sx / n) * (sx / n)
+    var_y = sy2 / n - (sy / n) * (sy / n)
+    return g.select(
+        "l_returnflag", "n",
+        F.round(cov_pop, 6).alias("covar_pop"),
+        F.round(cov_pop * n / (n - 1), 6).alias("covar_samp"),
+        F.round(cov_pop / F.sqrt(var_x * var_y), 6).alias("corr"),
+    ).orderBy("l_returnflag")
+
+
+_AGG_CORR_SQL = """
+WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4)))
+              AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(30,4)))
+              AS DOUBLE) AS sy2
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       round(sxy/n - (sx/n)*(sy/n), 6) AS covar_pop,
+       round((sxy/n - (sx/n)*(sy/n)) * n / (n - 1), 6) AS covar_samp,
+       round((sxy/n - (sx/n)*(sy/n))
+             / sqrt((sx2/n - (sx/n)*(sx/n)) * (sy2/n - (sy/n)*(sy/n))), 6) AS corr
+FROM g ORDER BY l_returnflag
+"""
+
+
 def agg_object_agg(spark: SparkSession, sf: str) -> DataFrame:
     """object_agg (reference object_agg ftype = map_from_entries of
     collected pairs); emitted as a sorted k:v string so the value is
@@ -404,6 +454,7 @@ QUERIES: dict[str, QueryDef] = {
     "agg_unpivot": QueryDef(agg_unpivot, _AGG_UNPIVOT_SQL),
     "agg_width_bucket_histogram": QueryDef(agg_width_bucket_histogram, _AGG_WB_SQL),
     "agg_skew_kurt_moments": QueryDef(agg_skew_kurt_moments, _AGG_SKEW_SQL),
+    "agg_corr_covar": QueryDef(agg_corr_covar, _AGG_CORR_SQL),
     "agg_object_agg": QueryDef(agg_object_agg, _AGG_OBJAGG_SQL),
     "agg_sample": QueryDef(agg_sample, None),
     "agg_approx_ndv": QueryDef(agg_approx_ndv, None),

@@ -140,6 +140,30 @@ GROUP BY word ORDER BY n DESC, word LIMIT 20
 """
 
 
+def str_posexplode(spark: SparkSession, sf: str) -> DataFrame:
+    """posexplode (reference lateral flatten index output,
+    BodoSQL kernels/lateral.py:100): word + 0-based position."""
+    p = tbl(spark, sf, "part")
+    w = F.split("p_name", " ")
+    return (p.select("p_partkey",
+                     F.posexplode(w).alias("pos", "word"))
+            .groupBy("word", F.col("pos").cast("bigint").alias("pos"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("word", "pos"))
+
+
+_STR_POSEXPLODE_SQL = """
+SELECT word, pos, COUNT(*) AS n
+FROM (
+  SELECT p_partkey,
+         unnest(list_transform(range(1, len(string_split(p_name, ' ')) + 1),
+                               i -> i - 1)) AS pos,
+         unnest(string_split(p_name, ' ')) AS word
+  FROM part) t
+GROUP BY word, pos ORDER BY word, pos
+"""
+
+
 def str_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
     """Edit distance (reference editdistance kernels) -- identical DP
     definition in both engines."""
@@ -189,6 +213,7 @@ QUERIES: dict[str, QueryDef] = {
     "str_like_count": QueryDef(str_like_count, _STR_LIKE_SQL),
     "str_regexp_funcs": QueryDef(str_regexp_funcs, _STR_REGEXP_SQL),
     "str_split_explode": QueryDef(str_split_explode, _STR_SPLIT_SQL),
+    "str_posexplode": QueryDef(str_posexplode, _STR_POSEXPLODE_SQL),
     "str_levenshtein": QueryDef(str_levenshtein, _STR_LEV_SQL),
     "str_hash_funcs": QueryDef(str_hash_funcs, _STR_HASH_SQL),
 }

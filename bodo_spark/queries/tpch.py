@@ -398,6 +398,37 @@ LIMIT 20
 """
 
 
+def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape without partsupp: parts whose lineitem value
+    exceeds a fraction of the global total (scalar-subquery threshold
+    over a grouped aggregate)."""
+    li = tbl(spark, sf, "lineitem")
+    value = dec("l_extendedprice", 12) * dec("l_quantity", 12)
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(value).alias("value_dec")))
+    total = per_part.agg(
+        (F.sum("value_dec").cast("double") * 0.001).alias("threshold"))
+    return (per_part.join(F.broadcast(total))
+            .where(F.col("value_dec").cast("double") > F.col("threshold"))
+            .select("l_partkey",
+                    F.col("value_dec").cast("double").alias("part_value"))
+            .orderBy(F.col("part_value").desc(), "l_partkey"))
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(value_dec AS DOUBLE) >
+      (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
 def q12_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q12 shape: lateness buckets (no l_shipmode column; bucket on
     ship delay) x order priority counts."""
@@ -738,6 +769,7 @@ QUERIES: dict[str, QueryDef] = {
     "q8_market_share": QueryDef(q8_market_share, _Q8_SQL),
     "q9_profit_by_nation_year": QueryDef(q9_profit_by_nation_year, _Q9_SQL),
     "q10_returned_items": QueryDef(q10_returned_items, _Q10_SQL),
+    "q11_important_parts": QueryDef(q11_important_parts, _Q11_SQL),
     "q12_shipmode_priority": QueryDef(q12_shipmode_priority, _Q12_SQL),
     "q13_customer_distribution": QueryDef(q13_customer_distribution, _Q13_SQL),
     "q14_promo_revenue": QueryDef(q14_promo_revenue, _Q14_SQL),
