@@ -28,16 +28,23 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-grams of a text column -> array<string>.
-    Short texts (< k words) fall back to the whole text."""
+def word_shingles(col: Column | str, k: int = 3,
+                  distinct: bool = True) -> Column:
+    """Word k-grams of a text column -> array<string>; short texts
+    (< k words) fall back to the whole text.
+
+    ``distinct=False`` skips array_distinct -- it is O(n^2) on string
+    arrays and the set consumers (min-hash, array_intersect/union
+    Jaccard, collect_set) are duplicate-insensitive anyway; only
+    multiset consumers (simhash votes) need distinct=True."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.trim(c), "\\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    return F.when(F.size(words) >= k, F.array_distinct(grams)) \
-            .otherwise(F.array(F.trim(c)))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(words) >= k, grams).otherwise(F.array(F.trim(c)))
 
 
 def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
@@ -87,8 +94,16 @@ def minhash_lsh_pairs(
     # nested array expressions instead lets Catalyst's CollapseProject
     # inline the whole tree into every downstream reference -- observed
     # 50x recompute blowup.
+    spark = df.sparkSession
+    # hashing is CPU-bound: spread docs across all cores even when the
+    # source is one small parquet file (one-partition scans otherwise
+    # serialize the whole signature build)
+    width = spark.sparkContext.defaultParallelism
     exploded = (df.select(F.col(id_col).alias("id"),
-                          word_shingles(F.col(text_col), k).alias("sh"))
+                          F.col(text_col).alias("t"))
+                .repartition(width, F.col("id"))
+                .select("id",
+                        word_shingles(F.col("t"), k, distinct=False).alias("sh"))
                 .select("id", F.explode("sh").alias("s")))
     hashed = exploded.select(
         "id", "s",
@@ -155,17 +170,30 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard pairs, blocked by ``block_col`` to bound the
     quadratic comparison (at scale: block on a cheap key -- source,
     length band, LSH bucket -- never all-pairs)."""
-    d = df.select(F.col(id_col).alias("id"),
-                  *( [F.col(block_col).alias("blk")] if block_col else
-                     [F.lit(1).alias("blk")] ),
-                  word_shingles(F.col(text_col), k).alias("sh"))
-    # exchange boundary: materialize shingle arrays once per doc instead
-    # of letting the join re-inline the shingle expression per pair
-    d = d.repartition(F.col("blk"))
-    a = d.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
-    b = d.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
-    pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
-    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-           / F.size(F.array_union("sh_a", "sh_b")))
-    return (pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    ex = (df.select(F.col(id_col).alias("id"),
+                    *([F.col(block_col).alias("blk")] if block_col else
+                      [F.lit(1).alias("blk")]),
+                    F.col(text_col).alias("t"))
+          .repartition(width, F.col("id"))
+          .select("id", "blk",
+                  F.explode(word_shingles(F.col("t"), k, distinct=False))
+                  .alias("s"))
+          .dropDuplicates(["id", "s"]))
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # shingle-keyed join counts |A ∩ B| directly: work is proportional to
+    # actually-shared shingles, never to all O(n^2) pairs x array length.
+    a = ex.select(F.col("id").alias("id_a"), "blk", "s")
+    b = ex.select(F.col("id").alias("id_b"), "blk", "s")
+    common = (a.join(b, ["blk", "s"])
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("common").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("common")))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
