@@ -183,6 +183,39 @@ GROUP BY b.user_id ORDER BY user_id
 """
 
 
+def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join (reference bodo/libs/_interval_join.cpp
+    merge at :335): same-customer order pairs whose 30-day validity
+    windows [date, date+30) overlap. Equi part (customer) hashes; the
+    overlap predicate filters pairs."""
+    o = tbl(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d0"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("d1"))
+    a = o.select(F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("k_a"),
+                 F.col("d0").alias("a0"), F.col("d1").alias("a1"))
+    b = o.select(F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("k_b"),
+                 F.col("d0").alias("b0"), F.col("d1").alias("b1"))
+    pairs = (a.join(b, "ck")
+             .where((F.col("k_a") < F.col("k_b"))
+                    & (F.col("a0") < F.col("b1")) & (F.col("b0") < F.col("a1"))))
+    return (pairs.groupBy("ck").agg(F.count(F.lit(1)).alias("n_overlaps"))
+            .orderBy("ck"))
+
+
+_JOIN_OVERLAP_SQL = """
+WITH o AS (
+  SELECT o_custkey AS ck, o_orderkey,
+         CAST(o_orderdate AS DATE) AS d0,
+         CAST(o_orderdate AS DATE) + 30 AS d1
+  FROM orders)
+SELECT a.ck AS ck, COUNT(*) AS n_overlaps
+FROM o a JOIN o b
+  ON a.ck = b.ck AND a.o_orderkey < b.o_orderkey
+ AND a.d0 < b.d1 AND b.d0 < a.d1
+GROUP BY a.ck ORDER BY a.ck
+"""
+
+
 def join_broadcast_dim(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit broadcast-hash join of fact x small dim (reference
     adaptive broadcast decision _join.h:1377 -> F.broadcast hint)."""
@@ -237,6 +270,7 @@ QUERIES: dict[str, QueryDef] = {
     "join_cross": QueryDef(join_cross, _JOIN_CROSS_SQL),
     "join_range_events": QueryDef(join_range_events, _JOIN_RANGE_SQL),
     "join_asof_events": QueryDef(join_asof_events, _JOIN_ASOF_SQL),
+    "join_interval_overlap": QueryDef(join_interval_overlap, _JOIN_OVERLAP_SQL),
     "join_broadcast_dim": QueryDef(join_broadcast_dim, _JOIN_BCAST_SQL),
     "join_null_safe": QueryDef(join_null_safe, _JOIN_NULLSAFE_SQL),
 }
