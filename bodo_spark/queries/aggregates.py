@@ -71,7 +71,7 @@ def agg_conditional(spark: SparkSession, sf: str) -> DataFrame:
 
 _AGG_COND_SQL = """
 SELECT event_type,
-       count_if(value > 10.0) AS n_big,
+       CAST(count_if(value > 10.0) AS BIGINT) AS n_big,
        bool_and(value >= 0.0) AS all_nonneg,
        bool_or(value > 99.0) AS any_huge,
        COUNT(*) AS n

@@ -32,9 +32,9 @@ WITH toks AS (
          regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]') AS ts
   FROM documents)
 SELECT lang,
-       SUM(len(ts)) AS total_tokens,
-       SUM(CAST(concat('0x', substr(md5(ts[1]), 1, 8)) AS BIGINT) % 2147483648)
-         AS sum_first_id,
+       CAST(SUM(len(ts)) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(concat('0x', substr(md5(ts[1]), 1, 8)) AS BIGINT) % 2147483648)
+            AS BIGINT) AS sum_first_id,
        COUNT(*) AS n_docs
 FROM toks GROUP BY lang ORDER BY lang
 """

@@ -218,22 +218,32 @@ GROUP BY a.ck ORDER BY a.ck
 
 def join_broadcast_dim(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit broadcast-hash join of fact x small dim (reference
-    adaptive broadcast decision _join.h:1377 -> F.broadcast hint)."""
+    adaptive broadcast decision _join.h:1377 -> F.broadcast hint).
+
+    The static hint is only placed on ``nation`` — a fixed-cardinality
+    dimension (25 rows at every scale factor). SF-scaled tables
+    (customer/supplier/part) must never carry a static broadcast hint:
+    AQE's dynamic decision picks BHJ for them when, and only when, the
+    build side is actually small at runtime."""
     li = tbl(spark, sf, "lineitem")
-    p = tbl(spark, sf, "part")
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .groupBy("p_brand")
-            .agg(dsum(dec("l_extendedprice", 12)).alias("brand_revenue"),
+    supp = tbl(spark, sf, "supplier")
+    nat = tbl(spark, sf, "nation")
+    return (li.join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(dsum(dec("l_extendedprice", 12)).alias("nation_revenue"),
                  F.count(F.lit(1)).alias("n"))
-            .orderBy("p_brand"))
+            .orderBy("n_name"))
 
 
 _JOIN_BCAST_SQL = """
-SELECT p_brand,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS brand_revenue,
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS nation_revenue,
        COUNT(*) AS n
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_brand ORDER BY p_brand
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
 """
 
 

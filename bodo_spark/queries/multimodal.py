@@ -33,7 +33,7 @@ WITH media AS (
   FROM documents)
 SELECT CAST(concat('0x', substr(hex(blob), 1, 2)) AS BIGINT) % 16 AS bucket,
        COUNT(*) AS n,
-       SUM(octet_length(blob)) AS total_bytes,
+       CAST(SUM(octet_length(blob)) AS BIGINT) AS total_bytes,
        MIN(md5(lower(hex(blob)))) AS min_sig
 FROM media GROUP BY 1 ORDER BY bucket
 """

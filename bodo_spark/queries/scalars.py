@@ -120,11 +120,11 @@ def math_bitwise(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _MATH_BIT_SQL = """
-SELECT SUM(event_id & 255) AS sum_and,
-       SUM(event_id | 16) AS sum_or,
-       SUM(xor(event_id, 85)) AS sum_xor,
-       SUM((event_id % 1000) << 2) AS sum_shl,
-       SUM(event_id >> 3) AS sum_shr,
+SELECT CAST(SUM(event_id & 255) AS BIGINT) AS sum_and,
+       CAST(SUM(event_id | 16) AS BIGINT) AS sum_or,
+       CAST(SUM(xor(event_id, 85)) AS BIGINT) AS sum_xor,
+       CAST(SUM((event_id % 1000) << 2) AS BIGINT) AS sum_shl,
+       CAST(SUM(event_id >> 3) AS BIGINT) AS sum_shr,
        bit_and(event_id % 4096) AS agg_bit_and,
        bit_or(event_id % 4096) AS agg_bit_or,
        bit_xor(event_id % 4096) AS agg_bit_xor
@@ -206,7 +206,7 @@ def json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 _JSON_EXTRACT_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
@@ -322,10 +322,10 @@ def sql_snowflake_dialect(spark: SparkSession, sf: str) -> DataFrame:
 
 _SQL_SNOWFLAKE_SQL = """
 SELECT event_type,
-       SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_hi,
+       CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
        round(AVG(CASE WHEN value - 50.0 = 0 THEN 0
                       ELSE 100.0 / (value - 50.0) END), 4) AS avg_div0,
-       SUM(CAST((event_id % 10) * (event_id % 10) AS BIGINT)) AS sq_sum,
+       CAST(SUM(CAST((event_id % 10) * (event_id % 10) AS BIGINT)) AS BIGINT) AS sq_sum,
        MIN(levenshtein(event_type, 'click')) AS ed,
        MIN('b') AS tok
 FROM events GROUP BY event_type ORDER BY event_type

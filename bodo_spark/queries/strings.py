@@ -92,9 +92,9 @@ def str_like_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _STR_LIKE_SQL = """
-SELECT count_if(p_name LIKE '%wid%') AS n_like,
-       count_if(p_name ILIKE 'RED%') AS n_ilike,
-       count_if(regexp_matches(p_name, '^(red|blue) ')) AS n_rlike,
+SELECT CAST(count_if(p_name LIKE '%wid%') AS BIGINT) AS n_like,
+       CAST(count_if(p_name ILIKE 'RED%') AS BIGINT) AS n_ilike,
+       CAST(count_if(regexp_matches(p_name, '^(red|blue) ')) AS BIGINT) AS n_rlike,
        COUNT(*) AS n
 FROM part
 """

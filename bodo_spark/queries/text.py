@@ -31,9 +31,9 @@ def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 _TEXT_TOK_SQL = f"""
 SELECT lang,
-       SUM({_SQL_NTOK}) AS sum_tokens,
-       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
-         AS sum_bpe_tokens,
+       CAST(SUM({_SQL_NTOK}) AS BIGINT) AS sum_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))
+            AS BIGINT) AS sum_bpe_tokens,
        MAX({_SQL_NTOK}) AS max_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
@@ -63,7 +63,7 @@ WITH scored AS (
                   THEN 1 ELSE 0 END)) / 3.0 AS q
   FROM documents)
 SELECT source, round(avg(q), 6) AS avg_quality,
-       count_if(q >= 0.99) AS n_keep, COUNT(*) AS n_docs
+       CAST(count_if(q >= 0.99) AS BIGINT) AS n_keep, COUNT(*) AS n_docs
 FROM scored GROUP BY source ORDER BY source
 """
 

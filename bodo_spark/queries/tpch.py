@@ -110,7 +110,7 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     li = tbl(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-06-01")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey",
                  fmt_date("o_orderdate").alias("o_orderdate"),
                  "o_orderpriority")
@@ -173,8 +173,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     li = tbl(spark, sf, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp),
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp,
               (li.l_suppkey == supp.s_suppkey)
               & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -239,8 +239,8 @@ def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
         | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
         .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
         .where(pairs)
@@ -288,10 +288,10 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     li = tbl(spark, sf, "lineitem")
     part = tbl(spark, sf, "part").where(F.col("p_type") == "STANDARD")
     vol = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation_c), cust.c_nationkey == nation_c.cn_key)
         .join(F.broadcast(nation_s), supp.s_nationkey == nation_s.sn_key)
         .join(F.broadcast(region), nation_c.cn_region == region.r_regionkey)
@@ -338,8 +338,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
     li = tbl(spark, sf, "lineitem")
     amount = _disc_price() - dec("p_retailprice", 12) * dec("l_quantity", 12)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("l_shipdate").cast("bigint").alias("o_year"))
@@ -373,7 +373,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     nation = tbl(spark, sf, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_disc_price()).alias("revenue"))
@@ -450,8 +450,8 @@ _Q12_SQL = """
 SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
             WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'NORMAL'
             ELSE 'SLOW' END AS ship_bucket,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -489,7 +489,7 @@ def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     part = tbl(spark, sf, "part")
     li = tbl(spark, sf, "lineitem").where(
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01"))
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     return j.agg(
         (F.lit(100.0)
          * F.sum(F.when(F.col("p_type") == "PROMO", _disc_price())).cast("double")
@@ -514,7 +514,7 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
            .agg(dsum(_disc_price()).alias("total_revenue")))
     max_rev = rev.agg(F.max("total_revenue").alias("m"))
     return (rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
-            .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+            .join(supp, rev.supplier_no == supp.s_suppkey)
             .select("s_suppkey", "s_name", "total_revenue")
             .orderBy("s_suppkey"))
 
@@ -539,7 +539,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
     part = tbl(spark, sf, "part").where(
         (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 5, 10, 15, 20)))
     li = tbl(spark, sf, "lineitem")
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (li.join(part, li.l_partkey == part.p_partkey)
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
             .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"))
@@ -562,7 +562,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
                 .agg((F.sum(dec("l_quantity", 12)).cast("double")
                       / F.count("l_quantity")).alias("avg_qty")))
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (li.join(part, li.l_partkey == part.p_partkey)
             .join(per_part, li.l_partkey == per_part.pk)
             .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
             .agg((F.sum(dec("l_extendedprice", 12)).cast("double") / 7.0)
@@ -594,7 +594,7 @@ def q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
            .agg(dsum(dec("l_quantity", 12)).alias("sum_qty"))
            .where(F.col("sum_qty") > 300))
     return (orders.join(big, orders.o_orderkey == big.l_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .select("c_name", "c_custkey", "o_orderkey",
                     fmt_date("o_orderdate").alias("o_orderdate"),
                     "o_totalprice", "sum_qty")
@@ -621,7 +621,7 @@ def q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q19: OR-of-ANDs join predicate."""
     li = tbl(spark, sf, "lineitem")
     part = tbl(spark, sf, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
          & (F.col("l_quantity").between(1, 11)))
@@ -651,7 +651,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
     supp = tbl(spark, sf, "supplier")
     nation = tbl(spark, sf, "nation").where(F.col("n_name") == "NATION_4")
-    vol = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    vol = (li.join(part, li.l_partkey == part.p_partkey)
            .groupBy("l_suppkey")
            .agg(dsum(dec("l_quantity", 12)).alias("qty"))
            .where(F.col("qty") > 100))
@@ -697,7 +697,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf: str) -> DataFrame:
                      "left_semi")
                .join(l3, (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
                      "left_anti"))
-    return (waiting.join(F.broadcast(supp), F.col("sk") == supp.s_suppkey)
+    return (waiting.join(supp, F.col("sk") == supp.s_suppkey)
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey,
                   "left_semi")
             .groupBy("s_name")

@@ -216,9 +216,9 @@ def win_change_event(spark: SparkSession, sf: str) -> DataFrame:
 
 _WIN_CHANGE_SQL = """
 SELECT event_id, user_id,
-       SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       AS change_seq
+            AS BIGINT) AS change_seq
 FROM (
   SELECT event_id, user_id, ts,
          CASE WHEN lag(event_type) OVER w IS NULL

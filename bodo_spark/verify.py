@@ -49,6 +49,30 @@ def _canon_cell(v: Any) -> Any:
     return v
 
 
+def _dtype_kind(dtype) -> str:
+    """Coarse dtype kind matching the driver's hash discipline: int vs float
+    vs bool vs datetime vs object must agree between Spark and oracle."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
+def _kind_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    out = []
+    for c in sorted(sdf.columns):
+        sk, ok = _dtype_kind(sdf[c].dtype), _dtype_kind(odf[c].dtype)
+        if sk != ok:
+            out.append(f"{c}: spark={sk}({sdf[c].dtype}) oracle={ok}({odf[c].dtype})")
+    return out
+
+
 def _canon(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     rows = [tuple(_canon_cell(v) for v in row)
@@ -80,9 +104,14 @@ def compare_one(name: str, qd: QueryDef, spark, con, sf_dir: str) -> dict:
         res["spark_cols"], res["oracle_cols"] = s_cols, o_cols
         res["ok"] = False
         return res
+    kind_mismatch = _kind_mismatches(sdf, odf)
+    res["dtype_match"] = not kind_mismatch
+    if kind_mismatch:
+        res["dtype_diffs"] = kind_mismatch
     sc, oc = _canon(sdf), _canon(odf)
     res["values_match"] = sc == oc
-    res["ok"] = res["values_match"] and res["spark_rows"] == res["oracle_rows"]
+    res["ok"] = (res["values_match"] and res["dtype_match"]
+                 and res["spark_rows"] == res["oracle_rows"])
     if not res["values_match"]:
         diffs = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
         res["first_diffs"] = [f"spark={a} oracle={b}" for a, b in diffs]
