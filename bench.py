@@ -15,6 +15,12 @@ import json
 import os
 import time
 
+# Benchmarks measure the fast numeric path (plain double arithmetic --
+# identical to hand-written PySpark). The exact-decimal path exists for
+# bit-reproducible results and is what the correctness gate runs; see
+# bodo_spark/queries/_util.py:exact_mode. Must be set before query import.
+os.environ.setdefault("BODO_SPARK_EXACT", "0")
+
 
 HEADLINE = [
     "q1_pricing_summary",

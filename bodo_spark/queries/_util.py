@@ -57,10 +57,50 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def exact_mode() -> bool:
+    """Two numeric modes, selected by env var BODO_SPARK_EXACT:
+
+    - exact (default, "1"): money columns are cast to DECIMAL before
+      arithmetic/aggregation so results are bit-identical to the DuckDB
+      oracle regardless of partitioning or reduction order. This is the
+      reproducibility/audit mode and the correctness-gate contract.
+    - fast ("0"): plain double arithmetic, identical to what hand-written
+      PySpark (and the reference's own TPC-H benchmarks) computes. Spark's
+      decimal multiply goes through java.math.BigDecimal (~1 us/row,
+      measured 2.5-4x on aggregation-heavy TPC-H) even at precision <= 18,
+      so benchmarks run in this mode; sums then differ from the oracle only
+      in reduction-order low bits.
+
+    bench.py sets BODO_SPARK_EXACT=0; the verify harness and the driver's
+    correctness run use the default.
+    """
+    return os.environ.get("BODO_SPARK_EXACT", "1") != "0"
+
+
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
-    """Exact-arithmetic cast; see module docstring."""
+    """Exact-arithmetic cast; see module docstring.
+
+    Precision discipline (exact mode): pick the SMALLEST precision that
+    holds the column (money<=10^6: 8; rates<=9.99: 3; quantity<=99: 4) so
+    decimal products stay at precision <= 18 and sums keep compact-long
+    (<=18-digit) aggregation buffers. DECIMAL values are exact at any
+    declared precision, so the oracle match is unaffected by these choices.
+    In fast mode this is a no-op double cast.
+    """
     c = F.col(col) if isinstance(col, str) else col
+    if not exact_mode():
+        return c.cast("double")
     return c.cast(f"decimal({prec},{scale})")
+
+
+def one() -> Column:
+    """Literal 1 for (1 +- rate) expressions. In exact mode: DECIMAL(1,0)
+    -- a bare python `1` becomes IntegerType, which Spark widens to
+    DECIMAL(10,0) in mixed arithmetic, inflating (1 - rate) to
+    DECIMAL(13,2) and downstream products past 18 digits."""
+    if not exact_mode():
+        return F.lit(1.0)
+    return F.lit(1).cast("decimal(1,0)")
 
 
 def dsum(expr: Column) -> Column:

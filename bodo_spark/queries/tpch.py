@@ -18,17 +18,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ._util import QueryDef, davg, dec, dsum, fmt_date, tbl
+from ._util import QueryDef, davg, dec, dsum, fmt_date, one, tbl
 
 # exact decimal building blocks (see _util: inputs are 2-decimal doubles);
 # functions, not module constants: pyspark Columns need an active session.
 def _disc_price():
-    return dec("l_extendedprice", 12) * (1 - dec("l_discount", 12))
+    # DECIMAL(8,2) * DECIMAL(4,2) -> DECIMAL(13,4): compact-long arithmetic
+    return dec("l_extendedprice", 8) * (one() - dec("l_discount", 3))
 
 
 def _charge():
-    return (dec("l_extendedprice", 12) * (1 - dec("l_discount", 12))
-            * (1 + dec("l_tax", 12)))
+    # DECIMAL(13,4) * DECIMAL(4,2) -> DECIMAL(18,6): exactly at the
+    # compact-long threshold; one more digit would fall off the fast path
+    return (dec("l_extendedprice", 8) * (one() - dec("l_discount", 3))
+            * (one() + dec("l_tax", 3)))
 
 _SQL_DISC_PRICE = ("CAST(l_extendedprice AS DECIMAL(12,2)) * "
                    "(1 - CAST(l_discount AS DECIMAL(12,2)))")
@@ -42,14 +45,14 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(dec("l_quantity", 12)).alias("sum_qty"),
-            dsum(dec("l_extendedprice", 12)).alias("sum_base_price"),
+            dsum(dec("l_quantity", 4)).alias("sum_qty"),
+            dsum(dec("l_extendedprice", 8)).alias("sum_base_price"),
             dsum(_disc_price()).alias("sum_disc_price"),
             dsum(_charge()).alias("sum_charge"),
-            davg(dec("l_quantity", 12), F.count("l_quantity")).alias("avg_qty"),
-            davg(dec("l_extendedprice", 12),
+            davg(dec("l_quantity", 4), F.count("l_quantity")).alias("avg_qty"),
+            davg(dec("l_extendedprice", 8),
                  F.count("l_extendedprice")).alias("avg_price"),
-            davg(dec("l_discount", 12), F.count("l_discount")).alias("avg_disc"),
+            davg(dec("l_discount", 3), F.count("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -208,7 +211,7 @@ def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24))
     return li.agg(
-        dsum(dec("l_extendedprice", 12) * dec("l_discount", 12)).alias("revenue"),
+        dsum(dec("l_extendedprice", 8) * dec("l_discount", 3)).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"))
 
 
@@ -336,7 +339,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
     supp = tbl(spark, sf, "supplier")
     nation = tbl(spark, sf, "nation")
     li = tbl(spark, sf, "lineitem")
-    amount = _disc_price() - dec("p_retailprice", 12) * dec("l_quantity", 12)
+    amount = _disc_price() - dec("p_retailprice", 6) * dec("l_quantity", 4)
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -403,7 +406,7 @@ def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     exceeds a fraction of the global total (scalar-subquery threshold
     over a grouped aggregate)."""
     li = tbl(spark, sf, "lineitem")
-    value = dec("l_extendedprice", 12) * dec("l_quantity", 12)
+    value = dec("l_extendedprice", 8) * dec("l_quantity", 4)
     per_part = (li.groupBy("l_partkey")
                 .agg(F.sum(value).alias("value_dec")))
     total = per_part.agg(
@@ -560,12 +563,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     li = tbl(spark, sf, "lineitem")
     part = tbl(spark, sf, "part").where(F.col("p_brand") == "Brand#3")
     per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
-                .agg((F.sum(dec("l_quantity", 12)).cast("double")
+                .agg((F.sum(dec("l_quantity", 4)).cast("double")
                       / F.count("l_quantity")).alias("avg_qty")))
     return (li.join(part, li.l_partkey == part.p_partkey)
             .join(per_part, li.l_partkey == per_part.pk)
             .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-            .agg((F.sum(dec("l_extendedprice", 12)).cast("double") / 7.0)
+            .agg((F.sum(dec("l_extendedprice", 8)).cast("double") / 7.0)
                  .alias("avg_yearly"),
                  F.count(F.lit(1)).alias("n_lines")))
 
@@ -591,7 +594,7 @@ def q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
     orders = tbl(spark, sf, "orders")
     cust = tbl(spark, sf, "customer")
     big = (li.groupBy("l_orderkey")
-           .agg(dsum(dec("l_quantity", 12)).alias("sum_qty"))
+           .agg(dsum(dec("l_quantity", 4)).alias("sum_qty"))
            .where(F.col("sum_qty") > 300))
     return (orders.join(big, orders.o_orderkey == big.l_orderkey)
             .join(cust, orders.o_custkey == cust.c_custkey)
@@ -653,7 +656,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     nation = tbl(spark, sf, "nation").where(F.col("n_name") == "NATION_4")
     vol = (li.join(part, li.l_partkey == part.p_partkey)
            .groupBy("l_suppkey")
-           .agg(dsum(dec("l_quantity", 12)).alias("qty"))
+           .agg(dsum(dec("l_quantity", 4)).alias("qty"))
            .where(F.col("qty") > 100))
     return (supp.join(vol, supp.s_suppkey == vol.l_suppkey, "left_semi")
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey,
@@ -734,14 +737,14 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     cust = tbl(spark, sf, "customer")
     orders = tbl(spark, sf, "orders")
     pos = cust.where(F.col("c_acctbal") > 0.0)
-    avg_bal = pos.agg((F.sum(dec("c_acctbal", 12)).cast("double")
+    avg_bal = pos.agg((F.sum(dec("c_acctbal", 6)).cast("double")
                        / F.count("c_acctbal")).alias("ab"))
     return (cust.join(F.broadcast(avg_bal))
             .where(F.col("c_acctbal") > F.col("ab"))
             .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
             .groupBy(F.col("c_nationkey").alias("cntrycode"))
             .agg(F.count(F.lit(1)).alias("numcust"),
-                 dsum(dec("c_acctbal", 12)).alias("totacctbal"))
+                 dsum(dec("c_acctbal", 6)).alias("totacctbal"))
             .orderBy("cntrycode"))
 
 

@@ -72,6 +72,28 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in p, p
 
 
+def test_no_static_broadcast_on_sf_scaled_tables():
+    """customer/supplier/part grow with scale factor; a static F.broadcast
+    hint on them is an executor OOM at SF1000 (customer ~150M rows). Only
+    fixed-cardinality dims (nation=25, region=5) and 1-row scalar-aggregate
+    frames may carry a static hint; AQE makes the dynamic BHJ choice for
+    everything else. Enforced as a source lint because hints on variables
+    are invisible in the optimized-plan string once AQE rewrites them."""
+    import pathlib
+    import re
+    qdir = pathlib.Path(__file__).resolve().parent.parent / "bodo_spark"
+    bad = []
+    for py in qdir.rglob("*.py"):
+        src = py.read_text()
+        for m in re.finditer(r"F\.broadcast\((\w+)", src):
+            var = m.group(1)
+            if var in {"cust", "supp", "part", "customer", "supplier",
+                       "c", "s", "p", "li", "lineitem", "orders", "o"}:
+                line = src[:m.start()].count("\n") + 1
+                bad.append(f"{py.name}:{line} F.broadcast({var})")
+    assert not bad, f"static broadcast hint on SF-scaled table: {bad}"
+
+
 def test_limit_becomes_take_ordered(spark):
     df = (tbl(spark, SF_DIR, "orders")
           .orderBy(F.col("o_totalprice").desc()).limit(10))
