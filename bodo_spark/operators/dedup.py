@@ -12,8 +12,11 @@ Scale design (the whole point):
   - Candidate generation shuffles once on (band, signature) -- the LSH
     trick keeps the candidate set ~linear instead of O(n^2).
   - Verification joins only candidate pairs.
-  - All hashes derive from md5 (bit-identical across engines and JVMs),
-    so results are deterministic under any partitioning/ordering.
+  - Hashing has two modes (bodo_spark.modes): exact mode derives every
+    hash from md5 (bit-identical across engines, so the DuckDB oracle
+    reproduces signatures exactly); fast mode uses xxhash64 -- a single
+    vectorized JVM intrinsic, ~10x cheaper per shingle. Both are valid
+    MinHash families; only the exact path is oracle-checkable.
 """
 
 from __future__ import annotations
@@ -21,11 +24,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..modes import exact_mode
+
 
 def h60(col: Column) -> Column:
     """Deterministic 60-bit integer hash: first 15 hex chars of md5.
     (DuckDB twin: CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT).)"""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def perm_hash(col: Column, perm: int) -> Column:
+    """Permutation-``perm`` hash of a shingle. Exact mode: md5-derived
+    (oracle-reproducible); fast mode: seeded xxhash64 intrinsic."""
+    if exact_mode():
+        return h60(F.concat(F.lit(f"{perm}|"), col))
+    return F.xxhash64(F.lit(perm), col)
 
 
 def word_shingles(col: Column | str, k: int = 3,
@@ -51,8 +64,7 @@ def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
     """MinHash signature: array of num_perm 60-bit minima.
     Permutation i hashes shingle s as h60(i || '|' || s)."""
     sigs = [
-        F.array_min(F.transform(
-            shingles, lambda s, i=i: h60(F.concat(F.lit(f"{i}|"), s))))
+        F.array_min(F.transform(shingles, lambda s, i=i: perm_hash(s, i)))
         for i in range(num_perm)
     ]
     return F.array(*sigs)
@@ -107,20 +119,29 @@ def minhash_lsh_pairs(
                 .select("id", F.explode("sh").alias("s")))
     hashed = exploded.select(
         "id", "s",
-        *[h60(F.concat(F.lit(f"{i}|"), F.col("s"))).alias(f"h{i}")
-          for i in range(num_perm)])
-    # signature + shingle set per doc: one shuffle on id
+        *[perm_hash(F.col("s"), i).alias(f"h{i}") for i in range(num_perm)])
+    # signature + shingle set per doc: one shuffle on id. The set kept
+    # for Jaccard verification is the h0 *hash* set, not the strings:
+    # same set semantics (distinct shingles -> distinct 60/64-bit hashes,
+    # collisions ~2^-60 and engine-identical), but the shuffle carries
+    # 8-byte longs and the verify join intersects long arrays.
     sig = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)],
-        F.collect_set("s").alias("sh"))
-    banded = sig.select(
-        "id", "sh",
-        F.explode(F.array(*[
+        F.collect_set("h0").alias("sh"))
+    if exact_mode():
+        band_cols = [
             F.md5(F.concat_ws(
                 "_", F.lit(str(b)),
                 *[F.col(f"m{b * rows + r}").cast("string")
-                  for r in range(rows)])).alias(f"b{b}")
-            for b in range(bands)])).alias("band_sig"))
+                  for r in range(rows)]))
+            for b in range(bands)]
+    else:
+        band_cols = [
+            F.xxhash64(F.lit(b),
+                       *[F.col(f"m{b * rows + r}") for r in range(rows)])
+            for b in range(bands)]
+    banded = sig.select(
+        "id", "sh", F.explode(F.array(*band_cols)).alias("band_sig"))
     # candidates: ids sharing any band bucket (shuffle #2, on band_sig)
     a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
                       "band_sig")
@@ -145,7 +166,8 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     sh = (df.select(F.col(id_col).alias("id"),
                     word_shingles(F.col(text_col), k).alias("sh"))
           .select("id", F.explode("sh").alias("s"))
-          .withColumn("h", h60(F.col("s"))))
+          .withColumn("h", h60(F.col("s")) if exact_mode()
+                      else F.xxhash64(F.col("s"))))
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
               .otherwise(-1)).alias(f"v{j}")

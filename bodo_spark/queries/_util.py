@@ -25,6 +25,13 @@ from typing import Callable, Optional
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Mode switch lives in bodo_spark.modes (operators need it too); decimal
+# rationale: Spark's decimal multiply goes through java.math.BigDecimal
+# (~1 us/row, measured 2.5-4x on aggregation-heavy TPC-H) even at
+# precision <= 18, so benchmarks run fast mode (plain doubles) while the
+# correctness gate runs exact mode (DECIMAL, bit-identical to DuckDB).
+from ..modes import exact_mode  # noqa: F401  (re-export)
+
 
 @dataclass(frozen=True)
 class QueryDef:
@@ -57,24 +64,6 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def exact_mode() -> bool:
-    """Two numeric modes, selected by env var BODO_SPARK_EXACT:
-
-    - exact (default, "1"): money columns are cast to DECIMAL before
-      arithmetic/aggregation so results are bit-identical to the DuckDB
-      oracle regardless of partitioning or reduction order. This is the
-      reproducibility/audit mode and the correctness-gate contract.
-    - fast ("0"): plain double arithmetic, identical to what hand-written
-      PySpark (and the reference's own TPC-H benchmarks) computes. Spark's
-      decimal multiply goes through java.math.BigDecimal (~1 us/row,
-      measured 2.5-4x on aggregation-heavy TPC-H) even at precision <= 18,
-      so benchmarks run in this mode; sums then differ from the oracle only
-      in reduction-order low bits.
-
-    bench.py sets BODO_SPARK_EXACT=0; the verify harness and the driver's
-    correctness run use the default.
-    """
-    return os.environ.get("BODO_SPARK_EXACT", "1") != "0"
 
 
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:

@@ -1,7 +1,8 @@
 """Deduplication battery over the documents table: exact, MinHash+LSH,
 SimHash, blocked n-gram Jaccard. Implementations in
-bodo_spark.operators.dedup; every hash derives from md5 so the DuckDB
-oracles reproduce signatures bit-for-bit.
+bodo_spark.operators.dedup; in exact mode (the correctness gate) every
+hash derives from md5 so the DuckDB oracles reproduce signatures
+bit-for-bit; fast mode (bench) swaps in the xxhash64 intrinsic.
 """
 
 from __future__ import annotations
@@ -66,22 +67,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+# Jaccard verification runs over the permutation-0 *hash* set (engine-
+# identical md5-derived 60-bit values), mirroring the Spark operator: the
+# set semantics equal the string-shingle sets (collisions ~2^-60, and any
+# collision hits both engines identically).
 _DEDUP_MINHASH_SQL = f"""
 WITH docs AS (
   SELECT doc_id AS id, {_SQL_SHINGLES} AS sh FROM documents),
+hsets AS (
+  SELECT id, list_distinct(list_transform(sh, s -> {_sql_h60("concat('0|', s)")})) AS hs
+  FROM docs),
 sigs AS (
-  SELECT id, sh, {_sql_minhash(16)} AS sig FROM docs),
+  SELECT id, {_sql_minhash(16)} AS sig FROM docs),
 banded AS (
-  SELECT id, sh, unnest({_sql_bands(8, 2)}) AS band_sig FROM sigs),
+  SELECT id, unnest({_sql_bands(8, 2)}) AS band_sig FROM sigs),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b ON a.band_sig = b.band_sig AND a.id < b.id),
 verified AS (
   SELECT id_a, id_b,
-         round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(da.sh, db.sh))), 6) AS jaccard
-  FROM cand JOIN docs da ON cand.id_a = da.id
-            JOIN docs db ON cand.id_b = db.id)
+         round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+               / len(list_distinct(list_concat(da.hs, db.hs))), 6) AS jaccard
+  FROM cand JOIN hsets da ON cand.id_a = da.id
+            JOIN hsets db ON cand.id_b = db.id)
 SELECT id_a, id_b, jaccard FROM verified
 WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """

@@ -42,6 +42,25 @@ def test_fast_mode_matches_exact_to_tolerance(spark, qname):
             assert (exact[c] == fast[c]).all(), c
 
 
+def test_minhash_fast_mode_finds_same_pairs(spark):
+    """Fast mode swaps md5->xxhash64 in MinHash/LSH. Candidate recall can
+    differ between hash families in principle, but verification is exact
+    Jaccard, so on the testdata (true dups are high-jaccard) both modes
+    must return the identical pair set."""
+    exact = {tuple(r) for r in _run_rows(spark, "dedup_minhash_lsh")}
+    os.environ["BODO_SPARK_EXACT"] = "0"
+    try:
+        fast = {tuple(r) for r in _run_rows(spark, "dedup_minhash_lsh")}
+    finally:
+        os.environ.pop("BODO_SPARK_EXACT", None)
+    assert exact == fast
+
+
+def _run_rows(spark, qname):
+    from bodo_spark.queries import all_queries
+    return all_queries()[qname].fn(spark, SF_DIR).collect()
+
+
 def test_fast_mode_has_no_decimal_columns(spark, fast_mode):
     from bodo_spark.queries.tpch import q1_pricing_summary
     df = q1_pricing_summary(spark, SF_DIR)
