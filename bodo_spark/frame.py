@@ -333,19 +333,25 @@ class BodoDataFrame:
             left_on = right_on = on
         lk = [left_on] if isinstance(left_on, str) else list(left_on)
         rk = [right_on] if isinstance(right_on, str) else list(right_on)
-        # disambiguate overlapping non-key columns like pandas suffixes
+        # disambiguate overlapping columns like pandas suffixes; when
+        # lk == rk the shared key merges to one unsuffixed column, but
+        # with differing keys pandas suffixes an overlapping name even
+        # when it is a join key on one side -- so the join condition
+        # must reference post-rename names
         overlap = (set(self.columns) & set(right.columns)) - \
             (set(lk) & set(rk))
+        lmap = {c: c + suffixes[0] for c in overlap}
+        rmap = {c: c + suffixes[1] for c in overlap}
         ldf = self._df
         for c in overlap:
-            ldf = ldf.withColumnRenamed(c, c + suffixes[0])
-            rdf = rdf.withColumnRenamed(c, c + suffixes[1])
+            ldf = ldf.withColumnRenamed(c, lmap[c])
+            rdf = rdf.withColumnRenamed(c, rmap[c])
         if lk == rk:
             out = ldf.join(rdf, on=lk, how=spark_how)
         else:
             cond = None
             for a, b in zip(lk, rk):
-                c = ldf[a] == rdf[b]
+                c = ldf[lmap.get(a, a)] == rdf[rmap.get(b, b)]
                 cond = c if cond is None else cond & c
             out = ldf.join(rdf, cond, spark_how)
         return BodoDataFrame(out)
@@ -427,9 +433,21 @@ class BodoDataFrame:
         return BodoDataFrame(self._df.mapInPandas(gen, schema))
 
     def rolling(self, window: int, order_by: str,
-                partition_by: str | None = None) -> "BodoRolling":
+                partition_by: str | None = None,
+                allow_global: bool = False) -> "BodoRolling":
         """reference bodo/hiframes/rolling.py; fixed windows over an
-        explicit ordering (no implicit row order at scale)."""
+        explicit ordering (no implicit row order at scale).
+
+        Without ``partition_by`` the whole frame is one Spark window
+        partition -- a single task processes every row, which is a
+        scale-killer on anything but small frames. Pass a partition key,
+        or ``allow_global=True`` to acknowledge the single-task plan.
+        """
+        if partition_by is None and not allow_global:
+            raise ValueError(
+                "rolling() without partition_by executes as ONE task (a "
+                "global window over lit(1)); pass partition_by=<key>, or "
+                "allow_global=True if the frame is known to be small")
         return BodoRolling(self, window, order_by, partition_by)
 
     # -- stats

@@ -126,7 +126,10 @@ def topk_pandas(
             vm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             vm /= np.maximum(np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
             sims = vm @ bqm.value.T  # (n, q)
-            n_loc = min(k, sims.shape[0])
+            # k+1 local candidates: self-matches are filtered AFTER the
+            # local top-k, so a batch containing the query's own vector
+            # must still surrender k non-self rows
+            n_loc = min(k + 1, sims.shape[0])
             idx = np.argpartition(-sims, n_loc - 1, axis=0)[:n_loc]
             out = {
                 "q_id": np.repeat(bq_ids.value, n_loc),
@@ -148,14 +151,32 @@ def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     block_col: str | None = None,
+    block_bits: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
-    threshold), optionally blocked to bound the quadratic join."""
+    threshold), blocked to bound the quadratic join.
+
+    Block key, in priority order: ``block_col`` if given (must be a
+    BOUNDED-cardinality key whose block sizes stay O(1) as the corpus
+    grows -- an LSH bucket or length band, never a semantic label);
+    else the ``block_bits``-bit sign-bucket LSH of the vector itself
+    (2^bits blocks, so per-block pair count shrinks quadratically with
+    added bits -- grow bits with the corpus). ``block_bits=None`` with
+    no block_col means all-pairs: only valid on provably small inputs.
+    High-cosine pairs almost always share the sign pattern, so recall
+    loss at near-dup thresholds is minimal; the DuckDB oracle mirrors
+    the same blocking, so results are engine-exact.
+    """
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
-    blk = [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]
-    d = vectors.select(*cols, *blk)
+    d = vectors.select(*cols)
+    if block_col:
+        d = d.withColumn("blk", vectors[block_col])
+    elif block_bits:
+        d = d.withColumn("blk", sign_bucket(F.col("v"), block_bits))
+    else:
+        d = d.withColumn("blk", F.lit(1))
     a = d.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "blk")
     b = d.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "blk")
     pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))

@@ -85,17 +85,21 @@ ORDER BY q_id, rn
 
 def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.9), blocked on the
-    label column to bound the quadratic join."""
+    vector's own 4-bit sign-bucket LSH: block count (2^bits) grows with
+    chosen bits, so per-block pair counts stay bounded as the corpus
+    scales -- unlike a semantic label, whose blocks grow O(n)."""
     emb = tbl(spark, sf, "embeddings")
-    return (S.embedding_neardup_pairs(emb, threshold=0.9, block_col="label")
+    return (S.embedding_neardup_pairs(emb, threshold=0.9, block_bits=4)
             .orderBy("id_a", "id_b"))
 
 
 _EMB_NEARDUP_SQL = f"""
+WITH v AS (SELECT vec_id, embedding, {_sql_bucket('embedding', 4)} AS blk
+           FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS cos
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM v a JOIN v b
+  ON a.blk = b.blk AND a.vec_id < b.vec_id
 WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.9
 ORDER BY id_a, id_b
 """

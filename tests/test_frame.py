@@ -83,6 +83,21 @@ def test_merge_inner_left(spark, bdf, pdf):
     assert len(got_l) == len(exp_l)
 
 
+def test_merge_key_name_overlaps_nonkey_column(spark):
+    """left_on != right_on where the left key's NAME also exists as a
+    non-key column on the right: pandas suffixes both occurrences and the
+    join must use the post-rename names (regression: the condition used
+    to reference the pre-rename column and fail)."""
+    l = pd.DataFrame({"a": [1, 2], "x": [10, 20]})
+    r = pd.DataFrame({"b": [1, 2], "a": [100, 200]})
+    got = (bd.from_pandas(l, spark=spark)
+           .merge(bd.from_pandas(r, spark=spark),
+                  left_on="a", right_on="b"))
+    exp = pd.merge(l, r, left_on="a", right_on="b")
+    assert sorted(got.columns) == sorted(exp.columns.tolist())
+    _cmp(got, exp)
+
+
 def test_merge_semi_anti(spark, bdf):
     cust = bd.read_parquet(f"{SF_DIR}/customer.parquet", spark=spark)
     hi = cust[cust["c_acctbal"] > 5000.0]
@@ -177,13 +192,22 @@ def test_groupby_apply(bdf):
 
 
 def test_rolling(bdf, pdf):
-    got = (bdf.rolling(3, order_by="o_orderkey").mean("o_totalprice")
+    got = (bdf.rolling(3, order_by="o_orderkey", allow_global=True)
+           .mean("o_totalprice")
            .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
     exp = pdf.sort_values("o_orderkey").reset_index(drop=True)
     exp_roll = exp["o_totalprice"].rolling(3).mean()
     pd.testing.assert_series_equal(
         got["o_totalprice_roll_mean"], exp_roll,
         check_names=False, rtol=1e-9)
+
+
+def test_rolling_requires_partition_or_optin(bdf):
+    """Global rolling is a single-task plan; it must be an explicit
+    opt-in, never a silent default."""
+    import pytest
+    with pytest.raises(ValueError, match="partition_by"):
+        bdf.rolling(3, order_by="o_orderkey")
 
 
 def test_asof_frame(spark):
