@@ -22,6 +22,7 @@ def all_queries() -> dict[str, "QueryDef"]:
         scalars,
         setops,
         similarity,
+        snowflake,
         strings,
         text,
         tpch,
@@ -33,7 +34,8 @@ def all_queries() -> dict[str, "QueryDef"]:
     # query family must contribute representatives early rather than being
     # appended as a contiguous block at the end.
     mods = (tpch, aggregates, windows, joins, setops, strings,
-            datetimes, scalars, text, dedup, similarity, multimodal, ai_ops)
+            datetimes, scalars, snowflake, text, dedup, similarity,
+            multimodal, ai_ops)
     merged: dict[str, QueryDef] = {}
     iters = [iter(mod.QUERIES.items()) for mod in mods]
     while iters:

@@ -17,34 +17,12 @@ from pyspark.sql import SparkSession
 
 from ..session import get_spark
 
-# Snowflake-dialect functions Spark lacks (or names differently),
-# registered as SQL UDFs (pure SQL bodies -> inlined by Catalyst, no
-# Python round trip; reference BodoSQL operatorTables/*.java surface).
-_SNOWFLAKE_FNS: dict[str, str] = {
-    "IFF": "(c BOOLEAN, a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN CASE WHEN c THEN a ELSE b END",
-    "DIV0": "(x DOUBLE, y DOUBLE) RETURNS DOUBLE RETURN CASE WHEN y = 0 THEN 0 ELSE x / y END",
-    "DIV0NULL": "(x DOUBLE, y DOUBLE) RETURNS DOUBLE RETURN CASE WHEN y = 0 OR y IS NULL THEN 0 ELSE x / y END",
-    "SQUARE": "(x DOUBLE) RETURNS DOUBLE RETURN x * x",
-    "EDITDISTANCE": "(a STRING, b STRING) RETURNS INT RETURN levenshtein(a, b)",
-    "STRTOK": "(s STRING, delim STRING, part INT) RETURNS STRING RETURN split_part(s, delim, part)",
-    "SPLIT_TO_ARRAY": "(s STRING, delim STRING) RETURNS ARRAY<STRING> RETURN split(s, delim)",
-    "DATE_FROM_PARTS": "(y INT, m INT, d INT) RETURNS DATE RETURN make_date(y, m, d)",
-    "TIME_FROM_PARTS": "(h INT, m INT, s INT) RETURNS TIMESTAMP RETURN make_timestamp(1970, 1, 1, h, m, s)",
-    # NOTE: Spark builtins shadow temp functions, so Snowflake names whose
-    # Spark builtin has a different arity (TO_NUMBER/TRY_TO_NUMBER/
-    # TO_VARCHAR/TO_BOOLEAN) cannot be shimmed -- callers use CAST/
-    # TRY_CAST; regexp_substr/to_number(s,fmt) exist natively in Spark 4.
-    "SQUARE_ROOT": "(x DOUBLE) RETURNS DOUBLE RETURN sqrt(x)",
-    "TRY_TO_DOUBLE": "(s STRING) RETURNS DOUBLE RETURN TRY_CAST(s AS DOUBLE)",
-    "JAROWINKLER_SIMILARITY": (
-        "(a STRING, b STRING) RETURNS INT RETURN "
-        "CAST(round(100 * (1 - CAST(levenshtein(a, b) AS DOUBLE) / "
-        "greatest(length(a), length(b), 1))) AS INT)"),  # bounded approx
-    "OBJECT_CONSTRUCT2": (
-        "(k1 STRING, v1 STRING, k2 STRING, v2 STRING) RETURNS MAP<STRING,STRING> "
-        "RETURN map(k1, v1, k2, v2)"),
-    "CONDITIONAL_TRUE_EVENT_PREP": "(c BOOLEAN) RETURNS INT RETURN CASE WHEN c THEN 1 ELSE 0 END",
-}
+# Dialect kernel surface lives in bodo_spark.functions.snowflake
+# (reference BodoSQL/bodosql/kernels/); re-exported here for callers.
+from ..functions.snowflake import (  # noqa: F401
+    SNOWFLAKE_SQL_FNS as _SNOWFLAKE_FNS,
+    register_snowflake_fns,
+)
 
 def _find_top_level(query: str, pattern: re.Pattern, start: int = 0):
     """First match of ``pattern`` at paren-depth 0 outside quotes."""
@@ -109,15 +87,6 @@ def desugar_qualify(query: str) -> str:
     src = head[from_m.start():].rstrip()
     return (f"SELECT {sel_list} FROM (SELECT *, ({pred}) AS __qualify__ "
             f"{src}) __q WHERE __qualify__ {tail}")
-
-
-def register_snowflake_fns(spark: SparkSession) -> None:
-    """Create the dialect shim functions (idempotent)."""
-    for name, body in _SNOWFLAKE_FNS.items():
-        try:
-            spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name} {body}")
-        except Exception:
-            pass  # older Spark without SQL UDFs: shims unavailable
 
 
 class BodoSQLContext:

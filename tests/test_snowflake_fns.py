@@ -1,0 +1,76 @@
+"""Differential tests for the Snowflake-dialect kernel surface
+(bodo_spark/functions/snowflake.py) vs DuckDB / known values."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from bodo_spark.functions.snowflake import jaro_winkler
+
+
+def test_jaro_winkler_known_values():
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert abs(jaro_winkler("dwayne", "duane") - 0.84) < 1e-12
+    assert abs(jaro_winkler("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12
+    assert jaro_winkler("", "abc") == 0.0
+    assert jaro_winkler("same", "same") == 1.0
+    # boost threshold: no prefix bonus at jaro <= 0.7
+    assert jaro_winkler("abcdxxxxxx", "abcdyyyyyy") == pytest.approx(0.6)
+
+
+def test_jaro_winkler_matches_duckdb_random():
+    import random
+    rng = random.Random(42)
+    alpha = "abcdef"
+    con = duckdb.connect()
+    for _ in range(300):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+        exp = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert jaro_winkler(a, b) == pytest.approx(exp, abs=1e-12), (a, b)
+
+
+def test_sql_fns_registered(spark):
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    row = spark.sql("""
+        SELECT TRY_TO_BOOLEAN('YES') AS b1, TRY_TO_BOOLEAN('off') AS b2,
+               TRY_TO_BOOLEAN('nope') AS b3,
+               TRY_TO_DECIMAL('123') AS d1, TRY_TO_DECIMAL('x') AS d2,
+               DAYOFWEEKISO(DATE'2021-01-03') AS sun,
+               DAYOFWEEKISO(DATE'2021-01-04') AS mon,
+               WEEKISO(DATE'2021-01-01') AS w,
+               YEAROFWEEKISO(DATE'2021-01-01') AS wy,
+               date_format(TIME_SLICE(TIMESTAMP'2024-03-10 06:37:21', 15,
+                                      'MINUTE'), 'HH:mm:ss') AS sl,
+               JAROWINKLER_SIMILARITY('martha', 'marhta') AS jw
+    """).collect()[0]
+    assert row.b1 is True and row.b2 is False and row.b3 is None
+    assert int(row.d1) == 123 and row.d2 is None
+    assert row.sun == 7 and row.mon == 1
+    assert row.w == 53 and row.wy == 2020  # 2021-01-01 is ISO week 53 of 2020
+    assert row.sl == "06:30:00"
+    assert row.jw == 96
+
+
+def test_to_boolean_raises_on_garbage(spark):
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    with pytest.raises(Exception, match="not recognized"):
+        spark.sql("SELECT TO_BOOLEAN('garbage')").collect()
+
+
+def test_flatten_struct_shape(spark):
+    from bodo_spark.functions import flatten
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id long, arr array<string>")
+    out = flatten(df, "arr", seq_col="id").orderBy("SEQ", "INDEX").collect()
+    assert [(r.SEQ, r.INDEX, r.VALUE, r.PATH) for r in out] == [
+        (1, 0, "a", "[0]"), (1, 1, "b", "[1]")]
+    outer = flatten(df, "arr", seq_col="id", outer=True) \
+        .orderBy("SEQ", "INDEX").collect()
+    assert len(outer) == 4  # empty + NULL arrays kept with NULL outputs
+    assert {r.SEQ for r in outer} == {1, 2, 3}
