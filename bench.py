@@ -18,8 +18,10 @@ import time
 # Benchmarks measure the fast numeric path (plain double arithmetic --
 # identical to hand-written PySpark). The exact-decimal path exists for
 # bit-reproducible results and is what the correctness gate runs; see
-# bodo_spark/queries/_util.py:exact_mode. Must be set before query import.
-os.environ.setdefault("BODO_SPARK_EXACT", "0")
+# bodo_spark/modes.py. Hard-assign (not setdefault): an inherited
+# BODO_SPARK_EXACT=1 must never silently flip the bench into the 2.5-4x
+# slower md5/decimal mode -- that made BENCH artifacts undiagnosable.
+os.environ["BODO_SPARK_EXACT"] = "0"
 
 
 HEADLINE = [

@@ -140,17 +140,25 @@ def minhash_lsh_pairs(
             F.xxhash64(F.lit(b),
                        *[F.col(f"m{b * rows + r}") for r in range(rows)])
             for b in range(bands)]
-    banded = sig.select(
-        "id", "sh", F.explode(F.array(*band_cols)).alias("band_sig"))
-    # candidates: ids sharing any band bucket (shuffle #2, on band_sig)
-    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                      "band_sig")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                      "band_sig")
+    # Banding carries ONLY (id, band_sig) -- never the shingle-hash set.
+    # Carrying `sh` through the xbands explode and the band-keyed self-join
+    # would replicate the corpus' largest column 8x through the widest
+    # shuffle; instead candidates are deduped as bare id pairs first and
+    # the hash sets joined back by id (two cheap narrow-ish joins on the
+    # much smaller candidate set).
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band_sig"))
+    a = banded.select(F.col("id").alias("id_a"), "band_sig")
+    b = banded.select(F.col("id").alias("id_b"), "band_sig")
     cand = (a.join(b, "band_sig")
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
+    sets = sig.select("id", "sh")
+    cand = (cand
+            .join(sets.select(F.col("id").alias("id_a"),
+                              F.col("sh").alias("sh_a")), "id_a")
+            .join(sets.select(F.col("id").alias("id_b"),
+                              F.col("sh").alias("sh_b")), "id_b"))
     jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
            / F.size(F.array_union("sh_a", "sh_b")))
     return (cand.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
