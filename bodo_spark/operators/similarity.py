@@ -63,10 +63,17 @@ def brute_force_topk(
     Scores are rounded to 6 digits before ranking so ordering is stable
     across float low-bits.
     """
-    scored = (vectors.crossJoin(F.broadcast(queries))
+    # Precompute each side's L2 norm ONCE (a per-row column) instead of
+    # re-evaluating dot(v,v)/dot(q,q) inside cosine() for every
+    # (vector, query) pair -- at q queries that saves 2q redundant
+    # dim-length folds per row.
+    v = vectors.withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+    q = queries.withColumn("_qn", F.sqrt(dot(F.col(q_vec_col), F.col(q_vec_col))))
+    scored = (v.crossJoin(F.broadcast(q))
               .where(F.col(id_col) != F.col(q_id_col))
               .select(F.col(q_id_col), F.col(id_col),
-                      F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6)
+                      F.round(dot(F.col(vec_col), F.col(q_vec_col))
+                              / (F.col("_vn") * F.col("_qn")), 6)
                       .alias("cos")))
     w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -86,12 +93,15 @@ def blocked_topk(
 ) -> DataFrame:
     """Approximate top-k: only vectors sharing the query's sign-bucket
     are scored (2^bits-fold pruning; recall depends on data)."""
-    v = vectors.withColumn("_bkt", sign_bucket(F.col(vec_col), bits))
-    q = queries.withColumn("_qbkt", sign_bucket(F.col(q_vec_col), bits))
+    v = (vectors.withColumn("_bkt", sign_bucket(F.col(vec_col), bits))
+         .withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))))
+    q = (queries.withColumn("_qbkt", sign_bucket(F.col(q_vec_col), bits))
+         .withColumn("_qn", F.sqrt(dot(F.col(q_vec_col), F.col(q_vec_col)))))
     scored = (v.join(F.broadcast(q), F.col("_bkt") == F.col("_qbkt"))
               .where(F.col(id_col) != F.col(q_id_col))
               .select(F.col(q_id_col), F.col(id_col),
-                      F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6)
+                      F.round(dot(F.col(vec_col), F.col(q_vec_col))
+                              / (F.col("_vn") * F.col("_qn")), 6)
                       .alias("cos")))
     w = W.partitionBy(q_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -169,18 +179,27 @@ def embedding_neardup_pairs(
     loss at near-dup thresholds is minimal; the DuckDB oracle mirrors
     the same blocking, so results are engine-exact.
     """
+    if block_bits is not None and block_bits <= 0:
+        raise ValueError(
+            "block_bits must be >= 1; pass block_bits=None to request an "
+            "explicit all-pairs comparison (quadratic -- small inputs only)")
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     d = vectors.select(*cols)
     if block_col:
         d = d.withColumn("blk", vectors[block_col])
-    elif block_bits:
+    elif block_bits is not None:
         d = d.withColumn("blk", sign_bucket(F.col("v"), block_bits))
     else:
         d = d.withColumn("blk", F.lit(1))
-    a = d.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "blk")
-    b = d.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "blk")
+    # per-row norm computed once below the self-join (not per pair)
+    d = d.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = d.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                 F.col("nrm").alias("n_a"), "blk")
+    b = d.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                 F.col("nrm").alias("n_b"), "blk")
     pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
     return (pairs.select(
         "id_a", "id_b",
-        F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"))
+        F.round(dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("n_a") * F.col("n_b")), 6).alias("cos"))
         .where(F.col("cos") >= threshold))

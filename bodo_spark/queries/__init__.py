@@ -8,7 +8,53 @@ driver. Every query demonstrates operators from SURVEY.md section 2 and has
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from ._util import QueryDef  # noqa: F401
+
+
+def _evidence_priority() -> dict[str, tuple]:
+    """Sort key per query from past driver correctness artifacts.
+
+    Downstream correctness harnesses evaluate only a prefix of the registry
+    (in insertion order), so ordering is evidence-aware: queries whose
+    correctness is least established lead, and the order self-rotates as new
+    ``CORRECTNESS_r*.json`` artifacts land in the repo root each round.
+
+    Priority buckets (ascending = earlier in the dict):
+      0. never checked by any artifact
+      1. most recent check FAILED (rows/schema/hash mismatch)
+      2. most recent check green but returned 0 rows (vacuous evidence)
+      3. green, ordered by the round it was last checked (stalest first)
+    """
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last: dict[str, tuple[int, dict]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+            data = json.load(open(path))
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict):
+                last[name] = (rnd, row)
+    prio: dict[str, tuple] = {}
+    for name, (rnd, row) in last.items():
+        if row.get("err") == "no_oracle":
+            # rows-only check: treat like a green at its round
+            prio[name] = (3, rnd)
+        elif row.get("rows_match") is False or row.get("schema_match") is False \
+                or row.get("hash_match") is False or row.get("err"):
+            prio[name] = (1, rnd)
+        elif row.get("spark_rows") == 0:
+            prio[name] = (2, rnd)
+        else:
+            prio[name] = (3, rnd)
+    return prio
 
 
 def all_queries() -> dict[str, "QueryDef"]:
@@ -29,10 +75,9 @@ def all_queries() -> dict[str, "QueryDef"]:
         windows,
     )
 
-    # Round-robin interleave across families: downstream correctness harnesses
-    # may evaluate only a prefix of this dict (in insertion order), so every
-    # query family must contribute representatives early rather than being
-    # appended as a contiguous block at the end.
+    # Round-robin interleave across families as the base order: every family
+    # contributes representatives early rather than being appended as a
+    # contiguous block at the end.
     mods = (tpch, aggregates, windows, joins, setops, strings,
             datetimes, scalars, snowflake, text, dedup, similarity,
             multimodal, ai_ops)
@@ -50,4 +95,14 @@ def all_queries() -> dict[str, "QueryDef"]:
             merged[name] = qd
             remaining.append(it)
         iters = remaining
-    return merged
+
+    # Evidence-aware rotation: least-established queries first (see
+    # _evidence_priority). Ties keep the interleaved base order. With no
+    # artifacts present this is a no-op (everything is bucket 0).
+    prio = _evidence_priority()
+    base_pos = {name: i for i, name in enumerate(merged)}
+    ordered = sorted(
+        merged,
+        key=lambda n: (*prio.get(n, (0, 0)), base_pos[n]),
+    )
+    return {name: merged[name] for name in ordered}

@@ -35,9 +35,14 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 def join_anti(spark: SparkSession, sf: str) -> DataFrame:
-    """Left-anti (NOT EXISTS): customers without orders, per nation."""
+    """Left-anti (NOT EXISTS): customers with no 1998+ orders, per nation.
+
+    Scoped to recent orders so the anti-join has genuine misses at every
+    SF (every customer has SOME order in the synthetic data, which made
+    the unscoped variant a vacuous 0 == 0 check)."""
     c = tbl(spark, sf, "customer")
-    o = tbl(spark, sf, "orders")
+    o = tbl(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("n_no_orders"))
@@ -47,7 +52,9 @@ def join_anti(spark: SparkSession, sf: str) -> DataFrame:
 _JOIN_ANTI_SQL = """
 SELECT c_nationkey, COUNT(*) AS n_no_orders
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
 

@@ -87,15 +87,28 @@ def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.9), blocked on the
     vector's own 4-bit sign-bucket LSH: block count (2^bits) grows with
     chosen bits, so per-block pair counts stay bounded as the corpus
-    scales -- unlike a semantic label, whose blocks grow O(n)."""
+    scales -- unlike a semantic label, whose blocks grow O(n).
+
+    The synthetic embeddings are near-orthogonal (max natural cosine
+    ~0.51), so the input is salted with exact copies of vec_id < 3 at
+    vec_id+10000: the operator must surface exactly those planted pairs,
+    making a drop-everything bug visible (the unsalted variant passed
+    vacuously as 0 rows == 0 rows)."""
     emb = tbl(spark, sf, "embeddings")
-    return (S.embedding_neardup_pairs(emb, threshold=0.9, block_bits=4)
+    planted = (emb.where(F.col("vec_id") < 3)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(10000)))
+    return (S.embedding_neardup_pairs(emb.unionByName(planted),
+                                      threshold=0.9, block_bits=4)
             .orderBy("id_a", "id_b"))
 
 
 _EMB_NEARDUP_SQL = f"""
-WITH v AS (SELECT vec_id, embedding, {_sql_bucket('embedding', 4)} AS blk
-           FROM embeddings)
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 3),
+v AS (SELECT vec_id, embedding, {_sql_bucket('embedding', 4)} AS blk
+      FROM base)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS cos
 FROM v a JOIN v b

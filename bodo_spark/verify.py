@@ -82,12 +82,21 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 
 def compare_one(name: str, qd: QueryDef, spark, con, sf_dir: str) -> dict:
     res: dict[str, Any] = {"name": name}
+    # The oracle comparison requires bit-reproducible arithmetic: build the
+    # plan in exact mode (library default is fast/double; see modes.py).
+    prev = os.environ.get("BODO_SPARK_EXACT")
+    os.environ["BODO_SPARK_EXACT"] = "1"
     try:
         sdf = qd.fn(spark, sf_dir).toPandas()
         res["spark_rows"] = len(sdf)
     except Exception as e:
         res["error"] = f"spark: {type(e).__name__}: {e}"
         return res
+    finally:
+        if prev is None:
+            os.environ.pop("BODO_SPARK_EXACT", None)
+        else:
+            os.environ["BODO_SPARK_EXACT"] = prev
     if qd.oracle is None:
         res["status"] = "rows_only"
         res["ok"] = res["spark_rows"] >= 0
