@@ -64,6 +64,7 @@ def all_queries() -> dict[str, "QueryDef"]:
         datetimes,
         dedup,
         joins,
+        merge_ops,
         multimodal,
         scalars,
         setops,
@@ -78,7 +79,7 @@ def all_queries() -> dict[str, "QueryDef"]:
     # Round-robin interleave across families as the base order: every family
     # contributes representatives early rather than being appended as a
     # contiguous block at the end.
-    mods = (tpch, aggregates, windows, joins, setops, strings,
+    mods = (tpch, aggregates, windows, joins, merge_ops, setops, strings,
             datetimes, scalars, snowflake, text, dedup, similarity,
             multimodal, ai_ops)
     merged: dict[str, QueryDef] = {}

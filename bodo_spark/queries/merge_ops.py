@@ -1,0 +1,78 @@
+"""MERGE INTO battery: the reference's Iceberg MERGE (COW) semantics
+re-expressed as a DataFrame transformation (bodo_spark.operators.merge).
+The oracle states the identical MERGE as an explicit full-outer-join
+CASE expression, which is what a COW MERGE compiles to in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_into
+from ._util import QueryDef, dec, tbl
+
+
+def sql_merge_into(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-clause MERGE: customers' balances merged with their 1998+
+    order spend (WHEN MATCHED UPDATE: bal += spend; WHEN MATCHED AND
+    spend > 3M DELETE; WHEN NOT MATCHED INSERT: synthetic new customers
+    at custkey+10M). Output aggregated per segment.
+
+    Reference: bodo/io/iceberg/merge_into.py:33 (COW row-level ops)."""
+    c = tbl(spark, sf, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"),
+        dec("c_acctbal", 12, 2).alias("bal"))
+    o = tbl(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(dec("o_totalprice", 12, 2)).alias("addbal"))
+             .select(F.col("o_custkey").alias("c_custkey"), "addbal"))
+    newbies = (spend.where(F.col("c_custkey") < 100)
+               .select((F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                       "addbal"))
+    src = spend.unionByName(newbies)
+    merged = merge_into(
+        c, src, on=["c_custkey"],
+        when_matched_update={"bal": F.col("bal") + F.col("src_addbal")},
+        when_matched_delete=F.col("src_addbal") > 3_000_000,
+        when_not_matched_insert={
+            "c_custkey": F.col("src_c_custkey"),
+            "seg": F.lit("NEW"),
+            "bal": F.col("src_addbal")})
+    return (merged.groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("bal").cast("double").alias("total_bal"))
+            .orderBy("seg"))
+
+
+_MERGE_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS k, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS addbal
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+src AS (
+  SELECT k, addbal FROM spend
+  UNION ALL
+  SELECT k + 10000000, addbal FROM spend WHERE k < 100),
+merged AS (
+  SELECT COALESCE(c.c_custkey, s.k) AS c_custkey,
+         CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_mktsegment END AS seg,
+         CASE
+           WHEN c.c_custkey IS NOT NULL AND s.k IS NOT NULL
+             THEN CAST(c.c_acctbal AS DECIMAL(12,2)) + s.addbal
+           WHEN c.c_custkey IS NULL THEN s.addbal
+           ELSE CAST(c.c_acctbal AS DECIMAL(12,2))
+         END AS bal
+  FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+  WHERE NOT (c.c_custkey IS NOT NULL AND s.k IS NOT NULL
+             AND s.addbal > 3000000))
+SELECT seg, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS total_bal
+FROM merged GROUP BY seg ORDER BY seg
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "sql_merge_into": QueryDef(
+        sql_merge_into, _MERGE_SQL,
+        doc="MERGE INTO (update+delete+insert) as full-outer-join COW"),
+}

@@ -123,9 +123,14 @@ def read_iceberg(table: str, spark: SparkSession | None = None,
 
     Requires an Iceberg catalog configured on the session
     (spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog).
-    The iceberg-spark runtime jar is not baked into this container, so this
-    raises a clear error when the format is unavailable; the API surface
-    and time-travel options mirror the reference.
+    The iceberg-spark-runtime jar is a public Maven artifact but is not
+    present in this container (verified: no copy in the pyspark jars dir
+    or any local artifact cache, and the environment has no network), so
+    this raises a clear error when the format is unavailable; the API
+    surface and time-travel options mirror the reference. The row-level
+    MERGE the reference layers on Iceberg (bodo/io/iceberg/merge_into.py)
+    is available format-independently as operators/merge.py (COW merge =
+    key join + rewrite, which is what the Iceberg path executes too).
     """
     spark = spark or get_spark()
     reader = spark.read

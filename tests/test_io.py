@@ -89,3 +89,40 @@ def test_iceberg_raises_cleanly(spark):
 
 def test_jdbc_surface_exists():
     assert callable(bio.read_sql) and callable(bio.to_sql)
+
+
+def _derby_url(tmp_path_factory) -> str:
+    # Embedded Derby ships in Spark's own jars (it backs the Hive
+    # metastore), so a real in-process JDBC database needs no extra jar.
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    return f"jdbc:derby:{db};create=true"
+
+
+def test_jdbc_write_read_roundtrip(spark, orders, tmp_path_factory):
+    url = _derby_url(tmp_path_factory)
+    sub = orders.select("o_orderkey", "o_custkey", "o_totalprice").limit(200)
+    bio.to_sql(sub, "orders_t", url, mode="overwrite")
+    back = bio.read_sql("orders_t", url, spark=spark)
+    assert back.count() == 200
+    assert {c.lower() for c in back.columns} == \
+        {"o_orderkey", "o_custkey", "o_totalprice"}
+    # query form (pushed subquery)
+    q = bio.read_sql(
+        'SELECT "o_custkey", COUNT(*) AS n FROM orders_t GROUP BY "o_custkey"',
+        url, spark=spark)
+    assert q.count() > 0
+
+
+def test_jdbc_partitioned_read_parallelizes(spark, orders, tmp_path_factory):
+    url = _derby_url(tmp_path_factory)
+    sub = orders.select("o_orderkey", "o_totalprice").limit(500)
+    bio.to_sql(sub, "orders_p", url, mode="overwrite")
+    # bounds from the frame we just wrote (avoids dialect quoting games)
+    bounds = sub.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    df = bio.read_sql("orders_p", url, spark=spark,
+                      partition_column="o_orderkey",
+                      lower_bound=bounds[0], upper_bound=bounds[1] + 1,
+                      num_partitions=4)
+    assert df.rdd.getNumPartitions() == 4, \
+        "partitioned JDBC read must produce numPartitions tasks"
+    assert df.count() == 500
