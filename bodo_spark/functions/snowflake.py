@@ -90,6 +90,136 @@ SNOWFLAKE_SQL_FNS: dict[str, str] = {
 
 
 # ---------------------------------------------------------------------------
+# Regex family with Snowflake parameter semantics (reference
+# BodoSQL/bodosql/kernels/regexp_array_kernels.py). Snowflake regex args:
+# position (1-based search start), occurrence (1-based match index),
+# parameters string ('c' case-sensitive [default], 'i' insensitive -- last
+# of c/i wins, 'm' multiline, 's' dot-matches-newline, 'e' extract group),
+# group number. Re-expressed as Java inline-flag prefixes + array ops over
+# regexp_extract_all/split, so everything stays a JVM codegen expression.
+# ---------------------------------------------------------------------------
+
+def _rx_flags(par: str) -> str:
+    """SQL fragment: Java inline flags active for parameter string col."""
+    return (f"concat("
+            f"CASE WHEN instr({par},'i') > instr({par},'c') THEN 'i' ELSE '' END,"
+            f"CASE WHEN instr({par},'m') > 0 THEN 'm' ELSE '' END,"
+            f"CASE WHEN instr({par},'s') > 0 THEN 's' ELSE '' END)")
+
+
+def _rx_pat(inner: str, par: str) -> str:
+    """SQL fragment: pattern with the inline-flag prefix applied."""
+    fl = _rx_flags(par)
+    return (f"concat(CASE WHEN length({fl}) > 0 "
+            f"THEN concat('(?', {fl}, ')') ELSE '' END, {inner})")
+
+
+def _rx_instr(opt_end: str) -> str:
+    """Position of the occ-th match (1-based in s; 0 if absent).
+    Derivation: with parts = split-by-pattern and ms = all matches over
+    substr(s, pos), the occ-th match starts after the first occ parts and
+    the first occ-1 matches."""
+    pat = _rx_pat("p", "par")
+    ms = f"regexp_extract_all(substr(s, pos), {pat}, 0)"
+    parts = f"split(substr(s, pos), {pat}, -1)"
+    start = (f"pos - 1 + 1"
+             f" + aggregate(slice({parts}, 1, occ), 0, (a, x) -> a + length(x))"
+             f" + aggregate(slice({ms}, 1, occ - 1), 0, (a, x) -> a + length(x))")
+    return (f"CASE WHEN occ < 1 OR size({ms}) < occ THEN 0 "
+            f"ELSE {start} + {opt_end} END")
+
+
+SNOWFLAKE_SQL_FNS.update({
+    "REGEXP_LIKE3": (
+        "(s STRING, p STRING, par STRING) RETURNS BOOLEAN RETURN "
+        + "s RLIKE " + _rx_pat("concat('^(?:', p, ')$')", "par")),
+    "REGEXP_COUNT4": (
+        "(s STRING, p STRING, pos INT, par STRING) RETURNS INT RETURN "
+        f"size(regexp_extract_all(substr(s, pos), {_rx_pat('p', 'par')}, 0))"),
+    "REGEXP_SUBSTR6": (
+        "(s STRING, p STRING, pos INT, occ INT, par STRING, grp INT) "
+        "RETURNS STRING RETURN "
+        f"try_element_at(regexp_extract_all(substr(s, pos), {_rx_pat('p', 'par')}, "
+        "CASE WHEN instr(par, 'e') > 0 THEN grp ELSE 0 END), occ)"),
+    "REGEXP_INSTR6": (
+        "(s STRING, p STRING, pos INT, occ INT, opt INT, par STRING) "
+        "RETURNS INT RETURN "
+        + _rx_instr("CASE WHEN opt = 1 THEN length(element_at("
+                    f"regexp_extract_all(substr(s, pos), {_rx_pat('p', 'par')}, 0),"
+                    " occ)) ELSE 0 END")),
+    # semi-structured navigation + object kernels (reference
+    # semi_structured_array_kernels.py get_path,
+    # variadic_array_kernels.py object_*). Objects are MAP<STRING,STRING>;
+    # OBJECT_DELETE/PICK registered at 2-key arity (SQL UDFs are
+    # fixed-arity; the DataFrame-side map_filter composes for more).
+    "GET_PATH": (
+        "(js STRING, path STRING) RETURNS STRING RETURN "
+        "get_json_object(js, concat('$.', path))"),
+    "OBJECT_KEYS": (
+        "(m MAP<STRING,STRING>) RETURNS ARRAY<STRING> RETURN "
+        "sort_array(map_keys(m))"),
+    "OBJECT_INSERT": (
+        "(m MAP<STRING,STRING>, k STRING, v STRING, upd BOOLEAN) "
+        "RETURNS MAP<STRING,STRING> RETURN "
+        "CASE WHEN assert_true(upd OR NOT array_contains(map_keys(m), k), "
+        "'OBJECT_INSERT: duplicate key') IS NULL THEN "
+        "map_from_entries(concat(filter(map_entries(m), e -> e.key <> k), "
+        "array(struct(k AS key, v AS value)))) END"),
+    "OBJECT_DELETE2": (
+        "(m MAP<STRING,STRING>, k1 STRING, k2 STRING) "
+        "RETURNS MAP<STRING,STRING> RETURN "
+        "map_filter(m, (k, v) -> k <> k1 AND k <> k2)"),
+    "OBJECT_PICK2": (
+        "(m MAP<STRING,STRING>, k1 STRING, k2 STRING) "
+        "RETURNS MAP<STRING,STRING> RETURN "
+        "map_filter(m, (k, v) -> k = k1 OR k = k2)"),
+    "OBJECT_FILTER_KEYS": (
+        "(m MAP<STRING,STRING>, ks ARRAY<STRING>, keep BOOLEAN) "
+        "RETURNS MAP<STRING,STRING> RETURN "
+        "map_filter(m, (k, v) -> array_contains(ks, k) = keep)"),
+})
+
+# datetime interval/diff family (reference datetime_array_kernels.py
+# add_interval_*/diff_*/previous_day). DIFF_* uses Snowflake DATEDIFF
+# boundary-crossing semantics (datediff(day, 23:00 -> next 01:00) = 1),
+# NOT elapsed-whole-units -- hence the date_trunc formulations.
+SNOWFLAKE_SQL_FNS.update({
+    f"ADD_INTERVAL_{u}S": (
+        "(ts TIMESTAMP, n INT) RETURNS TIMESTAMP RETURN "
+        f"timestampadd({u}, n, ts)")
+    for u in ("YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+              "HOUR", "MINUTE", "SECOND")
+})
+SNOWFLAKE_SQL_FNS.update({
+    "DIFF_YEARS": ("(a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN "
+                   "CAST(year(b) - year(a) AS BIGINT)"),
+    "DIFF_QUARTERS": ("(a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN "
+                      "CAST((year(b) - year(a)) * 4 "
+                      "+ (quarter(b) - quarter(a)) AS BIGINT)"),
+    "DIFF_MONTHS": ("(a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN "
+                    "CAST((year(b) - year(a)) * 12 "
+                    "+ (month(b) - month(a)) AS BIGINT)"),
+    "DIFF_WEEKS": ("(a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN "
+                   "CAST(datediff(CAST(date_trunc('WEEK', b) AS DATE), "
+                   "CAST(date_trunc('WEEK', a) AS DATE)) AS BIGINT) DIV 7"),
+    "DIFF_DAYS": ("(a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN "
+                  "CAST(datediff(CAST(b AS DATE), CAST(a AS DATE)) AS BIGINT)"),
+    "DIFF_HOURS": ("(a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN "
+                   "(unix_timestamp(date_trunc('HOUR', b)) "
+                   "- unix_timestamp(date_trunc('HOUR', a))) DIV 3600"),
+    "DIFF_MINUTES": ("(a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN "
+                     "(unix_timestamp(date_trunc('MINUTE', b)) "
+                     "- unix_timestamp(date_trunc('MINUTE', a))) DIV 60"),
+    "DIFF_SECONDS": ("(a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT RETURN "
+                     "unix_timestamp(b) - unix_timestamp(a)"),
+    # latest <dow> strictly before d: the unique <dow> in [d-7, d-1],
+    # i.e. next_day() of d-8 (next_day is strictly-after)
+    "PREVIOUS_DAY": ("(d DATE, dow STRING) RETURNS DATE RETURN "
+                     "next_day(date_sub(d, 8), dow)"),
+})
+
+
+# ---------------------------------------------------------------------------
 # Jaro-Winkler (reference string_array_kernels.py jarowinkler_similarity)
 # ---------------------------------------------------------------------------
 
@@ -156,16 +286,24 @@ def _register_jaro_winkler(spark: SparkSession) -> None:
 
 
 def register_snowflake_fns(spark: SparkSession) -> None:
-    """Register the dialect kernel surface on a session (idempotent)."""
+    """Register the dialect kernel surface on a session (idempotent).
+
+    Feature-detects SQL-UDF support with a probe function once; after
+    that, a registration failure is a real bug in a kernel body and
+    RAISES (silently skipping left broken kernels undiscoverable until
+    a query used them)."""
+    try:
+        spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION _BODO_SPARK_PROBE"
+                  "(x INT) RETURNS INT RETURN x")
+    except Exception:
+        return  # Spark build without SQL UDF support: shims unavailable
     for name, body in SNOWFLAKE_SQL_FNS.items():
         try:
             spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name} {body}")
-        except Exception:
-            pass  # older Spark without SQL UDF support: shims unavailable
-    try:
-        _register_jaro_winkler(spark)
-    except Exception:
-        pass
+        except Exception as e:
+            raise RuntimeError(
+                f"failed to register dialect kernel {name}: {e}") from e
+    _register_jaro_winkler(spark)
 
 
 # ---------------------------------------------------------------------------

@@ -202,6 +202,137 @@ FROM ex ORDER BY seq, idx
 """
 
 
+def sql_regexp_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Snowflake regex kernels with position/occurrence/parameters/group
+    semantics (reference regexp_array_kernels.py): REGEXP_SUBSTR (2nd
+    occurrence + 'e' group extract with 'i'), REGEXP_COUNT from a start
+    position, REGEXP_INSTR start/end positions, anchored REGEXP_LIKE."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH t AS (
+          SELECT event_id AS id,
+                 concat('ab', CAST(event_id % 50 AS STRING), ' Xy',
+                        CAST(event_id % 13 AS STRING), ' end') AS s
+          FROM events_sf WHERE event_id < 2000)
+        SELECT id,
+               REGEXP_SUBSTR6(s, '[0-9]+', 1, 2, 'c', 0) AS sub2,
+               REGEXP_SUBSTR6(s, 'x(y)', 1, 1, 'ie', 1) AS grp_ci,
+               CAST(REGEXP_COUNT4(s, '[0-9]', 4, 'c') AS BIGINT) AS cnt,
+               CAST(REGEXP_INSTR6(s, '[0-9]+', 1, 2, 0, 'c') AS BIGINT) AS pos2,
+               CAST(REGEXP_INSTR6(s, '[0-9]+', 1, 2, 1, 'c') AS BIGINT) AS end2,
+               CASE WHEN REGEXP_LIKE3(s, 'ab1.*END', 'is') THEN 1 ELSE 0 END AS full_ci
+        FROM t ORDER BY id
+    """).spark
+
+
+_REGEXP_SQL = """
+WITH t AS (
+  SELECT event_id AS id,
+         concat('ab', CAST(event_id % 50 AS VARCHAR), ' Xy',
+                CAST(event_id % 13 AS VARCHAR), ' end') AS s
+  FROM events WHERE event_id < 2000),
+x AS (
+  SELECT id, s,
+         regexp_extract_all(s, '[0-9]+') AS ms,
+         regexp_split_to_array(s, '[0-9]+') AS parts
+  FROM t)
+SELECT id,
+       ms[2] AS sub2,
+       regexp_extract(s, 'x(y)', 1, 'i') AS grp_ci,
+       CAST(len(regexp_extract_all(substr(s, 4), '[0-9]')) AS BIGINT) AS cnt,
+       CASE WHEN len(ms) < 2 THEN 0
+            ELSE length(parts[1]) + length(parts[2]) + length(ms[1]) + 1
+       END AS pos2,
+       CASE WHEN len(ms) < 2 THEN 0
+            ELSE length(parts[1]) + length(parts[2]) + length(ms[1]) + 1
+                 + length(ms[2]) END AS end2,
+       CASE WHEN regexp_full_match(s, 'ab1.*END', 'is') THEN 1 ELSE 0 END AS full_ci
+FROM x ORDER BY id
+"""
+
+
+def sql_object_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured object kernels (reference variadic_array_kernels.py
+    object_insert/object_keys/object_filter_keys,
+    semi_structured_array_kernels.py get_path). Maps are canonicalized to
+    sorted 'k=v' strings so the comparison is engine-neutral."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH t AS (
+          SELECT event_id AS id,
+                 map('a', CAST(event_id % 7 AS STRING), 'b', 'x') AS m,
+                 props
+          FROM events_sf WHERE event_id < 1000)
+        SELECT id,
+               concat_ws(',', OBJECT_KEYS(OBJECT_INSERT(m, 'c', 'v', false)))
+                 AS keys_ins,
+               concat_ws(',', transform(sort_array(map_entries(
+                   OBJECT_DELETE2(m, 'b', 'zz'))),
+                   e -> concat(e.key, '=', e.value))) AS del_b,
+               concat_ws(',', transform(sort_array(map_entries(
+                   OBJECT_PICK2(m, 'a', 'nope'))),
+                   e -> concat(e.key, '=', e.value))) AS pick_a,
+               concat_ws(',', transform(sort_array(map_entries(
+                   OBJECT_FILTER_KEYS(m, array('b'), true))),
+                   e -> concat(e.key, '=', e.value))) AS keep_b,
+               GET_PATH(props, 'k') AS path_k
+        FROM t ORDER BY id
+    """).spark
+
+
+_OBJECT_SQL = """
+SELECT event_id AS id,
+       'a,b,c' AS keys_ins,
+       concat('a=', CAST(event_id % 7 AS VARCHAR)) AS del_b,
+       concat('a=', CAST(event_id % 7 AS VARCHAR)) AS pick_a,
+       'b=x' AS keep_b,
+       json_extract_string(props, '$.k') AS path_k
+FROM events WHERE event_id < 1000 ORDER BY id
+"""
+
+
+def dt_interval_diff_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """ADD_INTERVAL_* / DIFF_* / PREVIOUS_DAY family (reference
+    datetime_array_kernels.py). DIFF_* asserts Snowflake DATEDIFF
+    boundary-crossing semantics against an anchor timestamp."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH t AS (SELECT event_id AS id, ts FROM events_sf
+                   WHERE event_id < 2000)
+        SELECT id,
+               date_format(ADD_INTERVAL_MONTHS(ts, 2),
+                           'yyyy-MM-dd HH:mm:ss') AS plus_2m,
+               date_format(ADD_INTERVAL_HOURS(ts, 36),
+                           'yyyy-MM-dd HH:mm:ss') AS plus_36h,
+               DIFF_DAYS(TIMESTAMP '2024-06-15 12:34:56', ts) AS dd,
+               DIFF_MONTHS(TIMESTAMP '2024-06-15 12:34:56', ts) AS dm,
+               DIFF_WEEKS(TIMESTAMP '2024-06-15 12:34:56', ts) AS dw,
+               DIFF_HOURS(TIMESTAMP '2024-06-15 12:34:56', ts) AS dh,
+               date_format(PREVIOUS_DAY(CAST(ts AS DATE), 'Friday'),
+                           'yyyy-MM-dd') AS prev_fri
+        FROM t ORDER BY id
+    """).spark
+
+
+_INTERVAL_DIFF_SQL = """
+WITH t AS (SELECT event_id AS id, ts FROM events WHERE event_id < 2000)
+SELECT id,
+       strftime(ts + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_2m,
+       strftime(ts + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S') AS plus_36h,
+       date_diff('day', TIMESTAMP '2024-06-15 12:34:56', ts) AS dd,
+       date_diff('month', TIMESTAMP '2024-06-15 12:34:56', ts) AS dm,
+       date_diff('week', TIMESTAMP '2024-06-15 12:34:56', ts) AS dw,
+       date_diff('hour', TIMESTAMP '2024-06-15 12:34:56', ts) AS dh,
+       strftime(CAST(ts AS DATE)
+                - CAST(CASE WHEN (dayofweek(CAST(ts AS DATE)) + 2) % 7 = 0
+                            THEN 7
+                            ELSE (dayofweek(CAST(ts AS DATE)) + 2) % 7 END
+                       AS INTEGER),
+                '%Y-%m-%d') AS prev_fri
+FROM t ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "sql_conversion_funcs": QueryDef(sql_conversion_funcs, _CONVERSION_SQL),
     "dt_iso_week_funcs": QueryDef(dt_iso_week_funcs, _ISO_WEEK_SQL),
@@ -209,4 +340,8 @@ QUERIES: dict[str, QueryDef] = {
     "str_jaro_winkler": QueryDef(str_jaro_winkler, _JARO_WINKLER_SQL),
     "str_parse_url": QueryDef(str_parse_url, _PARSE_URL_SQL),
     "sql_flatten_lateral": QueryDef(sql_flatten_lateral, _FLATTEN_SQL),
+    "sql_regexp_funcs": QueryDef(sql_regexp_funcs, _REGEXP_SQL),
+    "sql_object_funcs": QueryDef(sql_object_funcs, _OBJECT_SQL),
+    "dt_interval_diff_funcs": QueryDef(
+        dt_interval_diff_funcs, _INTERVAL_DIFF_SQL),
 }
