@@ -61,8 +61,11 @@ def merge_into(
     matched = F.col("_t_ex") & F.col("_s_ex")
 
     if when_matched_delete is not None:
-        j = j.where(~F.when(matched, when_matched_delete)
-                    .otherwise(F.lit(False)))
+        # ANSI MERGE deletes only when the condition is TRUE; NULL (3VL
+        # unknown) keeps the row, so coalesce before negating -- ~NULL is
+        # NULL and where() would otherwise drop the row.
+        delete = F.coalesce(when_matched_delete, F.lit(False))
+        j = j.where(~F.when(matched, delete).otherwise(F.lit(False)))
 
     out_cols = []
     for c in t_cols:
@@ -86,13 +89,39 @@ def merge_into_parquet(
     on: list[str],
     **merge_kwargs,
 ) -> None:
-    """Copy-on-write MERGE against a parquet table directory: read,
-    merge, rewrite. The read must be fully materialized before the
-    overwrite (Spark cannot overwrite its own input), so the merged
-    result is localCheckpoint()ed -- at real scale prefer writing to a
-    new directory + atomic pointer swap (or an actual Iceberg/Delta
-    table, which is this exact operation plus snapshot metadata)."""
+    """Copy-on-write MERGE against a parquet table directory.
+
+    Spark cannot overwrite its own input, and materializing via
+    localCheckpoint() before an in-place overwrite is unsafe (blocks live
+    on non-replicated executor storage; an executor loss mid-overwrite
+    destroys the original with no recovery). So: write the merged result
+    to a sibling staging directory first -- a fully durable distributed
+    write while the original is untouched -- then swap directories. The
+    swap itself is the only non-atomic window and is driver-local metadata
+    work; a real lakehouse table (Iceberg/Delta) is this exact operation
+    plus an atomic snapshot-pointer commit."""
+    import shutil
+    import uuid
+
     target = spark.read.parquet(path)
     merged = merge_into(target, source, on, **merge_kwargs)
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(path)
+    norm = path.rstrip("/")
+    staging = f"{norm}.__merge_staging_{uuid.uuid4().hex[:8]}"
+    backup = f"{norm}.__merge_backup_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("errorifexists").parquet(staging)
+    try:
+        shutil.move(norm, backup)
+        shutil.move(staging, norm)
+    except OSError:
+        # Local-FS path only; on object stores callers should point a
+        # catalog/table pointer at `staging` instead of renaming.
+        if not _exists_dir(norm) and _exists_dir(backup):
+            shutil.move(backup, norm)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def _exists_dir(p: str) -> bool:
+    import os
+
+    return os.path.isdir(p)

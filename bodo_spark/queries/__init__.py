@@ -31,9 +31,15 @@ def _evidence_priority() -> dict[str, tuple]:
     """
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     last: dict[str, tuple[int, dict]] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        digits = "".join(ch for ch in os.path.basename(path) if ch.isdigit())
+        if digits:
+            rounds.append((int(digits), path))
+    # Numeric round order (not filename order) so last-write-wins is truly
+    # the latest round even past r99.
+    for rnd, path in sorted(rounds):
         try:
-            rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
             data = json.load(open(path))
         except Exception:
             continue

@@ -59,6 +59,20 @@ def test_insert_fills_missing_cols_with_typed_nulls(target, source):
     assert dict(out.dtypes)["tag"] == "string"
 
 
+def test_null_delete_condition_keeps_row(spark, target):
+    """ANSI 3VL: a delete condition evaluating to NULL is not-TRUE, so the
+    matched row must be KEPT (and still updated), not dropped."""
+    src = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 3], "delta": [5.0, None]}))
+    out = merge_into(
+        target, src, on=["k"],
+        when_matched_update={"v": F.coalesce(F.col("src_delta"), F.lit(0.0))},
+        when_matched_delete=F.col("src_delta") > 50)  # NULL for k=3
+    got = _rows(out)
+    assert got == {1: (10.0, "a"), 2: (5.0, "b"), 3: (0.0, "c"),
+                   4: (40.0, "d")}
+
+
 def test_merge_into_parquet_cow(spark, target, source, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("merge") / "t")
     target.write.parquet(path)
