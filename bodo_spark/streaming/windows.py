@@ -19,11 +19,22 @@ def read_stream_parquet(spark: SparkSession, path: str,
             .parquet(path))
 
 
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with zone); parquet written with
+    TIMESTAMP_NTZ arrives as ntz, which Spark rejects as event time.
+    Reinterpret the wall-clock as session-zone instants (the session
+    pins UTC -- session.py -- so this is lossless and deterministic)."""
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_agg(df: DataFrame, ts_col: str, window: str,
                  group_cols: Iterable[str] = (),
                  watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window counts/sums; late rows beyond the
     watermark are dropped, state is bounded."""
+    df = _event_time(df, ts_col)
     return (df.withWatermark(ts_col, watermark)
             .groupBy(F.window(ts_col, window).alias("win"),
                      *group_cols)
@@ -37,6 +48,7 @@ def tumbling_agg(df: DataFrame, ts_col: str, window: str,
 def sliding_agg(df: DataFrame, ts_col: str, window: str, slide: str,
                 group_cols: Iterable[str] = (),
                 watermark: str = "10 minutes") -> DataFrame:
+    df = _event_time(df, ts_col)
     return (df.withWatermark(ts_col, watermark)
             .groupBy(F.window(ts_col, window, slide).alias("win"),
                      *group_cols)
@@ -50,6 +62,7 @@ def sessionize_stateful(df: DataFrame, ts_col: str, key_col: str,
     """Session windows via the built-in session_window (Spark's native
     stateful operator; custom state logic would use
     applyInPandasWithState with the same shape)."""
+    df = _event_time(df, ts_col)
     return (df.withWatermark(ts_col, watermark)
             .groupBy(F.session_window(ts_col, gap).alias("win"),
                      F.col(key_col))

@@ -212,10 +212,15 @@ def test_rolling_requires_partition_or_optin(bdf):
 
 def test_asof_frame(spark):
     ev = bd.read_parquet(f"{SF_DIR}/events.parquet", spark=spark)
-    # events ts arrives as ns-long (see _util.tbl); convert here like tbl()
+    # normalize ts like _util.tbl(): only ns-long files need conversion
+    # (driver data has shipped both ns-long and native us timestamps)
     from pyspark.sql import functions as F
-    edf = bd.BodoDataFrame(ev.spark.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+    from pyspark.sql import types as T
+    sdf = ev.spark
+    if isinstance(sdf.schema["ts"].dataType, T.LongType):
+        sdf = sdf.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    edf = bd.BodoDataFrame(sdf)
     buys = edf[edf["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
     clicks = edf[edf["event_type"] == "click"][["user_id", "ts", "value"]] \
         .drop_duplicates(["user_id", "ts"])
