@@ -94,17 +94,25 @@ SELECT seg, COUNT(*) AS n FROM (
 
 
 def setop_except(spark: SparkSession, sf: str) -> DataFrame:
-    """Nations with customers but no suppliers (set difference)."""
-    return (_cust_keys(spark, sf).distinct()
-            .exceptAll(_supp_keys(spark, sf).distinct())
-            .orderBy("nationkey"))
+    """Customers with no recent order (set difference). Key domain is
+    custkey, whose cardinality scales with SF, so the difference stays
+    genuinely non-empty at every scale (nation-level EXCEPT saturates:
+    suppliers cover all 25 nations past sf0.01)."""
+    cust = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"))
+    recent = (tbl(spark, sf, "orders")
+              .where(F.col("o_orderdate") >= "2000-07-01")
+              .select(F.col("o_custkey").alias("custkey")))
+    return (cust.distinct().exceptAll(recent.distinct())
+            .orderBy("custkey"))
 
 
 _SET_EXCEPT_SQL = """
-SELECT c_nationkey AS nationkey FROM customer
+SELECT c_custkey AS custkey FROM customer
 EXCEPT
-SELECT s_nationkey FROM supplier
-ORDER BY nationkey
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
+ORDER BY custkey
 """
 
 

