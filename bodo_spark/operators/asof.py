@@ -1,25 +1,31 @@
 """merge_asof: as-of (nearest-key temporal) join.
 
 Reference parity: pd.merge_asof (reference
-bodo/hiframes/dataframe_impl.py:3768, backward direction). Spark has no
-built-in as-of join; this implements it as union + window
-last-non-null -- one shuffle on (by, time), no range explosion:
+bodo/hiframes/dataframe_impl.py:3768; backward/forward/nearest and
+allow_exact_matches). Spark has no built-in as-of join; this implements
+it as union + window last-non-null -- one shuffle on (by, time), no
+range explosion:
 
     left  rows: (by, t, side=0, left cols)
     right rows: (by, t, side=1, right payload struct)
-    sort within by-partition on (t, side desc) -> a running
+    sort within by-partition on (t, side) -> a running
     last(payload, ignorenulls) gives each left row the most recent
     right row with right.t <= left.t  (>= for direction='forward').
 
 At 100 TB this is strictly better than the naive range-join (which
 explodes into |left| x |right| candidate pairs per key): cost is one
-hash shuffle + one sort, the same plan shape Spark uses for any window.
+hash shuffle + one or two sorts, the same plan shape Spark uses for any
+window. direction='nearest' runs BOTH scan directions over the same
+shuffled partitioning (Catalyst reuses the exchange; only the second
+sort is extra) and keeps the closer match per row.
 
-Ties: right rows sort before left rows at equal t, so matches are
-inclusive (t_right == t_left matches), like pandas' default
-allow_exact_matches=True. If several right rows share (by, t) the last
-one in (by, t, tiebreak) order wins -- pass a deduplicated right side
-for full determinism.
+Ties: with allow_exact_matches=True (default) right rows sort before
+left rows at equal t, so t_right == t_left matches; with False they
+sort after, so equal keys never match (pandas semantics). If several
+right rows share (by, t) the last one in (by, t, tiebreak) order wins
+-- pass a deduplicated right side for full determinism. For
+direction='nearest' an exact distance tie prefers the backward match
+(pandas tie rule).
 """
 
 from __future__ import annotations
@@ -42,6 +48,7 @@ def merge_asof(
     right_by: Optional[str | list[str]] = None,
     direction: str = "backward",
     tolerance: Optional[Column] = None,
+    allow_exact_matches: bool = True,
     suffix: str = "_right",
 ) -> DataFrame:
     """Left as-of join; every left row keeps at most one right match.
@@ -49,8 +56,9 @@ def merge_asof(
     Parameters mirror pd.merge_asof. ``tolerance`` is an optional Column
     interval/numeric: matches farther than it are nulled out.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'")
     l_on = left_on or on
     r_on = right_on or on
     if l_on is None or r_on is None:
@@ -91,21 +99,60 @@ def merge_asof(
     unioned = lhs.unionByName(rhs)
 
     by_names = [f"__by{i}" for i in range(len(l_by))]
-    if direction == "backward":
-        order = [F.col("__t").asc(), F.col("__side").desc()]
-    else:  # forward: scan from the future; right rows still first on ties
-        order = [F.col("__t").desc(), F.col("__side").desc()]
-    w = (W.partitionBy(*by_names).orderBy(*order)
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # At equal __t, right rows scan before left rows when exact matches
+    # are allowed (side desc: 1 then 0) and after them when not (side
+    # asc), which is exactly the inclusive/strict boundary.
+    side = F.col("__side").desc() if allow_exact_matches \
+        else F.col("__side").asc()
 
-    matched = (unioned
-               .withColumn("__mrow", F.last("__rrow", ignorenulls=True).over(w))
-               .withColumn("__mt", F.last("__rt", ignorenulls=True).over(w))
-               .where(F.col("__side") == 0))
+    def scan(descending: bool):
+        order = [F.col("__t").desc() if descending else F.col("__t").asc(),
+                 side]
+        return (W.partitionBy(*by_names).orderBy(*order)
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
+
+    matched = unioned
+    if direction in ("backward", "nearest"):
+        wb = scan(descending=False)
+        matched = (matched
+                   .withColumn("__mrow_b",
+                               F.last("__rrow", ignorenulls=True).over(wb))
+                   .withColumn("__mt_b",
+                               F.last("__rt", ignorenulls=True).over(wb)))
+    if direction in ("forward", "nearest"):
+        wf = scan(descending=True)
+        matched = (matched
+                   .withColumn("__mrow_f",
+                               F.last("__rrow", ignorenulls=True).over(wf))
+                   .withColumn("__mt_f",
+                               F.last("__rt", ignorenulls=True).over(wf)))
+    matched = matched.where(F.col("__side") == 0)
+
+    if direction == "backward":
+        matched = (matched.withColumn("__mrow", F.col("__mrow_b"))
+                   .withColumn("__mt", F.col("__mt_b")))
+    elif direction == "forward":
+        matched = (matched.withColumn("__mrow", F.col("__mrow_f"))
+                   .withColumn("__mt", F.col("__mt_f")))
+    else:  # nearest: closer of the two scans; distance tie -> backward
+        db = F.col("__t") - F.col("__mt_b")
+        df_ = F.col("__mt_f") - F.col("__t")
+        take_b = F.col("__mt_b").isNotNull() & (
+            F.col("__mt_f").isNull() | (db <= df_))
+        matched = (matched
+                   .withColumn("__mrow", F.when(take_b, F.col("__mrow_b"))
+                               .otherwise(F.col("__mrow_f")))
+                   .withColumn("__mt", F.when(take_b, F.col("__mt_b"))
+                               .otherwise(F.col("__mt_f"))))
 
     if tolerance is not None:
-        delta = (F.col("__t") - F.col("__mt") if direction == "backward"
-                 else F.col("__mt") - F.col("__t"))
+        if direction == "backward":
+            delta = F.col("__t") - F.col("__mt")
+        elif direction == "forward":
+            delta = F.col("__mt") - F.col("__t")
+        else:
+            delta = F.greatest(F.col("__t") - F.col("__mt"),
+                               F.col("__mt") - F.col("__t"))
         in_tol = F.col("__mt").isNotNull() & (delta <= tolerance)
         matched = (matched
                    .withColumn("__mrow", F.when(in_tol, F.col("__mrow")))

@@ -190,6 +190,47 @@ GROUP BY b.user_id ORDER BY user_id
 """
 
 
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join, direction='nearest' with allow_exact_matches=False:
+    each purchase matched to the same user's closest click at a strictly
+    different timestamp (distance ties prefer the earlier click, the
+    pandas tie rule). Exercises both round-5 merge_asof extensions."""
+    from ..operators.asof import merge_asof
+
+    e = tbl(spark, sf, "events")
+    buys = (e.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    clicks = (e.where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id"),
+                   F.max("value").alias("click_value")))
+    j = merge_asof(buys, clicks, on="ts", by="user_id",
+                   direction="nearest", allow_exact_matches=False)
+    return (j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_id").alias("n_matched"),
+        F.max("click_id").alias("max_click_id"),
+        dsum(dec("click_value", 12)).alias("sum_click_value"))
+        .orderBy("user_id"))
+
+
+_JOIN_ASOF_NEAREST_SQL = """
+WITH buys AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT b.user_id AS user_id, COUNT(*) AS n_purchases,
+       COUNT(m.click_id) AS n_matched, MAX(m.click_id) AS max_click_id,
+       CAST(SUM(CAST(m.click_value AS DECIMAL(12,2))) AS DOUBLE) AS sum_click_value
+FROM buys b LEFT JOIN LATERAL (
+  SELECT c.click_id, c.click_value FROM clicks c
+  WHERE c.user_id = b.user_id AND c.ts <> b.ts
+  ORDER BY abs(epoch_us(c.ts) - epoch_us(b.ts)), c.ts LIMIT 1) m ON TRUE
+GROUP BY b.user_id ORDER BY user_id
+"""
+
+
 def join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Interval-overlap join (reference bodo/libs/_interval_join.cpp
     merge at :335): same-customer order pairs whose 30-day validity
@@ -287,6 +328,7 @@ QUERIES: dict[str, QueryDef] = {
     "join_cross": QueryDef(join_cross, _JOIN_CROSS_SQL),
     "join_range_events": QueryDef(join_range_events, _JOIN_RANGE_SQL),
     "join_asof_events": QueryDef(join_asof_events, _JOIN_ASOF_SQL),
+    "join_asof_nearest": QueryDef(join_asof_nearest, _JOIN_ASOF_NEAREST_SQL),
     "join_interval_overlap": QueryDef(join_interval_overlap, _JOIN_OVERLAP_SQL),
     "join_broadcast_dim": QueryDef(join_broadcast_dim, _JOIN_BCAST_SQL),
     "join_null_safe": QueryDef(join_null_safe, _JOIN_NULLSAFE_SQL),

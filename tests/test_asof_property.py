@@ -33,26 +33,27 @@ def asof_case(draw):
     # empty frames otherwise default to float64 and break the pandas merge
     right = (right.drop_duplicates(["k", "t"]).reset_index(drop=True)
              .astype({"k": "int64", "t": "int64", "rv": "int64"}))
-    direction = draw(st.sampled_from(["backward", "forward"]))
-    return left, right, direction
+    direction = draw(st.sampled_from(["backward", "forward", "nearest"]))
+    exact = draw(st.booleans())
+    return left, right, direction, exact
 
 
 @given(asof_case())
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 def test_merge_asof_matches_pandas(spark, case):
-    left, right, direction = case
+    left, right, direction, exact = case
     got = merge_asof(
         spark.createDataFrame(left),
         spark.createDataFrame(right) if len(right) else
         spark.createDataFrame([], "k long, t long, rv long"),
-        on="t", by="k", direction=direction,
+        on="t", by="k", direction=direction, allow_exact_matches=exact,
     ).toPandas().sort_values("lv").reset_index(drop=True)
 
     exp = pd.merge_asof(
         left.sort_values("t", kind="stable"),
         right.sort_values("t", kind="stable"),
-        on="t", by="k", direction=direction,
+        on="t", by="k", direction=direction, allow_exact_matches=exact,
     ).sort_values("lv").reset_index(drop=True)
 
     assert len(got) == len(exp)
