@@ -534,6 +534,9 @@ class BodoGroupBy:
 
 
 class BodoRolling:
+    """reference bodo/hiframes/rolling.py:28 (fixed windows), :85
+    (cov/corr pairs), :165 (apply)."""
+
     def __init__(self, frame: BodoDataFrame, window: int, order_by: str,
                  partition_by: str | None):
         self._frame = frame
@@ -541,6 +544,8 @@ class BodoRolling:
                 else W.partitionBy(F.lit(1)))
         self._w = base.orderBy(order_by).rowsBetween(-(window - 1), 0)
         self._window = window
+        self._order_by = order_by
+        self._partition_by = partition_by
 
     def _roll(self, col: str, fn, suffix: str) -> BodoDataFrame:
         n = F.count(F.lit(1)).over(self._w)
@@ -548,12 +553,67 @@ class BodoRolling:
         return BodoDataFrame(self._frame._df.withColumn(
             f"{col}_roll_{suffix}", val))
 
+    def _roll2(self, a: str, b: str, fn, suffix: str) -> BodoDataFrame:
+        n = F.count(F.lit(1)).over(self._w)
+        val = F.when(n >= self._window,
+                     fn(F.col(a), F.col(b)).over(self._w))
+        return BodoDataFrame(self._frame._df.withColumn(
+            f"{a}_{b}_roll_{suffix}", val))
+
     def sum(self, col: str): return self._roll(col, F.sum, "sum")
     def mean(self, col: str): return self._roll(col, F.avg, "mean")
     def min(self, col: str): return self._roll(col, F.min, "min")
     def max(self, col: str): return self._roll(col, F.max, "max")
     def count(self, col: str): return self._roll(col, F.count, "count")
     def std(self, col: str): return self._roll(col, F.stddev_samp, "std")
+    def var(self, col: str): return self._roll(col, F.var_samp, "var")
+
+    def median(self, col: str):
+        """Exact windowed median. Spark's median aggregate rejects window
+        frames, so sort the collected frame (exactly `window` values
+        whenever a result is emitted) and index the middle -- all JVM
+        expressions, no Python."""
+        w = self._window
+        arr = F.sort_array(F.collect_list(F.col(col)).over(self._w))
+        if w % 2:
+            med = F.element_at(arr, (w + 1) // 2).cast("double")
+        else:
+            med = (F.element_at(arr, w // 2).cast("double")
+                   + F.element_at(arr, w // 2 + 1).cast("double")) / 2
+        n = F.count(F.lit(1)).over(self._w)
+        return BodoDataFrame(self._frame._df.withColumn(
+            f"{col}_roll_median", F.when(n >= w, med)))
+
+    def cov(self, a: str, b: str):
+        """Pairwise rolling covariance (reference rolling.py:85)."""
+        return self._roll2(a, b, F.covar_samp, "cov")
+
+    def corr(self, a: str, b: str):
+        """Pairwise rolling correlation (reference rolling.py:85)."""
+        return self._roll2(a, b, F.corr, "corr")
+
+    def apply(self, col: str, func) -> BodoDataFrame:
+        """pandas rolling-apply semantics via applyInPandas (reference
+        rolling.py:165): each partition key's rows are one pandas group,
+        func sees a raw ndarray per window, result is a double column.
+        Arrow-batched, one shuffle on the partition key; without
+        partition_by the opt-in single-group plan is honored as-is."""
+        from pyspark.sql import types as T
+
+        df = self._frame._df
+        window, order, out = self._window, self._order_by, \
+            f"{col}_roll_apply"
+        schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(out, T.DoubleType())])
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order)
+            pdf[out] = pdf[col].rolling(window).apply(func, raw=True)
+            return pdf
+
+        grouped = (df.groupBy(self._partition_by) if self._partition_by
+                   else df.groupBy(F.lit(1).alias("__g")))
+        return BodoDataFrame(grouped.applyInPandas(fn, schema=schema))
 
 
 # --------------------------------------------------------------------------

@@ -274,7 +274,45 @@ QUALIFY rank() OVER (PARTITION BY o_orderstatus
 """
 
 
+def win_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """df.rolling median/cov/corr through the pandas-flavored frontend
+    (reference bodo/hiframes/rolling.py:28,85): 5-row windows per order
+    status; results null until the window is full, pandas-style."""
+    from ..frame import BodoDataFrame
+
+    orders = tbl(spark, sf, "orders").where(F.col("o_orderkey") < 3000)
+    bdf = BodoDataFrame(orders)
+    roll = bdf.rolling(5, order_by="o_orderkey",
+                       partition_by="o_orderstatus")
+    med = roll.median("o_totalprice")._df.select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice_roll_median", 4).alias("roll_median"))
+    # cov is checked in the pandas differential suite instead: its raw
+    # magnitude (~1e7) exposes 1e-9 co-moment-order float drift between
+    # engines that no fixed rounding removes; corr is scale-free.
+    cr = roll.corr("o_totalprice", "o_custkey")._df.select(
+        "o_orderkey",
+        F.round("o_totalprice_o_custkey_roll_corr", 4).alias("roll_corr"))
+    return (med.join(cr, "o_orderkey")
+            .orderBy("o_orderkey"))
+
+
+_WIN_ROLLING_SQL = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey < 3000)
+SELECT o_orderkey, o_orderstatus,
+  CASE WHEN COUNT(*) OVER w >= 5
+       THEN round(median(o_totalprice) OVER w, 4) END AS roll_median,
+  CASE WHEN COUNT(*) OVER w >= 5
+       THEN round(corr(o_totalprice, o_custkey) OVER w, 4) END AS roll_corr
+FROM o
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "win_rolling_stats": QueryDef(win_rolling_stats, _WIN_ROLLING_SQL),
     "win_qualify_sql_dialect": QueryDef(win_qualify_sql_dialect,
                                         _WIN_QUALIFY_DIALECT_SQL),
     "win_rank_orders": QueryDef(win_rank_orders, _WIN_RANK_SQL),

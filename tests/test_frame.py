@@ -202,6 +202,68 @@ def test_rolling(bdf, pdf):
         check_names=False, rtol=1e-9)
 
 
+def test_rolling_median_var(bdf, pdf):
+    got = (bdf.rolling(4, order_by="o_orderkey", allow_global=True)
+           .median("o_totalprice")
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["o_totalprice_roll_median"],
+        exp["o_totalprice"].rolling(4).median(),
+        check_names=False, rtol=1e-9)
+    gotv = (bdf.rolling(4, order_by="o_orderkey", allow_global=True)
+            .var("o_totalprice")
+            .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_series_equal(
+        gotv["o_totalprice_roll_var"],
+        exp["o_totalprice"].rolling(4).var(),
+        check_names=False, rtol=1e-9)
+
+
+def test_rolling_cov_corr(bdf, pdf):
+    got = (bdf.rolling(5, order_by="o_orderkey", allow_global=True)
+           .cov("o_totalprice", "o_custkey")
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["o_totalprice_o_custkey_roll_cov"],
+        exp["o_totalprice"].rolling(5).cov(exp["o_custkey"].astype(float)),
+        check_names=False, rtol=1e-9)
+    gotc = (bdf.rolling(5, order_by="o_orderkey", allow_global=True)
+            .corr("o_totalprice", "o_custkey")
+            .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_series_equal(
+        gotc["o_totalprice_o_custkey_roll_corr"],
+        exp["o_totalprice"].rolling(5).corr(exp["o_custkey"].astype(float)),
+        check_names=False, rtol=1e-9)
+
+
+def test_rolling_apply(bdf, pdf):
+    import numpy as np
+    got = (bdf.rolling(3, order_by="o_orderkey", allow_global=True)
+           .apply("o_totalprice", lambda a: np.ptp(a))
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["o_totalprice_roll_apply"],
+        exp["o_totalprice"].rolling(3).apply(lambda a: np.ptp(a), raw=True),
+        check_names=False, rtol=1e-9)
+
+
+def test_rolling_apply_partitioned(bdf, pdf):
+    import numpy as np
+    got = (bdf.rolling(2, order_by="o_orderkey",
+                       partition_by="o_orderstatus")
+           .apply("o_totalprice", lambda a: a.sum())
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    exp["r"] = (exp.groupby("o_orderstatus")["o_totalprice"]
+                .transform(lambda s: s.rolling(2).sum()))
+    pd.testing.assert_series_equal(
+        got["o_totalprice_roll_apply"], exp["r"],
+        check_names=False, rtol=1e-9)
+
+
 def test_rolling_requires_partition_or_optin(bdf):
     """Global rolling is a single-task plan; it must be an explicit
     opt-in, never a silent default."""
