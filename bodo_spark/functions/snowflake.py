@@ -82,11 +82,163 @@ SNOWFLAKE_SQL_FNS: dict[str, str] = {
     "DATE_FROM_PARTS": "(y INT, m INT, d INT) RETURNS DATE RETURN make_date(y, m, d)",
     "TIME_FROM_PARTS": "(h INT, m INT, s INT) RETURNS TIMESTAMP RETURN make_timestamp(1970, 1, 1, h, m, s)",
     # semi-structured
-    "OBJECT_CONSTRUCT2": (
-        "(k1 STRING, v1 STRING, k2 STRING, v2 STRING) RETURNS MAP<STRING,STRING> "
-        "RETURN map(k1, v1, k2, v2)"),
     "CONDITIONAL_TRUE_EVENT_PREP": "(c BOOLEAN) RETURNS INT RETURN CASE WHEN c THEN 1 ELSE 0 END",
 }
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: string long tail (reference string_array_kernels.py insert,
+# strtok_to_array, rtrimmed_length, strcmp, contains, position, hex/base64
+# codecs, uuid5), variadic object construction with Snowflake null
+# semantics (variadic_array_kernels.py object_construct[_keep_null]),
+# variant predicates (variant_array_kernels.py is_array/is_object), and
+# boolean/numeric kernels (other_array_kernels.py booland/boolor/boolxor/
+# nvl2/equal_null/regr_valx, numeric_array_kernels.py getbit/bitand/
+# haversine, datetime_array_kernels.py dayname/monthname/weekday/makedate).
+# All pure SQL-UDF bodies -> Catalyst inlines them, zero Python.
+# ---------------------------------------------------------------------------
+
+def _obj_construct(n: int, keep_null: bool) -> tuple[str, str]:
+    """OBJECT_CONSTRUCT{n} / OBJECT_CONSTRUCT_KEEP_NULL{n}: SQL UDFs are
+    fixed-arity, so the variadic reference kernel lands as one shim per
+    arity. Snowflake drops pairs whose VALUE is null; KEEP_NULL keeps."""
+    args = ", ".join(f"k{i} STRING, v{i} STRING" for i in range(1, n + 1))
+    entries = ", ".join(
+        f"struct(k{i} AS key, v{i} AS value)" for i in range(1, n + 1))
+    name = f"OBJECT_CONSTRUCT_KEEP_NULL{n}" if keep_null \
+        else f"OBJECT_CONSTRUCT{n}"
+    pred = "e.key IS NOT NULL" if keep_null \
+        else "e.key IS NOT NULL AND e.value IS NOT NULL"
+    body = (f"({args}) RETURNS MAP<STRING,STRING> RETURN "
+            f"map_from_entries(filter(array({entries}), e -> {pred}))")
+    return name, body
+
+
+SNOWFLAKE_SQL_FNS.update(
+    dict(_obj_construct(n, kn) for n in (1, 2, 3, 4)
+         for kn in (False, True)))
+
+# Snowflake format string -> Java DateTimeFormatter pattern, as a replace
+# chain (reference snowflake_conversion_array_kernels.py
+# convert_snowflake_date_format_str_to_py_format). Replacement ORDER is
+# load-bearing: longest/ambiguous tokens first, and SS before FF3 so the
+# emitted 'SSS' (millis) is not re-rewritten.
+_SF_FMT_TOKENS = [
+    ("YYYY", "yyyy"), ("YY", "yy"), ("MON", "MMM"), ("DY", "EEE"),
+    ("DD", "dd"), ("HH24", "HH"), ("HH12", "hh"), ("AM", "a"), ("PM", "a"),
+    ("MI", "mm"), ("SS", "ss"), ("FF3", "SSS"), ("FF", "SSSSSS"),
+]
+_SF_FMT_CHAIN = "fmt"
+for _sf, _java in _SF_FMT_TOKENS:
+    _SF_FMT_CHAIN = f"replace({_SF_FMT_CHAIN}, '{_sf}', '{_java}')"
+
+SNOWFLAKE_SQL_FNS.update({
+    # -- strings
+    "INSERT4": (
+        "(s STRING, pos INT, len INT, repl STRING) RETURNS STRING RETURN "
+        "concat(substr(s, 1, pos - 1), repl, substr(s, pos + len))"),
+    "STRTOK_TO_ARRAY": (
+        "(s STRING, delims STRING) RETURNS ARRAY<STRING> RETURN "
+        # split on ANY delimiter character ([\Q..\E] = regex-quoted set),
+        # dropping empty tokens (Snowflake strtok semantics)
+        "filter(split(s, concat('[\\\\Q', delims, '\\\\E]')), x -> x <> '')"),
+    "RTRIMMED_LENGTH": "(s STRING) RETURNS INT RETURN length(rtrim(s))",
+    "STRCMP": ("(a STRING, b STRING) RETURNS INT RETURN "
+               "CASE WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END"),
+    "CONTAINS_STR": ("(s STRING, sub STRING) RETURNS BOOLEAN RETURN "
+                     "instr(s, sub) > 0"),
+    "POSITION3": (
+        "(sub STRING, s STRING, pos INT) RETURNS INT RETURN "
+        "CASE WHEN instr(substr(s, pos), sub) = 0 THEN 0 "
+        "ELSE instr(substr(s, pos), sub) + pos - 1 END"),
+    "HEX_ENCODE": ("(s STRING) RETURNS STRING RETURN "
+                   "upper(hex(encode(s, 'UTF-8')))"),
+    "HEX_DECODE_STRING": ("(s STRING) RETURNS STRING RETURN "
+                          "decode(unhex(s), 'UTF-8')"),
+    "BASE64_ENCODE": ("(s STRING) RETURNS STRING RETURN "
+                      "base64(encode(s, 'UTF-8'))"),
+    "BASE64_DECODE_STRING": ("(s STRING) RETURNS STRING RETURN "
+                             "decode(unbase64(s), 'UTF-8')"),
+    # RFC-4122 v5 (SHA-1 name-based) UUID: hash namespace bytes + name,
+    # then patch the version nibble to 5 and the variant nibble to 8..b.
+    "UUID5": (
+        "(ns STRING, name STRING) RETURNS STRING RETURN "
+        "CASE WHEN ns IS NOT NULL AND name IS NOT NULL THEN "
+        "concat(substr(sha1(concat(unhex(replace(ns, '-', '')), "
+        "encode(name, 'UTF-8'))), 1, 8), '-', "
+        "substr(sha1(concat(unhex(replace(ns, '-', '')), "
+        "encode(name, 'UTF-8'))), 9, 4), '-5', "
+        "substr(sha1(concat(unhex(replace(ns, '-', '')), "
+        "encode(name, 'UTF-8'))), 14, 3), '-', "
+        "lower(conv(CAST(conv(substr(sha1(concat(unhex(replace(ns, '-', '')), "
+        "encode(name, 'UTF-8'))), 17, 1), 16, 10) AS INT) % 4 + 8, 10, 16)), "
+        "substr(sha1(concat(unhex(replace(ns, '-', '')), "
+        "encode(name, 'UTF-8'))), 18, 3), '-', "
+        "substr(sha1(concat(unhex(replace(ns, '-', '')), "
+        "encode(name, 'UTF-8'))), 21, 12)) END"),
+    # -- conversion with Snowflake format strings
+    "TO_CHAR_TS": (
+        "(ts TIMESTAMP, fmt STRING) RETURNS STRING RETURN "
+        f"date_format(ts, {_SF_FMT_CHAIN})"),
+    "TO_TIMESTAMP_SF": (
+        "(s STRING, fmt STRING) RETURNS TIMESTAMP RETURN "
+        f"to_timestamp(s, {_SF_FMT_CHAIN})"),
+    "TRY_TO_TIMESTAMP_SF": (
+        "(s STRING, fmt STRING) RETURNS TIMESTAMP RETURN "
+        f"try_to_timestamp(s, {_SF_FMT_CHAIN})"),
+    "TO_DATE_SF": (
+        "(s STRING, fmt STRING) RETURNS DATE RETURN "
+        f"to_date(s, {_SF_FMT_CHAIN})"),
+    "TRY_TO_DATE_SF": (
+        "(s STRING, fmt STRING) RETURNS DATE RETURN "
+        f"CAST(try_to_timestamp(s, {_SF_FMT_CHAIN}) AS DATE)"),
+    # TO_BINARY / TRY_TO_BINARY: NOT shimmed -- Spark's builtins already
+    # have Snowflake's exact (s, 'HEX'|'BASE64'|'UTF-8') semantics and
+    # builtins shadow temp functions (see module NOTE).
+    # -- variant predicates over JSON text
+    "IS_ARRAY_JSON": ("(js STRING) RETURNS BOOLEAN RETURN "
+                      "ltrim(js) LIKE '[%'"),
+    "IS_OBJECT_JSON": ("(js STRING) RETURNS BOOLEAN RETURN "
+                       "ltrim(js) LIKE '{%'"),
+    "JSON_EXTRACT_PATH_TEXT": (
+        "(js STRING, path STRING) RETURNS STRING RETURN "
+        "get_json_object(js, concat('$.', path))"),
+    # -- booleans (Snowflake 3VL over numeric args: nonzero = true; SQL
+    # AND/OR give exactly the documented NULL behavior, e.g.
+    # BOOLAND(0, NULL) = FALSE but BOOLAND(1, NULL) = NULL)
+    "BOOLAND": ("(a DOUBLE, b DOUBLE) RETURNS BOOLEAN RETURN "
+                "(a <> 0) AND (b <> 0)"),
+    "BOOLOR": ("(a DOUBLE, b DOUBLE) RETURNS BOOLEAN RETURN "
+               "(a <> 0) OR (b <> 0)"),
+    "BOOLXOR": ("(a DOUBLE, b DOUBLE) RETURNS BOOLEAN RETURN "
+                "(a <> 0) <> (b <> 0)"),
+    "BOOLNOT": "(a DOUBLE) RETURNS BOOLEAN RETURN NOT (a <> 0)",
+    # NVL2 / EQUAL_NULL / GETBIT / DAYNAME / MONTHNAME / WEEKDAY: NOT
+    # shimmed -- Spark 4 builtins with Snowflake-identical semantics
+    # already shadow these names (see module NOTE).
+    "NOT_EQUAL_NULL": ("(a STRING, b STRING) RETURNS BOOLEAN RETURN "
+                       "NOT (a <=> b)"),
+    "REGR_VALX": ("(y DOUBLE, x DOUBLE) RETURNS DOUBLE RETURN "
+                  "CASE WHEN y IS NOT NULL THEN x END"),
+    "REGR_VALY": ("(y DOUBLE, x DOUBLE) RETURNS DOUBLE RETURN "
+                  "CASE WHEN x IS NOT NULL THEN y END"),
+    # -- numeric
+    "BITAND": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a & b",
+    "BITOR": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a | b",
+    "BITXOR": "(a BIGINT, b BIGINT) RETURNS BIGINT RETURN a ^ b",
+    "BITNOT": "(a BIGINT) RETURNS BIGINT RETURN ~a",
+    "BITSHIFTLEFT": "(a BIGINT, n INT) RETURNS BIGINT RETURN a << n",
+    "BITSHIFTRIGHT": "(a BIGINT, n INT) RETURNS BIGINT RETURN a >> n",
+    "HAVERSINE": (
+        "(lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE) "
+        "RETURNS DOUBLE RETURN "
+        "2 * 6371 * asin(sqrt(pow(sin(radians(lat2 - lat1) / 2), 2) "
+        "+ cos(radians(lat1)) * cos(radians(lat2)) "
+        "* pow(sin(radians(lon2 - lon1) / 2), 2)))"),
+    # -- datetime naming/parts
+    "MAKEDATE": ("(y INT, doy INT) RETURNS DATE RETURN "
+                 "date_add(make_date(y, 1, 1), doy - 1)"),
+})
 
 
 # ---------------------------------------------------------------------------

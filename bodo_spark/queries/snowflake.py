@@ -333,7 +333,200 @@ FROM t ORDER BY id
 """
 
 
+def sql_str_kernels2(spark: SparkSession, sf: str) -> DataFrame:
+    """Phase-3 string kernels (reference string_array_kernels.py insert,
+    strtok_to_array, rtrimmed_length, strcmp, contains, position, hex/
+    base64 codecs). UUID5 is pytest-verified against Python's uuid5
+    (DuckDB has no sha1)."""
+    bc = _ctx(spark, sf, customer_sf="customer")
+    return bc.sql("""
+        SELECT c_custkey AS id,
+               INSERT4(c_name, 4, 2, '##') AS ins,
+               concat_ws('|', STRTOK_TO_ARRAY(c_name, '#0 ')) AS toks,
+               RTRIMMED_LENGTH(concat(c_name, '   ')) AS rtl,
+               STRCMP(c_name, c_mktsegment) AS sc,
+               CONTAINS_STR(c_name, '1') AS has1,
+               POSITION3('0', c_name, 5) AS p0,
+               HEX_ENCODE(c_mktsegment) AS hexd,
+               HEX_DECODE_STRING(HEX_ENCODE(c_name)) AS hex_rt,
+               BASE64_DECODE_STRING(BASE64_ENCODE(c_name)) AS b64_rt
+        FROM customer_sf WHERE c_custkey < 2000 ORDER BY id
+    """).spark
+
+
+_STR_KERNELS2_SQL = """
+SELECT c_custkey AS id,
+       concat(substr(c_name, 1, 3), '##', substr(c_name, 6)) AS ins,
+       array_to_string(list_filter(regexp_split_to_array(c_name, '[#0 ]'),
+                                   x -> x <> ''), '|') AS toks,
+       length(rtrim(concat(c_name, '   '))) AS rtl,
+       CASE WHEN c_name < c_mktsegment THEN -1
+            WHEN c_name > c_mktsegment THEN 1 ELSE 0 END AS sc,
+       instr(c_name, '1') > 0 AS has1,
+       CASE WHEN instr(substr(c_name, 5), '0') = 0 THEN 0
+            ELSE instr(substr(c_name, 5), '0') + 4 END AS p0,
+       upper(hex(c_mktsegment)) AS hexd,
+       c_name AS hex_rt,
+       c_name AS b64_rt
+FROM customer WHERE c_custkey < 2000 ORDER BY id
+"""
+
+
+def sql_format_conv_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Snowflake format-string conversion (reference
+    snowflake_conversion_array_kernels.py to_char/to_timestamp +
+    convert_snowflake_date_format_str_to_py_format): TO_CHAR_TS with
+    date/12-hour/name tokens, TO_TIMESTAMP_SF/TRY_TO_DATE_SF parses,
+    TRY_ returning NULL on garbage."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        SELECT event_id AS id,
+               TO_CHAR_TS(ts, 'YYYY-MM-DD HH24:MI:SS') AS c24,
+               TO_CHAR_TS(ts, 'DY DD MON YYYY HH12:MI AM') AS c12,
+               CAST(TO_TIMESTAMP_SF(TO_CHAR_TS(ts, 'YYYY-MM-DD HH24:MI:SS'),
+                                    'YYYY-MM-DD HH24:MI:SS') AS STRING) AS rt,
+               CAST(TRY_TO_DATE_SF(TO_CHAR_TS(ts, 'DD/MM/YYYY'),
+                                   'DD/MM/YYYY') AS STRING) AS rtd,
+               TRY_TO_TIMESTAMP_SF(event_type, 'YYYY-MM-DD') IS NULL AS bad
+        FROM events_sf WHERE event_id < 2000 ORDER BY id
+    """).spark
+
+
+_FORMAT_CONV_SQL = """
+SELECT event_id AS id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS c24,
+       strftime(ts, '%a %d %b %Y %I:%M %p') AS c12,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS rt,
+       strftime(ts, '%Y-%m-%d') AS rtd,
+       true AS bad
+FROM events WHERE event_id < 2000 ORDER BY id
+"""
+
+
+def sql_bool_bit_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean 3VL + bitwise + geo kernels (reference
+    other_array_kernels.py booland/boolor/boolxor/regr_valx,
+    numeric_array_kernels.py bitand/bitshift/haversine, datetime
+    makedate)."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH t AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 3 = 0 THEN NULL
+                      ELSE CAST(event_id % 2 AS DOUBLE) END AS a,
+                 CAST(event_id % 4 AS DOUBLE) AS b,
+                 value
+          FROM events_sf WHERE event_id < 5000)
+        SELECT event_id AS id,
+               BOOLAND(a, b) AS band, BOOLOR(a, b) AS bor,
+               BOOLXOR(a, b) AS bxor, BOOLNOT(a) AS bnot,
+               NOT_EQUAL_NULL(CAST(a AS STRING), CAST(b AS STRING)) AS neq,
+               REGR_VALX(a, b) AS rvx, REGR_VALY(a, b) AS rvy,
+               BITAND(event_id, 255) AS band8,
+               BITOR(event_id, 16) AS bor16,
+               BITXOR(event_id, 85) AS bx85,
+               BITNOT(event_id) AS bneg,
+               BITSHIFTLEFT(event_id % 100, 3) AS shl,
+               BITSHIFTRIGHT(event_id, 2) AS shr,
+               round(HAVERSINE(CAST(event_id % 90 AS DOUBLE),
+                               CAST(event_id % 180 AS DOUBLE),
+                               45.0, 90.0), 4) AS hav,
+               CAST(MAKEDATE(2020 + CAST(event_id % 5 AS INT),
+                             1 + CAST(event_id % 365 AS INT)) AS STRING) AS md
+        FROM t ORDER BY id
+    """).spark
+
+
+_BOOL_BIT_SQL = """
+WITH t AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE CAST(event_id % 2 AS DOUBLE) END AS a,
+         CAST(event_id % 4 AS DOUBLE) AS b,
+         value
+  FROM events WHERE event_id < 5000)
+SELECT event_id AS id,
+       (a <> 0) AND (b <> 0) AS band, (a <> 0) OR (b <> 0) AS bor,
+       (a <> 0) <> (b <> 0) AS bxor, NOT (a <> 0) AS bnot,
+       NOT (CAST(a AS VARCHAR) IS NOT DISTINCT FROM CAST(b AS VARCHAR)) AS neq,
+       CASE WHEN a IS NOT NULL THEN b END AS rvx,
+       CASE WHEN b IS NOT NULL THEN a END AS rvy,
+       event_id & 255 AS band8,
+       event_id | 16 AS bor16,
+       xor(event_id, 85) AS bx85,
+       ~event_id AS bneg,
+       (event_id % 100) << 3 AS shl,
+       event_id >> 2 AS shr,
+       round(2 * 6371 * asin(sqrt(
+         pow(sin(radians(45.0 - CAST(event_id % 90 AS DOUBLE)) / 2), 2)
+         + cos(radians(CAST(event_id % 90 AS DOUBLE))) * cos(radians(45.0))
+         * pow(sin(radians(90.0 - CAST(event_id % 180 AS DOUBLE)) / 2), 2))),
+         4) AS hav,
+       strftime(make_date(2020 + CAST(event_id % 5 AS INT), 1, 1)
+                + (CAST(event_id % 365 AS INT)), '%Y-%m-%d') AS md
+FROM t ORDER BY id
+"""
+
+
+def sql_object_construct_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Variadic OBJECT_CONSTRUCT family with Snowflake null semantics
+    (reference variadic_array_kernels.py object_construct[_keep_null]):
+    null VALUES drop unless KEEP_NULL; null KEYS always drop. Maps
+    canonicalized to sorted k=v strings. Also the JSON variant
+    predicates (variant_array_kernels.py is_array/is_object)."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH t AS (
+          SELECT event_id AS id,
+                 CAST(event_id % 7 AS STRING) AS v1,
+                 CASE WHEN event_id % 3 = 0 THEN NULL
+                      ELSE 'x' END AS v2,
+                 props
+          FROM events_sf WHERE event_id < 2000)
+        SELECT id,
+               concat_ws(',', transform(sort_array(map_entries(
+                   OBJECT_CONSTRUCT3('a', v1, 'b', v2, 'c', 'z'))),
+                   e -> concat(e.key, '=', e.value))) AS oc3,
+               concat_ws(',', transform(sort_array(map_entries(
+                   OBJECT_CONSTRUCT_KEEP_NULL2('a', v1, 'b', v2))),
+                   e -> concat(e.key, '=', coalesce(e.value, '<null>'))))
+                 AS ockn2,
+               size(OBJECT_CONSTRUCT4('a', v1, 'b', v2, 'c', 'z',
+                                      CAST(NULL AS STRING), 'q')) AS n4,
+               IS_OBJECT_JSON(props) AS isobj,
+               IS_ARRAY_JSON(props) AS isarr,
+               JSON_EXTRACT_PATH_TEXT(props, 'k') AS jk
+        FROM t ORDER BY id
+    """).spark
+
+
+_OBJECT_CONSTRUCT_SQL = """
+WITH t AS (
+  SELECT event_id AS id,
+         CAST(event_id % 7 AS VARCHAR) AS v1,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'x' END AS v2,
+         props
+  FROM events WHERE event_id < 2000)
+SELECT id,
+       CASE WHEN v2 IS NULL THEN concat('a=', v1, ',c=z')
+            ELSE concat('a=', v1, ',b=x,c=z') END AS oc3,
+       CASE WHEN v2 IS NULL THEN concat('a=', v1, ',b=<null>')
+            ELSE concat('a=', v1, ',b=x') END AS ockn2,
+       CASE WHEN v2 IS NULL THEN 2 ELSE 3 END AS n4,
+       ltrim(props) LIKE '{%' AS isobj,
+       ltrim(props) LIKE '[%' AS isarr,
+       json_extract_string(props, '$.k') AS jk
+FROM t ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sql_str_kernels2": QueryDef(sql_str_kernels2, _STR_KERNELS2_SQL),
+    "sql_format_conv_funcs": QueryDef(sql_format_conv_funcs,
+                                      _FORMAT_CONV_SQL),
+    "sql_bool_bit_funcs": QueryDef(sql_bool_bit_funcs, _BOOL_BIT_SQL),
+    "sql_object_construct_funcs": QueryDef(sql_object_construct_funcs,
+                                           _OBJECT_CONSTRUCT_SQL),
     "sql_conversion_funcs": QueryDef(sql_conversion_funcs, _CONVERSION_SQL),
     "dt_iso_week_funcs": QueryDef(dt_iso_week_funcs, _ISO_WEEK_SQL),
     "dt_time_slice_tz": QueryDef(dt_time_slice_tz, _TIME_SLICE_SQL),

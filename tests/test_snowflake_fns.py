@@ -74,3 +74,34 @@ def test_flatten_struct_shape(spark):
         .orderBy("SEQ", "INDEX").collect()
     assert len(outer) == 4  # empty + NULL arrays kept with NULL outputs
     assert {r.SEQ for r in outer} == {1, 2, 3}
+
+
+def test_uuid5_matches_python(spark):
+    """UUID5 (SHA-1 name-based, RFC 4122) must be bit-identical to
+    Python's uuid.uuid5 including version/variant nibble patching."""
+    import uuid
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    cases = [(str(uuid.NAMESPACE_DNS), "example.com"),
+             (str(uuid.NAMESPACE_URL), "https://spark.apache.org/x?y=1"),
+             (str(uuid.NAMESPACE_OID), "weird -- string\twith\nstuff")]
+    rows = spark.createDataFrame(cases, "ns string, nm string") \
+        .selectExpr("UUID5(ns, nm) AS u").collect()
+    exp = [str(uuid.uuid5(uuid.UUID(ns), nm)) for ns, nm in cases]
+    assert [r.u for r in rows] == exp
+
+
+def test_strtok_to_array_and_insert(spark):
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    r = spark.sql("""
+        SELECT STRTOK_TO_ARRAY('a.b-c..d', '.-') AS t,
+               STRTOK_TO_ARRAY('regex [chars] (ok)', ' []()') AS t2,
+               INSERT4('abcdef', 2, 3, 'XY') AS ins,
+               OBJECT_CONSTRUCT2('k', CAST(NULL AS STRING),
+                                 CAST(NULL AS STRING), 'v') AS oc
+    """).collect()[0]
+    assert r.t == ["a", "b", "c", "d"]
+    assert r.t2 == ["regex", "chars", "ok"]
+    assert r.ins == "aXYef"
+    assert r.oc == {}  # null value and null key both dropped
