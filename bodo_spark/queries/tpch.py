@@ -515,8 +515,15 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q15: revenue view + scalar-subquery max selection."""
     supp = tbl(spark, sf, "supplier")
+    # Explicit isnotnull(l_suppkey): the supplier join infers it on ITS
+    # branch only, which would make the two `rev` scan subtrees differ
+    # and defeat ReuseExchange -- with it shared, the lineitem
+    # scan+partial-agg+shuffle runs ONCE for both the join and the
+    # MAX scalar subquery (verified: ReusedExchange in the final plan).
     li = tbl(spark, sf, "lineitem").where(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+        & F.col("l_suppkey").isNotNull())
     rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
            .agg(dsum(_disc_price()).alias("total_revenue")))
     max_rev = rev.agg(F.max("total_revenue").alias("m"))

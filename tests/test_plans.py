@@ -99,3 +99,18 @@ def test_limit_becomes_take_ordered(spark):
           .orderBy(F.col("o_totalprice").desc()).limit(10))
     p = plan_str(df)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_reuse_exchange_on_twice_referenced_aggregate(spark):
+    """q15/q11 reference their grouped-aggregate subtree twice (join side
+    + scalar-subquery threshold). The scan+partial-agg+shuffle must run
+    ONCE: the second reference reuses the exchange (reference caches the
+    sub-plan, CacheSubPlanProgram.kt; Spark expresses it as
+    ReusedExchange/ReusedQueryStage under AQE)."""
+    from bodo_spark.queries import all_queries
+    qs = all_queries()
+    for name in ("q15_top_supplier", "q11_important_parts"):
+        df = qs[name].fn(spark, SF_DIR)
+        df.collect()  # AQE finalizes reuse at runtime
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "Reused" in p, f"{name}: no exchange reuse\n{p}"
