@@ -238,6 +238,42 @@ SNOWFLAKE_SQL_FNS.update({
     # -- datetime naming/parts
     "MAKEDATE": ("(y INT, doy INT) RETURNS DATE RETURN "
                  "date_add(make_date(y, 1, 1), doy - 1)"),
+    # -- array kernels (reference nested_data_kernels.py). Spark builtins
+    # already cover array_distinct/except/intersect/remove/append/
+    # prepend/max/min/size/compact/sort/flatten under the same names and
+    # semantics; shims below exist where Snowflake differs: 0-based
+    # indexing, exclusive ends, reversed argument order, or a
+    # Snowflake-only name.
+    "ARRAY_GENERATE_RANGE": (
+        "(a BIGINT, b BIGINT, step BIGINT) RETURNS ARRAY<BIGINT> RETURN "
+        # Snowflake's end is EXCLUSIVE; Spark sequence() is inclusive.
+        "CASE WHEN step = 0 THEN NULL "
+        "WHEN step > 0 AND a >= b THEN array() "
+        "WHEN step < 0 AND a <= b THEN array() "
+        "WHEN step > 0 THEN sequence(a, a + ((b - 1 - a) DIV step) * step, step) "
+        "ELSE sequence(a, a + ((b + 1 - a) DIV step) * step, step) END"),
+    "ARRAY_SLICE": (
+        "(arr ARRAY<STRING>, f INT, t INT) RETURNS ARRAY<STRING> RETURN "
+        # Snowflake: 0-based from (inclusive) to (exclusive)
+        "slice(arr, f + 1, greatest(t - f, 0))"),
+    "ARRAY_TO_STRING": (
+        "(arr ARRAY<STRING>, sep STRING) RETURNS STRING RETURN "
+        "array_join(arr, sep, '')"),
+    "ARRAYS_TO_OBJECT": (
+        "(ks ARRAY<STRING>, vs ARRAY<STRING>) "
+        "RETURNS MAP<STRING,STRING> RETURN map_from_arrays(ks, vs)"),
+    "ARRAY_POSITION_SF": (
+        # Snowflake: (value, array), 0-based, NULL when absent
+        "(v STRING, arr ARRAY<STRING>) RETURNS INT RETURN "
+        "CASE WHEN array_position(arr, v) = 0 THEN NULL "
+        "ELSE CAST(array_position(arr, v) - 1 AS INT) END"),
+    "ARRAY_CONTAINS_SF": (
+        # Snowflake argument order (value, array)
+        "(v STRING, arr ARRAY<STRING>) RETURNS BOOLEAN RETURN "
+        "array_contains(arr, v)"),
+    "ARRAY_CAT": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN "
+        "concat(a, b)"),
 })
 
 

@@ -520,7 +520,52 @@ FROM t ORDER BY id
 """
 
 
+def sql_array_kernel_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Snowflake array kernels where semantics differ from Spark builtins
+    (reference nested_data_kernels.py): exclusive-end GENERATE_RANGE,
+    0-based SLICE/POSITION, reversed-arg CONTAINS, TO_STRING, CAT."""
+    bc = _ctx(spark, sf, customer_sf="customer")
+    return bc.sql("""
+        WITH t AS (
+          SELECT c_custkey AS id, c_mktsegment AS seg,
+                 STRTOK_TO_ARRAY(c_name, '#') AS toks
+          FROM customer_sf WHERE c_custkey < 2000)
+        SELECT id,
+               ARRAY_TO_STRING(ARRAY_GENERATE_RANGE(0, id % 11, 3), ',')
+                 AS rng,
+               ARRAY_TO_STRING(ARRAY_GENERATE_RANGE(id % 5, -1, -2), ',')
+                 AS rng_neg,
+               ARRAY_TO_STRING(ARRAY_SLICE(toks, 0, 1), ',') AS sl,
+               ARRAY_POSITION_SF(seg, ARRAY_CAT(toks, array(seg))) AS pos,
+               ARRAY_CONTAINS_SF(seg, array('BUILDING', 'AUTOMOBILE'))
+                 AS inseg,
+               ARRAY_TO_STRING(ARRAY_CAT(toks, array(seg)), '|') AS cat
+        FROM t ORDER BY id
+    """).spark
+
+
+_ARRAY_KERNEL_SQL = """
+WITH t AS (
+  SELECT c_custkey AS id, c_mktsegment AS seg,
+         list_filter(regexp_split_to_array(c_name, '[#]'), x -> x <> '')
+           AS toks
+  FROM customer WHERE c_custkey < 2000)
+SELECT id,
+       coalesce(array_to_string(range(0, CAST(id % 11 AS BIGINT), 3), ','),
+                '') AS rng,
+       coalesce(array_to_string(range(CAST(id % 5 AS BIGINT), -1, -2), ','),
+                '') AS rng_neg,
+       array_to_string(toks[1:1], ',') AS sl,
+       CAST(list_position(list_concat(toks, [seg]), seg) - 1 AS INT) AS pos,
+       list_contains(['BUILDING', 'AUTOMOBILE'], seg) AS inseg,
+       array_to_string(list_concat(toks, [seg]), '|') AS cat
+FROM t ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sql_array_kernel_funcs": QueryDef(sql_array_kernel_funcs,
+                                       _ARRAY_KERNEL_SQL),
     "sql_str_kernels2": QueryDef(sql_str_kernels2, _STR_KERNELS2_SQL),
     "sql_format_conv_funcs": QueryDef(sql_format_conv_funcs,
                                       _FORMAT_CONV_SQL),
