@@ -125,6 +125,28 @@ class BodoSeries:
         """reference series.py:1355 (t-digest approx / exact); exact here."""
         return self._agg(lambda c: F.expr(f"percentile({self.name}, {q})"))
 
+    def prod(self):
+        """reference Series.prod (series.py)."""
+        return self._agg(lambda c: F.product(c))
+
+    def cumsum(self, order_by: str) -> "BodoSeries":
+        """Running sum over an EXPLICIT ordering (reference Series.cumsum;
+        distributed frames have no implicit row order, so the ordering key
+        is required -- same contract as rolling/groupby.cumsum)."""
+        w = (W.orderBy(order_by)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        return BodoSeries(self._frame, F.sum(self._col).over(w), self.name)
+
+    def isocalendar(self) -> "BodoDataFrame":
+        """ISO (year, week, day) triple (reference Series.isocalendar,
+        series.py _isocalendar_helper)."""
+        c = self._col
+        iso_dow = F.pmod(F.dayofweek(c) + F.lit(5), F.lit(7)) + F.lit(1)
+        return BodoDataFrame(self._frame._df.select(
+            F.year(F.date_add(F.to_date(c), 4 - iso_dow)).alias("year"),
+            F.weekofyear(c).alias("week"),
+            iso_dow.alias("day")))
+
     def value_counts(self) -> "BodoDataFrame":
         out = (self._frame._df.groupBy(self._col.alias(self.name))
                .agg(F.count(F.lit(1)).alias("count"))
@@ -179,6 +201,18 @@ class _StrAccessor:
     def extract(self, pat, group=1):
         return self._wrap(F.regexp_extract(self._s._col, pat, group))
 
+    def cat(self, other: "BodoSeries", sep: str = ""):
+        """reference series.py _str_cat_helper."""
+        return self._wrap(F.concat_ws(sep, self._s._col, other._col))
+
+    def rsplit(self, pat=" ", n=1):
+        """Split from the right: reverse, split on reversed pat, reverse
+        parts and their order (reference series.py rsplit) -- stays a JVM
+        expression chain."""
+        rev = F.reverse(self._s._col)
+        parts = F.split(rev, pat[::-1], n + 1)  # literal delimiters only
+        return self._wrap(F.reverse(F.transform(parts, F.reverse)))
+
 
 class _DtAccessor:
     """reference series.py dt accessor table -> F.* builtins."""
@@ -219,6 +253,15 @@ class _DtAccessor:
                     .replace("%d", "dd").replace("%H", "HH")
                     .replace("%M", "mm").replace("%S", "ss"))
         return self._wrap(F.date_format(self._s._col, java_fmt))
+
+    def tz_localize(self, tz: str):
+        """Interpret naive wall-clock values as instants in ``tz``
+        (reference series.py tz_localize -> to_utc_timestamp)."""
+        return self._wrap(F.to_utc_timestamp(self._s._col, tz))
+
+    def isocalendar(self) -> "BodoDataFrame":
+        return BodoSeries(self._s._frame, self._s._col,
+                          self._s.name).isocalendar()
 
 
 # --------------------------------------------------------------------------

@@ -289,3 +289,32 @@ def test_asof_frame(spark):
     j = bd.merge_asof(buys, clicks, on="ts", by="user_id")
     assert len(j) == len(buys)
     assert "value" in j.columns
+
+
+def test_series_cumsum_prod_isocalendar(bdf, pdf):
+    got = (bdf["o_totalprice"].cumsum(order_by="o_orderkey")
+           .to_pandas())
+    # cumsum ordering: compare against pandas cumsum on the sorted frame
+    exp_frame = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    exp = exp_frame["o_totalprice"].cumsum()
+    # spark window output order is nondeterministic; compare sorted values
+    assert sorted(got.round(6)) == sorted(exp.round(6))
+    import numpy as np
+    # prod over prices overflows float range; compare on a bounded slice
+    small = bdf.assign(r=bdf["o_totalprice"] % 3 + 0.5)
+    psmall = pdf["o_totalprice"] % 3 + 0.5
+    assert np.isclose(small["r"].prod(), psmall.prod(), rtol=1e-6)
+    iso = bdf["o_orderdate"].isocalendar().to_pandas()
+    exp_iso = pd.to_datetime(pdf["o_orderdate"]).dt.isocalendar()
+    assert sorted(iso["week"].tolist()) == sorted(exp_iso["week"].tolist())
+    assert sorted(iso["day"].tolist()) == sorted(exp_iso["day"].tolist())
+
+
+def test_str_cat_rsplit(bdf, pdf):
+    got = (bdf["o_orderstatus"].str.cat(bdf["o_orderpriority"], sep="~")
+           .to_pandas())
+    exp = pdf["o_orderstatus"].str.cat(pdf["o_orderpriority"], sep="~")
+    assert sorted(got) == sorted(exp)
+    r = (bdf["o_orderpriority"].str.rsplit("-", 1).to_pandas())
+    expr = pdf["o_orderpriority"].str.rsplit("-", n=1)
+    assert sorted(map(tuple, r)) == sorted(map(tuple, expr))
