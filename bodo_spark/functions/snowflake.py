@@ -335,6 +335,26 @@ SNOWFLAKE_SQL_FNS.update({
         + _rx_instr("CASE WHEN opt = 1 THEN length(element_at("
                     f"regexp_extract_all(substr(s, pos), {_rx_pat('p', 'par')}, 0),"
                     " occ)) ELSE 0 END")),
+    # REGEXP_REPLACE with Snowflake position/occurrence/parameters:
+    # occ=0 replaces every match from pos on; occ=n splices the
+    # replacement over exactly the n-th match (prefix + repl + suffix via
+    # the same split/extract offset math as REGEXP_INSTR).
+    "REGEXP_REPLACE6": (
+        "(s STRING, p STRING, repl STRING, pos INT, occ INT, par STRING) "
+        "RETURNS STRING RETURN "
+        "CASE WHEN occ = 0 THEN concat(substr(s, 1, pos - 1), "
+        f"  regexp_replace(substr(s, pos), {_rx_pat('p', 'par')}, repl)) "
+        f"WHEN size(regexp_extract_all(substr(s, pos), {_rx_pat('p', 'par')}, 0)) < occ "
+        "  OR occ < 0 THEN s "
+        "ELSE concat("
+        "  substr(s, 1, pos - 1 "
+        f"   + aggregate(slice(split(substr(s, pos), {_rx_pat('p', 'par')}, -1), 1, occ), 0, (a, x) -> a + length(x)) "
+        f"   + aggregate(slice(regexp_extract_all(substr(s, pos), {_rx_pat('p', 'par')}, 0), 1, occ - 1), 0, (a, x) -> a + length(x))), "
+        "  repl, "
+        "  substr(s, pos "
+        f"   + aggregate(slice(split(substr(s, pos), {_rx_pat('p', 'par')}, -1), 1, occ), 0, (a, x) -> a + length(x)) "
+        f"   + aggregate(slice(regexp_extract_all(substr(s, pos), {_rx_pat('p', 'par')}, 0), 1, occ), 0, (a, x) -> a + length(x)))) "
+        "END"),
     # semi-structured navigation + object kernels (reference
     # semi_structured_array_kernels.py get_path,
     # variadic_array_kernels.py object_*). Objects are MAP<STRING,STRING>;

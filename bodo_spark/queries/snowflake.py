@@ -220,7 +220,10 @@ def sql_regexp_funcs(spark: SparkSession, sf: str) -> DataFrame:
                CAST(REGEXP_COUNT4(s, '[0-9]', 4, 'c') AS BIGINT) AS cnt,
                CAST(REGEXP_INSTR6(s, '[0-9]+', 1, 2, 0, 'c') AS BIGINT) AS pos2,
                CAST(REGEXP_INSTR6(s, '[0-9]+', 1, 2, 1, 'c') AS BIGINT) AS end2,
-               CASE WHEN REGEXP_LIKE3(s, 'ab1.*END', 'is') THEN 1 ELSE 0 END AS full_ci
+               CASE WHEN REGEXP_LIKE3(s, 'ab1.*END', 'is') THEN 1 ELSE 0 END AS full_ci,
+               REGEXP_REPLACE6(s, '[0-9]+', '#', 1, 0, 'c') AS rep_all,
+               REGEXP_REPLACE6(s, '[0-9]+', '#', 4, 1, 'c') AS rep_pos4,
+               REGEXP_REPLACE6(s, 'xy', '@', 1, 1, 'i') AS rep_ci
         FROM t ORDER BY id
     """).spark
 
@@ -246,7 +249,11 @@ SELECT id,
        CASE WHEN len(ms) < 2 THEN 0
             ELSE length(parts[1]) + length(parts[2]) + length(ms[1]) + 1
                  + length(ms[2]) END AS end2,
-       CASE WHEN regexp_full_match(s, 'ab1.*END', 'is') THEN 1 ELSE 0 END AS full_ci
+       CASE WHEN regexp_full_match(s, 'ab1.*END', 'is') THEN 1 ELSE 0 END AS full_ci,
+       regexp_replace(s, '[0-9]+', '#', 'g') AS rep_all,
+       concat(substr(s, 1, 3), regexp_replace(substr(s, 4), '[0-9]+', '#'))
+         AS rep_pos4,
+       regexp_replace(s, 'xy', '@', 'i') AS rep_ci
 FROM x ORDER BY id
 """
 

@@ -105,3 +105,32 @@ def test_strtok_to_array_and_insert(spark):
     assert r.t2 == ["regex", "chars", "ok"]
     assert r.ins == "aXYef"
     assert r.oc == {}  # null value and null key both dropped
+
+
+def test_regexp_replace6_occurrence_splice(spark):
+    """Occurrence-specific REGEXP_REPLACE (the path DuckDB cannot
+    express): verified against Python re with the same semantics."""
+    import re
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+
+    def py_ref(s, p, repl, pos, occ, flags=0):
+        pre, sub = s[:pos - 1], s[pos - 1:]
+        if occ == 0:
+            return pre + re.sub(p, repl, sub, flags=flags)
+        ms = list(re.finditer(p, sub, flags))
+        if occ < 0 or len(ms) < occ:
+            return s
+        m = ms[occ - 1]
+        return pre + sub[:m.start()] + repl + sub[m.end():]
+
+    cases = [("aXbXcXd", "X", "-", 1, 2), ("aXbXcXd", "X", "-", 3, 1),
+             ("a1b22c333", "[0-9]+", "#", 1, 2),
+             ("a1b22c333", "[0-9]+", "#", 1, 3),
+             ("nomatch", "[0-9]+", "#", 1, 1),
+             ("aXbXcXd", "X", "-", 1, 9)]
+    rows = spark.createDataFrame(
+        [(s, p, r, pos, occ) for s, p, r, pos, occ in cases],
+        "s string, p string, r string, pos int, occ int"
+    ).selectExpr("REGEXP_REPLACE6(s, p, r, pos, occ, 'c') AS out").collect()
+    assert [r.out for r in rows] == [py_ref(*c) for c in cases]
