@@ -140,7 +140,52 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat ANN (operators/similarity.py ivf_topk): 8 deterministic
+    centroids, 2-probe search, top-5 per query. The oracle re-derives
+    the identical cell assignment (round-9 cosine, lower-cid ties)."""
+    emb = tbl(spark, sf, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
+            .orderBy("q_id", "rn"))
+
+
+_ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(-(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(c.cvec AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]),
+                                          CAST(c.cvec AS DOUBLE[]))))), 9),
+                      c.cid) AS crn
+  FROM embeddings e CROSS JOIN cents c),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE crn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cid AS cell
+  FROM asg WHERE vec_id < 5 AND crn <= 2),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+         {_SQL_COS.format(a='v.embedding', b='q.q_vec')} AS cos
+  FROM cells v JOIN qprobe q ON v.cell = q.cell
+  WHERE v.vec_id <> q.q_id)
+SELECT q_id, vec_id, cos,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+FROM scored
+QUALIFY rn <= 5
+ORDER BY q_id, rn
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "ann_ivf_topk": QueryDef(ann_ivf_topk, _ANN_IVF_SQL),
     "ann_cosine_topk": QueryDef(ann_cosine_topk, _ANN_TOPK_SQL),
     "ann_blocked_topk": QueryDef(ann_blocked_topk, _ANN_BLOCKED_SQL),
     "emb_neardup_pairs": QueryDef(emb_neardup_pairs, _EMB_NEARDUP_SQL),

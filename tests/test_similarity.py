@@ -51,3 +51,26 @@ def test_topk_pandas_self_match_keeps_k_candidates(spark):
     out = S.topk_pandas(sdf, q, k=5).toPandas()
     assert len(out) == 5
     assert 0 not in set(out["vec_id"])
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with all cells probed equals brute force exactly; 2-probe
+    search keeps high recall on the test corpus."""
+    from bodo_spark.operators import similarity as S
+    from bodo_spark.queries._util import tbl
+    from pyspark.sql import functions as F
+    emb = tbl(spark, SF_DIR, "embeddings")
+    q = (emb.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    exact = {(r.q_id, r.vec_id)
+             for r in S.brute_force_topk(emb, q, k=5).collect()}
+    full = {(r.q_id, r.vec_id)
+            for r in S.ivf_topk(emb, q, k=5, n_centroids=4,
+                                n_probe=4).collect()}
+    assert full == exact  # probing every cell == exact search
+    probed = {(r.q_id, r.vec_id)
+              for r in S.ivf_topk(emb, q, k=5, n_centroids=8,
+                                  n_probe=2).collect()}
+    recall = len(probed & exact) / len(exact)
+    assert recall >= 0.5, recall
