@@ -48,6 +48,7 @@ HEADLINE = [
     "text_quality_stats",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -567,6 +567,15 @@ class BodoGroupBy:
         return BodoDataFrame(
             self._frame._df.groupBy(*self._keys).applyInPandas(func, schema))
 
+    def transform(self, col: str, fn: str = "mean") -> BodoDataFrame:
+        """pandas groupby.transform: the group aggregate broadcast back
+        onto every member row -- a window aggregate partitioned on the
+        keys (one shuffle, no join-back)."""
+        w = W.partitionBy(*self._keys)
+        out = self._FN[fn](F.col(col)).over(w)
+        return BodoDataFrame(self._frame._df.withColumn(
+            f"{col}_{fn}", out))
+
     def cumsum(self, col: str, order_by: str) -> BodoDataFrame:
         """Distributed cumulative sum (reference MPI_Exscan path,
         distributed_api.py:2205) = window prefix sum."""

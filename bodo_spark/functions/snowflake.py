@@ -238,6 +238,21 @@ SNOWFLAKE_SQL_FNS.update({
     # -- datetime naming/parts
     "MAKEDATE": ("(y INT, doy INT) RETURNS DATE RETURN "
                  "date_add(make_date(y, 1, 1), doy - 1)"),
+    # Spark 4 natively covers many further Snowflake names -- DECODE
+    # (key-match form), ZEROIFNULL, NULLIFZERO, RANDSTR, LEN, SPLIT_PART,
+    # SUBSTRING_INDEX, TRANSLATE, SOUNDEX, CHAR, ASCII -- not shimmed.
+    "CHARINDEX": (
+        "(sub STRING, s STRING, pos INT) RETURNS INT RETURN "
+        "CASE WHEN instr(substr(s, pos), sub) = 0 THEN 0 "
+        "ELSE instr(substr(s, pos), sub) + pos - 1 END"),
+    "UUID_STRING": "() RETURNS STRING RETURN uuid()",
+    "SYSDATE": "() RETURNS TIMESTAMP RETURN current_timestamp()",
+    # TO_NUMBER with the common display-format elements (commas, $):
+    # strip grouping/currency then exact decimal cast.
+    "TO_NUMBER_FMT": (
+        "(s STRING, prec INT, scale INT) RETURNS DECIMAL(38,6) RETURN "
+        "CAST(replace(replace(trim(s), ',', ''), '$', '') "
+        "AS DECIMAL(38,6))"),
     # -- array kernels (reference nested_data_kernels.py). Spark builtins
     # already cover array_distinct/except/intersect/remove/append/
     # prepend/max/min/size/compact/sort/flatten under the same names and

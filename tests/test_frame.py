@@ -318,3 +318,13 @@ def test_str_cat_rsplit(bdf, pdf):
     r = (bdf["o_orderpriority"].str.rsplit("-", 1).to_pandas())
     expr = pdf["o_orderpriority"].str.rsplit("-", n=1)
     assert sorted(map(tuple, r)) == sorted(map(tuple, expr))
+
+
+def test_groupby_transform(bdf, pdf):
+    got = (bdf.groupby("o_orderstatus").transform("o_totalprice", "mean")
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    exp["t"] = (exp.groupby("o_orderstatus")["o_totalprice"]
+                .transform("mean"))
+    pd.testing.assert_series_equal(
+        got["o_totalprice_mean"], exp["t"], check_names=False, rtol=1e-9)
