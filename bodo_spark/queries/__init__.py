@@ -76,6 +76,7 @@ def all_queries() -> dict[str, "QueryDef"]:
         setops,
         similarity,
         snowflake,
+        streaming_ops,
         strings,
         text,
         tpch,
@@ -87,7 +88,7 @@ def all_queries() -> dict[str, "QueryDef"]:
     # contiguous block at the end.
     mods = (tpch, aggregates, windows, joins, merge_ops, setops, strings,
             datetimes, scalars, snowflake, text, dedup, similarity,
-            multimodal, ai_ops)
+            multimodal, ai_ops, streaming_ops)
     merged: dict[str, QueryDef] = {}
     iters = [iter(mod.QUERIES.items()) for mod in mods]
     while iters:

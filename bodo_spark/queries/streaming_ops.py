@@ -1,0 +1,108 @@
+"""Structured Streaming queries with batch-equivalent oracles.
+
+The reference's streaming layer is batch pipelining only (SURVEY §2.10);
+this engine ships real Structured Streaming, and because a watermarked
+tumbling aggregation over a static source with Trigger.AvailableNow
+produces EXACTLY the batch grouping, the DuckDB oracle can value-check
+the streaming execution path end-to-end: the query below actually runs
+a streaming job into a memory sink and returns its result table.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import QueryDef, tbl
+
+
+def stream_tumbling_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked 6-hour tumbling counts/sums per event_type, executed
+    by the streaming engine (AvailableNow micro-batches -> memory sink).
+    value is decimal-cast BEFORE aggregation so the streamed sum is
+    exact and engine-comparable."""
+    from ..streaming import read_stream_parquet, run_available_now, \
+        tumbling_agg
+
+    batch = tbl(spark, sf, "events").withColumn(
+        "value", F.col("value").cast("decimal(12,2)"))
+    # stage the normalized frame so the file stream source sees a plain
+    # parquet directory with the exact schema we aggregated
+    stage = f"/tmp/bodo_spark_stream_{uuid.uuid4().hex[:8]}"
+    batch.coalesce(4).write.mode("overwrite").parquet(stage)
+    stream = read_stream_parquet(spark, stage, batch.schema,
+                                 max_files_per_trigger=2)
+    res = run_available_now(
+        tumbling_agg(stream, "ts", "6 hours", ["event_type"]),
+        f"t_stream_{uuid.uuid4().hex[:8]}")
+    return (res.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"))
+        .orderBy("win_start", "event_type"))
+
+
+_STREAM_TUMBLING_SQL = """
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600
+                               AS BIGINT) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Native stateful session_window sessionization on the streaming
+    engine, value-checked against the batch gaps-and-islands oracle
+    (same 30-minute gap rule)."""
+    from ..streaming import read_stream_parquet, run_available_now, \
+        sessionize_stateful
+
+    batch = tbl(spark, sf, "events")
+    stage = f"/tmp/bodo_spark_stream_{uuid.uuid4().hex[:8]}"
+    batch.coalesce(4).write.mode("overwrite").parquet(stage)
+    stream = read_stream_parquet(spark, stage, batch.schema,
+                                 max_files_per_trigger=2)
+    res = run_available_now(
+        sessionize_stateful(stream, "ts", "user_id", gap="30 minutes"),
+        f"t_sess_{uuid.uuid4().hex[:8]}")
+    return (res.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.max("n_events").cast("bigint").alias("max_session_events"))
+            .orderBy("user_id"))
+
+
+_STREAM_SESSION_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gaps),
+per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sess_id)
+SELECT user_id, COUNT(*) AS n_sessions,
+       MAX(n_events) AS max_session_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "stream_tumbling_agg": QueryDef(stream_tumbling_agg,
+                                    _STREAM_TUMBLING_SQL),
+    "stream_session_windows": QueryDef(stream_session_windows,
+                                       _STREAM_SESSION_SQL),
+}
