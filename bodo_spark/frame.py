@@ -157,6 +157,8 @@ class BodoSeries:
     def str(self): return _StrAccessor(self)
     @property
     def dt(self): return _DtAccessor(self)
+    @property
+    def ai(self): return _AiAccessor(self)
 
     def to_pandas(self) -> pd.Series:
         return self._frame._df.select(self._col.alias(self.name)) \
@@ -212,6 +214,33 @@ class _StrAccessor:
         rev = F.reverse(self._s._col)
         parts = F.split(rev, pat[::-1], n + 1)  # literal delimiters only
         return self._wrap(F.reverse(F.transform(parts, F.reverse)))
+
+
+class _AiAccessor:
+    """reference Series.ai namespace (series.py tokenize/embed/
+    llm_generate): each call adds its output column to the parent frame
+    via the mapInPandas operators in operators/ai.py.
+
+    The series must be a direct column reference of its frame (the
+    operators run over the whole frame with the column's name)."""
+
+    def __init__(self, s: BodoSeries):
+        self._s = s
+
+    def tokenize(self, **kw) -> "BodoDataFrame":
+        from .operators.ai import tokenize as _tok
+        return BodoDataFrame(
+            _tok(self._s._frame._df, text_col=self._s.name, **kw))
+
+    def embed(self, **kw) -> "BodoDataFrame":
+        from .operators.ai import embed as _emb
+        return BodoDataFrame(
+            _emb(self._s._frame._df, text_col=self._s.name, **kw))
+
+    def llm_generate(self, **kw) -> "BodoDataFrame":
+        from .operators.ai import llm_generate as _gen
+        return BodoDataFrame(
+            _gen(self._s._frame._df, prompt_col=self._s.name, **kw))
 
 
 class _DtAccessor:

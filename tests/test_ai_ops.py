@@ -84,3 +84,18 @@ def test_vector_sink_writer_receives_batches(docs, spark):
     n = ai.to_vector_sink(emb, "doc_id", "embedding",
                           writer_factory=lambda: calls.append, batch_size=4)
     assert n == 10
+
+
+def test_series_ai_accessor(spark):
+    """Series.ai.{tokenize,embed} parity with the reference namespace."""
+    import bodo_spark.frame as bd
+    from .conftest import SF_DIR
+    docs = bd.read_parquet(f"{SF_DIR}/documents.parquet", spark=spark)
+    toks = docs["text"].ai.tokenize()
+    assert "tokens" in toks.columns
+    emb = docs["text"].ai.embed(dim=8)
+    row = emb.spark.select("embedding").first()
+    assert len(row.embedding) == 8
+    import pytest
+    with pytest.raises(NotImplementedError):
+        docs["text"].ai.llm_generate()
