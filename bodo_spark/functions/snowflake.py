@@ -203,6 +203,12 @@ SNOWFLAKE_SQL_FNS.update({
     "JSON_EXTRACT_PATH_TEXT": (
         "(js STRING, path STRING) RETURNS STRING RETURN "
         "get_json_object(js, concat('$.', path))"),
+    # PARSE_JSON for flat objects (reference json_array_kernels.py
+    # parse_single_json_map): the VARIANT-as-map model used throughout
+    # the object kernels.
+    "PARSE_JSON_MAP": (
+        "(js STRING) RETURNS MAP<STRING,STRING> RETURN "
+        "from_json(js, 'map<string,string>')"),
     # -- booleans (Snowflake 3VL over numeric args: nonzero = true; SQL
     # AND/OR give exactly the documented NULL behavior, e.g.
     # BOOLAND(0, NULL) = FALSE but BOOLAND(1, NULL) = NULL)

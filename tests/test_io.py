@@ -126,3 +126,35 @@ def test_jdbc_partitioned_read_parallelizes(spark, orders, tmp_path_factory):
     assert df.rdd.getNumPartitions() == 4, \
         "partitioned JDBC read must produce numPartitions tasks"
     assert df.count() == 500
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with NO shuffle exchange on either side -- the co-location
+    contract that makes repeated big-big joins affordable at scale."""
+    from bodo_spark.sources.io import to_table_bucketed
+    from bodo_spark.queries._util import tbl
+    from pyspark.sql import functions as F
+
+    orders = tbl(spark, SF_DIR, "orders")
+    cust = tbl(spark, SF_DIR, "customer")
+    to_table_bucketed(orders, "t_orders_b", 4, ["o_custkey"])
+    to_table_bucketed(cust, "t_cust_b", 4, ["c_custkey"])
+    try:
+        # force a non-broadcast join so the shuffle question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (spark.table("t_orders_b")
+             .join(spark.table("t_cust_b"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("c_mktsegment").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        import re
+        n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+        # one exchange allowed for the final groupBy; the JOIN itself
+        # must not shuffle either bucketed side
+        assert n_shuffles <= 1, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
