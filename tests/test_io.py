@@ -158,3 +158,24 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must return exactly the rows (and column order) of the
+    plain equi-join while spreading each key over salt_n sub-keys."""
+    from bodo_spark.operators.skew import salted_join
+    from bodo_spark.queries._util import tbl
+    orders = tbl(spark, SF_DIR, "orders")
+    cust = tbl(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey")
+    plain = orders.join(cust, "o_custkey")
+    salted = salted_join(orders, cust, "o_custkey", salt_n=4)
+    assert salted.columns == plain.columns
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
+    # left join keeps unmatched left rows exactly once
+    lonly = salted_join(orders, cust.where("o_custkey < 0"),
+                        "o_custkey", salt_n=4, how="left")
+    assert lonly.count() == orders.count()
