@@ -526,6 +526,20 @@ class BodoDataFrame:
     def describe(self, cols: list[str] | None = None) -> pd.DataFrame:
         return self._df.describe(*(cols or [])).toPandas()
 
+    def freq_items(self, cols: list[str], support: float = 0.01) -> dict:
+        """Heavy hitters per column (Karp-Papadimitriou-Shenker single
+        pass -- Spark's df.stat.freqItems; the reference's sketch family
+        delegates to theta sketches). Approximate: may contain false
+        positives, never misses an item above ``support``."""
+        row = self._df.stat.freqItems(cols, support).collect()[0]
+        return {c: sorted(row[f"{c}_freqItems"]) for c in cols}
+
+    def approx_quantile(self, col: str, probs: list[float],
+                        rel_err: float = 0.01) -> list[float]:
+        """Greenwald-Khanna approximate quantiles (single pass,
+        mergeable -- the scale path; Series.quantile is the exact one)."""
+        return self._df.approxQuantile(col, probs, rel_err)
+
     # -- materialization / sinks
     def to_pandas(self) -> pd.DataFrame:
         return self._df.toPandas()

@@ -328,3 +328,15 @@ def test_groupby_transform(bdf, pdf):
                 .transform("mean"))
     pd.testing.assert_series_equal(
         got["o_totalprice_mean"], exp["t"], check_names=False, rtol=1e-9)
+
+
+def test_freq_items_and_approx_quantile(bdf, pdf):
+    fi = bdf.freq_items(["o_orderstatus"], support=0.1)
+    true_frequent = set(
+        pdf["o_orderstatus"].value_counts(normalize=True)
+        [lambda s: s >= 0.1].index)
+    assert true_frequent <= set(fi["o_orderstatus"])  # no misses
+    q = bdf.approx_quantile("o_totalprice", [0.5], rel_err=0.01)[0]
+    exact = pdf["o_totalprice"].quantile(0.5)
+    lo, hi = pdf["o_totalprice"].quantile([0.45, 0.55])
+    assert lo <= q <= hi, (q, exact)
