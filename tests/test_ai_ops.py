@@ -99,3 +99,21 @@ def test_series_ai_accessor(spark):
     import pytest
     with pytest.raises(NotImplementedError):
         docs["text"].ai.llm_generate()
+
+
+def test_torch_train_seam(spark):
+    """Data-feeding plumbing is real (Arrow batches -> contiguous numpy
+    blocks with the declared batch shape); the launch path raises the
+    documented error without torch."""
+    import pytest
+    from bodo_spark.operators.train import partition_batches, torch_train
+    from bodo_spark.queries._util import tbl
+    from .conftest import SF_DIR
+    emb = tbl(spark, SF_DIR, "orders").limit(500)
+    shapes = partition_batches(
+        emb, ["o_custkey", "o_totalprice"], batch_rows=128).collect()
+    assert sum(r.n_rows for r in shapes) == 500
+    assert all(r.n_cols == 2 for r in shapes)
+    assert all(r.n_rows <= 128 for r in shapes)  # batches stay bounded
+    with pytest.raises(NotImplementedError, match="torch"):
+        torch_train(lambda: None)
