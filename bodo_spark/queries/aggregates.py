@@ -440,7 +440,40 @@ def agg_approx_ndv(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_parts"))
 
 
+def agg_mode_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """MODE with a pinned tie rule (highest count, then lowest value):
+    F.mode's tie choice is engine-specific, so the deterministic form is
+    count + window-limit -- the same plan Snowflake's MODE compiles to
+    when determinism matters. Most frequent order-priority per status."""
+    from pyspark.sql import Window as W
+    o = tbl(spark, sf, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("mode_priority"),
+                    F.col("n").alias("mode_count"))
+            .orderBy("o_orderstatus"))
+
+
+_AGG_MODE_SQL = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+FROM c
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY n DESC, o_orderpriority) = 1
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "agg_mode_deterministic": QueryDef(agg_mode_deterministic,
+                                       _AGG_MODE_SQL),
     "agg_variance_stats": QueryDef(agg_variance_stats, _AGG_VAR_SQL),
     "agg_conditional": QueryDef(agg_conditional, _AGG_COND_SQL),
     "agg_distinct_counts": QueryDef(agg_distinct_counts, _AGG_DISTINCT_SQL),
