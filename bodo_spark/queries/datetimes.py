@@ -210,7 +210,52 @@ FROM per_sess GROUP BY user_id ORDER BY user_id
 """
 
 
+def dt_bucket_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style rollup: 6-hour buckets per event_type with
+    EMPTY buckets materialized (operators/timebucket.py bucket_gapfill);
+    spine generated per-group from its own range, no global calendar."""
+    from ..operators.timebucket import bucket_gapfill
+
+    e = tbl(spark, sf, "events")
+    out = bucket_gapfill(
+        e, "ts", 21600, ["event_type"],
+        {"n": F.count(F.lit(1)),
+         "sum_value": dsum(dec("value", 12))})
+    return (out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"))
+        .orderBy("event_type", "bucket"))
+
+
+_DT_GAPFILL_SQL = """
+WITH b AS (
+  SELECT event_type,
+         make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                        * 1000000) AS bucket,
+         value
+  FROM events),
+agged AS (
+  SELECT event_type, bucket, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  FROM b GROUP BY 1, 2),
+rng AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 21600 SECOND)) AS bucket
+  FROM rng)
+SELECT s.event_type, strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       a.n, a.sum_value
+FROM spine s LEFT JOIN agged a
+  ON s.event_type = a.event_type AND s.bucket = a.bucket
+ORDER BY s.event_type, bucket
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dt_bucket_gapfill": QueryDef(dt_bucket_gapfill, _DT_GAPFILL_SQL),
     "dt_extract_parts": QueryDef(dt_extract_parts, _DT_PARTS_SQL),
     "dt_time_parts": QueryDef(dt_time_parts, _DT_TIME_SQL),
     "dt_trunc_monthly_revenue": QueryDef(dt_trunc_monthly_revenue, _DT_TRUNC_SQL),
