@@ -207,7 +207,31 @@ FROM documents
 """
 
 
+def str_like_any_all(spark: SparkSession, sf: str) -> DataFrame:
+    """LIKE ANY / LIKE ALL / NOT LIKE ANY quantified predicates
+    (reference like_array_kernels.py like_kernel variants; Spark parses
+    them natively)."""
+    p = tbl(spark, sf, "part")
+    return (p.selectExpr(
+        "p_partkey",
+        "p_name LIKE ANY ('%red%', '%blue%') AS any_color",
+        "p_name LIKE ALL ('%e%', '% %') AS all_common",
+        "p_name NOT LIKE ANY ('%a%', '%e%') AS no_vowelish")
+        .where("p_partkey < 2000")
+        .orderBy("p_partkey"))
+
+
+_STR_LIKE_ANY_SQL = """
+SELECT p_partkey,
+       (p_name LIKE '%red%' OR p_name LIKE '%blue%') AS any_color,
+       (p_name LIKE '%e%' AND p_name LIKE '% %') AS all_common,
+       NOT (p_name LIKE '%a%' AND p_name LIKE '%e%') AS no_vowelish
+FROM part WHERE p_partkey < 2000 ORDER BY p_partkey
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "str_like_any_all": QueryDef(str_like_any_all, _STR_LIKE_ANY_SQL),
     "str_basic_funcs": QueryDef(str_basic_funcs, _STR_BASIC_SQL),
     "str_position_funcs": QueryDef(str_position_funcs, _STR_POS_SQL),
     "str_like_count": QueryDef(str_like_count, _STR_LIKE_SQL),
