@@ -21,26 +21,26 @@ Scale design (the whole point):
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..modes import exact_mode
 
-# Persisted intermediates (the MinHash signature frame). ContextCleaner
-# unpersists them once the plan is GC'd, but long-lived sessions building
-# many plans can call unpersist_cached() to release blocks eagerly.
-_PERSISTED: "weakref.WeakSet" = weakref.WeakSet()
+# Persisted intermediates (the MinHash signature frame), STRONG refs: a
+# weak set would drop the handle the moment the builder returns (the
+# result plan references the cached RDD only JVM-side), leaving nothing
+# for the eager-release hook to act on. One small aggregated frame per
+# plan build; long-lived sessions building many plans call
+# unpersist_cached() to release blocks.
+_PERSISTED: list[DataFrame] = []
 
 
 def unpersist_cached(blocking: bool = False) -> int:
     """Eagerly unpersist intermediates cached by dedup plan builders.
-    Returns the number of frames released. Safe to call at any time;
-    already-collected frames drop out of the weak set automatically."""
+    Returns the number of frames released."""
     n = 0
-    for df in list(_PERSISTED):
-        df.unpersist(blocking)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking)
         n += 1
     return n
 
@@ -182,7 +182,7 @@ def minhash_lsh_pairs(
     # operator's cost -- see bench.py's dedup note.
     from pyspark.storagelevel import StorageLevel
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.add(sig)
+    _PERSISTED.append(sig)
     if exact_mode():
         band_cols = [
             F.md5(F.concat_ws(

@@ -26,3 +26,18 @@ def test_query_matches_oracle(name, spark, duck):
     assert r["schema_match"], f"schema: {r.get('spark_cols')} vs {r.get('oracle_cols')}"
     assert r["values_match"], f"values differ: {r.get('first_diffs')}"
     assert r["spark_rows"] == r["oracle_rows"]
+
+
+def test_dedup_unpersist_cached_releases(spark):
+    """unpersist_cached must actually see the persisted signature frame
+    (a weak ref would die the moment the builder returns) and release
+    it."""
+    import bodo_spark.operators.dedup as dd
+    from bodo_spark.queries._util import tbl
+    dd.unpersist_cached()
+    d = tbl(spark, SF_DIR, "documents")
+    plan = dd.minhash_lsh_pairs(d, num_perm=8, bands=4)
+    assert len(dd._PERSISTED) == 1
+    plan.count()
+    assert dd.unpersist_cached() == 1
+    assert not dd._PERSISTED
