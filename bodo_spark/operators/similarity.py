@@ -137,35 +137,45 @@ def ivf_topk(
     re-derives the identical cells). At real scale swap in a sampled
     k-means; the plan shape is unchanged.
     """
-    cents = [(r[0], [float(x) for x in r[1]]) for r in
-             (vectors.select(id_col, vec_col).orderBy(id_col)
-              .limit(n_centroids).collect())]
+    # Coarse quantizer works in a TRUNCATED subspace (first ``coarse_dim``
+    # components): cell assignment is a routing decision, not a scoring
+    # one, so reduced precision is the standard IVF trade -- it cuts the
+    # corpus-wide assignment pass (the operator's dominant cost; the
+    # fold-based dot is interpreted per element) by dim/coarse_dim while
+    # candidate scoring below stays full-precision.
+    coarse_dim = 16
+    trunc = F.slice(F.col("_cvec"), 1, coarse_dim)
+    cents = (vectors.select(F.col(id_col).alias("_cid"),
+                            F.col(vec_col).alias("_cvec"))
+             .orderBy("_cid").limit(n_centroids)
+             .withColumn("_cvec", trunc)
+             .withColumn("_cn", F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
 
-    def nearest_cells(vec: Column, norm: Column, n: int) -> Column:
-        """Array of the n nearest centroid ids by cosine (desc, id asc):
-        scores against every centroid are literal-array dot products --
-        pure JVM expressions over the broadcast centroid constants."""
-        scored = F.array(*[
-            F.struct(
-                F.round(-dot(vec, F.array(*[F.lit(x) for x in cvec]))
-                        / (norm * F.lit(sum(x * x for x in cvec) ** 0.5)),
-                        9).alias("negcos"),
-                F.lit(cid).alias("cid"))
-            for cid, cvec in cents])
-        return F.slice(F.array_sort(scored), 1, n)
+    def assign(df: DataFrame, vec: str, norm: str, key: str,
+               n: int) -> DataFrame:
+        """Nearest-n centroid ids per row: broadcast cross join against
+        the tiny centroid table + window rank -- rows x n_centroids
+        narrow intermediates, no giant literal expression trees (which
+        cost seconds of codegen at even 8x64 floats), and the same plan
+        shape holds at thousands of centroids."""
+        tv = F.slice(F.col(vec), 1, coarse_dim)
+        tn = F.sqrt(dot(tv, tv))
+        scored = (df.crossJoin(F.broadcast(cents))
+                  .withColumn("_ccos",
+                              F.round(dot(tv, F.col("_cvec"))
+                                      / (tn * F.col("_cn")), 9)))
+        w = W.partitionBy(key).orderBy(F.col("_ccos").desc(), F.col("_cid"))
+        return (scored.withColumn("_crn", F.row_number().over(w))
+                .where(F.col("_crn") <= n)
+                .withColumnRenamed("_cid", "_cell")
+                .drop("_cvec", "_cn", "_ccos", "_crn"))
 
     v = vectors.withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
-    v = v.withColumn(
-        "_cell", F.element_at(nearest_cells(F.col(vec_col),
-                                            F.col("_vn"), 1), 1).cid)
+    v = assign(v, vec_col, "_vn", id_col, 1)
     q = queries.withColumn(
         "_qn", F.sqrt(dot(F.col(q_vec_col), F.col(q_vec_col))))
-    q = q.withColumn(
-        "_probe", F.transform(nearest_cells(F.col(q_vec_col),
-                                            F.col("_qn"), n_probe),
-                              lambda s: s.cid))
-    q = q.select(q_id_col, q_vec_col, "_qn",
-                 F.explode("_probe").alias("_cell"))
+    q = assign(q, q_vec_col, "_qn", q_id_col, n_probe) \
+        .select(q_id_col, q_vec_col, "_qn", "_cell")
     scored = (v.join(F.broadcast(q), "_cell")
               .where(F.col(id_col) != F.col(q_id_col))
               .select(F.col(q_id_col), F.col(id_col),

@@ -154,15 +154,15 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 _ANN_IVF_SQL = f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec
+  SELECT vec_id AS cid, embedding[1:16] AS cvec
   FROM embeddings ORDER BY vec_id LIMIT 8),
 asg AS (
   SELECT e.vec_id, e.embedding, c.cid,
          row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round(-(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+             ORDER BY round(-(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]),
                                                CAST(c.cvec AS DOUBLE[]))
-               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(e.embedding AS DOUBLE[])))
+               / (sqrt(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]),
+                                        CAST(e.embedding[1:16] AS DOUBLE[])))
                   * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]),
                                           CAST(c.cvec AS DOUBLE[]))))), 9),
                       c.cid) AS crn
