@@ -454,6 +454,19 @@ class BodoDataFrame:
     def head(self, n: int = 5) -> "BodoDataFrame":
         return BodoDataFrame(self._df.limit(n))
 
+    def explode(self, column: str) -> "BodoDataFrame":
+        """pandas df.explode: one row per array element; empty/null
+        arrays keep one row with a null element (explode_outer)."""
+        others = [c for c in self._df.columns if c != column]
+        return BodoDataFrame(self._df.select(
+            *others, F.explode_outer(F.col(column)).alias(column))
+            .select(*self._df.columns))
+
+    def nsmallest(self, n: int, columns: str | list[str]) -> "BodoDataFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return BodoDataFrame(
+            self._df.orderBy(*[F.col(c).asc() for c in cols]).limit(n))
+
     def nlargest(self, n: int, columns: str | list[str]) -> "BodoDataFrame":
         return self.sort_values(columns, ascending=False).head(n)
 

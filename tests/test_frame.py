@@ -340,3 +340,17 @@ def test_freq_items_and_approx_quantile(bdf, pdf):
     exact = pdf["o_totalprice"].quantile(0.5)
     lo, hi = pdf["o_totalprice"].quantile([0.45, 0.55])
     assert lo <= q <= hi, (q, exact)
+
+
+def test_explode_nsmallest(spark, bdf, pdf):
+    df = bd.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3], "v": [[1, 2], [], None]}),
+        spark=spark)
+    got = df.explode("v").to_pandas().sort_values(["k"]).reset_index(drop=True)
+    exp = (pd.DataFrame({"k": [1, 2, 3], "v": [[1, 2], [], None]})
+           .explode("v").reset_index(drop=True))
+    assert len(got) == len(exp) == 4
+    assert sorted(got["k"]) == sorted(exp["k"])
+    small = bdf.nsmallest(5, "o_totalprice").to_pandas()
+    exps = pdf.nsmallest(5, "o_totalprice")
+    assert sorted(small["o_totalprice"]) == sorted(exps["o_totalprice"])
