@@ -123,3 +123,33 @@ class BodoSQLContext:
     def remove_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
         self._tables.pop(name, None)
+
+    # reference public-API names (BodoSQL/bodosql/context.py
+    # add_or_replace_view/remove_view/convert_to_pandas/generate_plan/
+    # validate_query/execute_ddl)
+    add_or_replace_view = add_table
+    remove_view = remove_table
+
+    def convert_to_pandas(self, query: str) -> pd.DataFrame:
+        """Run and materialize (reference convert_to_pandas returns the
+        generated code; on Spark the plan IS the artifact, so this
+        returns the result)."""
+        return self.sql(query).to_pandas()
+
+    def generate_plan(self, query: str, mode: str = "formatted") -> str:
+        """The optimized physical plan for a query (reference
+        generate_plan returns the Calcite plan string)."""
+        df = self.spark.sql(desugar_qualify(query))
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString(mode))
+
+    def validate_query(self, query: str) -> bool:
+        """Analyze (resolve names/types) without executing; raises on an
+        invalid query, True otherwise."""
+        self.spark.sql(desugar_qualify(query)).schema
+        return True
+
+    def execute_ddl(self, stmt: str):
+        """DDL passthrough (CREATE/DROP/ALTER ... run eagerly)."""
+        return self.spark.sql(stmt)

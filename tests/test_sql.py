@@ -87,3 +87,25 @@ def test_sql_join_agg_vs_duck(spark, duck):
 def test_pandas_table_registration(spark):
     bc = BodoSQLContext({"t": pd.DataFrame({"a": [1, 2, 3]})}, spark=spark)
     assert bc.sql("SELECT SUM(a) AS s FROM t").to_pandas()["s"][0] == 6
+
+
+def test_context_reference_api_names(spark):
+    """add_or_replace_view/remove_view/convert_to_pandas/generate_plan/
+    validate_query/execute_ddl (reference context.py public surface)."""
+    import pandas as pd
+    import pytest
+    from bodo_spark.sql import BodoSQLContext
+    bc = BodoSQLContext(spark=spark)
+    bc.add_or_replace_view("v1", pd.DataFrame({"a": [1, 2, 3]}))
+    assert bc.convert_to_pandas("SELECT SUM(a) AS s FROM v1")["s"][0] == 6
+    plan = bc.generate_plan("SELECT a FROM v1 WHERE a > 1")
+    assert "Physical Plan" in plan
+    assert bc.validate_query("SELECT a FROM v1")
+    with pytest.raises(Exception):
+        bc.validate_query("SELECT nope FROM v1")
+    bc.execute_ddl("CREATE TABLE t_ddl_check (x INT) USING parquet")
+    try:
+        assert bc.validate_query("SELECT x FROM t_ddl_check")
+    finally:
+        bc.execute_ddl("DROP TABLE t_ddl_check")
+    bc.remove_view("v1")
