@@ -568,6 +568,41 @@ class BodoDataFrame:
         from .sources.io import to_csv as _tc
         _tc(self._df, path, **kw)
 
+    def to_json(self, path: str, **kw) -> None:
+        from .sources.io import to_json as _tj
+        _tj(self._df, path, **kw)
+
+    def to_sql(self, table: str, url: str, **kw) -> None:
+        from .sources.io import to_sql as _ts
+        _ts(self._df, table, url, **kw)
+
+    def to_iceberg(self, table: str, **kw) -> None:
+        from .sources.io import to_iceberg as _ti
+        _ti(self._df, table, **kw)
+
+    def to_s3_vectors(self, id_col: str, vec_col: str, **kw):
+        """reference frame.py:721; sink seam in operators/ai.py."""
+        from .operators.ai import to_vector_sink as _tv
+        return _tv(self._df, id_col, vec_col, **kw)
+
+    # -- small pandas-parity helpers (lazy frames are immutable: copy
+    # and reset_index return the same plan; no index is carried)
+    def copy(self) -> "BodoDataFrame":
+        return BodoDataFrame(self._df)
+
+    def reset_index(self, drop: bool = True) -> "BodoDataFrame":
+        if not drop:
+            raise ValueError("no materialized index to restore; use "
+                             "monotonically-increasing keys explicitly")
+        return BodoDataFrame(self._df)
+
+    def filter(self, items: Iterable[str]) -> "BodoDataFrame":
+        """pandas df.filter(items=...): column subset."""
+        return BodoDataFrame(self._df.select(*list(items)))
+
+    def get(self, col: str, default=None):
+        return self[col] if col in self._df.columns else default
+
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
 
