@@ -519,7 +519,8 @@ class BodoDataFrame:
 
     def rolling(self, window: int, order_by: str,
                 partition_by: str | None = None,
-                allow_global: bool = False) -> "BodoRolling":
+                allow_global: bool = False,
+                min_periods: int | None = None) -> "BodoRolling":
         """reference bodo/hiframes/rolling.py; fixed windows over an
         explicit ordering (no implicit row order at scale).
 
@@ -533,7 +534,8 @@ class BodoDataFrame:
                 "rolling() without partition_by executes as ONE task (a "
                 "global window over lit(1)); pass partition_by=<key>, or "
                 "allow_global=True if the frame is known to be small")
-        return BodoRolling(self, window, order_by, partition_by)
+        return BodoRolling(self, window, order_by, partition_by,
+                           min_periods)
 
     # -- stats
     def describe(self, cols: list[str] | None = None) -> pd.DataFrame:
@@ -681,24 +683,27 @@ class BodoRolling:
     (cov/corr pairs), :165 (apply)."""
 
     def __init__(self, frame: BodoDataFrame, window: int, order_by: str,
-                 partition_by: str | None):
+                 partition_by: str | None, min_periods: int | None = None):
         self._frame = frame
         base = (W.partitionBy(partition_by) if partition_by
                 else W.partitionBy(F.lit(1)))
         self._w = base.orderBy(order_by).rowsBetween(-(window - 1), 0)
         self._window = window
+        # pandas: results emit once the window holds >= min_periods
+        # values (default: the full window)
+        self._min_periods = window if min_periods is None else min_periods
         self._order_by = order_by
         self._partition_by = partition_by
 
     def _roll(self, col: str, fn, suffix: str) -> BodoDataFrame:
         n = F.count(F.lit(1)).over(self._w)
-        val = F.when(n >= self._window, fn(F.col(col)).over(self._w))
+        val = F.when(n >= self._min_periods, fn(F.col(col)).over(self._w))
         return BodoDataFrame(self._frame._df.withColumn(
             f"{col}_roll_{suffix}", val))
 
     def _roll2(self, a: str, b: str, fn, suffix: str) -> BodoDataFrame:
         n = F.count(F.lit(1)).over(self._w)
-        val = F.when(n >= self._window,
+        val = F.when(n >= self._min_periods,
                      fn(F.col(a), F.col(b)).over(self._w))
         return BodoDataFrame(self._frame._df.withColumn(
             f"{a}_{b}_roll_{suffix}", val))
@@ -724,8 +729,20 @@ class BodoRolling:
             med = (F.element_at(arr, w // 2).cast("double")
                    + F.element_at(arr, w // 2 + 1).cast("double")) / 2
         n = F.count(F.lit(1)).over(self._w)
+        # median indexes assume a FULL window; with min_periods the
+        # partial frame is sorted and indexed by its own size
+        if self._min_periods < w:
+            arr = F.sort_array(F.collect_list(F.col(col)).over(self._w))
+            sz = F.size(arr)
+            med = F.when(
+                sz % 2 == 1,
+                F.element_at(arr, ((sz + 1) / 2).cast("int")).cast("double")
+            ).otherwise(
+                (F.element_at(arr, (sz / 2).cast("int")).cast("double")
+                 + F.element_at(arr, (sz / 2 + 1).cast("int")).cast("double"))
+                / 2)
         return BodoDataFrame(self._frame._df.withColumn(
-            f"{col}_roll_median", F.when(n >= w, med)))
+            f"{col}_roll_median", F.when(n >= self._min_periods, med)))
 
     def cov(self, a: str, b: str):
         """Pairwise rolling covariance (reference rolling.py:85)."""
@@ -749,9 +766,12 @@ class BodoRolling:
         schema = T.StructType(
             list(df.schema.fields) + [T.StructField(out, T.DoubleType())])
 
+        mp = self._min_periods
+
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(order)
-            pdf[out] = pdf[col].rolling(window).apply(func, raw=True)
+            pdf[out] = pdf[col].rolling(window, min_periods=mp) \
+                .apply(func, raw=True)
             return pdf
 
         grouped = (df.groupBy(self._partition_by) if self._partition_by

@@ -77,7 +77,9 @@ def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang", "pred"))
 
 
-def _langid_sql() -> str:
+def _langid_fragments() -> tuple[str, str]:
+    """(score column list, argmax CASE) -- shared by the lang-id oracle
+    and the end-to-end pipeline oracle."""
     score_cols = []
     for lang, words in sorted(T.LANG_MARKERS.items()):
         hits = " + ".join(
@@ -95,8 +97,13 @@ def _langid_sql() -> str:
             conds.append(f"s_{lang} {cmp} s_{o}")
         best += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
     best += "END"
+    return ", ".join(score_cols), best
+
+
+def _langid_sql() -> str:
+    score_cols, best = _langid_fragments()
     return f"""
-WITH scored AS (SELECT lang, {', '.join(score_cols)} FROM documents)
+WITH scored AS (SELECT lang, {score_cols} FROM documents)
 SELECT lang, {best} AS pred, COUNT(*) AS n
 FROM scored GROUP BY 1, 2 ORDER BY lang, pred
 """
@@ -151,7 +158,62 @@ FROM r GROUP BY lang ORDER BY lang
 """
 
 
+
+def text_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end training-data pipeline in one declarative plan:
+    quality-filter (C4-style) -> exact near-dup removal by canonical
+    fingerprint (keep lowest doc_id) -> per-detected-language corpus
+    budget (docs, whitespace tokens, distinct sources). Every stage is a
+    JVM expression; the whole flow is one Catalyst plan with two
+    shuffles (fingerprint window + final group)."""
+    from pyspark.sql import Window as W
+
+    d = (tbl(spark, sf, "documents")
+         .withColumn("q", T.quality_score("text"))
+         .withColumn("fp", T.fingerprint("text"))
+         .withColumn("pred", T.lang_id("text"))
+         .withColumn("n_tokens", T.token_count("text")))
+    kept = d.where(F.col("q") >= 0.66)
+    w = W.partitionBy("fp").orderBy("doc_id")
+    deduped = (kept.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1))
+    return (deduped.groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+                 F.countDistinct("source").alias("n_sources"))
+            .orderBy("pred"))
+
+
+def _pipeline_sql() -> str:
+    score_cols, best = _langid_fragments()
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, text, {score_cols},
+         ((CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1 ELSE 0 END
+           + CASE WHEN CAST(length(text) AS DOUBLE) / greatest({_SQL_NTOK}, 1) >= 3.0
+                   AND CAST(length(text) AS DOUBLE) / greatest({_SQL_NTOK}, 1) <= 12.0
+                  THEN 1 ELSE 0 END
+           + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+                       AS DOUBLE) / greatest(length(text), 1) <= 0.1
+                  THEN 1 ELSE 0 END)) / 3.0 AS q,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fp,
+         {_SQL_NTOK} AS n_tokens
+  FROM documents),
+kept AS (SELECT * FROM scored WHERE q >= 0.66),
+deduped AS (
+  SELECT *, {best} AS pred FROM kept
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+SELECT pred, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM deduped GROUP BY pred ORDER BY pred
+"""
+
+
+
 QUERIES: dict[str, QueryDef] = {
+    "text_pipeline_e2e": QueryDef(text_pipeline_e2e, _pipeline_sql()),
     "text_token_stats": QueryDef(text_token_stats, _TEXT_TOK_SQL),
     "text_quality_stats": QueryDef(text_quality_stats, _TEXT_QUALITY_SQL),
     "text_lang_id": QueryDef(text_lang_id, _langid_sql()),

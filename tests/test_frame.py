@@ -354,3 +354,23 @@ def test_explode_nsmallest(spark, bdf, pdf):
     small = bdf.nsmallest(5, "o_totalprice").to_pandas()
     exps = pdf.nsmallest(5, "o_totalprice")
     assert sorted(small["o_totalprice"]) == sorted(exps["o_totalprice"])
+
+
+def test_rolling_min_periods(bdf, pdf):
+    got = (bdf.rolling(4, order_by="o_orderkey", allow_global=True,
+                       min_periods=2)
+           .mean("o_totalprice")
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["o_totalprice_roll_mean"],
+        exp["o_totalprice"].rolling(4, min_periods=2).mean(),
+        check_names=False, rtol=1e-9)
+    gm = (bdf.rolling(5, order_by="o_orderkey", allow_global=True,
+                      min_periods=1)
+          .median("o_totalprice")
+          .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_series_equal(
+        gm["o_totalprice_roll_median"],
+        exp["o_totalprice"].rolling(5, min_periods=1).median(),
+        check_names=False, rtol=1e-9)
