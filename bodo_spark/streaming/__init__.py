@@ -10,6 +10,10 @@ stateful sessionization via applyInPandasWithState) so stream-shaped
 workloads run on the same engine.
 """
 
+from .stateful import (  # noqa: F401
+    dedup_stream,
+    running_totals_stateful,
+)
 from .windows import (  # noqa: F401
     read_stream_parquet,
     run_available_now,

@@ -65,3 +65,49 @@ def test_session_windows_stateful(spark, events_batch):
     exp_counts = exp.set_index("user_id")["n_sessions"]
     for uid, n in exp_counts.items():
         assert got_counts.get(uid, 0) == n, f"user {uid}"
+
+
+def test_running_totals_stateful_matches_batch(spark, events_batch):
+    """applyInPandasWithState accumulator: final per-user (n, total)
+    after AvailableNow equals the batch groupBy."""
+    from bodo_spark.streaming import (read_stream_parquet,
+                                      running_totals_stateful)
+    batch = spark.read.parquet(events_batch)
+    stream = read_stream_parquet(spark, events_batch, batch.schema)
+    q = (running_totals_stateful(stream, "user_id", "value")
+         .writeStream.format("memory").queryName("t_state")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update mode emits one row per key per micro-batch; the LAST emit
+    # per key carries the final state
+    got = (spark.table("t_state").toPandas()
+           .groupby("user_id").last().reset_index())
+    exp = (batch.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+           .toPandas())
+    g = got.sort_values("user_id").reset_index(drop=True)
+    e = exp.sort_values("user_id").reset_index(drop=True)
+    assert (g["n"].to_numpy() == e["n"].to_numpy()).all()
+    assert abs(g["total"].to_numpy() - e["total"].to_numpy()).max() < 1e-6
+
+
+def test_dedup_stream_drops_in_watermark_dupes(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark removes same-key rows within the
+    horizon; batch-side count equals distinct keys for this data."""
+    import pandas as pd
+    from bodo_spark.streaming import dedup_stream, read_stream_parquet, \
+        run_available_now
+    src = str(tmp_path_factory.mktemp("dd_stream"))
+    pdf = pd.DataFrame({
+        "k": [1, 1, 2, 2, 3],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 5),
+    })
+    sdf = spark.createDataFrame(pdf)
+    sdf.write.mode("overwrite").parquet(src)
+    stream = read_stream_parquet(spark, src, sdf.schema)
+    dd = dedup_stream(stream, ["k"], "ts", watermark="1 hour")
+    q = (dd.writeStream.format("memory").queryName("t_dd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("t_dd").select("k").distinct().count() == 3
+    assert spark.table("t_dd").count() == 3
