@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "text_pipeline_e2e",
 ]
 
 

@@ -10,6 +10,7 @@ a streaming job into a memory sink and returns its result table.
 
 from __future__ import annotations
 
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,8 @@ def stream_tumbling_agg(spark: SparkSession, sf: str) -> DataFrame:
     res = run_available_now(
         tumbling_agg(stream, "ts", "6 hours", ["event_type"]),
         f"t_stream_{uuid.uuid4().hex[:8]}")
+    # memory sink holds the result; the staging dir is dead weight now
+    shutil.rmtree(stage, ignore_errors=True)
     return (res.select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type",
@@ -72,6 +75,7 @@ def stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     res = run_available_now(
         sessionize_stateful(stream, "ts", "user_id", gap="30 minutes"),
         f"t_sess_{uuid.uuid4().hex[:8]}")
+    shutil.rmtree(stage, ignore_errors=True)
     return (res.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_sessions"),
                  F.max("n_events").cast("bigint").alias("max_session_events"))
