@@ -71,7 +71,38 @@ FROM merged GROUP BY seg ORDER BY seg
 """
 
 
+def io_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned-write + partition-pruned read under the correctness
+    gate: events written partitionBy(month) to a fixed staging dir
+    (overwrite -- bounded litter), read back with a partition-column
+    filter (prunes to 3 directories; asserted in test_plans), and
+    aggregated. Oracle runs the same month filter on the source table."""
+    import os
+
+    e = tbl(spark, sf, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM"))
+    stage = f"/tmp/bodo_spark_part_demo_{os.path.basename(sf.rstrip('/'))}"
+    (e.write.mode("overwrite").partitionBy("month").parquet(stage))
+    back = (spark.read.parquet(stage)
+            .where(F.col("month").isin("1997-01", "1997-02", "1997-03")))
+    return (back.groupBy("month", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"))
+            .orderBy("month", "event_type"))
+
+
+_IO_PART_SQL = """
+SELECT strftime(ts, '%Y-%m') AS month, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE strftime(ts, '%Y-%m') IN ('1997-01', '1997-02', '1997-03')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "io_partitioned_roundtrip": QueryDef(io_partitioned_roundtrip,
+                                         _IO_PART_SQL),
     "sql_merge_into": QueryDef(
         sql_merge_into, _MERGE_SQL,
         doc="MERGE INTO (update+delete+insert) as full-outer-join COW"),
