@@ -25,14 +25,15 @@ os.environ["BODO_SPARK_EXACT"] = "0"
 
 
 # dedup_minhash_lsh cost profile (sf0.1, local[32], fast mode): the
-# explode + 16-xxhash64-per-shingle map stage is ~5.4 s on its own; the
-# groupBy(id) signature aggregate feeds three plan branches (banding
-# explode + both sides of the verify join) whose differing pruned
-# columns defeat ReuseExchange, so pre-r4 the hash stage recomputed up
-# to 3x -- the source of the 8-14 s run-to-run spread in BENCH_r2/r3.
-# operators/dedup.py now persists the signature frame (MEMORY_AND_DISK),
-# making the hash stage run exactly once: dedup lands ~5.8 s and the
-# variance collapses to the hash stage's own jitter.
+# signature build dominates. r4 persisted it (MEMORY_AND_DISK) so the
+# three consuming branches compute it once (~7.9 s). r5 cut the build
+# itself: Kirsch-Mitzenmacher double hashing derives all 16 permutation
+# hashes from 2 xxhash64 calls per shingle, and word_shingles became a
+# zip_with chain over shifted slices instead of per-position
+# transform+slice (higher-order lambdas evaluate interpreted; measured
+# ~6x). Current cost ~3.9 s, still the most expensive headline entry.
+# NOTE bench hosts vary up to ~3x run-to-run in this container -- judge
+# deltas against same-run q1/q3 before calling a regression.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -89,17 +89,18 @@ def lang_id(col: Column | str) -> Column:
             hit = F.when(padded.contains(f" {w} "), 1).otherwise(0)
             score = hit if score is None else score + hit
         scores.append((lang, score))
-    # argmax with lexicographic tiebreak: pack (score, revlang) and take max
-    best = None
-    for lang, score in scores:
-        cand = F.struct(score.alias("s"),
-                        F.lit(_rev_ord(lang)).alias("r"),
-                        F.lit(lang).alias("lang"))
-        best = cand if best is None else F.when(
-            (cand.getField("s") > best.getField("s"))
-            | ((cand.getField("s") == best.getField("s"))
-               & (cand.getField("r") > best.getField("r"))), cand).otherwise(best)
-    return best.getField("lang")
+    # argmax with lexicographic tiebreak: array_max over (score, revlang,
+    # lang) structs -- field-wise struct ordering gives highest score,
+    # ties to the alphabetically-earliest language. A when-chain here
+    # references its accumulator 3x per level: the expression tree grows
+    # ~3^n_langs and the pipeline query paid 3x for it (22.7 -> 7.6 s
+    # after this rewrite).
+    cands = F.array(*[
+        F.struct(score.alias("s"),
+                 F.lit(_rev_ord(lang)).alias("r"),
+                 F.lit(lang).alias("lang"))
+        for lang, score in scores])
+    return F.array_max(cands).getField("lang")
 
 
 def _rev_ord(lang: str) -> int:
