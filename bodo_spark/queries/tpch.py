@@ -698,19 +698,34 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf: str) -> DataFrame:
     orders = tbl(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
     supp = tbl(spark, sf, "supplier")
     nation = tbl(spark, sf, "nation").where(F.col("n_name") == "NATION_0")
-    l1 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
-          .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"),
-                  F.col("l_shipdate").alias("sd"), F.col("o_orderdate").alias("od")))
-    l2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
-    l3 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
-          .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")))
-    waiting = (l1
-               .join(l2, (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
-                     "left_semi")
-               .join(l3, (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
-                     "left_anti"))
+    # Group-then-join rewrite of the exists/not-exists pair: ONE
+    # lineitem-orders join computes per-order (distinct suppliers,
+    # distinct LATE suppliers); a late line waits iff its order has
+    # another supplier (n_supp > 1: the EXISTS) and no OTHER late
+    # supplier (n_late_supp == 1: the NOT EXISTS -- this line's supplier
+    # is late, so any second late supplier disqualifies). The classic
+    # plan scans lineitem 3x (l1/semi/anti); this scans it once, and the
+    # groupBy + join-back both reuse the join's orderkey partitioning.
+    # (EXISTS-l2 over ALL orders equals EXISTS over 'F' orders here:
+    # l2 shares l1's orderkey, and l1's order is 'F'.)
+    # explicit notnulls: the late-filter branch would otherwise infer
+    # them on only ITS scan subtree and defeat exchange reuse (same
+    # pattern as q15)
+    li = li.where(F.col("l_shipdate").isNotNull()
+                  & F.col("l_suppkey").isNotNull())
+    orders = orders.where(F.col("o_orderdate").isNotNull())
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .select(F.col("l_orderkey").alias("ok"),
+                 F.col("l_suppkey").alias("sk"),
+                 (F.col("l_shipdate")
+                  > F.date_add(F.col("o_orderdate"), 60)).alias("late")))
+    g = j.groupBy("ok").agg(
+        F.countDistinct("sk").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("sk")))
+        .alias("n_late_supp"))
+    waiting = (j.where(F.col("late"))
+               .join(g, "ok")
+               .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)))
     return (waiting.join(supp, F.col("sk") == supp.s_suppkey)
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey,
                   "left_semi")
