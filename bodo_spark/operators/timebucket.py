@@ -8,9 +8,10 @@ interpolation / charting sees a dense time axis.
 Scale design: the per-group dense bucket axis is generated with
 sequence()+explode from each group's own [min, max] bucket range -- no
 driver-side loop, no cross join against a global calendar (which would
-explode with group count x global range). One shuffle for the agg, one
-for the group-range agg (both on the same key -- Catalyst reuses the
-exchange), and a left join to fill gaps.
+explode with group count x global range). The range aggregate re-reads
+the already-aggregated (group, bucket) frame, NOT the raw fact table,
+so the raw data is scanned exactly once; the gap-fill join runs over
+bucket-cardinality inputs.
 """
 
 from __future__ import annotations
@@ -37,8 +38,8 @@ def bucket_gapfill(
     b = time_bucket(F.col(ts_col), seconds).alias("bucket")
     agged = (df.groupBy(*group_cols, b)
              .agg(*[c.alias(n) for n, c in aggs.items()]))
-    spine = (df.groupBy(*group_cols)
-             .agg(F.min(b).alias("_lo"), F.max(b).alias("_hi"))
+    spine = (agged.groupBy(*group_cols)
+             .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
              .select(*group_cols,
                      F.explode(F.sequence(
                          "_lo", "_hi",
