@@ -207,6 +207,34 @@ class _StrAccessor:
         """reference series.py _str_cat_helper."""
         return self._wrap(F.concat_ws(sep, self._s._col, other._col))
 
+    def casefold(self): return self._wrap(F.lower(self._s._col))
+
+    def capitalize(self):
+        c = self._s._col
+        return self._wrap(F.concat(F.upper(F.substring(c, 1, 1)),
+                                   F.lower(F.substring(c, 2, 1 << 30))))
+
+    def swapcase(self):
+        """Per-char case flip via translate over the ASCII alphabet."""
+        lo = "abcdefghijklmnopqrstuvwxyz"
+        return self._wrap(F.translate(self._s._col,
+                                      lo + lo.upper(), lo.upper() + lo))
+
+    def isdigit(self): return self._wrap(self._s._col.rlike("^[0-9]+$"))
+    def isalpha(self): return self._wrap(self._s._col.rlike("^[A-Za-z]+$"))
+    def isalnum(self): return self._wrap(self._s._col.rlike("^[A-Za-z0-9]+$"))
+    def isspace(self): return self._wrap(self._s._col.rlike("^\\s+$"))
+    def islower(self):
+        c = self._s._col
+        return self._wrap((c == F.lower(c)) & c.rlike("[A-Za-z]"))
+    def isupper(self):
+        c = self._s._col
+        return self._wrap((c == F.upper(c)) & c.rlike("[A-Za-z]"))
+
+    def count(self, pat):
+        return self._wrap(F.regexp_count(self._s._col, F.lit(pat))
+                          .cast("long"))
+
     def rsplit(self, pat=" ", n=1):
         """Split from the right: reverse, split on reversed pat, reverse
         parts and their order (reference series.py rsplit) -- stays a JVM
@@ -287,6 +315,35 @@ class _DtAccessor:
         """Interpret naive wall-clock values as instants in ``tz``
         (reference series.py tz_localize -> to_utc_timestamp)."""
         return self._wrap(F.to_utc_timestamp(self._s._col, tz))
+
+    @property
+    def day_name(self):
+        return self._wrap(F.date_format(self._s._col, "EEEE"))
+
+    @property
+    def month_name(self):
+        return self._wrap(F.date_format(self._s._col, "MMMM"))
+
+    @property
+    def days_in_month(self):
+        return self._wrap(F.dayofmonth(F.last_day(self._s._col)))
+
+    @property
+    def is_month_start(self):
+        return self._wrap(F.dayofmonth(self._s._col) == 1)
+
+    @property
+    def is_month_end(self):
+        c = self._s._col
+        return self._wrap(F.to_date(c) == F.last_day(c))
+
+    @property
+    def week(self):
+        return self._wrap(F.weekofyear(self._s._col))
+
+    def normalize(self):
+        """Midnight-floor (pandas dt.normalize)."""
+        return self._wrap(F.date_trunc("day", self._s._col))
 
     def isocalendar(self) -> "BodoDataFrame":
         return BodoSeries(self._s._frame, self._s._col,

@@ -374,3 +374,32 @@ def test_rolling_min_periods(bdf, pdf):
         gm["o_totalprice_roll_median"],
         exp["o_totalprice"].rolling(5, min_periods=1).median(),
         check_names=False, rtol=1e-9)
+
+
+def test_str_accessor_breadth(spark):
+    import numpy as np
+    pdf_ = pd.DataFrame({"s": ["Hello World", "abc123", "123", "ABC",
+                               "   ", "mIxEd"]})
+    b = bd.from_pandas(pdf_, spark=spark)
+    for meth, args in [("casefold", ()), ("capitalize", ()),
+                       ("swapcase", ()), ("isdigit", ()), ("isalpha", ()),
+                       ("isalnum", ()), ("isspace", ()), ("islower", ()),
+                       ("isupper", ()), ("count", ("l",))]:
+        got = getattr(b["s"].str, meth)(*args).to_pandas()
+        exp = getattr(pdf_["s"].str, meth)(*args)
+        assert list(got) == list(exp), (meth, list(got), list(exp))
+
+
+def test_dt_accessor_breadth(bdf, pdf):
+    d = pd.to_datetime(pdf["o_orderdate"])
+    checks = {
+        "day_name": d.dt.day_name(),
+        "month_name": d.dt.month_name(),
+        "days_in_month": d.dt.days_in_month,
+        "is_month_start": d.dt.is_month_start,
+        "is_month_end": d.dt.is_month_end,
+        "week": d.dt.isocalendar().week,
+    }
+    for name, exp in checks.items():
+        got = getattr(bdf["o_orderdate"].dt, name).to_pandas()
+        assert sorted(map(str, got)) == sorted(map(str, exp)), name
