@@ -137,6 +137,42 @@ class BodoSeries:
              .rowsBetween(W.unboundedPreceding, W.currentRow))
         return BodoSeries(self._frame, F.sum(self._col).over(w), self.name)
 
+    def shift(self, periods: int = 1, order_by: str | None = None
+              ) -> "BodoSeries":
+        """Lag/lead over an EXPLICIT ordering (no implicit row order on
+        a distributed frame)."""
+        if order_by is None:
+            raise ValueError("shift() needs order_by=<col>: distributed "
+                             "frames have no implicit row order")
+        w = W.orderBy(order_by)
+        fn = F.lag(self._col, periods) if periods >= 0 \
+            else F.lead(self._col, -periods)
+        return BodoSeries(self._frame, fn.over(w), self.name)
+
+    def rank(self, method: str = "average",
+             order_by: str | None = None) -> "BodoSeries":
+        """pandas Series.rank over the value itself ('average', 'min',
+        'dense', 'first'). 'first' additionally needs ``order_by`` as
+        the tiebreaker ordering."""
+        w = W.orderBy(self._col)
+        if method == "min":
+            r = F.rank().over(w)
+        elif method == "dense":
+            r = F.dense_rank().over(w)
+        elif method == "first":
+            if order_by is None:
+                raise ValueError("rank(method='first') needs order_by")
+            r = F.row_number().over(W.orderBy(self._col, order_by))
+        elif method == "average":
+            # average of the positions a tied value occupies:
+            # rank + (count(==value) - 1) / 2
+            cnt = F.count(F.lit(1)).over(
+                W.partitionBy(self._col))
+            r = (F.rank().over(w) + (cnt - 1) / 2.0)
+        else:
+            raise ValueError(f"unsupported rank method {method!r}")
+        return BodoSeries(self._frame, r.cast("double"), self.name)
+
     def isocalendar(self) -> "BodoDataFrame":
         """ISO (year, week, day) triple (reference Series.isocalendar,
         series.py _isocalendar_helper)."""
@@ -716,6 +752,17 @@ class BodoGroupBy:
         full shuffle on the keys, Arrow both ways)."""
         return BodoDataFrame(
             self._frame._df.groupBy(*self._keys).applyInPandas(func, schema))
+
+    def filter(self, func: Callable[[pd.DataFrame], bool]) -> BodoDataFrame:
+        """pandas groupby.filter: keep whole groups where ``func(group)``
+        is truthy (Arrow-batched per-group evaluation)."""
+        schema = self._frame._df.schema
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pdf if func(pdf) else pdf.iloc[0:0]
+
+        return BodoDataFrame(
+            self._frame._df.groupBy(*self._keys).applyInPandas(fn, schema))
 
     def transform(self, col: str, fn: str = "mean") -> BodoDataFrame:
         """pandas groupby.transform: the group aggregate broadcast back

@@ -403,3 +403,28 @@ def test_dt_accessor_breadth(bdf, pdf):
     for name, exp in checks.items():
         got = getattr(bdf["o_orderdate"].dt, name).to_pandas()
         assert sorted(map(str, got)) == sorted(map(str, exp)), name
+
+
+def test_groupby_filter(bdf, pdf):
+    got = (bdf.groupby("o_orderpriority")
+           .filter(lambda g: g["o_totalprice"].mean() > 150000)
+           .to_pandas())
+    exp = (pdf.groupby("o_orderpriority")
+           .filter(lambda g: g["o_totalprice"].mean() > 150000))
+    assert len(got) == len(exp)
+    assert set(got["o_orderpriority"]) == set(exp["o_orderpriority"])
+
+
+def test_series_shift_rank(bdf, pdf):
+    exp_frame = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    got = (bdf.assign(sh=bdf["o_totalprice"].shift(1, order_by="o_orderkey"))
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp = exp_frame["o_totalprice"].shift(1)
+    assert (got["sh"].fillna(-1).round(6)
+            == exp.fillna(-1).round(6)).all()
+    for method in ("average", "min", "dense"):
+        gotr = (bdf.assign(r=bdf["o_totalprice"].rank(method=method))
+                .to_pandas().sort_values("o_orderkey")
+                .reset_index(drop=True))
+        expr = exp_frame["o_totalprice"].rank(method=method)
+        assert (gotr["r"] == expr).all(), method
