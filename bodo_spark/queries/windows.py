@@ -311,7 +311,40 @@ ORDER BY o_orderkey
 """
 
 
+def win_frontend_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """The pandas-frontend window surface under the gate: groupby
+    transform (window-broadcast mean), Series.shift and Series.rank,
+    all built through BodoDataFrame/BodoSeries (frame.py)."""
+    from ..frame import BodoDataFrame
+
+    orders = tbl(spark, sf, "orders").where(F.col("o_orderkey") < 3000)
+    bdf = BodoDataFrame(orders)
+    t = bdf.groupby("o_orderstatus").transform("o_totalprice", "mean")
+    t = t.assign(
+        prev_price=bdf["o_totalprice"].shift(1, order_by="o_orderkey"),
+        price_rank=bdf["o_totalprice"].rank(method="min"))
+    return (t.spark.select(
+        "o_orderkey",
+        F.round("o_totalprice_mean", 4).alias("status_mean"),
+        F.round("prev_price", 2).alias("prev_price"),
+        F.col("price_rank").cast("bigint").alias("price_rank"))
+        .orderBy("o_orderkey"))
+
+
+_WIN_FRONTEND_SQL = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey < 3000)
+SELECT o_orderkey,
+       round(avg(o_totalprice) OVER (PARTITION BY o_orderstatus), 4)
+         AS status_mean,
+       round(lag(o_totalprice, 1) OVER (ORDER BY o_orderkey), 2)
+         AS prev_price,
+       rank() OVER (ORDER BY o_totalprice) AS price_rank
+FROM o ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "win_frontend_ops": QueryDef(win_frontend_ops, _WIN_FRONTEND_SQL),
     "win_rolling_stats": QueryDef(win_rolling_stats, _WIN_ROLLING_SQL),
     "win_qualify_sql_dialect": QueryDef(win_qualify_sql_dialect,
                                         _WIN_QUALIFY_DIALECT_SQL),
