@@ -247,6 +247,22 @@ SNOWFLAKE_SQL_FNS.update({
     # Spark 4 natively covers many further Snowflake names -- DECODE
     # (key-match form), ZEROIFNULL, NULLIFZERO, RANDSTR, LEN, SPLIT_PART,
     # SUBSTRING_INDEX, TRANSLATE, SOUNDEX, CHAR, ASCII -- not shimmed.
+    # LAST_DAY with a unit argument (reference datetime kernels
+    # last_day_month/quarter/week/year; Spark's builtin covers month only)
+    "LAST_DAY_UNIT": (
+        "(d DATE, unit STRING) RETURNS DATE RETURN "
+        "CASE upper(unit) "
+        "WHEN 'MONTH' THEN last_day(d) "
+        "WHEN 'QUARTER' THEN date_sub(add_months(CAST(date_trunc('QUARTER', d) AS DATE), 3), 1) "
+        "WHEN 'YEAR' THEN make_date(year(d), 12, 31) "
+        "WHEN 'WEEK' THEN date_add(CAST(date_trunc('WEEK', d) AS DATE), 6) "
+        "END"),
+    # editdistance_with_max (reference string kernels): Spark's 3-arg
+    # levenshtein(threshold) returns -1 past the bound; Snowflake clamps.
+    "EDITDISTANCE3": (
+        "(a STRING, b STRING, mx INT) RETURNS INT RETURN "
+        "CASE WHEN levenshtein(a, b, mx) < 0 THEN mx "
+        "ELSE levenshtein(a, b, mx) END"),
     "CHARINDEX": (
         "(sub STRING, s STRING, pos INT) RETURNS INT RETURN "
         "CASE WHEN instr(substr(s, pos), sub) = 0 THEN 0 "
