@@ -570,7 +570,49 @@ FROM t ORDER BY id
 """
 
 
+def sql_dialect_tail_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-5 audit stragglers: LAST_DAY_UNIT (quarter/year/week ends),
+    bounded EDITDISTANCE (Snowflake clamp), CHARINDEX from a position,
+    TO_NUMBER_FMT display-format parsing."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH t AS (
+          SELECT event_id AS id, CAST(ts AS DATE) AS d, event_type
+          FROM events_sf WHERE event_id < 2000)
+        SELECT id,
+               CAST(LAST_DAY_UNIT(d, 'QUARTER') AS STRING) AS q_end,
+               CAST(LAST_DAY_UNIT(d, 'YEAR') AS STRING) AS y_end,
+               CAST(LAST_DAY_UNIT(d, 'WEEK') AS STRING) AS w_end,
+               EDITDISTANCE3(event_type, 'purchase', 3) AS ed3,
+               CHARINDEX('c', event_type, 2) AS ci,
+               CAST(TO_NUMBER_FMT(concat('$', CAST(id AS STRING), ',000.25'),
+                                  12, 2) AS DOUBLE) AS amt
+        FROM t ORDER BY id
+    """).spark
+
+
+_DIALECT_TAIL_SQL = """
+WITH t AS (
+  SELECT event_id AS id, CAST(ts AS DATE) AS d, event_type
+  FROM events WHERE event_id < 2000)
+SELECT id,
+       strftime(date_trunc('quarter', d) + INTERVAL 3 MONTH - INTERVAL 1 DAY,
+                '%Y-%m-%d') AS q_end,
+       strftime(make_date(year(d), 12, 31), '%Y-%m-%d') AS y_end,
+       strftime(date_trunc('week', d) + INTERVAL 6 DAY, '%Y-%m-%d') AS w_end,
+       CASE WHEN levenshtein(event_type, 'purchase') > 3 THEN 3
+            ELSE levenshtein(event_type, 'purchase') END AS ed3,
+       CASE WHEN instr(substr(event_type, 2), 'c') = 0 THEN 0
+            ELSE instr(substr(event_type, 2), 'c') + 1 END AS ci,
+       CAST(replace(replace(concat('$', CAST(id AS VARCHAR), ',000.25'),
+                            ',', ''), '$', '') AS DOUBLE) AS amt
+FROM t ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sql_dialect_tail_funcs": QueryDef(sql_dialect_tail_funcs,
+                                       _DIALECT_TAIL_SQL),
     "sql_array_kernel_funcs": QueryDef(sql_array_kernel_funcs,
                                        _ARRAY_KERNEL_SQL),
     "sql_str_kernels2": QueryDef(sql_str_kernels2, _STR_KERNELS2_SQL),
