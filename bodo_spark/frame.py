@@ -711,6 +711,7 @@ class BodoGroupBy:
            "std": F.stddev_samp, "var": F.var_samp, "first": F.first,
            "last": F.last, "median": F.median,
            "skew": F.skewness, "kurt": F.kurtosis,
+           "all": F.bool_and, "any": F.bool_or,
            "collect_list": F.collect_list, "collect_set": F.collect_set}
 
     def __init__(self, frame: BodoDataFrame, keys: list[str]):

@@ -19,15 +19,34 @@ from ..session import get_spark
 
 
 def read_parquet(path: str | list[str], columns: list[str] | None = None,
+                 filters: list[tuple] | None = None,
                  spark: SparkSession | None = None, **options: Any) -> DataFrame:
     """Parquet scan. Reference: bodo/pandas/base.py:183, physical/read_parquet.h:23.
 
     Column selection is applied as a .select so Catalyst prunes the
-    ReadSchema down to exactly these columns.
+    ReadSchema down to exactly these columns. ``filters`` takes the
+    pandas/pyarrow triple form [(col, op, value), ...] (AND-combined)
+    and lands as ordinary Catalyst filters -- pushed into the scan as
+    PushedFilters/partition pruning like any predicate.
     """
     spark = spark or get_spark()
     paths = path if isinstance(path, list) else [path]
     df = spark.read.options(**options).parquet(*paths)
+    if filters:
+        from pyspark.sql import functions as F
+        ops = {"=": "__eq__", "==": "__eq__", "!=": "__ne__",
+               "<": "__lt__", "<=": "__le__", ">": "__gt__",
+               ">=": "__ge__"}
+        for col, op, val in filters:
+            c = F.col(col)
+            if op == "in":
+                df = df.where(c.isin(list(val)))
+            elif op == "not in":
+                df = df.where(~c.isin(list(val)))
+            elif op in ops:
+                df = df.where(getattr(c, ops[op])(val))
+            else:
+                raise ValueError(f"unsupported filter op {op!r}")
     if columns is not None:
         df = df.select(*columns)
     return df

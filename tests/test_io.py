@@ -179,3 +179,20 @@ def test_salted_join_equals_plain_join(spark):
     lonly = salted_join(orders, cust.where("o_custkey < 0"),
                         "o_custkey", salt_n=4, how="left")
     assert lonly.count() == orders.count()
+
+
+def test_read_parquet_filters_pushdown(spark):
+    """pandas-style filters triples land as PushedFilters in the scan."""
+    from bodo_spark.sources.io import read_parquet
+    df = read_parquet(f"{SF_DIR}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"],
+                      filters=[("o_totalprice", ">", 100000.0),
+                               ("o_orderstatus", "in", ["F", "O"])],
+                      spark=spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan
+    import pandas as pd
+    exp = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    exp = exp[(exp.o_totalprice > 100000.0)
+              & exp.o_orderstatus.isin(["F", "O"])]
+    assert df.count() == len(exp)
