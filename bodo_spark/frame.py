@@ -29,7 +29,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["BodoDataFrame", "BodoSeries", "read_parquet", "read_csv",
-           "from_pandas", "concat", "merge_asof"]
+           "read_iceberg", "from_pandas", "concat", "merge", "merge_asof",
+           "to_datetime"]
 
 
 # --------------------------------------------------------------------------
@@ -909,6 +910,30 @@ def concat(frames: list[BodoDataFrame]) -> BodoDataFrame:
     for f in frames[1:]:
         out = out.unionByName(f._df, allowMissingColumns=True)
     return BodoDataFrame(out)
+
+
+def merge(left: BodoDataFrame, right: BodoDataFrame, **kw) -> BodoDataFrame:
+    """Module-level pd.merge (reference base.py merge)."""
+    return left.merge(right, **kw)
+
+
+def read_iceberg(table: str, **kw) -> BodoDataFrame:
+    """reference base.py read_iceberg -> sources.io (clean error offline)."""
+    from .sources.io import read_iceberg as _ri
+    return BodoDataFrame(_ri(table, **kw))
+
+
+def to_datetime(s: "BodoSeries", format: str | None = None) -> "BodoSeries":
+    """pd.to_datetime over a Series (reference base.py to_datetime);
+    strftime tokens map to the Java pattern."""
+    if format is None:
+        col = F.to_timestamp(s._col)
+    else:
+        java = (format.replace("%Y", "yyyy").replace("%m", "MM")
+                .replace("%d", "dd").replace("%H", "HH")
+                .replace("%M", "mm").replace("%S", "ss"))
+        col = F.to_timestamp(s._col, java)
+    return BodoSeries(s._frame, col, s.name)
 
 
 def merge_asof(left: BodoDataFrame, right: BodoDataFrame, **kw) -> BodoDataFrame:

@@ -428,3 +428,14 @@ def test_series_shift_rank(bdf, pdf):
                 .reset_index(drop=True))
         expr = exp_frame["o_totalprice"].rank(method=method)
         assert (gotr["r"] == expr).all(), method
+
+
+def test_module_level_merge_to_datetime(spark, bdf):
+    cust = bd.read_parquet(f"{SF_DIR}/customer.parquet", spark=spark)
+    j = bd.merge(bdf, cust, how="inner", left_on="o_custkey",
+                 right_on="c_custkey")
+    assert "c_name" in j.columns
+    s = bd.from_pandas(pd.DataFrame({"d": ["2024-03-05", "1999-12-31"]}),
+                       spark=spark)
+    ts = bd.to_datetime(s["d"], format="%Y-%m-%d").to_pandas()
+    assert str(ts[0]).startswith("2024-03-05")
