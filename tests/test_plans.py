@@ -114,3 +114,27 @@ def test_reuse_exchange_on_twice_referenced_aggregate(spark):
         df.collect()  # AQE finalizes reuse at runtime
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "Reused" in p, f"{name}: no exchange reuse\n{p}"
+
+
+def test_plan_summary_and_guardrails(spark):
+    from bodo_spark.plans import (assert_scaling, summarize,
+                                  tune_shuffle_partitions)
+    from pyspark.sql import functions as F
+    import pytest
+    df = (tbl(spark, SF_DIR, "orders")
+          .where(F.col("o_totalprice") > 100.0)
+          .groupBy("o_orderstatus").count())
+    s = summarize(df, executed=False)
+    assert s.scans == 1 and s.exchanges >= 1
+    assert any("o_totalprice" in f for f in s.pushed_filters)
+    assert_scaling(df, max_exchanges=2, require_pushdown=True,
+                   forbid_python=True)
+    with pytest.raises(AssertionError, match="exchanges"):
+        assert_scaling(df, max_exchanges=0)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n = tune_shuffle_partitions(spark, 512 * (1 << 30),
+                                    target_partition_mb=128)
+        assert n == 4096
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
