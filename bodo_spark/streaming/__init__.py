@@ -15,7 +15,10 @@ from .stateful import (  # noqa: F401
     running_totals_stateful,
 )
 from .windows import (  # noqa: F401
+    read_stream_csv,
+    read_stream_json,
     read_stream_parquet,
+    read_stream_rate,
     run_available_now,
     sessionize_stateful,
     sliding_agg,

@@ -19,6 +19,31 @@ def read_stream_parquet(spark: SparkSession, path: str,
             .parquet(path))
 
 
+def read_stream_csv(spark: SparkSession, path: str, schema: T.StructType,
+                    header: bool = True,
+                    max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over CSV files."""
+    return (spark.readStream.schema(schema)
+            .option("header", str(header).lower())
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .csv(path))
+
+
+def read_stream_json(spark: SparkSession, path: str, schema: T.StructType,
+                     max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over JSON-lines files."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .json(path))
+
+
+def read_stream_rate(spark: SparkSession,
+                     rows_per_second: int = 100) -> DataFrame:
+    """Synthetic (timestamp, value) source -- load/latency testing."""
+    return (spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second).load())
+
+
 def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """Watermarks require TIMESTAMP (with zone); parquet written with
     TIMESTAMP_NTZ arrives as ntz, which Spark rejects as event time.

@@ -111,3 +111,26 @@ def test_dedup_stream_drops_in_watermark_dupes(spark, tmp_path_factory):
     q.awaitTermination()
     assert spark.table("t_dd").select("k").distinct().count() == 3
     assert spark.table("t_dd").count() == 3
+
+
+def test_stream_csv_json_sources(spark, tmp_path_factory):
+    import pandas as pd
+    from bodo_spark.streaming import (read_stream_csv, read_stream_json,
+                                      run_available_now, tumbling_agg)
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:05:00", "2024-01-01 02:05:00",
+                              "2024-01-01 02:10:00"]),
+        "event_type": ["a", "a", "b"], "value": [1.0, 2.0, 3.0]})
+    sdf = spark.createDataFrame(pdf)
+    for fmt, reader in (("csv", read_stream_csv), ("json", read_stream_json)):
+        d = str(tmp_path_factory.mktemp(f"stream_{fmt}"))
+        w = sdf.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w, fmt)(d)
+        stream = reader(spark, d, sdf.schema)
+        got = run_available_now(
+            tumbling_agg(stream, "ts", "1 hour", ["event_type"]),
+            f"t_{fmt}_src").toPandas()
+        assert got["n"].sum() == 3, fmt
+        assert len(got) == 3, fmt  # (00h a), (02h a), (02h b)
