@@ -57,10 +57,93 @@ def attach_fake_media(df: DataFrame, key_col: str,
 
 
 def _decode_image_real(data: bytes, fmt: str) -> "np.ndarray":
+    """Real decode: BMP handled natively (pure numpy, below); other
+    formats need the absent image libraries."""
+    if fmt == "bmp":
+        return decode_bmp(data)
     raise NotImplementedError(
-        "image codecs are not available in this container; plug PIL/"
-        "libvips here -- the Spark plumbing (schema, batching, Arrow "
-        "transfer) is identical for the real decoder")
+        "only the built-in BMP codec is available in this container; "
+        "plug PIL/libvips here for jpeg/png -- the Spark plumbing "
+        "(schema, batching, Arrow transfer) is identical")
+
+
+# -- built-in BMP codec (24-bit uncompressed, BITMAPINFOHEADER): a REAL
+# image format implemented with numpy alone, so the decode path is
+# exercised end-to-end without external libraries.
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> BMP bytes (rows bottom-up, BGR, 4-byte
+    padded)."""
+    import struct
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += pixels[y, :, ::-1].tobytes()  # BGR order
+        body += b"\x00" * pad
+    return header + info + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w, 3) uint8 RGB. Supports the 24-bit
+    uncompressed BITMAPINFOHEADER layout written by encode_bmp (and by
+    most tools' default export)."""
+    import struct
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, "
+                         f"compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        line = np.frombuffer(data, dtype=np.uint8,
+                             count=row, offset=offset + i * stride)
+        y = h - 1 - i if flip else i
+        out[y] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def attach_bmp_media(df: DataFrame, key_col: str,
+                     media_col: str = "media",
+                     width: int = 8, height: int = 6) -> DataFrame:
+    """Real-format twin of attach_fake_media: a deterministic 24-bit BMP
+    per row (pixels seeded from the key), built in Arrow batches."""
+    schema = T.StructType(list(df.schema.fields) + [
+        T.StructField(media_col, T.BinaryType()),
+        T.StructField(f"{media_col}_meta", MEDIA_META_SCHEMA)])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, metas = [], []
+            for k in pdf[key_col]:
+                rng = np.frombuffer(
+                    hashlib.sha256(str(k).encode()).digest() * 6,
+                    dtype=np.uint8)[:width * height * 3]
+                px = rng.reshape(height, width, 3)
+                b = encode_bmp(px)
+                blobs.append(b)
+                metas.append({"media_type": "image", "format": "bmp",
+                              "width": width, "height": height,
+                              "n_bytes": len(b),
+                              "sha": hashlib.sha256(b).hexdigest()})
+            pdf = pdf.copy()
+            pdf[media_col] = blobs
+            pdf[f"{media_col}_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
 
 
 def _decode_image_fake(data: bytes) -> np.ndarray:
@@ -92,11 +175,14 @@ def decode_features(df: DataFrame, media_col: str = "media",
                 raw = bytes(data)
                 sizes.append(len(raw))
                 if use_real_codec:
-                    img = _decode_image_real(raw, "fake")  # pragma: no cover
+                    # built-in BMP codec: a real decode, no libraries
+                    img = _decode_image_real(raw, "bmp").mean(axis=2)
                 else:
                     img = _decode_image_fake(raw)
-                # 16x16 -> row/col means -> FEATURE_DIM floats in [0,1)
+                # grid -> row/col means -> FEATURE_DIM floats in [0,1)
                 f = np.concatenate([img.mean(axis=0)[:8], img.mean(axis=1)[:8]])
+                if len(f) < FEATURE_DIM:
+                    f = np.pad(f, (0, FEATURE_DIM - len(f)))
                 feats.append((f / 255.0).astype(np.float32))
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy(),

@@ -62,11 +62,15 @@ FROM documents
 
 
 def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow-batched decode -> feature extraction (mapInPandas). The
-    fake codec is deterministic but numpy-side, so the driver records
-    the weaker rows-only check for this one."""
-    d = M.attach_fake_media(tbl(spark, sf, "documents"), "doc_id")
-    feats = M.decode_features(d)
+    """REAL image decode -> feature extraction: each row carries an
+    actual 24-bit BMP (built-in numpy codec, no external libs), decoded
+    and reduced to row/col-mean features in an Arrow-batched
+    mapInPandas stage. Pixel math is numpy-side, so the driver records
+    the rows-only check for this one."""
+    d = M.attach_bmp_media(
+        tbl(spark, sf, "documents").where(F.col("doc_id") < 2000),
+        "doc_id")
+    feats = M.decode_features(d, use_real_codec=True)
     return (feats.select(
         "doc_id", "n_bytes",
         F.round(F.aggregate("features", F.lit(0.0),

@@ -1,0 +1,35 @@
+"""Multimodal operators: BMP codec roundtrip, real decode path, media
+metadata plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bodo_spark.operators.multimodal import (attach_bmp_media, decode_bmp,
+                                             decode_features, encode_bmp)
+from bodo_spark.queries._util import tbl
+
+from .conftest import SF_DIR
+
+
+def test_bmp_roundtrip():
+    rng = np.random.RandomState(7)
+    for h, w in [(6, 8), (5, 5), (1, 3), (7, 2)]:  # incl. padded widths
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all(), (h, w)
+
+
+def test_real_codec_features_match_numpy(spark):
+    d = attach_bmp_media(
+        tbl(spark, SF_DIR, "documents").limit(20), "doc_id")
+    rows = {r.doc_id: r for r in d.select("doc_id", "media").collect()}
+    feats = {r.doc_id: r for r in
+             decode_features(d, use_real_codec=True).collect()}
+    assert set(feats) == set(rows)
+    for k, r in rows.items():
+        img = decode_bmp(bytes(r.media)).mean(axis=2)
+        f = np.concatenate([img.mean(axis=0)[:8], img.mean(axis=1)[:8]])
+        f = np.pad(f, (0, max(0, 16 - len(f)))) / 255.0
+        got = np.array(feats[k].features)
+        assert np.allclose(got, f.astype(np.float32), atol=1e-6), k
+        assert feats[k].n_bytes == len(bytes(r.media))
