@@ -79,7 +79,20 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Real WAV (RIFF PCM) decode -> duration/RMS/peak per row (built-in
+    numpy codec). Sample synthesis is numpy-side: rows-only check."""
+    d = M.attach_wav_media(
+        tbl(spark, sf, "documents").where(F.col("doc_id") < 2000),
+        "doc_id")
+    return (M.audio_features(d)
+            .select("doc_id", F.round("duration_sec", 6).alias("duration_sec"),
+                    F.round("rms", 4).alias("rms"), "peak")
+            .orderBy("doc_id"))
+
+
 QUERIES: dict[str, QueryDef] = {
+    "mm_audio_features": QueryDef(mm_audio_features, None),
     "mm_binary_stats": QueryDef(mm_binary_stats, _MM_BINARY_SQL),
     "mm_media_metadata": QueryDef(mm_media_metadata, _MM_META_SQL),
     "mm_decode_features": QueryDef(mm_decode_features, None),

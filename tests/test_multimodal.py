@@ -33,3 +33,26 @@ def test_real_codec_features_match_numpy(spark):
         got = np.array(feats[k].features)
         assert np.allclose(got, f.astype(np.float32), atol=1e-6), k
         assert feats[k].n_bytes == len(bytes(r.media))
+
+
+def test_wav_roundtrip_and_features(spark):
+    import numpy as np
+    from bodo_spark.operators.multimodal import (attach_wav_media,
+                                                 audio_features,
+                                                 decode_wav, encode_wav)
+    rng = np.random.RandomState(3)
+    s = rng.randint(-32768, 32767, size=333, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and (out == s).all()
+    d = attach_wav_media(
+        tbl(spark, SF_DIR, "documents").limit(10), "doc_id",
+        n_samples=256, rate=16000)
+    blobs = {r.doc_id: bytes(r.media)
+             for r in d.select("doc_id", "media").collect()}
+    feats = {r.doc_id: r for r in audio_features(d).collect()}
+    for k, b in blobs.items():
+        samp, rate = decode_wav(b)
+        assert abs(feats[k].duration_sec - len(samp) / rate) < 1e-9
+        x = samp.astype(float)
+        assert abs(feats[k].rms - np.sqrt((x * x).mean())) < 1e-6
+        assert feats[k].peak == int(np.abs(samp).max())
