@@ -100,7 +100,49 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def io_versioned_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-log table (sources/versioned.py): two commits, then read
+    BOTH the historical snapshot and the head and compare -- time travel
+    under the correctness gate. The table is rebuilt deterministically
+    per run (rmtree + recommit), so the oracle states the same numbers
+    straight off the source customer table."""
+    import os
+    import shutil
+
+    from ..sources.versioned import read_versioned, write_versioned
+
+    c = tbl(spark, sf, "customer").select(
+        "c_custkey", dec("c_acctbal", 12, 2).alias("bal"))
+    stage = f"/tmp/bodo_spark_vtab_{os.path.basename(sf.rstrip('/'))}"
+    shutil.rmtree(stage, ignore_errors=True)
+    write_versioned(c.where(F.col("c_custkey") < 1500), stage)
+    write_versioned(
+        c.where((F.col("c_custkey") >= 1500) & (F.col("c_custkey") < 3000)),
+        stage, mode="append")
+    first = read_versioned(spark, stage, snapshot_id=1)
+    head = read_versioned(spark, stage)
+    return (first.agg(
+        F.count(F.lit(1)).alias("n_first"),
+        F.sum("bal").cast("double").alias("bal_first"))
+        .crossJoin(head.agg(
+            F.count(F.lit(1)).alias("n_head"),
+            F.sum("bal").cast("double").alias("bal_head"))))
+
+
+_IO_VERSIONED_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM customer WHERE c_custkey < 1500) AS n_first,
+  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+   FROM customer WHERE c_custkey < 1500) AS bal_first,
+  (SELECT COUNT(*) FROM customer WHERE c_custkey < 3000) AS n_head,
+  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+   FROM customer WHERE c_custkey < 3000) AS bal_head
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "io_versioned_time_travel": QueryDef(io_versioned_time_travel,
+                                         _IO_VERSIONED_SQL),
     "io_partitioned_roundtrip": QueryDef(io_partitioned_roundtrip,
                                          _IO_PART_SQL),
     "sql_merge_into": QueryDef(
