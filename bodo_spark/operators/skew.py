@@ -34,6 +34,15 @@ def salted_join(
     physical key distribution changes."""
     if salt_n < 1:
         raise ValueError("salt_n must be >= 1")
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "semi", "left_semi", "leftsemi",
+                   "anti", "left_anti", "leftanti"):
+        # right/full joins would emit each unmatched BUILD row once per
+        # salt replica -- wrong multiplicity by construction
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, not {how!r}: "
+            "the replicated build side would duplicate unmatched right "
+            "rows")
     other = [c for c in left.columns if c != on] or [on]
     l = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in other]),

@@ -196,3 +196,15 @@ def test_read_parquet_filters_pushdown(spark):
     exp = exp[(exp.o_totalprice > 100000.0)
               & exp.o_orderstatus.isin(["F", "O"])]
     assert df.count() == len(exp)
+
+
+def test_salted_join_rejects_right_full(spark):
+    import pytest
+    from bodo_spark.operators.skew import salted_join
+    from bodo_spark.queries._util import tbl
+    orders = tbl(spark, SF_DIR, "orders")
+    cust = tbl(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(orders, cust, "o_custkey", how=how)
