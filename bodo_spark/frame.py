@@ -246,6 +246,18 @@ class _StrAccessor:
 
     def casefold(self): return self._wrap(F.lower(self._s._col))
 
+    def partition(self, sep: str = " "):
+        """(head, sep, tail) around the FIRST separator, as a 3-field
+        struct (pandas returns 3 columns; unpack with getField)."""
+        c = self._s._col
+        i = F.instr(c, sep)
+        return self._wrap(F.when(i > 0, F.struct(
+            F.substring(c, 1, i - 1).alias("head"),
+            F.lit(sep).alias("sep"),
+            F.substring(c, i + len(sep), 1 << 30).alias("tail"),
+        )).otherwise(F.struct(c.alias("head"), F.lit("").alias("sep"),
+                              F.lit("").alias("tail"))))
+
     def capitalize(self):
         c = self._s._col
         return self._wrap(F.concat(F.upper(F.substring(c, 1, 1)),

@@ -439,3 +439,14 @@ def test_module_level_merge_to_datetime(spark, bdf):
                        spark=spark)
     ts = bd.to_datetime(s["d"], format="%Y-%m-%d").to_pandas()
     assert str(ts[0]).startswith("2024-03-05")
+
+
+def test_str_partition(spark):
+    pdf_ = pd.DataFrame({"s": ["a-b-c", "nodelim", "-lead", "trail-"]})
+    b = bd.from_pandas(pdf_, spark=spark)
+    got = b["s"].str.partition("-").to_pandas()
+    exp = pdf_["s"].str.partition("-")
+    for i in range(len(pdf_)):
+        assert got[i]["head"] == exp.iloc[i, 0]
+        assert got[i]["sep"] == exp.iloc[i, 1]
+        assert got[i]["tail"] == exp.iloc[i, 2]

@@ -208,3 +208,19 @@ def test_salted_join_rejects_right_full(spark):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(orders, cust, "o_custkey", how=how)
+
+
+def test_jdbc_filter_pushdown(spark, orders, tmp_path_factory):
+    """Filters on a JDBC scan are pushed into the remote query
+    (PushedFilters in the scan node), not evaluated Spark-side."""
+    from pyspark.sql import functions as F
+    url = _derby_url(tmp_path_factory)
+    sub = orders.select("o_orderkey", "o_totalprice").limit(300)
+    bio.to_sql(sub, "orders_f", url, mode="overwrite")
+    df = (bio.read_sql("orders_f", url, spark=spark)
+          .where(F.col("o_totalprice") > 100000.0))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split(
+        "PushedFilters")[1][:200], plan
+    exp = sub.where(F.col("o_totalprice") > 100000.0).count()
+    assert df.count() == exp
