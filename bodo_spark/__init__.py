@@ -16,10 +16,14 @@ from .frame import (  # noqa: F401
     BodoSeries,
     concat,
     from_pandas,
+    merge,
     merge_asof,
     read_csv,
+    read_iceberg,
     read_parquet,
+    to_datetime,
 )
+from .plans import summarize as plan_summary  # noqa: F401
 from .session import get_spark  # noqa: F401
 from .sql import BodoSQLContext  # noqa: F401
 
