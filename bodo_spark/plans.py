@@ -43,6 +43,10 @@ def summarize(df: DataFrame, executed: bool = True) -> PlanSummary:
     an action both forms read the same initial adaptive plan."""
     del executed
     p = df._jdf.queryExecution().executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" sections; keep only the final one or every
+    # count doubles
+    p = p.split("== Initial Plan ==")[0]
     s = PlanSummary()
     s.scans = p.count("FileScan parquet")
     s.scan_tables = sorted({m.group(1) for m in
@@ -52,7 +56,8 @@ def summarize(df: DataFrame, executed: bool = True) -> PlanSummary:
     s.broadcasts = p.count("BroadcastExchange")
     s.sort_merge_joins = p.count("SortMergeJoin")
     s.broadcast_hash_joins = p.count("BroadcastHashJoin")
-    s.wholestage_codegen = p.count("WholeStageCodegen")
+    s.wholestage_codegen = p.count("WholeStageCodegen") \
+        or len(set(re.findall(r"\*\((\d+)\)", p)))
     s.python_evals = (p.count("ArrowEvalPython") + p.count("BatchEvalPython")
                       + p.count("MapInPandas") + p.count("FlatMapGroupsInPandas"))
     s.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
