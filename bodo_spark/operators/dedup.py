@@ -220,6 +220,64 @@ def minhash_lsh_pairs(
             .where(F.col("jaccard") >= threshold))
 
 
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(node, component) labels for the undirected near-dup pair graph:
+    iterative min-label propagation to fixpoint.
+
+    Scale design: each round is one groupBy-min over the edge list
+    (labels hash-join onto edges, shuffle on node id); rounds needed =
+    graph diameter, and near-dup clusters are shallow (pairs/triples --
+    log-diameter even for chains), so this converges in a handful of
+    rounds. Labels persist each round; a count-based convergence check
+    (#changed == 0) bounds the loop. The classic large-graph
+    alternative (large-star/small-star) drops in with the same
+    signature if corpora with deep chains show up."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+             .union(pairs.select(F.col(b_col).alias("u"),
+                                 F.col(a_col).alias("v")))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (edges.select("u").distinct()
+              .select("u", F.col("u").alias("comp"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    for _ in range(max_iter):
+        # candidate label per node: min over own label and neighbors'
+        neigh = (edges.join(labels.withColumnRenamed("u", "v"), "v")
+                 .groupBy("u").agg(F.min("comp").alias("ncomp")))
+        new_labels = (labels.join(neigh, "u", "left")
+                      .select("u", F.least("comp", F.coalesce(
+                          "ncomp", "comp")).alias("comp"))
+                      .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (new_labels.join(labels.withColumnRenamed("comp", "old"),
+                                   "u")
+                   .where(F.col("comp") != F.col("old")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels
+    _PERSISTED.append(out)
+    return out.withColumnRenamed("u", "id")
+
+
+def dedup_survivors(df: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup PAIRS into a deduplicated corpus: group pairs
+    into connected components, keep the lowest id per component, drop
+    the other members. Rows never appearing in a pair survive as-is."""
+    comp = connected_components(pairs)
+    keep = comp.groupBy("comp").agg(F.min("id").alias("keep_id"))
+    drop = (comp.join(keep, "comp")
+            .where(F.col("id") != F.col("keep_id"))
+            .select(F.col("id").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", bits: int = 16, k: int = 3) -> DataFrame:
     """SimHash over word shingles: bit j is the sign of the sum of

@@ -71,6 +71,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # identical md5-derived 60-bit values), mirroring the Spark operator: the
 # set semantics equal the string-shingle sets (collisions ~2^-60, and any
 # collision hits both engines identically).
+_PAIRS_CTE = f"""
+docs AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES} AS sh FROM documents),
+hsets AS (
+  SELECT id, list_distinct(list_transform(sh, s -> {_sql_h60("concat('0|', s)")})) AS hs
+  FROM docs),
+sigs AS (
+  SELECT id, {_sql_minhash(16)} AS sig FROM docs),
+banded AS (
+  SELECT id, unnest({_sql_bands(8, 2)}) AS band_sig FROM sigs),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band_sig = b.band_sig AND a.id < b.id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN hsets da ON cand.id_a = da.id
+            JOIN hsets db ON cand.id_b = db.id
+  WHERE round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.hs, db.hs))), 6) >= 0.5)
+"""
+
 _DEDUP_MINHASH_SQL = f"""
 WITH docs AS (
   SELECT doc_id AS id, {_SQL_SHINGLES} AS sh FROM documents),
@@ -148,7 +169,42 @@ ORDER BY id_a, id_b
 """
 
 
+
+def dedup_resolve_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairs -> corpus: MinHash near-dup pairs grouped into connected
+    components (iterative min-label propagation), one survivor (lowest
+    doc_id) kept per cluster. Surviving doc counts per source. The
+    oracle resolves the same components with a recursive CTE."""
+    d = tbl(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(d, num_perm=16, bands=8, threshold=0.5)
+    surv = D.dedup_survivors(d, pairs, id_col="doc_id")
+    return (surv.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"))
+            .orderBy("source"))
+
+
+_DEDUP_RESOLVE_SQL = f"""
+WITH RECURSIVE {_PAIRS_CTE.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u),
+lbl AS (SELECT u, MIN(comp) AS comp FROM reach GROUP BY u),
+keep AS (SELECT comp, MIN(u) AS keep_id FROM lbl GROUP BY comp),
+drops AS (SELECT u FROM lbl JOIN keep USING (comp) WHERE u <> keep_id)
+SELECT source, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM documents
+WHERE doc_id NOT IN (SELECT u FROM drops)
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dedup_resolve_survivors": QueryDef(dedup_resolve_survivors, _DEDUP_RESOLVE_SQL),
     "dedup_exact_subset": QueryDef(dedup_exact_subset, _DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, _DEDUP_MINHASH_SQL),
     "dedup_simhash": QueryDef(dedup_simhash, _sql_simhash(16)),

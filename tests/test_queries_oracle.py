@@ -41,3 +41,21 @@ def test_dedup_unpersist_cached_releases(spark):
     plan.count()
     assert dd.unpersist_cached() == 1
     assert not dd._PERSISTED
+
+
+def test_connected_components_and_survivors(spark):
+    """Chains collapse into one component (a-b, b-c, c-d); isolated
+    pairs stay separate; survivors keep exactly one doc per cluster."""
+    import pandas as pd
+    from bodo_spark.operators.dedup import (connected_components,
+                                            dedup_survivors)
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [1, 2, 3, 10], "id_b": [2, 3, 4, 11]}))
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 10, 11, 99]}))
+    surv = sorted(r.doc_id for r in
+                  dedup_survivors(docs, pairs).collect())
+    assert surv == [1, 10, 99]
