@@ -302,6 +302,46 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     return agg.select("id", fp.cast("bigint").alias("simhash"))
 
 
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 16, k: int = 3,
+                  bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Candidate generation uses the pigeonhole principle: split the
+    ``bits``-bit fingerprint into ``bands`` equal slices -- any pair
+    within ``bands - 1`` bit flips matches EXACTLY on at least one
+    slice, so candidates come from ``bands`` cheap equi-joins on slice
+    values (never all-pairs). Verification is bit_count(xor) on the
+    full fingerprint. Requires max_hamming < bands for the recall
+    guarantee."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    fp = simhash64(df, id_col, text_col, bits=bits, k=k)
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("val"))
+        for b in range(bands)])
+    banded = (fp.select("id", "simhash",
+                        F.explode(slices).alias("s"))
+              .select("id", "simhash", F.col("s.band").alias("band"),
+                      F.col("s.val").alias("val")))
+    a = banded.select(F.col("id").alias("id_a"),
+                      F.col("simhash").alias("fp_a"), "band", "val")
+    b = banded.select(F.col("id").alias("id_b"),
+                      F.col("simhash").alias("fp_b"), "band", "val")
+    cand = (a.join(b, ["band", "val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "fp_a", "fp_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.select("id_a", "id_b",
+                        ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

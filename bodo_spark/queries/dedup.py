@@ -203,7 +203,50 @@ GROUP BY source ORDER BY source
 """
 
 
+
+def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash Hamming-distance pairs (<=3 of 16 bits) with pigeonhole
+    band blocking (operators/dedup.simhash_pairs): candidates from 4
+    exact band joins, verified by bit_count(xor)."""
+    d = tbl(spark, sf, "documents")
+    return (D.simhash_pairs(d, bits=16, bands=4, max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
+def _sql_simhash_pairs(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits))
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)"
+                    for j in range(bits))
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES} AS sh FROM documents),
+hashes AS (
+  SELECT id, {_sql_h60('s')} AS h
+  FROM (SELECT id, unnest(sh) AS s FROM docs) t),
+votes AS (
+  SELECT id, {votes} FROM hashes GROUP BY id),
+fps AS (
+  SELECT id, CAST({fp} AS BIGINT) AS simhash FROM votes),
+banded AS (
+  SELECT id, simhash, b.band,
+         (simhash >> (b.band * 4)) & 15 AS val
+  FROM fps, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS fp_a, b.simhash AS fp_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.id < b.id)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, _sql_simhash_pairs(16)),
     "dedup_resolve_survivors": QueryDef(dedup_resolve_survivors, _DEDUP_RESOLVE_SQL),
     "dedup_exact_subset": QueryDef(dedup_exact_subset, _DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, _DEDUP_MINHASH_SQL),

@@ -59,3 +59,15 @@ def test_connected_components_and_survivors(spark):
     surv = sorted(r.doc_id for r in
                   dedup_survivors(docs, pairs).collect())
     assert surv == [1, 10, 99]
+
+
+def test_simhash_pairs_pigeonhole_guard(spark):
+    import pytest
+    from bodo_spark.operators.dedup import simhash_pairs
+    from bodo_spark.queries._util import tbl
+    d = tbl(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(d, bands=4, max_hamming=4)
+    # identical docs (planted dupes) must appear with hamming 0
+    got = simhash_pairs(d.limit(200), bands=4, max_hamming=3).collect()
+    assert all(r.hamming <= 3 for r in got)
