@@ -535,6 +535,18 @@ class BodoDataFrame:
         return BodoDataFrame(out)
 
     # -- dedup / set ops
+    def drop_near_duplicates(self, id_col: str, text_col: str,
+                             threshold: float = 0.5,
+                             **minhash_kw) -> "BodoDataFrame":
+        """One-call near-dup removal: MinHash+LSH pairs -> connected
+        components -> keep the lowest id per cluster (operators/dedup).
+        The corpus-dedup primitive as a frame method."""
+        from .operators.dedup import dedup_survivors, minhash_lsh_pairs
+        pairs = minhash_lsh_pairs(self._df, id_col=id_col,
+                                  text_col=text_col,
+                                  threshold=threshold, **minhash_kw)
+        return BodoDataFrame(dedup_survivors(self._df, pairs, id_col))
+
     def drop_duplicates(self, subset: list[str] | None = None) -> "BodoDataFrame":
         return BodoDataFrame(self._df.dropDuplicates(subset))
 

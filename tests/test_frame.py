@@ -450,3 +450,12 @@ def test_str_partition(spark):
         assert got[i]["head"] == exp.iloc[i, 0]
         assert got[i]["sep"] == exp.iloc[i, 1]
         assert got[i]["tail"] == exp.iloc[i, 2]
+
+
+def test_drop_near_duplicates(spark):
+    docs = bd.read_parquet(f"{SF_DIR}/documents.parquet", spark=spark)
+    surv = docs.drop_near_duplicates("doc_id", "text")
+    n_docs, n_surv = len(docs), len(surv)
+    assert 0 < n_surv <= n_docs
+    # surviving frame keeps the full schema and contains no dropped ids
+    assert surv.columns == docs.columns
