@@ -184,6 +184,16 @@ class BodoSeries:
             F.weekofyear(c).alias("week"),
             iso_dow.alias("day")))
 
+    def nlargest(self, n: int = 5) -> pd.Series:
+        return (self._frame._df.select(self._col.alias(self.name))
+                .orderBy(F.col(self.name).desc()).limit(n)
+                .toPandas()[self.name])
+
+    def nsmallest(self, n: int = 5) -> pd.Series:
+        return (self._frame._df.select(self._col.alias(self.name))
+                .orderBy(F.col(self.name).asc()).limit(n)
+                .toPandas()[self.name])
+
     def value_counts(self) -> "BodoDataFrame":
         out = (self._frame._df.groupBy(self._col.alias(self.name))
                .agg(F.count(F.lit(1)).alias("count"))
@@ -283,6 +293,37 @@ class _StrAccessor:
     def count(self, pat):
         return self._wrap(F.regexp_count(self._s._col, F.lit(pat))
                           .cast("long"))
+
+    def ljust(self, width, fillchar=" "):
+        return self._wrap(F.rpad(self._s._col, width, fillchar))
+
+    def rjust(self, width, fillchar=" "):
+        return self._wrap(F.lpad(self._s._col, width, fillchar))
+
+    def center(self, width, fillchar=" "):
+        c = self._s._col
+        left = (F.lit(width) - F.length(c)) / 2
+        return self._wrap(F.rpad(
+            F.lpad(c, (F.length(c) + F.floor(left)).cast("int"), fillchar),
+            width, fillchar))
+
+    def removeprefix(self, prefix: str):
+        c = self._s._col
+        return self._wrap(F.when(
+            c.startswith(prefix),
+            F.substring(c, len(prefix) + 1, 1 << 30)).otherwise(c))
+
+    def removesuffix(self, suffix: str):
+        c = self._s._col
+        return self._wrap(F.when(
+            c.endswith(suffix),
+            F.substring(c, 1, F.length(c) - len(suffix))).otherwise(c))
+
+    def slice_replace(self, start: int, stop: int, repl: str):
+        c = self._s._col
+        return self._wrap(F.concat(
+            F.substring(c, 1, start), F.lit(repl),
+            F.substring(c, stop + 1, 1 << 30)))
 
     def rsplit(self, pat=" ", n=1):
         """Split from the right: reverse, split on reversed pat, reverse
@@ -798,6 +839,15 @@ class BodoGroupBy:
         out = self._FN[fn](F.col(col)).over(w)
         return BodoDataFrame(self._frame._df.withColumn(
             f"{col}_{fn}", out))
+
+    def head(self, n: int, order_by: str) -> BodoDataFrame:
+        """First ``n`` rows per group under an EXPLICIT ordering
+        (pandas keeps insertion order; a distributed frame has none) --
+        planned as WindowGroupLimit, no full sort."""
+        w = W.partitionBy(*self._keys).orderBy(order_by)
+        return BodoDataFrame(
+            self._frame._df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n).drop("__rn"))
 
     def cumsum(self, col: str, order_by: str) -> BodoDataFrame:
         """Distributed cumulative sum (reference MPI_Exscan path,

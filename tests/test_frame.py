@@ -459,3 +459,28 @@ def test_drop_near_duplicates(spark):
     assert 0 < n_surv <= n_docs
     # surviving frame keeps the full schema and contains no dropped ids
     assert surv.columns == docs.columns
+
+
+def test_str_justify_affix_helpers(spark):
+    pdf_ = pd.DataFrame({"s": ["ab", "hello", "x"]})
+    b = bd.from_pandas(pdf_, spark=spark)
+    cases = [("ljust", (7, ".")), ("rjust", (7, ".")), ("center", (8, "-")),
+             ("removeprefix", ("he",)), ("removesuffix", ("lo",)),
+             ("slice_replace", (1, 3, "Z"))]
+    for meth, args in cases:
+        got = list(getattr(b["s"].str, meth)(*args).to_pandas())
+        exp = list(getattr(pdf_["s"].str, meth)(*args))
+        assert got == exp, meth
+
+
+def test_series_nlargest_groupby_head(bdf, pdf):
+    got = sorted(bdf["o_totalprice"].nlargest(5))
+    exp = sorted(pdf["o_totalprice"].nlargest(5))
+    assert got == exp
+    assert sorted(bdf["o_totalprice"].nsmallest(3)) == \
+        sorted(pdf["o_totalprice"].nsmallest(3))
+    h = (bdf.groupby("o_orderstatus").head(2, order_by="o_orderkey")
+         .to_pandas())
+    exp_h = (pdf.sort_values("o_orderkey").groupby("o_orderstatus")
+             .head(2))
+    assert sorted(h["o_orderkey"]) == sorted(exp_h["o_orderkey"])
