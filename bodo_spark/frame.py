@@ -126,6 +126,17 @@ class BodoSeries:
         """reference series.py:1355 (t-digest approx / exact); exact here."""
         return self._agg(lambda c: F.expr(f"percentile({self.name}, {q})"))
 
+    def any(self): return bool(self._agg(F.bool_or))
+    def all(self): return bool(self._agg(F.bool_and))
+
+    def mode(self):
+        """Most frequent value, deterministic ties (lowest value wins)."""
+        row = (self._frame._df.groupBy(self._col.alias(self.name))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.col("n").desc(), F.col(self.name))
+               .limit(1).collect())
+        return row[0][self.name] if row else None
+
     def prod(self):
         """reference Series.prod (series.py)."""
         return self._agg(lambda c: F.product(c))
@@ -699,6 +710,27 @@ class BodoDataFrame:
     # -- stats
     def describe(self, cols: list[str] | None = None) -> pd.DataFrame:
         return self._df.describe(*(cols or [])).toPandas()
+
+    def corr_matrix(self, cols: list[str]) -> pd.DataFrame:
+        """Pairwise Pearson correlations as a square pandas matrix --
+        all n*(n-1)/2 pairs in ONE aggregation pass."""
+        return self._pair_matrix(cols, F.corr)
+
+    def cov_matrix(self, cols: list[str]) -> pd.DataFrame:
+        """Pairwise sample covariances (one pass; diagonal = variance)."""
+        return self._pair_matrix(cols, F.covar_samp)
+
+    def _pair_matrix(self, cols: list[str], fn) -> pd.DataFrame:
+        aggs = [fn(F.col(a), F.col(b)).alias(f"{i}_{j}")
+                for i, a in enumerate(cols)
+                for j, b in enumerate(cols) if i <= j]
+        row = self._df.agg(*aggs).collect()[0]
+        import numpy as np
+        m = np.empty((len(cols), len(cols)))
+        for i in range(len(cols)):
+            for j in range(len(cols)):
+                m[i, j] = row[f"{min(i, j)}_{max(i, j)}"]
+        return pd.DataFrame(m, index=cols, columns=cols)
 
     def freq_items(self, cols: list[str], support: float = 0.01) -> dict:
         """Heavy hitters per column (Karp-Papadimitriou-Shenker single

@@ -484,3 +484,19 @@ def test_series_nlargest_groupby_head(bdf, pdf):
     exp_h = (pdf.sort_values("o_orderkey").groupby("o_orderstatus")
              .head(2))
     assert sorted(h["o_orderkey"]) == sorted(exp_h["o_orderkey"])
+
+
+def test_series_any_all_mode_and_matrices(spark, bdf, pdf):
+    import numpy as np
+    b = bd.from_pandas(pd.DataFrame({"f": [True, False, True]}),
+                       spark=spark)
+    assert b["f"].any() is True and b["f"].all() is False
+    assert bdf["o_orderpriority"].mode() == \
+        sorted(pdf["o_orderpriority"].mode())[0]
+    cols = ["o_totalprice", "o_custkey", "o_orderkey"]
+    got = bdf.corr_matrix(cols)
+    exp = pdf[cols].corr()
+    assert np.allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-9)
+    gotc = bdf.cov_matrix(cols)
+    expc = pdf[cols].cov()
+    assert np.allclose(gotc.to_numpy(), expc.to_numpy(), rtol=1e-9)
