@@ -149,24 +149,29 @@ class BodoSeries:
              .rowsBetween(W.unboundedPreceding, W.currentRow))
         return BodoSeries(self._frame, F.sum(self._col).over(w), self.name)
 
-    def shift(self, periods: int = 1, order_by: str | None = None
-              ) -> "BodoSeries":
+    def shift(self, periods: int = 1, order_by: str | None = None,
+              partition_by: str | None = None) -> "BodoSeries":
         """Lag/lead over an EXPLICIT ordering (no implicit row order on
-        a distributed frame)."""
+        a distributed frame). Without ``partition_by`` the window is a
+        single task -- fine for small frames, pass a key at scale."""
         if order_by is None:
             raise ValueError("shift() needs order_by=<col>: distributed "
                              "frames have no implicit row order")
-        w = W.orderBy(order_by)
+        w = (W.partitionBy(partition_by) if partition_by else W) \
+            .orderBy(order_by)
         fn = F.lag(self._col, periods) if periods >= 0 \
             else F.lead(self._col, -periods)
         return BodoSeries(self._frame, fn.over(w), self.name)
 
     def rank(self, method: str = "average",
-             order_by: str | None = None) -> "BodoSeries":
+             order_by: str | None = None,
+             partition_by: str | None = None) -> "BodoSeries":
         """pandas Series.rank over the value itself ('average', 'min',
         'dense', 'first'). 'first' additionally needs ``order_by`` as
-        the tiebreaker ordering."""
-        w = W.orderBy(self._col)
+        the tiebreaker; ``partition_by`` scopes the ranking per group
+        (the scale path -- a global rank is a single-task sort)."""
+        base = W.partitionBy(partition_by) if partition_by else W
+        w = base.orderBy(self._col)
         if method == "min":
             r = F.rank().over(w)
         elif method == "dense":
@@ -174,12 +179,13 @@ class BodoSeries:
         elif method == "first":
             if order_by is None:
                 raise ValueError("rank(method='first') needs order_by")
-            r = F.row_number().over(W.orderBy(self._col, order_by))
+            r = F.row_number().over(base.orderBy(self._col, order_by))
         elif method == "average":
             # average of the positions a tied value occupies:
             # rank + (count(==value) - 1) / 2
             cnt = F.count(F.lit(1)).over(
-                W.partitionBy(self._col))
+                W.partitionBy(*( [partition_by] if partition_by else []),
+                              self._col))
             r = (F.rank().over(w) + (cnt - 1) / 2.0)
         else:
             raise ValueError(f"unsupported rank method {method!r}")

@@ -500,3 +500,19 @@ def test_series_any_all_mode_and_matrices(spark, bdf, pdf):
     gotc = bdf.cov_matrix(cols)
     expc = pdf[cols].cov()
     assert np.allclose(gotc.to_numpy(), expc.to_numpy(), rtol=1e-9)
+
+
+def test_shift_rank_partitioned(bdf, pdf):
+    got = (bdf.assign(sh=bdf["o_totalprice"].shift(
+        1, order_by="o_orderkey", partition_by="o_orderstatus"))
+        .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    exp["sh"] = exp.groupby("o_orderstatus")["o_totalprice"].shift(1)
+    assert (got["sh"].fillna(-1).round(6)
+            == exp["sh"].fillna(-1).round(6)).all()
+    gotr = (bdf.assign(r=bdf["o_totalprice"].rank(
+        method="min", partition_by="o_orderstatus"))
+        .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp["r"] = (exp.groupby("o_orderstatus")["o_totalprice"]
+                .rank(method="min"))
+    assert (gotr["r"] == exp["r"]).all()
