@@ -752,6 +752,20 @@ class BodoDataFrame:
         mergeable -- the scale path; Series.quantile is the exact one)."""
         return self._df.approxQuantile(col, probs, rel_err)
 
+    def hll_sketch(self, col: str, lg_k: int = 12) -> bytes:
+        """Mergeable DataSketches HLL sketch of a column (the engine
+        analogue of the reference's theta-sketch NDV family): build
+        once, union across shards/days with hll_union, estimate
+        anywhere. Returns the serialized sketch."""
+        return self._df.agg(
+            F.hll_sketch_agg(col, F.lit(lg_k)).alias("s")).collect()[0]["s"]
+
+    def approx_nunique_sketch(self, col: str, lg_k: int = 12) -> int:
+        """NDV estimate via the HLL sketch (single pass, mergeable)."""
+        row = self._df.agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg(col, F.lit(lg_k))).alias("n")).collect()[0]
+        return int(row["n"])
+
     # -- materialization / sinks
     def to_pandas(self) -> pd.DataFrame:
         return self._df.toPandas()

@@ -516,3 +516,19 @@ def test_shift_rank_partitioned(bdf, pdf):
     exp["r"] = (exp.groupby("o_orderstatus")["o_totalprice"]
                 .rank(method="min"))
     assert (gotr["r"] == exp["r"]).all()
+
+
+def test_hll_sketch_ndv(spark, bdf, pdf):
+    from pyspark.sql import functions as F
+    exact = pdf["o_custkey"].nunique()
+    est = bdf.approx_nunique_sketch("o_custkey")
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # sketches are mergeable: union of two half-sketches == whole estimate
+    lo = bdf[bdf["o_custkey"] < 1000]
+    hi = bdf[bdf["o_custkey"] >= 1000]
+    s_lo, s_hi = lo.hll_sketch("o_custkey"), hi.hll_sketch("o_custkey")
+    merged = spark.createDataFrame(
+        [(bytearray(s_lo),), (bytearray(s_hi),)], "s binary").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("s")).alias("n")
+    ).collect()[0]["n"]
+    assert abs(int(merged) - exact) / exact < 0.05
