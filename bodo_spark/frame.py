@@ -66,7 +66,23 @@ class BodoSeries:
     def __ge__(self, o): return self._bin(o, lambda a, b: a >= b)
     def __and__(self, o): return self._bin(o, lambda a, b: a & b)
     def __or__(self, o): return self._bin(o, lambda a, b: a | b)
+    def __xor__(self, o):
+        return self._bin(o, lambda a, b: a.cast("boolean") != b.cast("boolean"))
+    def __floordiv__(self, o):
+        return self._bin(o, lambda a, b: F.floor(a / b))
+    def __rfloordiv__(self, o):
+        return self._bin(o, lambda a, b: F.floor(b / a))
+    def __pow__(self, o): return self._bin(o, lambda a, b: F.pow(a, b))
+    def __rpow__(self, o): return self._bin(o, lambda a, b: F.pow(b, a))
     def __invert__(self): return BodoSeries(self._frame, ~self._col, self.name)
+
+    def clip(self, lower=None, upper=None) -> "BodoSeries":
+        c = self._col
+        if lower is not None:
+            c = F.greatest(c, F.lit(lower))
+        if upper is not None:
+            c = F.least(c, F.lit(upper))
+        return BodoSeries(self._frame, c, self.name)
 
     # -- pandas Series API subset
     def isin(self, values) -> "BodoSeries":

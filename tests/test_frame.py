@@ -532,3 +532,17 @@ def test_hll_sketch_ndv(spark, bdf, pdf):
         F.hll_sketch_estimate(F.hll_union_agg("s")).alias("n")
     ).collect()[0]["n"]
     assert abs(int(merged) - exact) / exact < 0.05
+
+
+def test_series_floordiv_pow_clip(bdf, pdf):
+    import numpy as np
+    got = (bdf.assign(fd=bdf["o_custkey"] // 7,
+                      pw=bdf["o_custkey"] % 5 ** 1 * 1.0,
+                      p2=(bdf["o_custkey"] % 4) ** 2,
+                      cl=bdf["o_totalprice"].clip(50000.0, 300000.0))
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    exp = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    assert (got["fd"] == exp["o_custkey"] // 7).all()
+    assert (got["p2"] == (exp["o_custkey"] % 4) ** 2).all()
+    assert np.allclose(got["cl"],
+                       exp["o_totalprice"].clip(50000.0, 300000.0))
