@@ -32,6 +32,37 @@ def test_jaro_winkler_matches_duckdb_random():
         assert jaro_winkler(a, b) == pytest.approx(exp, abs=1e-12), (a, b)
 
 
+def test_jaro_winkler_batch_matches_scalar():
+    """The vectorized batch path is differential-tested against the
+    scalar reference (itself DuckDB-validated) across alphabets, length
+    skew, unicode, NULLs, and the 1-char/identical edge cases."""
+    import random
+
+    import numpy as np
+
+    from bodo_spark.functions.snowflake import jaro_winkler_batch
+
+    rng = random.Random(123)
+    pairs = []
+    for alpha in ("abcdef", "αβγδεζ", "abcdefghijklmnopqrstuvwxyz"):
+        for _ in range(500):
+            pairs.append((
+                "".join(rng.choices(alpha, k=rng.randint(0, 20))),
+                "".join(rng.choices(alpha, k=rng.randint(0, 20)))))
+    pairs += [("a", "a"), ("", ""), ("a", "b"), ("ab", "ba"),
+              ("martha", "marhta"), (None, "x"), ("x", None),
+              ("héllo", "hello"), ("same", "same"), (float("nan"), "q")]
+    rng.shuffle(pairs)
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    got = jaro_winkler_batch(a, b)
+    for i, (x, y) in enumerate(pairs):
+        if not isinstance(x, str) or not isinstance(y, str):
+            assert np.isnan(got[i])
+        else:
+            assert got[i] == pytest.approx(jaro_winkler(x, y), abs=1e-12), (x, y)
+
+
 def test_sql_fns_registered(spark):
     from bodo_spark.functions import register_snowflake_fns
     register_snowflake_fns(spark)
