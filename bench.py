@@ -82,6 +82,15 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         sc.setJobGroup("", "")
         stats[name] = _job_group_stats(spark, name)
+        # Release operator-cached blocks AFTER the timed run: persisted
+        # intermediates (dedup signature frame etc.) otherwise accumulate
+        # across the session and contend with later queries' execution
+        # memory -- at 10x data (tools/scale_testdata.py) that measurably
+        # inflated later entries. Outside the timer: each query's own
+        # persist benefit is part of its measured cost, the residue not.
+        from bodo_spark.operators.dedup import unpersist_cached
+        unpersist_cached()
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
