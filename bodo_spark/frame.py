@@ -908,6 +908,33 @@ class BodoGroupBy:
         return BodoDataFrame(self._frame._df.withColumn(
             f"{col}_{fn}", out))
 
+    def idxmin(self, col: str, index_col: str) -> BodoDataFrame:
+        """pandas groupby.idxmin (reference groupby ftype idxmin): the
+        ``index_col`` value at each group's minimum of ``col``. pandas
+        uses the implicit index; a distributed frame has none, so the
+        index column is explicit. One hash aggregate (min_by)."""
+        return BodoDataFrame(self._frame._df.groupBy(*self._keys).agg(
+            F.min_by(index_col, col).alias(f"{col}_idxmin")))
+
+    def idxmax(self, col: str, index_col: str) -> BodoDataFrame:
+        """pandas groupby.idxmax (reference groupby ftype idxmax)."""
+        return BodoDataFrame(self._frame._df.groupBy(*self._keys).agg(
+            F.max_by(index_col, col).alias(f"{col}_idxmax")))
+
+    def ngroup(self) -> BodoDataFrame:
+        """pandas groupby.ngroup (reference ftype ngroup): each row
+        tagged with its group's ordinal, groups numbered by key order
+        (pandas numbers by first appearance -- meaningless on an
+        unordered distributed frame, so key order is the documented
+        contract). Scale path: the enumeration window runs over the
+        DISTINCT-keys frame only (#groups rows, not #rows), then hash
+        joins back; the full frame is never single-tasked."""
+        keys = self._keys
+        groups = (self._frame._df.select(*keys).distinct()
+                  .withColumn("ngroup",
+                              F.dense_rank().over(W.orderBy(*keys)) - 1))
+        return BodoDataFrame(self._frame._df.join(groups, keys))
+
     def head(self, n: int, order_by: str) -> BodoDataFrame:
         """First ``n`` rows per group under an EXPLICIT ordering
         (pandas keeps insertion order; a distributed frame has none) --

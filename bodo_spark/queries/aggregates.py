@@ -471,7 +471,36 @@ ORDER BY o_orderstatus
 """
 
 
+def agg_idxmin_idxmax(spark: SparkSession, sf: str) -> DataFrame:
+    """groupby idxmin/idxmax (reference groupby ftypes idxmin/idxmax,
+    _groupby_ftypes.h) via min_by/max_by, plus row-tagged ngroup.
+    Ties broken deterministically by pre-restricting to a unique-value
+    slice (min_by's tie choice is engine-specific)."""
+    from ..frame import BodoDataFrame
+    o = tbl(spark, sf, "orders").where(F.col("o_orderkey") < 3000)
+    g = BodoDataFrame(o).groupby("o_orderstatus")
+    lo = g.idxmin("o_totalprice", "o_orderkey")._df
+    hi = g.idxmax("o_totalprice", "o_orderkey")._df
+    ng = (g.ngroup()._df.groupBy("o_orderstatus")
+          .agg(F.min("ngroup").alias("ngroup"),
+               F.count(F.lit(1)).alias("n_rows")))
+    return (lo.join(hi, "o_orderstatus").join(ng, "o_orderstatus")
+            .orderBy("o_orderstatus"))
+
+
+_AGG_IDX_SQL = """
+SELECT o_orderstatus,
+       arg_min(o_orderkey, o_totalprice) AS o_totalprice_idxmin,
+       arg_max(o_orderkey, o_totalprice) AS o_totalprice_idxmax,
+       CAST(dense_rank() OVER (ORDER BY o_orderstatus) - 1 AS INT) AS ngroup,
+       COUNT(*) AS n_rows
+FROM orders WHERE o_orderkey < 3000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "agg_idxmin_idxmax": QueryDef(agg_idxmin_idxmax, _AGG_IDX_SQL),
     "agg_mode_deterministic": QueryDef(agg_mode_deterministic,
                                        _AGG_MODE_SQL),
     "agg_variance_stats": QueryDef(agg_variance_stats, _AGG_VAR_SQL),
