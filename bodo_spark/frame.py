@@ -21,6 +21,7 @@ parts":
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable, Iterable, Mapping
 
 import pandas as pd
@@ -327,6 +328,79 @@ class _StrAccessor:
         return self._wrap(F.regexp_count(self._s._col, F.lit(pat))
                           .cast("long"))
 
+    def match(self, pat):
+        """pandas str.match: regex anchored at the START only."""
+        return self._wrap(self._s._col.rlike(f"^(?:{pat})"))
+
+    def fullmatch(self, pat):
+        return self._wrap(self._s._col.rlike(f"^(?:{pat})$"))
+
+    def findall(self, pat):
+        # group 0 = whole match, pandas' no-capture-group behavior
+        return self._wrap(F.regexp_extract_all(self._s._col, F.lit(pat),
+                                               F.lit(0)))
+
+    def translate(self, table: dict[int, str | int | None]):
+        """pandas str.translate with a {ord: replacement} map. Spark's
+        translate() is strictly char->char and drops chars whose
+        replacement is missing (pandas keeps unmapped chars), so the
+        map is decomposed: 1-char targets batch through translate(),
+        multi-char targets chain through replace(), None targets strip
+        via one regexp."""
+        src = dst = dele = ""
+        multi: list[tuple[str, str]] = []
+        for k, v in table.items():
+            if v is None:
+                dele += chr(k)
+                continue
+            v = v if isinstance(v, str) else chr(v)
+            if len(v) == 1:
+                src += chr(k)
+                dst += v
+            else:
+                multi.append((chr(k), v))
+        c = self._s._col
+        if dele:
+            c = F.regexp_replace(c, "[" + re.escape(dele) + "]", "")
+        if src:
+            c = F.translate(c, src, dst)
+        for ch, v in multi:
+            c = F.replace(c, F.lit(ch), F.lit(v))
+        return self._wrap(c)
+
+    def rfind(self, sub: str):
+        """Highest 0-based index of ``sub`` (-1 if absent): position of
+        the reversed needle in the reversed haystack, flipped back."""
+        c = self._s._col
+        rpos = F.instr(F.reverse(c), sub[::-1])
+        return self._wrap(F.when(rpos > 0,
+                                 F.length(c) - rpos - len(sub) + 1)
+                          .otherwise(F.lit(-1)))
+
+    def rpartition(self, sep: str = " "):
+        """(head, sep, tail) around the LAST separator; no-separator
+        rows put the whole string in TAIL (pandas mirror of partition)."""
+        c = self._s._col
+        rpos = F.instr(F.reverse(c), sep[::-1])
+        i = F.length(c) - rpos - len(sep) + 2  # 1-based sep start
+        return self._wrap(F.when(rpos > 0, F.struct(
+            F.substring(c, 1, i - 1).alias("head"),
+            F.lit(sep).alias("sep"),
+            F.substring(c, i + len(sep), 1 << 30).alias("tail"),
+        )).otherwise(F.struct(F.lit("").alias("head"),
+                              F.lit("").alias("sep"), c.alias("tail"))))
+
+    def isnumeric(self): return self._wrap(self._s._col.rlike("^[0-9]+$"))
+
+    def istitle(self):
+        """Whitespace-word titlecase (initcap's word model); pandas
+        additionally treats non-alpha boundaries as word starts."""
+        c = self._s._col
+        return self._wrap((c == F.initcap(F.lower(c))) & c.rlike("[A-Za-z]"))
+
+    def encode(self, encoding: str = "utf-8"):
+        return self._wrap(F.encode(self._s._col, encoding))
+
     def ljust(self, width, fillchar=" "):
         return self._wrap(F.rpad(self._s._col, width, fillchar))
 
@@ -467,6 +541,65 @@ class _DtAccessor:
     def normalize(self):
         """Midnight-floor (pandas dt.normalize)."""
         return self._wrap(F.date_trunc("day", self._s._col))
+
+    @property
+    def is_quarter_start(self):
+        c = self._s._col
+        return self._wrap(F.to_date(c)
+                          == F.to_date(F.date_trunc("quarter", c)))
+
+    @property
+    def is_quarter_end(self):
+        c = self._s._col
+        return self._wrap(F.to_date(c) == F.date_sub(
+            F.add_months(F.to_date(F.date_trunc("quarter", c)), 3), 1))
+
+    @property
+    def is_year_start(self):
+        c = self._s._col
+        return self._wrap((F.month(c) == 1) & (F.dayofmonth(c) == 1))
+
+    @property
+    def is_year_end(self):
+        c = self._s._col
+        return self._wrap((F.month(c) == 12) & (F.dayofmonth(c) == 31))
+
+    @property
+    def is_leap_year(self):
+        y = F.year(self._s._col)
+        return self._wrap((y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0)))
+
+    @property
+    def microsecond(self):
+        # microseconds within the second, 0..999999 (pandas semantics;
+        # pmod keeps pre-epoch timestamps positive)
+        return self._wrap(F.pmod(F.unix_micros(self._s._col), 1_000_000))
+
+    def ceil(self, freq: str):
+        """Ceiling to a unit boundary: floor, then bump non-exact values
+        one unit (pandas dt.ceil)."""
+        unit = {"D": "day", "H": "hour", "T": "minute", "min": "minute",
+                "S": "second"}[freq]
+        step = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[unit]
+        c = self._s._col
+        fl = F.date_trunc(unit, c)
+        return self._wrap(F.when(c == fl, c).otherwise(
+            F.timestamp_seconds(F.unix_timestamp(fl) + step)))
+
+    def round(self, freq: str):
+        """Round-half-even to a unit boundary (pandas dt.round)."""
+        unit = {"D": "day", "H": "hour", "T": "minute", "min": "minute",
+                "S": "second"}[freq]
+        step = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[unit]
+        c = self._s._col
+        us = F.unix_micros(c)
+        half = step * 1_000_000 // 2
+        down = (us / (step * 1_000_000)).cast("long")
+        rem = us - down * step * 1_000_000
+        up_even = F.when((rem > half)
+                         | ((rem == half) & (down % 2 == 1)), down + 1) \
+            .otherwise(down)
+        return self._wrap(F.timestamp_seconds(up_even * step))
 
     def isocalendar(self) -> "BodoDataFrame":
         return BodoSeries(self._s._frame, self._s._col,

@@ -405,6 +405,56 @@ def test_dt_accessor_breadth(bdf, pdf):
         assert sorted(map(str, got)) == sorted(map(str, exp)), name
 
 
+def test_str_accessor_regex_and_positional(spark):
+    pdf_ = pd.DataFrame({"s": ["Hello World", "abc-def-ghi", "123",
+                               "no sep here", "a-b", "xyzxyz"]})
+    b = bd.from_pandas(pdf_, spark=spark)
+    for meth, args in [("match", ("[a-z]+",)), ("fullmatch", ("[a-z ]+",)),
+                       ("rfind", ("-",)), ("isnumeric", ()),
+                       ("istitle", ())]:
+        got = getattr(b["s"].str, meth)(*args).to_pandas()
+        exp = getattr(pdf_["s"].str, meth)(*args)
+        assert list(got) == list(exp), (meth, list(got), list(exp))
+    got = b["s"].str.findall("[a-z]+").to_pandas()
+    exp = pdf_["s"].str.findall("[a-z]+")
+    assert [list(g) for g in got] == [list(e) for e in exp]
+    tbl_map = str.maketrans({"a": "A", "-": None, "1": "one"})
+    got = b["s"].str.translate(tbl_map).to_pandas()
+    exp = pdf_["s"].str.translate(tbl_map)
+    assert list(got) == list(exp)
+    got = b["s"].str.rpartition("-").to_pandas()
+    exp = pdf_["s"].str.rpartition("-")
+    for i in range(len(pdf_)):
+        assert (got[i]["head"], got[i]["sep"], got[i]["tail"]) \
+            == tuple(exp.iloc[i]), i
+    got = b["s"].str.encode("utf-8").to_pandas()
+    exp = pdf_["s"].str.encode("utf-8")
+    assert [bytes(g) for g in got] == list(exp)
+
+
+def test_dt_accessor_boundaries(spark):
+    d = pd.to_datetime(pd.Series(
+        ["2020-01-01 00:00:00", "2020-03-31 23:59:59.123456",
+         "2021-12-31 10:30:00", "2024-02-29 12:00:00.5",
+         "2023-04-01 00:00:00", "2022-06-30 07:45:30"]), format="mixed")
+    pdf_ = pd.DataFrame({"t": d})
+    b = bd.from_pandas(pdf_, spark=spark)
+    for prop in ("is_quarter_start", "is_quarter_end", "is_year_start",
+                 "is_year_end", "is_leap_year", "microsecond"):
+        got = getattr(b["t"].dt, prop).to_pandas()
+        exp = getattr(d.dt, prop)
+        assert list(got) == list(exp), (prop, list(got), list(exp))
+    for freq in ("H", "D"):
+        got = pd.to_datetime(b["t"].dt.ceil(freq).to_pandas(),
+                             format="mixed")
+        exp = d.dt.ceil(freq.replace("H", "h").replace("D", "D"))
+        assert list(got) == list(exp), ("ceil", freq)
+        got = pd.to_datetime(b["t"].dt.round(freq).to_pandas(),
+                             format="mixed")
+        exp = d.dt.round(freq.replace("H", "h"))
+        assert list(got) == list(exp), ("round", freq, list(got), list(exp))
+
+
 def test_groupby_filter(bdf, pdf):
     got = (bdf.groupby("o_orderpriority")
            .filter(lambda g: g["o_totalprice"].mean() > 150000)
