@@ -463,6 +463,41 @@ SNOWFLAKE_SQL_FNS.update({
                      "next_day(date_sub(d, 8), dow)"),
 })
 
+# conversion phase 4 (reference snowflake_conversion_array_kernels.py
+# to_time/timestamp_from_parts/to_char-numeric). TIME values follow the
+# repo-wide model (SURVEY 1.4: no Spark TIME type) as 1970-01-01
+# timestamps -- same convention as TIME_FROM_PARTS/TIME_SLICE above.
+SNOWFLAKE_SQL_FNS.update({
+    # _SF suffix: Spark 4.1 reserves to_time/try_to_time for its TIME
+    # type, which is present but disabled (UNSUPPORTED_TIME_TYPE), and
+    # builtin names cannot be shadowed by SQL UDFs -- same convention as
+    # TO_DATE_SF/TO_TIMESTAMP_SF above.
+    "TO_TIME_SF": ("(s STRING) RETURNS TIMESTAMP RETURN "
+                   "to_timestamp(concat('1970-01-01 ', s))"),
+    "TRY_TO_TIME_SF": ("(s STRING) RETURNS TIMESTAMP RETURN "
+                       "try_to_timestamp(concat('1970-01-01 ', s))"),
+    "TIMESTAMP_FROM_PARTS": (
+        "(y INT, mo INT, d INT, h INT, mi INT, s INT) RETURNS TIMESTAMP "
+        "RETURN make_timestamp(y, mo, d, h, mi, s)"),
+    "TIMESTAMP_NTZ_FROM_PARTS": (
+        "(y INT, mo INT, d INT, h INT, mi INT, s INT) RETURNS TIMESTAMP_NTZ "
+        "RETURN make_timestamp_ntz(y, mo, d, h, mi, s)"),
+    # TO_CHAR for numbers, Snowflake display-format subset
+    # [$][9,]+[.0...] : decimals = digits after '.', ',' toggles
+    # grouping, '$' prefixes. (Full Snowflake format elements like
+    # B/S/XXXX are out of scope; these cover the documented common
+    # forms and raise no surprise -- unknown chars are just ignored.)
+    "TO_CHAR_NUM": (
+        "(x DOUBLE, fmt STRING) RETURNS STRING RETURN concat("
+        "CASE WHEN instr(fmt, '$') > 0 THEN '$' ELSE '' END, "
+        "CASE WHEN instr(fmt, ',') > 0 THEN "
+        "  format_number(x, CASE WHEN instr(fmt, '.') > 0 "
+        "                   THEN length(fmt) - instr(fmt, '.') ELSE 0 END) "
+        "ELSE replace(format_number(x, CASE WHEN instr(fmt, '.') > 0 "
+        "     THEN length(fmt) - instr(fmt, '.') ELSE 0 END), ',', '') "
+        "END)"),
+})
+
 
 # ---------------------------------------------------------------------------
 # Jaro-Winkler (reference string_array_kernels.py jarowinkler_similarity)

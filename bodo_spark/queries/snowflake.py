@@ -43,6 +43,62 @@ def sql_conversion_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """).spark
 
 
+def sql_time_tochar_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion phase 4 (reference snowflake_conversion_array_kernels
+    to_time / timestamp_from_parts / to_char numeric formats): TO_TIME /
+    TRY_TO_TIME over clock strings (bad rows NULL under TRY_),
+    TIMESTAMP_FROM_PARTS, and TO_CHAR_NUM's [$][,][.dd] display subset.
+    TIME is modeled as a 1970-01-01 timestamp (SURVEY 1.4), compared as
+    formatted clock strings."""
+    bc = _ctx(spark, sf, events_sf="events")
+    # amt carries exactly two decimal digits so every display format is
+    # rounding-free (a .xx5 half-way value would pit Java DecimalFormat
+    # against fmtlib on the same binary double -- avoid by construction)
+    return bc.sql("""
+        WITH t AS (
+          SELECT event_id,
+                 concat(lpad(CAST(event_id % 24 AS STRING), 2, '0'), ':',
+                        lpad(CAST(event_id % 60 AS STRING), 2, '0'), ':',
+                        CASE WHEN event_id % 11 = 0 THEN 'xx'
+                             ELSE lpad(CAST(event_id % 30 AS STRING), 2, '0')
+                        END) AS clock,
+                 CAST(event_id % 1000000 AS DOUBLE)
+                   + CAST(event_id % 100 AS DOUBLE) / 100 AS amt
+          FROM events_sf WHERE event_id < 2000)
+        SELECT event_id,
+               date_format(TRY_TO_TIME_SF(clock), 'HH:mm:ss') AS parsed_time,
+               date_format(TIMESTAMP_FROM_PARTS(2024, 3,
+                           CAST(event_id % 28 AS INT) + 1, 10, 30, 0),
+                           'yyyy-MM-dd HH:mm:ss') AS ts_parts,
+               TO_CHAR_NUM(amt, '$9,999.00') AS money,
+               TO_CHAR_NUM(amt, '9999.00') AS plain2
+        FROM t ORDER BY event_id
+    """).spark
+
+
+_TIME_TOCHAR_SQL = """
+WITH t AS (
+  SELECT event_id,
+         concat(lpad(CAST(event_id % 24 AS VARCHAR), 2, '0'), ':',
+                lpad(CAST(event_id % 60 AS VARCHAR), 2, '0'), ':',
+                CASE WHEN event_id % 11 = 0 THEN 'xx'
+                     ELSE lpad(CAST(event_id % 30 AS VARCHAR), 2, '0') END) AS clock,
+         CAST(event_id % 1000000 AS BIGINT) AS ipart,
+         event_id % 100 AS cents
+  FROM events WHERE event_id < 2000)
+SELECT event_id,
+       strftime(DATE '1970-01-01' + TRY_CAST(clock AS TIME),
+                '%H:%M:%S') AS parsed_time,
+       strftime(make_timestamp(2024, 3, CAST(event_id % 28 AS INT) + 1,
+                               10, 30, 0.0), '%Y-%m-%d %H:%M:%S') AS ts_parts,
+       concat('$', format('{:,}', ipart), '.',
+              lpad(CAST(cents AS VARCHAR), 2, '0')) AS money,
+       concat(CAST(ipart AS VARCHAR), '.',
+              lpad(CAST(cents AS VARCHAR), 2, '0')) AS plain2
+FROM t ORDER BY event_id
+"""
+
+
 _CONVERSION_SQL = """
 WITH t AS (
   SELECT event_id,
@@ -622,6 +678,8 @@ QUERIES: dict[str, QueryDef] = {
     "sql_object_construct_funcs": QueryDef(sql_object_construct_funcs,
                                            _OBJECT_CONSTRUCT_SQL),
     "sql_conversion_funcs": QueryDef(sql_conversion_funcs, _CONVERSION_SQL),
+    "sql_time_tochar_funcs": QueryDef(sql_time_tochar_funcs,
+                                      _TIME_TOCHAR_SQL),
     "dt_iso_week_funcs": QueryDef(dt_iso_week_funcs, _ISO_WEEK_SQL),
     "dt_time_slice_tz": QueryDef(dt_time_slice_tz, _TIME_SLICE_SQL),
     "str_jaro_winkler": QueryDef(str_jaro_winkler, _JARO_WINKLER_SQL),

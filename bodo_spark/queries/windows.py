@@ -229,6 +229,29 @@ FROM (
 """
 
 
+def win_true_event(spark: SparkSession, sf: str) -> DataFrame:
+    """conditional_true_event (reference window kernel
+    _window_compute.cpp dispatch): running count of rows where a
+    condition holds, per user ordered by time -- sum of the condition
+    over an unbounded-preceding frame."""
+    e = tbl(spark, sf, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).over(w)
+        .cast("long").alias("true_seq"))
+
+
+_WIN_TRUE_EVENT_SQL = """
+SELECT event_id, user_id,
+       SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS true_seq
+FROM events
+"""
+
+
 def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     """RANGE frame on a numeric ordering: peers within 100.0 of current
     order value (reference Bounds.kt range frames). PySpark's
@@ -357,5 +380,6 @@ QUERIES: dict[str, QueryDef] = {
     "win_qualify_latest_order": QueryDef(win_qualify_latest_order, _WIN_QUALIFY_SQL),
     "win_ratio_to_report": QueryDef(win_ratio_to_report, _WIN_RATIO_SQL),
     "win_change_event": QueryDef(win_change_event, _WIN_CHANGE_SQL),
+    "win_true_event": QueryDef(win_true_event, _WIN_TRUE_EVENT_SQL),
     "win_range_frame": QueryDef(win_range_frame, _WIN_RANGE_SQL),
 }
