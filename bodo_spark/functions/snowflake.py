@@ -276,11 +276,12 @@ SNOWFLAKE_SQL_FNS.update({
         "CAST(replace(replace(trim(s), ',', ''), '$', '') "
         "AS DECIMAL(38,6))"),
     # -- array kernels (reference nested_data_kernels.py). Spark builtins
-    # already cover array_distinct/except/intersect/remove/append/
-    # prepend/max/min/size/compact/sort/flatten under the same names and
-    # semantics; shims below exist where Snowflake differs: 0-based
-    # indexing, exclusive ends, reversed argument order, or a
-    # Snowflake-only name.
+    # cover array_distinct/remove/append/prepend/max/min/size/compact/
+    # flatten under the same names and semantics; shims exist where
+    # Snowflake differs: 0-based indexing, exclusive ends, reversed
+    # argument order, a Snowflake-only name, or MULTISET except/
+    # intersection semantics (phase-5 block below -- Spark's
+    # array_except/array_intersect dedupe, Snowflake's do not).
     "ARRAY_GENERATE_RANGE": (
         "(a BIGINT, b BIGINT, step BIGINT) RETURNS ARRAY<BIGINT> RETURN "
         # Snowflake's end is EXCLUSIVE; Spark sequence() is inclusive.
@@ -311,6 +312,68 @@ SNOWFLAKE_SQL_FNS.update({
     "ARRAY_CAT": (
         "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN "
         "concat(a, b)"),
+})
+
+
+# ---------------------------------------------------------------------------
+# Phase 5: multiset array semantics + positional/sort/object tail.
+#
+# Snowflake's ARRAY_EXCEPT / ARRAY_INTERSECTION are MULTISET operations
+# (reference nested_data_kernels.py overload_array_except_util: each
+# element of the second array cancels AT MOST ONE matching element of the
+# first, order preserved, NULL matches NULL) -- Spark's builtins
+# array_except/array_intersect DEDUPLICATE, so they are not drop-in.
+# Multiset form as a pure higher-order-function expression: keep a[i] iff
+# the number of occurrences of a[i] in the prefix a[0..i] exceeds (EXCEPT)
+# / does not exceed (INTERSECTION) its count in b. <=> gives the
+# reference's null-matches-null equality.
+# ---------------------------------------------------------------------------
+
+_PREFIX_CNT = "size(filter(slice(a, 1, i + 1), y -> y <=> x))"
+_RIGHT_CNT = "size(filter(b, y -> y <=> x))"
+
+SNOWFLAKE_SQL_FNS.update({
+    "ARRAY_EXCEPT_SF": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN "
+        "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+        f"ELSE filter(a, (x, i) -> {_PREFIX_CNT} > {_RIGHT_CNT}) END"),
+    "ARRAY_INTERSECTION_SF": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN "
+        "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+        f"ELSE filter(a, (x, i) -> {_PREFIX_CNT} <= {_RIGHT_CNT}) END"),
+    # ARRAY_REMOVE_AT: 0-based position, negative counts from the end,
+    # out-of-range returns the array unchanged (Snowflake semantics).
+    "ARRAY_REMOVE_AT": (
+        "(a ARRAY<STRING>, pos INT) RETURNS ARRAY<STRING> RETURN "
+        "CASE WHEN a IS NULL OR pos IS NULL THEN NULL "
+        "ELSE filter(a, (x, i) -> i != "
+        "CASE WHEN pos < 0 THEN size(a) + pos ELSE pos END) END"),
+    # ARRAY_SORT with Snowflake's (sort_ascending, nulls_first) flags;
+    # Spark's array_sort comparator lambda stays whole-stage codegen.
+    "ARRAY_SORT_SF": (
+        "(a ARRAY<STRING>, asc BOOLEAN, nf BOOLEAN) "
+        "RETURNS ARRAY<STRING> RETURN array_sort(a, (l, r) -> "
+        "CASE WHEN l IS NULL AND r IS NULL THEN 0 "
+        "WHEN l IS NULL THEN IF(nf, -1, 1) "
+        "WHEN r IS NULL THEN IF(nf, 1, -1) "
+        "WHEN l < r THEN IF(asc, -1, 1) "
+        "WHEN l > r THEN IF(asc, 1, -1) ELSE 0 END)"),
+    # GET_IGNORE_CASE over the VARIANT-as-map model (reference
+    # other_array_kernels.py get_ignore_case): first value whose key
+    # matches case-insensitively; get() is NULL-safe out of bounds.
+    "GET_IGNORE_CASE": (
+        "(m MAP<STRING,STRING>, k STRING) RETURNS STRING RETURN "
+        "get(map_values(map_filter(m, (mk, mv) -> lower(mk) = lower(k))), 0)"),
+    # MySQL day-number family (reference datetime_array_kernels.py
+    # to_days/from_days/to_seconds): day 0 = year-0 epoch, 719528 days
+    # before 1970-01-01; TO_SECONDS is the same epoch in seconds.
+    "TO_DAYS": ("(d DATE) RETURNS BIGINT RETURN "
+                "CAST(datediff(d, DATE '1970-01-01') AS BIGINT) + 719528"),
+    "FROM_DAYS": ("(n BIGINT) RETURNS DATE RETURN "
+                  "date_add(DATE '1970-01-01', CAST(n - 719528 AS INT))"),
+    "TO_SECONDS": ("(ts TIMESTAMP) RETURNS BIGINT RETURN "
+                   # BIGINT literal first: INT*INT would wrap silently
+                   "unix_timestamp(ts) + CAST(719528 AS BIGINT) * 86400"),
 })
 
 

@@ -666,7 +666,107 @@ FROM t ORDER BY id
 """
 
 
+def sql_array_multiset_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Phase-5 array kernels where Spark builtins are NOT drop-in
+    (reference nested_data_kernels.py): MULTISET except/intersection
+    (each right element cancels at most one left occurrence, order kept,
+    NULL matches NULL -- Spark's array_except/intersect dedupe),
+    0-based/negative ARRAY_REMOVE_AT, ARRAY_SORT with
+    (sort_ascending, nulls_first) flags, and GET_IGNORE_CASE over the
+    VARIANT-as-map model (other_array_kernels.py)."""
+    bc = _ctx(spark, sf, customer_sf="customer")
+    return bc.sql("""
+        WITH t AS (
+          SELECT c_custkey AS id, c_mktsegment AS seg,
+                 array(c_mktsegment, 'BUILDING', c_mktsegment, NULL,
+                       'MACHINERY') AS a,
+                 array('BUILDING', c_mktsegment, NULL, 'FURNITURE') AS b
+          FROM customer_sf WHERE c_custkey < 2000)
+        SELECT id,
+               ARRAY_TO_STRING(ARRAY_EXCEPT_SF(a, b), ',') AS ex,
+               ARRAY_TO_STRING(ARRAY_INTERSECTION_SF(a, b), ',') AS inter,
+               ARRAY_TO_STRING(ARRAY_REMOVE_AT(a, CAST(id % 7 AS INT) - 2),
+                               ',') AS rm_at,
+               ARRAY_TO_STRING(ARRAY_SORT_SF(a, id % 2 = 0, id % 3 = 0),
+                               ',') AS srt,
+               GET_IGNORE_CASE(ARRAYS_TO_OBJECT(array('Seg', 'Id'),
+                   array(seg, CAST(id AS STRING))), 'sEg') AS gic
+        FROM t ORDER BY id
+    """).spark
+
+
+_ARRAY_MULTISET_SQL = """
+WITH t AS (
+  SELECT c_custkey AS id, c_mktsegment AS seg,
+         [c_mktsegment, 'BUILDING', c_mktsegment, NULL, 'MACHINERY'] AS a,
+         ['BUILDING', c_mktsegment, NULL, 'FURNITURE'] AS b
+  FROM customer WHERE c_custkey < 2000)
+SELECT id,
+  array_to_string(list_transform(
+    list_filter(a, (x, i) ->
+      len(list_filter(a[1:i], y -> y IS NOT DISTINCT FROM x))
+        > len(list_filter(b, y -> y IS NOT DISTINCT FROM x))),
+    x -> coalesce(x, '')), ',') AS ex,
+  array_to_string(list_transform(
+    list_filter(a, (x, i) ->
+      len(list_filter(a[1:i], y -> y IS NOT DISTINCT FROM x))
+        <= len(list_filter(b, y -> y IS NOT DISTINCT FROM x))),
+    x -> coalesce(x, '')), ',') AS inter,
+  array_to_string(list_transform(
+    list_filter(a, (x, i) -> i - 1 !=
+      CASE WHEN CAST(id % 7 AS INT) - 2 < 0
+           THEN len(a) + CAST(id % 7 AS INT) - 2
+           ELSE CAST(id % 7 AS INT) - 2 END),
+    x -> coalesce(x, '')), ',') AS rm_at,
+  array_to_string(list_transform(
+    CASE WHEN id % 2 = 0 AND id % 3 = 0 THEN list_sort(a, 'ASC', 'NULLS FIRST')
+         WHEN id % 2 = 0 THEN list_sort(a, 'ASC', 'NULLS LAST')
+         WHEN id % 3 = 0 THEN list_sort(a, 'DESC', 'NULLS FIRST')
+         ELSE list_sort(a, 'DESC', 'NULLS LAST') END,
+    x -> coalesce(x, '')), ',') AS srt,
+  seg AS gic
+FROM t ORDER BY id
+"""
+
+
+def dt_daynum_tz_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """MySQL day-number epoch family (reference datetime_array_kernels.py
+    to_days/from_days/to_seconds: day 719528 = 1970-01-01) plus Spark 4's
+    builtin CONVERT_TIMEZONE with Snowflake's argument shape (crosses the
+    US DST boundary when the event range does)."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH t AS (
+          SELECT event_id AS id, CAST(ts AS DATE) AS d, ts
+          FROM events_sf WHERE event_id < 2000)
+        SELECT id,
+               TO_DAYS(d) AS days,
+               CAST(FROM_DAYS(TO_DAYS(d) + id % 1000) AS STRING) AS fd,
+               TO_SECONDS(ts) AS secs,
+               date_format(convert_timezone('UTC', 'America/New_York',
+                   CAST(ts AS TIMESTAMP_NTZ)), 'yyyy-MM-dd HH:mm:ss') AS nyc
+        FROM t ORDER BY id
+    """).spark
+
+
+_DAYNUM_TZ_SQL = """
+WITH t AS (
+  SELECT event_id AS id, CAST(ts AS DATE) AS d, ts
+  FROM events WHERE event_id < 2000)
+SELECT id,
+  datediff('day', DATE '1970-01-01', d) + 719528 AS days,
+  strftime(d + CAST(id % 1000 AS INT), '%Y-%m-%d') AS fd,
+  CAST(floor(epoch(ts)) AS BIGINT) + CAST(719528 AS BIGINT) * 86400 AS secs,
+  strftime(timezone('America/New_York', timezone('UTC', ts)),
+           '%Y-%m-%d %H:%M:%S') AS nyc
+FROM t ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sql_array_multiset_funcs": QueryDef(sql_array_multiset_funcs,
+                                         _ARRAY_MULTISET_SQL),
+    "dt_daynum_tz_funcs": QueryDef(dt_daynum_tz_funcs, _DAYNUM_TZ_SQL),
     "sql_dialect_tail_funcs": QueryDef(sql_dialect_tail_funcs,
                                        _DIALECT_TAIL_SQL),
     "sql_array_kernel_funcs": QueryDef(sql_array_kernel_funcs,

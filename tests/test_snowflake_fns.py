@@ -165,3 +165,47 @@ def test_regexp_replace6_occurrence_splice(spark):
         "s string, p string, r string, pos int, occ int"
     ).selectExpr("REGEXP_REPLACE6(s, p, r, pos, occ, 'c') AS out").collect()
     assert [r.out for r in rows] == [py_ref(*c) for c in cases]
+
+
+def test_multiset_array_kernels(spark):
+    """Phase-5 multiset semantics (reference nested_data_kernels.py
+    array_except/array_intersection): each right element cancels at most
+    one left occurrence, order preserved, NULL matches NULL; Spark's
+    builtin array_except would collapse duplicates."""
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    r = spark.sql("""
+        SELECT ARRAY_EXCEPT_SF(array('a', 'a', 'a', NULL, 'b'),
+                               array('a', NULL)) AS ex,
+               ARRAY_INTERSECTION_SF(array('a', 'a', NULL, 'b'),
+                                     array('a', 'c', NULL, NULL)) AS inter,
+               ARRAY_EXCEPT_SF(array('a'), CAST(NULL AS ARRAY<STRING>)) AS exn,
+               ARRAY_REMOVE_AT(array('x', 'y', 'z'), -1) AS rm_neg,
+               ARRAY_REMOVE_AT(array('x', 'y', 'z'), 7) AS rm_oob,
+               ARRAY_SORT_SF(array('b', NULL, 'a'), false, true) AS srt,
+               GET_IGNORE_CASE(map('Alpha', '1', 'BETA', '2'), 'beta') AS g1,
+               GET_IGNORE_CASE(map('Alpha', '1'), 'gamma') AS g2
+    """).collect()[0]
+    assert r["ex"] == ["a", "a", "b"]
+    assert r["inter"] == ["a", None]
+    assert r["exn"] is None
+    assert r["rm_neg"] == ["x", "y"]
+    assert r["rm_oob"] == ["x", "y", "z"]
+    assert r["srt"] == [None, "b", "a"]
+    assert r["g1"] == "2" and r["g2"] is None
+
+
+def test_daynum_family_roundtrip(spark):
+    """TO_DAYS/FROM_DAYS/TO_SECONDS (reference datetime_array_kernels.py):
+    MySQL's documented anchor TO_DAYS('1997-10-07') = 729669, FROM_DAYS
+    inverts, TO_SECONDS = TO_DAYS*86400 at midnight (no INT32 wrap)."""
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    r = spark.sql("""
+        SELECT TO_DAYS(DATE '1997-10-07') AS td,
+               CAST(FROM_DAYS(729669) AS STRING) AS fd,
+               TO_SECONDS(TIMESTAMP '1997-10-07 00:00:09') AS ts
+    """).collect()[0]
+    assert r["td"] == 729669
+    assert r["fd"] == "1997-10-07"
+    assert r["ts"] == 729669 * 86400 + 9
