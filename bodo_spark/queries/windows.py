@@ -366,7 +366,75 @@ FROM o ORDER BY o_orderkey
 """
 
 
+def win_extended_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's extended windowed-aggregate set (reference
+    window_agg_array_kernels.py windowed_bitor_agg/bitand/bitxor/
+    count_if/skew and lead_lag.py null_ignoring_shift): bit aggregates
+    and COUNT_IF over a sliding frame, null-ignoring lag/lead (Spark
+    form: last/first with ignorenulls over one-sided frames), and
+    windowed skewness from exact decimal moment sums (the same
+    engine-portable derivation as agg_skew_kurt_moments)."""
+    e = tbl(spark, sf, "events").where(F.col("event_id") < 3000)
+    w = (W.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(-4, 0))
+    wpast = (W.partitionBy("user_id").orderBy("event_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+    wfut = (W.partitionBy("user_id").orderBy("event_id")
+            .rowsBetween(1, W.unboundedFollowing))
+    x = dec("value", 12)
+    nv = F.when(F.col("event_id") % 3 == 0, F.col("value"))
+    n = F.count("value").over(w)
+    s1 = F.sum(x).over(w).cast("double")
+    s2 = F.sum((x * x).cast("decimal(30,4)")).over(w).cast("double")
+    s3 = F.sum((x * x * x).cast("decimal(38,6)")).over(w).cast("double")
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3 * m * s2 / n + 2 * m * m * m
+    return e.select(
+        "event_id",
+        F.bit_or((F.col("event_id") % 255).cast("int")).over(w).alias("bor"),
+        F.bit_and((F.col("event_id") % 255).cast("int")).over(w).alias("band"),
+        F.bit_xor((F.col("event_id") % 255).cast("int")).over(w).alias("bxor"),
+        F.count_if(F.col("value") > 50).over(w).alias("cif"),
+        F.round(F.last(nv, ignorenulls=True).over(wpast), 2).alias("lag_nn"),
+        F.round(F.first(nv, ignorenulls=True).over(wfut), 2).alias("lead_nn"),
+        F.when((n == 5) & (m2 > 0), F.round(m3 / F.pow(m2, 1.5), 6))
+         .alias("skw"),
+    ).orderBy("event_id")
+
+
+_WIN_EXTENDED_SQL = """
+WITH t AS (SELECT * FROM events WHERE event_id < 3000),
+s AS (
+  SELECT event_id,
+    bit_or(CAST(event_id % 255 AS INT)) OVER w AS bor,
+    bit_and(CAST(event_id % 255 AS INT)) OVER w AS band,
+    bit_xor(CAST(event_id % 255 AS INT)) OVER w AS bxor,
+    count(CASE WHEN value > 50 THEN 1 END) OVER w AS cif,
+    round(lag(CASE WHEN event_id % 3 = 0 THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY event_id), 2) AS lag_nn,
+    round(lead(CASE WHEN event_id % 3 = 0 THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY event_id), 2) AS lead_nn,
+    count(value) OVER w AS n,
+    CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s1,
+    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                  AS DECIMAL(30,4))) OVER w AS DOUBLE) AS s2,
+    CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+                  * CAST(value AS DECIMAL(12,2))
+                  AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s3
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+SELECT event_id, bor, band, bxor, cif, lag_nn, lead_nn,
+  CASE WHEN n = 5 AND s2/n - (s1/n)*(s1/n) > 0
+       THEN round((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n))
+                  / pow(s2/n - (s1/n)*(s1/n), 1.5), 6) END AS skw
+FROM s ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "win_extended_aggs": QueryDef(win_extended_aggs, _WIN_EXTENDED_SQL),
     "win_frontend_ops": QueryDef(win_frontend_ops, _WIN_FRONTEND_SQL),
     "win_rolling_stats": QueryDef(win_rolling_stats, _WIN_ROLLING_SQL),
     "win_qualify_sql_dialect": QueryDef(win_qualify_sql_dialect,
