@@ -91,6 +91,12 @@ def main() -> None:
         from bodo_spark.operators.dedup import unpersist_cached
         unpersist_cached()
         spark.catalog.clearCache()
+        # Also force a JVM GC between queries (still outside the timer):
+        # without it, garbage accumulated across the session lands as a
+        # 10-15 s major-GC pause INSIDE a later query's timed window
+        # (observed reproducibly on the last headline entry: 17-19 s
+        # with the pause vs 3-4 s when collection happens here).
+        spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

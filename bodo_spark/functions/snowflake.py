@@ -374,6 +374,52 @@ SNOWFLAKE_SQL_FNS.update({
     "TO_SECONDS": ("(ts TIMESTAMP) RETURNS BIGINT RETURN "
                    # BIGINT literal first: INT*INT would wrap silently
                    "unix_timestamp(ts) + CAST(719528 AS BIGINT) * 86400"),
+    # INITCAP with an explicit delimiter set (reference
+    # string_array_kernels.py initcap's 2-arg form; Spark's builtin
+    # splits on whitespace only): uppercase the first char and any char
+    # following a delimiter, lowercase the rest -- a per-char transform
+    # over split(s, ''), still a codegen expression.
+    "INITCAP2": (
+        "(s STRING, delims STRING) RETURNS STRING RETURN "
+        "concat_ws('', transform(split(lower(s), ''), (c, i) -> "
+        "CASE WHEN i = 0 OR instr(delims, substr(s, i, 1)) > 0 "
+        "THEN upper(c) ELSE c END))"),
+    # TYPEOF over JSON text (reference variant_array_kernels.py typeof:
+    # INTEGER / DECIMAL / DOUBLE / VARCHAR / BOOLEAN / ARRAY / OBJECT /
+    # NULL_VALUE classification of a VARIANT).
+    "TYPEOF_JSON": (
+        "(js STRING) RETURNS STRING RETURN CASE "
+        "WHEN js IS NULL THEN NULL "
+        "WHEN ltrim(js) LIKE '[%' THEN 'ARRAY' "
+        "WHEN ltrim(js) LIKE '{%' THEN 'OBJECT' "
+        "WHEN trim(js) = 'null' THEN 'NULL_VALUE' "
+        "WHEN trim(js) IN ('true', 'false') THEN 'BOOLEAN' "
+        "WHEN trim(js) RLIKE '^-?[0-9]+$' THEN 'INTEGER' "
+        "WHEN trim(js) RLIKE '^-?[0-9]*\\\\.[0-9]+$' THEN 'DECIMAL' "
+        "WHEN trim(js) RLIKE "
+        "'^-?[0-9]*\\\\.?[0-9]+[eE][+-]?[0-9]+$' THEN 'DOUBLE' "
+        "ELSE 'VARCHAR' END"),
+    # ROUND with Snowflake's rounding-mode argument: HALF_AWAY_FROM_ZERO
+    # (the default) vs HALF_TO_EVEN (banker's). Spark's round()/bround()
+    # require a FOLDABLE scale, so a UDF parameter can't be passed
+    # through -- spelled out over floor() instead (tie = fractional part
+    # exactly 0.5 after scaling).
+    "ROUND_SF": (
+        "(x DOUBLE, s INT, mode STRING) RETURNS DOUBLE RETURN "
+        "CASE WHEN x * power(10, s) - floor(x * power(10, s)) > 0.5 "
+        "  THEN (floor(x * power(10, s)) + 1) / power(10, s) "
+        "WHEN x * power(10, s) - floor(x * power(10, s)) < 0.5 "
+        "  THEN floor(x * power(10, s)) / power(10, s) "
+        "WHEN upper(mode) = 'HALF_TO_EVEN' "
+        "  THEN (floor(x * power(10, s)) "
+        "        + CASE WHEN pmod(floor(x * power(10, s)), 2) = 0 "
+        "               THEN 0 ELSE 1 END) / power(10, s) "
+        "WHEN x < 0 THEN floor(x * power(10, s)) / power(10, s) "
+        "ELSE (floor(x * power(10, s)) + 1) / power(10, s) END"),
+    "TRY_TO_NUMBER_FMT": (
+        "(s STRING, prec INT, scale INT) RETURNS DECIMAL(38,6) RETURN "
+        "TRY_CAST(replace(replace(trim(s), ',', ''), '$', '') "
+        "AS DECIMAL(38,6))"),
 })
 
 

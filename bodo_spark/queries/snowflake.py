@@ -763,7 +763,70 @@ FROM t ORDER BY id
 """
 
 
+def sql_dialect_phase6_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Phase-6 kernels: INITCAP with an explicit delimiter set
+    (reference string_array_kernels.py initcap 2-arg; Spark's builtin
+    splits on whitespace only), TYPEOF over VARIANT-as-JSON-text
+    (variant_array_kernels.py), ROUND with Snowflake's rounding-mode
+    argument (HALF_TO_EVEN = banker's), TRY_TO_NUMBER with display
+    format."""
+    bc = _ctx(spark, sf, customer_sf="customer")
+    return bc.sql("""
+        WITH t AS (
+          SELECT c_custkey AS id,
+                 lower(replace(c_name, '#', '-')) AS nm,
+                 elt(CAST(c_custkey % 7 AS INT) + 1, '123', '-4.5',
+                     '6.7e2', '"str"', '[1,2]', '{"a":1}', 'true') AS js,
+                 CAST(c_custkey % 100 AS DOUBLE) - 50 + 0.5 AS x,
+                 concat('$', CAST(c_custkey % 90 AS STRING),
+                        CASE WHEN c_custkey % 5 = 0 THEN 'x'
+                             ELSE ',250.75' END) AS numstr
+          FROM customer_sf WHERE c_custkey < 2000)
+        SELECT id,
+               INITCAP2(nm, '-us') AS ic,
+               TYPEOF_JSON(js) AS ty,
+               ROUND_SF(x, 0, 'HALF_AWAY_FROM_ZERO') AS r_away,
+               ROUND_SF(x, 0, 'HALF_TO_EVEN') AS r_even,
+               CAST(TRY_TO_NUMBER_FMT(numstr, 12, 2) AS DOUBLE) AS amt
+        FROM t ORDER BY id
+    """).spark
+
+
+_DIALECT_PHASE6_SQL = """
+WITH t AS (
+  SELECT c_custkey AS id,
+         lower(replace(c_name, '#', '-')) AS nm,
+         CASE CAST(c_custkey % 7 AS INT) WHEN 0 THEN '123' WHEN 1 THEN '-4.5'
+              WHEN 2 THEN '6.7e2' WHEN 3 THEN '"str"' WHEN 4 THEN '[1,2]'
+              WHEN 5 THEN '{"a":1}' ELSE 'true' END AS js,
+         CAST(c_custkey % 100 AS DOUBLE) - 50 + 0.5 AS x,
+         concat('$', CAST(c_custkey % 90 AS VARCHAR),
+                CASE WHEN c_custkey % 5 = 0 THEN 'x'
+                     ELSE ',250.75' END) AS numstr
+  FROM customer WHERE c_custkey < 2000)
+SELECT id,
+  array_to_string(list_transform(string_split(nm, ''), (c, i) ->
+    CASE WHEN i = 1 OR instr('-us', list_extract(string_split(nm, ''), i - 1)) > 0
+         THEN upper(c) ELSE c END), '') AS ic,
+  CASE WHEN ltrim(js) LIKE '[%' THEN 'ARRAY'
+       WHEN ltrim(js) LIKE '{%' THEN 'OBJECT'
+       WHEN trim(js) = 'null' THEN 'NULL_VALUE'
+       WHEN trim(js) IN ('true', 'false') THEN 'BOOLEAN'
+       WHEN regexp_full_match(trim(js), '-?[0-9]+') THEN 'INTEGER'
+       WHEN regexp_full_match(trim(js), '-?[0-9]*\\.[0-9]+') THEN 'DECIMAL'
+       WHEN regexp_full_match(trim(js), '-?[0-9]*\\.?[0-9]+[eE][+-]?[0-9]+')
+         THEN 'DOUBLE'
+       ELSE 'VARCHAR' END AS ty,
+  round(x, 0) AS r_away,
+  round_even(x, 0) AS r_even,
+  TRY_CAST(replace(replace(trim(numstr), ',', ''), '$', '') AS DOUBLE) AS amt
+FROM t ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sql_dialect_phase6_funcs": QueryDef(sql_dialect_phase6_funcs,
+                                         _DIALECT_PHASE6_SQL),
     "sql_array_multiset_funcs": QueryDef(sql_array_multiset_funcs,
                                          _ARRAY_MULTISET_SQL),
     "dt_daynum_tz_funcs": QueryDef(dt_daynum_tz_funcs, _DAYNUM_TZ_SQL),

@@ -209,3 +209,36 @@ def test_daynum_family_roundtrip(spark):
     assert r["td"] == 729669
     assert r["fd"] == "1997-10-07"
     assert r["ts"] == 729669 * 86400 + 9
+
+
+def test_phase6_kernels(spark):
+    """INITCAP2 delimiter set, TYPEOF_JSON classification, ROUND_SF
+    rounding modes on exact .5 ties (incl. negatives), TRY_TO_NUMBER_FMT
+    null-on-garbage."""
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    r = spark.sql("""
+        SELECT INITCAP2('john-doe smith_x', '-_ ') AS ic,
+               TYPEOF_JSON('  [1,2]') AS t_arr,
+               TYPEOF_JSON('{"a":1}') AS t_obj,
+               TYPEOF_JSON('-42') AS t_int,
+               TYPEOF_JSON('-4.25') AS t_dec,
+               TYPEOF_JSON('6.7e2') AS t_dbl,
+               TYPEOF_JSON('"x"') AS t_str,
+               TYPEOF_JSON('null') AS t_null,
+               ROUND_SF(2.5, 0, 'HALF_AWAY_FROM_ZERO') AS away_pos,
+               ROUND_SF(-2.5, 0, 'HALF_AWAY_FROM_ZERO') AS away_neg,
+               ROUND_SF(2.5, 0, 'HALF_TO_EVEN') AS even_pos,
+               ROUND_SF(3.5, 0, 'HALF_TO_EVEN') AS even_odd,
+               ROUND_SF(-2.5, 0, 'HALF_TO_EVEN') AS even_neg,
+               TRY_TO_NUMBER_FMT('$1,234.56', 12, 2) AS ok_num,
+               TRY_TO_NUMBER_FMT('garbage', 12, 2) AS bad_num
+    """).collect()[0]
+    assert r["ic"] == "John-Doe Smith_X"
+    assert (r["t_arr"], r["t_obj"], r["t_int"], r["t_dec"], r["t_dbl"],
+            r["t_str"], r["t_null"]) == (
+        "ARRAY", "OBJECT", "INTEGER", "DECIMAL", "DOUBLE", "VARCHAR",
+        "NULL_VALUE")
+    assert (r["away_pos"], r["away_neg"]) == (3.0, -3.0)
+    assert (r["even_pos"], r["even_odd"], r["even_neg"]) == (2.0, 4.0, -2.0)
+    assert float(r["ok_num"]) == 1234.56 and r["bad_num"] is None
