@@ -15,13 +15,20 @@ from .frame import (  # noqa: F401
     BodoDataFrame,
     BodoSeries,
     concat,
+    crosstab,
+    cut,
+    date_range,
     from_pandas,
+    get_dummies,
     merge,
     merge_asof,
+    qcut,
     read_csv,
     read_iceberg,
     read_parquet,
     to_datetime,
+    to_numeric,
+    unique,
 )
 from .plans import summarize as plan_summary  # noqa: F401
 from .session import get_spark  # noqa: F401

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["BodoDataFrame", "BodoSeries", "read_parquet", "read_csv",
            "read_iceberg", "from_pandas", "concat", "merge", "merge_asof",
-           "to_datetime"]
+           "to_datetime", "cut", "qcut", "crosstab", "get_dummies",
+           "to_numeric", "unique", "date_range"]
 
 
 # --------------------------------------------------------------------------
@@ -1241,6 +1242,155 @@ def to_datetime(s: "BodoSeries", format: str | None = None) -> "BodoSeries":
 def merge_asof(left: BodoDataFrame, right: BodoDataFrame, **kw) -> BodoDataFrame:
     from .operators.asof import merge_asof as _ma
     return BodoDataFrame(_ma(left._df, right._df, **kw))
+
+
+def _bin_code(col: Column, edges: list[float],
+              include_lowest: bool) -> Column:
+    """Bin index (0-based) of col within explicit edges, pandas ``cut``
+    membership: right-closed intervals (lo, hi]; the first interval is
+    [lo, hi] when include_lowest. NULL outside the range. A literal CASE
+    chain -- pure codegen expression, no shuffle, no UDF."""
+    code = F.lit(None).cast("int")
+    for i in reversed(range(len(edges) - 1)):
+        lo_ok = (col >= edges[0]) if (i == 0 and include_lowest) \
+            else (col > edges[i])
+        code = F.when(lo_ok & (col <= edges[i + 1]), F.lit(i)).otherwise(code)
+    return code
+
+
+def cut(s: BodoSeries, bins, labels=None, right: bool = True,
+        include_lowest: bool = False) -> BodoSeries:
+    """pd.cut (reference docs api_docs/pandas/general_functions/cut.md).
+
+    ``bins`` is an explicit edge list, or an int for equal-width bins --
+    the int form needs the global min/max, one scalar-reduction job
+    (same contract as len()); assignment itself is a broadcast-free CASE
+    expression. labels=False yields integer codes; labels=None yields
+    pandas-style "(a, b]" strings.
+    """
+    if right is not True:
+        raise NotImplementedError("cut(right=False) not supported")
+    if isinstance(bins, int):
+        row = s._frame._df.select(
+            F.min(s._col).cast("double").alias("lo"),
+            F.max(s._col).cast("double").alias("hi")).collect()[0]
+        lo, hi = float(row["lo"]), float(row["hi"])
+        # pandas pads the range by 0.1% and includes the lowest value
+        pad = (hi - lo) * 0.001 if hi > lo else 0.001
+        edges = [lo - pad] + [lo + (hi - lo) * (i + 1) / bins
+                              for i in range(bins)]
+        include_lowest = True
+    else:
+        edges = [float(b) for b in bins]
+    code = _bin_code(s._col, edges, include_lowest)
+    if labels is False:
+        return BodoSeries(s._frame, code, s.name)
+    lab = F.lit(None).cast("string")
+    for i in reversed(range(len(edges) - 1)):
+        lab = F.when(code == i,
+                     F.lit(f"({edges[i]}, {edges[i + 1]}]")).otherwise(lab)
+    return BodoSeries(s._frame, lab, s.name)
+
+
+def qcut(s: BodoSeries, q, labels=None) -> BodoSeries:
+    """pd.qcut (reference general_functions/qcut.md): quantile-based cut.
+
+    Edges come from Spark's exact ``percentile`` (linear interpolation,
+    the same estimator pandas uses) -- one aggregate job collecting
+    q+1 scalars; the assignment is the same CASE expression as cut().
+    """
+    probs = ([i / q for i in range(q + 1)] if isinstance(q, int)
+             else [float(p) for p in q])
+    arr = "array({})".format(",".join(f"{p!r}D" for p in probs))
+    row = (s._frame._df.select(s._col.alias("_qcut_x"))
+           .select(F.expr(f"percentile(_qcut_x, {arr})").alias("e"))
+           .collect())
+    edges = [float(e) for e in row[0]["e"]]
+    code = _bin_code(s._col, edges, include_lowest=True)
+    if labels is False:
+        return BodoSeries(s._frame, code, s.name)
+    lab = F.lit(None).cast("string")
+    for i in reversed(range(len(edges) - 1)):
+        lab = F.when(code == i,
+                     F.lit(f"({edges[i]}, {edges[i + 1]}]")).otherwise(lab)
+    return BodoSeries(s._frame, lab, s.name)
+
+
+def crosstab(index: BodoSeries, columns: BodoSeries) -> BodoDataFrame:
+    """pd.crosstab over two Series of the SAME frame (reference
+    general_functions/crosstab.md): groupBy(index).pivot(columns).count()
+    -- one shuffle; the pivoted column set is discovered by Spark's
+    pivot (distinct scan), exactly pandas' column discovery."""
+    if index._frame is not columns._frame:
+        raise ValueError("crosstab Series must share a parent frame")
+    df = index._frame._df.select(index._col.alias(index.name or "index"),
+                                 columns._col.alias(columns.name or "col"))
+    out = (df.groupBy(index.name or "index")
+           .pivot(columns.name or "col")
+           .count().na.fill(0)
+           .orderBy(index.name or "index"))
+    return BodoDataFrame(out)
+
+
+def get_dummies(s: BodoSeries, prefix: str | None = None,
+                prefix_sep: str = "_") -> BodoDataFrame:
+    """pd.get_dummies (reference general_functions/get_dummies.md):
+    one-hot indicator columns. The distinct value set is collected
+    (sorted) to name the columns -- the same driver-side discovery
+    pandas/pivot do; the indicators themselves are pure expressions."""
+    vals = sorted(r["v"] for r in
+                  s._frame._df.select(s._col.alias("v"))
+                  .where(s._col.isNotNull()).distinct().collect())
+    pre = f"{prefix}{prefix_sep}" if prefix else ""
+    cols = [F.when(s._col == v, F.lit(1)).otherwise(F.lit(0))
+            .alias(f"{pre}{v}") for v in vals]
+    return BodoDataFrame(s._frame._df.select(*cols))
+
+
+def to_numeric(s: BodoSeries, errors: str = "raise",
+               downcast: str | None = None) -> BodoSeries:
+    """pd.to_numeric (reference general_functions/to_numeric.md):
+    errors='coerce' is try_cast (NULL on garbage); 'raise' is an ANSI
+    cast. downcast='integer' casts to bigint, 'float' to double."""
+    target = "bigint" if downcast == "integer" else "double"
+    col = s._col.try_cast(target) if errors == "coerce" \
+        else s._col.cast(target)
+    return BodoSeries(s._frame, col, s.name)
+
+
+def unique(s: BodoSeries) -> list:
+    """pd.unique: distinct values (no order guarantee, like the
+    distributed reference; collect is the terminal step by contract)."""
+    return [r["v"] for r in
+            s._frame._df.select(s._col.alias("v")).distinct().collect()]
+
+
+def date_range(start: str, end: str | None = None,
+               periods: int | None = None, freq: str = "D",
+               spark=None) -> BodoDataFrame:
+    """pd.date_range (reference general_functions/date_range.md) as a
+    DISTRIBUTED frame: spark.range(n) + timestamp arithmetic, so a
+    billion-row calendar spine never materializes on the driver."""
+    import datetime as _dt
+
+    from .session import get_spark as _gs
+    spark = spark or _gs()
+    unit_secs = {"D": 86400, "H": 3600, "h": 3600, "T": 60, "min": 60,
+                 "S": 1, "s": 1, "W": 7 * 86400}
+    if freq not in unit_secs:
+        raise NotImplementedError(f"freq {freq!r} not supported")
+    step = unit_secs[freq]
+    t0 = _dt.datetime.fromisoformat(start)
+    if periods is None:
+        if end is None:
+            raise ValueError("date_range needs end or periods")
+        t1 = _dt.datetime.fromisoformat(end)
+        periods = int((t1 - t0).total_seconds() // step) + 1
+    start_epoch = int(t0.replace(tzinfo=_dt.timezone.utc).timestamp())
+    df = (spark.range(periods)
+          .select(F.timestamp_seconds(
+              F.lit(start_epoch) + F.col("id") * step).alias("ts")))
+    return BodoDataFrame(df)
 
 
 def _dtype_to_spark(dtype) -> str:

@@ -69,6 +69,7 @@ def all_queries() -> dict[str, "QueryDef"]:
         ai_ops,
         datetimes,
         dedup,
+        frontend,
         joins,
         merge_ops,
         multimodal,
@@ -88,7 +89,7 @@ def all_queries() -> dict[str, "QueryDef"]:
     # contiguous block at the end.
     mods = (tpch, aggregates, windows, joins, merge_ops, setops, strings,
             datetimes, scalars, snowflake, text, dedup, similarity,
-            multimodal, ai_ops, streaming_ops)
+            multimodal, ai_ops, streaming_ops, frontend)
     merged: dict[str, QueryDef] = {}
     iters = [iter(mod.QUERIES.items()) for mod in mods]
     while iters:

@@ -1,0 +1,96 @@
+"""Pandas general-function battery (reference docs
+api_docs/pandas/general_functions/): pd.cut / pd.qcut / pd.crosstab /
+pd.to_numeric through the bodo_spark frontend, DuckDB-oracled.
+
+cut/qcut assignment is a literal CASE expression (no UDF, no extra
+shuffle); qcut's edges come from one exact-percentile aggregate job.
+crosstab is groupBy().pivot().count() -- Spark discovers the pivoted
+column set exactly like pandas does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import QueryDef, tbl
+
+_CUT_EDGES = [0.0, 100000.0, 200000.0, 300000.0, 600000.0]
+
+
+def pd_cut_qcut(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width cut codes x quantile qcut codes over order totals,
+    plus a to_numeric(coerce) hit-count, grouped -- exercises the whole
+    binning path end to end."""
+    from ..frame import BodoDataFrame, cut, qcut, to_numeric
+
+    orders = tbl(spark, sf, "orders")
+    bdf = BodoDataFrame(orders)
+    price = bdf["o_totalprice"]
+    # numeric-looking strings on 1/3 of rows, garbage on the rest
+    dirty = price.astype("string").where(bdf["o_orderkey"] % 3 == 0,
+                                         other="N/A")
+    out = bdf.assign(
+        cut_code=cut(price, _CUT_EDGES, labels=False),
+        qcut_code=qcut(price, 4, labels=False),
+        as_num=to_numeric(dirty, errors="coerce"),
+    )
+    return (out.spark.groupBy("cut_code", "qcut_code")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("as_num").alias("n_numeric"))
+            .orderBy("cut_code", "qcut_code"))
+
+
+_CUT_QCUT_SQL = """
+WITH e AS (
+  SELECT quantile_cont(o_totalprice, [0.0, 0.25, 0.5, 0.75, 1.0]) AS ed
+  FROM orders)
+SELECT
+  CASE WHEN o_totalprice > 0 AND o_totalprice <= 100000 THEN 0
+       WHEN o_totalprice > 100000 AND o_totalprice <= 200000 THEN 1
+       WHEN o_totalprice > 200000 AND o_totalprice <= 300000 THEN 2
+       WHEN o_totalprice > 300000 AND o_totalprice <= 600000 THEN 3
+  END AS cut_code,
+  CASE WHEN o_totalprice <= ed[2] THEN 0
+       WHEN o_totalprice <= ed[3] THEN 1
+       WHEN o_totalprice <= ed[4] THEN 2
+       WHEN o_totalprice <= ed[5] THEN 3
+  END AS qcut_code,
+  COUNT(*) AS n,
+  COUNT(TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                       THEN CAST(o_totalprice AS VARCHAR)
+                       ELSE 'N/A' END AS DOUBLE)) AS n_numeric
+FROM orders, e
+GROUP BY 1, 2 ORDER BY cut_code, qcut_code
+"""
+
+
+def pd_crosstab(spark: SparkSession, sf: str) -> DataFrame:
+    """pd.crosstab(status, priority): groupBy + pivot + count with
+    zero-fill; the pivoted column names are the discovered distinct
+    priorities, same as pandas' column discovery."""
+    from ..frame import BodoDataFrame, crosstab
+
+    orders = tbl(spark, sf, "orders")
+    bdf = BodoDataFrame(orders)
+    return crosstab(bdf["o_orderstatus"], bdf["o_orderpriority"]).spark
+
+
+_CROSSTAB_SQL = """
+SELECT o_orderstatus,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+         AS "1-URGENT",
+       COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+       COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+         AS "3-MEDIUM",
+       COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+         AS "4-NOT SPECIFIED",
+       COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "pd_cut_qcut": QueryDef(pd_cut_qcut, _CUT_QCUT_SQL),
+    "pd_crosstab": QueryDef(pd_crosstab, _CROSSTAB_SQL),
+}

@@ -596,3 +596,66 @@ def test_series_floordiv_pow_clip(bdf, pdf):
     assert (got["p2"] == (exp["o_custkey"] % 4) ** 2).all()
     assert np.allclose(got["cl"],
                        exp["o_totalprice"].clip(50000.0, 300000.0))
+
+
+def test_general_functions_vs_pandas(spark):
+    """pd.cut/qcut/crosstab/get_dummies/to_numeric/unique/date_range
+    (reference docs api_docs/pandas/general_functions/) differential
+    against real pandas."""
+    import numpy as np
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "x": np.round(rng.uniform(0, 100, 500), 2),
+        "g": rng.choice(["a", "b", "c"], 500),
+        "h": rng.choice(["u", "v"], 500),
+        "s": rng.choice(["1", "2.5", "zzz", "-7"], 500),
+    })
+    bdf = bs.from_pandas(pdf)
+
+    # cut with explicit edges -> integer codes
+    got = bdf.assign(c=bs.cut(bdf["x"], [0, 25, 50, 75, 100],
+                              labels=False)).to_pandas()["c"]
+    exp = pd.cut(pdf["x"], [0, 25, 50, 75, 100], labels=False)
+    assert (got.fillna(-1).astype(int).values
+            == exp.fillna(-1).astype(int).values).all()
+
+    # cut with int bins (equal width, padded lowest edge like pandas)
+    got = bdf.assign(c=bs.cut(bdf["x"], 4, labels=False)).to_pandas()["c"]
+    exp = pd.cut(pdf["x"], 4, labels=False)
+    assert (got.astype(int).values == exp.astype(int).values).all()
+
+    # qcut codes
+    got = bdf.assign(c=bs.qcut(bdf["x"], 4, labels=False)).to_pandas()["c"]
+    exp = pd.qcut(pdf["x"], 4, labels=False)
+    assert (got.astype(int).values == exp.astype(int).values).all()
+
+    # crosstab counts
+    got = bs.crosstab(bdf["g"], bdf["h"]).to_pandas().set_index("g")
+    exp = pd.crosstab(pdf["g"], pdf["h"])
+    assert (got.loc[exp.index, exp.columns].values == exp.values).all()
+
+    # get_dummies
+    got = bs.get_dummies(bdf["g"]).to_pandas()
+    exp = pd.get_dummies(pdf["g"]).astype(int)
+    assert list(got.columns) == list(exp.columns)
+    assert got.sum().tolist() == exp.sum().tolist()
+
+    # to_numeric coerce
+    got = bdf.assign(n=bs.to_numeric(bdf["s"], errors="coerce")) \
+        .to_pandas()["n"]
+    exp = pd.to_numeric(pdf["s"], errors="coerce")
+    assert np.allclose(got.fillna(-9).values, exp.fillna(-9).values)
+
+    # unique
+    assert sorted(bs.unique(bdf["g"])) == sorted(pdf["g"].unique())
+
+    # date_range: distributed spine matches pandas
+    got = sorted(r["ts"] for r in
+                 bs.date_range("2024-01-01", periods=50, freq="D",
+                               spark=spark).spark.collect())
+    exp = list(pd.date_range("2024-01-01", periods=50, freq="D"))
+    assert [pd.Timestamp(t) for t in got] == exp
