@@ -591,6 +591,12 @@ SNOWFLAKE_SQL_FNS.update({
     "TIMESTAMP_NTZ_FROM_PARTS": (
         "(y INT, mo INT, d INT, h INT, mi INT, s INT) RETURNS TIMESTAMP_NTZ "
         "RETURN make_timestamp_ntz(y, mo, d, h, mi, s)"),
+    # TIMESTAMP_TZ_FROM_PARTS (reference datetime_array_kernels.py:322):
+    # wall-clock parts interpreted in the named zone; Spark's
+    # make_timestamp has exactly this timezone argument.
+    "TIMESTAMP_TZ_FROM_PARTS": (
+        "(y INT, mo INT, d INT, h INT, mi INT, s INT, tz STRING) "
+        "RETURNS TIMESTAMP RETURN make_timestamp(y, mo, d, h, mi, s, tz)"),
     # TO_CHAR for numbers, Snowflake display-format subset
     # [$][9,]+[.0...] : decimals = digits after '.', ',' toggles
     # grouping, '$' prefixes. (Full Snowflake format elements like

@@ -332,7 +332,38 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def math_numeric_tail(spark: SparkSession, sf: str) -> DataFrame:
+    """Numeric kernel tail (reference numeric_array_kernels.py conv/
+    getbit/width_bucket/factorial + TIMESTAMP_TZ_FROM_PARTS): base
+    conversion, single-bit extraction, histogram bucketing and exact
+    factorials as Spark builtins, bucketed and summed for a stable
+    oracle."""
+    e = tbl(spark, sf, "events").where(F.col("event_id") < 5000)
+    k = F.col("event_id")
+    return (e.select(
+        k.alias("id"),
+        F.conv(k.cast("string"), 10, 16).alias("hex16"),
+        F.getbit(k, F.lit(3)).alias("b3"),
+        F.width_bucket(F.col("value"), F.lit(0.0), F.lit(100.0), F.lit(8))
+         .alias("wb"),
+        F.factorial((k % 15).cast("int")).alias("fact"))
+        .orderBy("id"))
+
+
+_MATH_TAIL_SQL = """
+SELECT event_id AS id,
+       upper(to_hex(event_id)) AS hex16,
+       CAST((event_id >> 3) & 1 AS INT) AS b3,
+       CAST(CASE WHEN value < 0 THEN 0
+                 WHEN value >= 100 THEN 9
+                 ELSE floor(value * 8 / 100) + 1 END AS BIGINT) AS wb,
+       CAST(factorial(CAST(event_id % 15 AS INT)) AS BIGINT) AS fact
+FROM events WHERE event_id < 5000 ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "math_numeric_tail": QueryDef(math_numeric_tail, _MATH_TAIL_SQL),
     "sql_snowflake_dialect": QueryDef(sql_snowflake_dialect, _SQL_SNOWFLAKE_SQL),
     "math_basic": QueryDef(math_basic, _MATH_BASIC_SQL),
     "math_transcendental": QueryDef(math_transcendental, _MATH_TRANS_SQL),

@@ -242,3 +242,16 @@ def test_phase6_kernels(spark):
     assert (r["away_pos"], r["away_neg"]) == (3.0, -3.0)
     assert (r["even_pos"], r["even_odd"], r["even_neg"]) == (2.0, 4.0, -2.0)
     assert float(r["ok_num"]) == 1234.56 and r["bad_num"] is None
+
+
+def test_timestamp_tz_from_parts(spark):
+    """TIMESTAMP_TZ_FROM_PARTS (reference datetime_array_kernels.py:322):
+    wall-clock parts in a named zone; 09:30 New York winter = 14:30 UTC."""
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    r = spark.sql("""
+        SELECT date_format(TIMESTAMP_TZ_FROM_PARTS(
+                   2024, 1, 15, 9, 30, 0, 'America/New_York'),
+               'yyyy-MM-dd HH:mm:ss') AS utc_wall
+    """).collect()[0]
+    assert r["utc_wall"] == "2024-01-15 14:30:00"
