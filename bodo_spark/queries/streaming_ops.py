@@ -104,7 +104,50 @@ FROM per_sess GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_sliding_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping sliding windows (6-hour window, 3-hour slide: every
+    event belongs to exactly two windows) on the streaming engine; the
+    batch oracle re-derives both window starts per event arithmetically."""
+    from ..streaming import read_stream_parquet, run_available_now, \
+        sliding_agg
+
+    batch = tbl(spark, sf, "events").withColumn(
+        "value", F.col("value").cast("decimal(12,2)"))
+    stage = f"/tmp/bodo_spark_stream_{uuid.uuid4().hex[:8]}"
+    batch.coalesce(4).write.mode("overwrite").parquet(stage)
+    stream = read_stream_parquet(spark, stage, batch.schema,
+                                 max_files_per_trigger=2)
+    res = run_available_now(
+        sliding_agg(stream, "ts", "6 hours", "3 hours", ["event_type"]),
+        f"t_slide_{uuid.uuid4().hex[:8]}")
+    shutil.rmtree(stage, ignore_errors=True)
+    return (res.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value").cast("double").alias("sum_value"))
+        .orderBy("win_start", "event_type"))
+
+
+_STREAM_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts) / 10800) * 10800
+              - off.o * 10800 AS BIGINT) AS win_start_epoch
+  FROM events
+  CROSS JOIN (VALUES (0), (1)) AS off(o))
+SELECT strftime(make_timestamp(win_start_epoch * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "stream_sliding_agg": QueryDef(stream_sliding_agg, _STREAM_SLIDING_SQL),
     "stream_tumbling_agg": QueryDef(stream_tumbling_agg,
                                     _STREAM_TUMBLING_SQL),
     "stream_session_windows": QueryDef(stream_session_windows,

@@ -77,8 +77,10 @@ def sliding_agg(df: DataFrame, ts_col: str, window: str, slide: str,
     return (df.withWatermark(ts_col, watermark)
             .groupBy(F.window(ts_col, window, slide).alias("win"),
                      *group_cols)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.col("win.start").alias("win_start"), *group_cols, "n"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"), *group_cols,
+                    "n", "sum_value"))
 
 
 def sessionize_stateful(df: DataFrame, ts_col: str, key_col: str,
