@@ -167,6 +167,36 @@ class BodoSeries:
              .rowsBetween(W.unboundedPreceding, W.currentRow))
         return BodoSeries(self._frame, F.sum(self._col).over(w), self.name)
 
+    def cumprod(self, order_by: str) -> "BodoSeries":
+        """Running product (reference Series.cumprod), same explicit-
+        ordering contract as cumsum; F.product is the JVM aggregate."""
+        w = (W.orderBy(order_by)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        return BodoSeries(self._frame, F.product(self._col).over(w),
+                          self.name)
+
+    def diff(self, periods: int = 1, order_by: str | None = None,
+             partition_by: str | None = None) -> "BodoSeries":
+        """pandas Series.diff = x - x.shift(periods) (reference
+        dataframe diff ftype); explicit ordering like shift."""
+        return self - self.shift(periods, order_by, partition_by)
+
+    def pct_change(self, periods: int = 1, order_by: str | None = None,
+                   partition_by: str | None = None) -> "BodoSeries":
+        """pandas pct_change: x / x.shift(periods) - 1."""
+        prev = self.shift(periods, order_by, partition_by)
+        return self / prev - 1
+
+    def mask(self, cond: "BodoSeries", other=None) -> "BodoSeries":
+        """pandas Series.mask: replace where cond is TRUE (inverse of
+        where)."""
+        return self.where(~cond, other)
+
+    # pandas spelling aliases
+    def isnull(self): return self.isna()
+    def notnull(self): return self.notna()
+    def product(self): return self.prod()
+
     def shift(self, periods: int = 1, order_by: str | None = None,
               partition_by: str | None = None) -> "BodoSeries":
         """Lag/lead over an EXPLICIT ordering (no implicit row order on
@@ -779,6 +809,81 @@ class BodoDataFrame:
 
     def head(self, n: int = 5) -> "BodoDataFrame":
         return BodoDataFrame(self._df.limit(n))
+
+    @property
+    def empty(self) -> bool:
+        return len(self) == 0
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    def isna(self) -> "BodoDataFrame":
+        """Elementwise null mask (pandas df.isna)."""
+        return BodoDataFrame(self._df.select(
+            *[F.col(c).isNull().alias(c) for c in self._df.columns]))
+
+    def notna(self) -> "BodoDataFrame":
+        return BodoDataFrame(self._df.select(
+            *[F.col(c).isNotNull().alias(c) for c in self._df.columns]))
+
+    def isnull(self) -> "BodoDataFrame":
+        return self.isna()
+
+    def notnull(self) -> "BodoDataFrame":
+        return self.notna()
+
+    def duplicated(self, subset: list[str] | None = None,
+                   order_by: str | None = None) -> "BodoSeries":
+        """pandas df.duplicated(keep='first') as a boolean Series:
+        row_number within the key group > 1. ``order_by`` defines which
+        row is 'first' (no implicit row order on a distributed frame)."""
+        if order_by is None:
+            raise ValueError("duplicated() needs order_by=<col>: "
+                             "distributed frames have no implicit order")
+        keys = subset or [c for c in self._df.columns if c != order_by]
+        w = W.partitionBy(*keys).orderBy(order_by)
+        return BodoSeries(self, F.row_number().over(w) > 1, "duplicated")
+
+    def insert(self, loc: int, column: str, value) -> None:
+        """pandas df.insert: in-place column insertion at position."""
+        col = value._col if isinstance(value, BodoSeries) else F.lit(value)
+        names = list(self._df.columns)
+        names.insert(loc, "__ins__")
+        self._df = self._df.withColumn("__ins__", col).select(
+            *[F.col(n).alias(column if n == "__ins__" else n)
+              for n in names])
+
+    def join(self, other: "BodoDataFrame", on: str | list[str],
+             how: str = "left", lsuffix: str = "",
+             rsuffix: str = "") -> "BodoDataFrame":
+        """pandas df.join (key-column form): a merge with suffix
+        control."""
+        return merge(self, other, on=on, how=how,
+                     suffixes=(lsuffix or "_x", rsuffix or "_y"))
+
+    def pipe(self, func: Callable, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def pivot(self, index: str, columns: str, values: str) -> "BodoDataFrame":
+        """pandas df.pivot (no aggregation -- first value per cell; a
+        real duplicate would be a pandas error, here it's arbitrary-
+        first)."""
+        return BodoDataFrame(self._df.groupBy(index).pivot(columns)
+                             .agg(F.first(values)).orderBy(index))
+
+    def select_dtypes(self, include: str | list[str]) -> "BodoDataFrame":
+        """pandas select_dtypes over Spark simpleString type names
+        (e.g. 'bigint', 'double', 'string', 'number')."""
+        inc = [include] if isinstance(include, str) else list(include)
+        numeric = {"bigint", "int", "smallint", "tinyint", "double",
+                   "float", "decimal"}
+        keep = []
+        for f in self._df.schema.fields:
+            t = f.dataType.simpleString().split("(")[0]
+            if t in inc or ("number" in inc and t in numeric):
+                keep.append(f.name)
+        return BodoDataFrame(self._df.select(*keep))
 
     def explode(self, column: str) -> "BodoDataFrame":
         """pandas df.explode: one row per array element; empty/null

@@ -659,3 +659,58 @@ def test_general_functions_vs_pandas(spark):
                                spark=spark).spark.collect())
     exp = list(pd.date_range("2024-01-01", periods=50, freq="D"))
     assert [pd.Timestamp(t) for t in got] == exp
+
+
+def test_frame_breadth_round5(spark):
+    """diff/pct_change/cumprod/duplicated/mask/insert/join/pivot/
+    select_dtypes/empty + pandas-spelling aliases, differential vs
+    pandas where order is defined."""
+    import numpy as np
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    pdf = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5, 6],
+        "g": ["a", "a", "b", "b", "a", "b"],
+        "x": [2.0, 4.0, 8.0, 3.0, 5.0, 7.0],
+    })
+    bdf = bs.from_pandas(pdf)
+
+    got = bdf.assign(
+        d=bdf["x"].diff(order_by="k"),
+        pc=bdf["x"].pct_change(order_by="k"),
+        cp=bdf["x"].cumprod(order_by="k"),
+        m=bdf["x"].mask(bdf["x"] > 4, other=-1.0),
+        dup=bdf.duplicated(subset=["g"], order_by="k"),
+    ).sort_values("k").to_pandas()
+    p = pdf.sort_values("k")
+    assert np.allclose(got["d"].fillna(-9), p["x"].diff().fillna(-9))
+    assert np.allclose(got["pc"].fillna(-9), p["x"].pct_change().fillna(-9))
+    assert np.allclose(got["cp"], p["x"].cumprod())
+    assert np.allclose(got["m"], p["x"].mask(p["x"] > 4, -1.0))
+    assert got["dup"].tolist() == p.duplicated(subset=["g"]).tolist()
+
+    # aliases and properties
+    assert bdf["x"].product() == pdf["x"].prod()
+    assert not bdf.empty and bdf.ndim == 2
+    assert bdf[bdf["x"] > 100].empty
+    assert bdf.isnull().to_pandas().values.sum() == 0
+
+    # insert puts the column at the position
+    b2 = bs.from_pandas(pdf)
+    b2.insert(1, "one", 1)
+    assert b2.columns[1] == "one"
+
+    # join (key-column form) == pandas merge
+    other = bs.from_pandas(pd.DataFrame({"g": ["a", "b"], "v": [10, 20]}))
+    j = bdf.join(other, on="g").sort_values("k").to_pandas()
+    assert j["v"].tolist() == [10, 10, 20, 20, 10, 20]
+
+    # pivot (no-agg first-value)
+    pv = bdf.pivot(index="g", columns="k", values="x").to_pandas()
+    assert pv.set_index("g").loc["a", "1"] == 2.0
+
+    # select_dtypes
+    assert set(bdf.select_dtypes("number").columns) == {"k", "x"}
+    assert set(bdf.select_dtypes("string").columns) == {"g"}
