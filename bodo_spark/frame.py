@@ -192,6 +192,135 @@ class BodoSeries:
         where)."""
         return self.where(~cond, other)
 
+    def cummax(self, order_by: str) -> "BodoSeries":
+        w = (W.orderBy(order_by)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        return BodoSeries(self._frame, F.max(self._col).over(w), self.name)
+
+    def cummin(self, order_by: str) -> "BodoSeries":
+        w = (W.orderBy(order_by)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        return BodoSeries(self._frame, F.min(self._col).over(w), self.name)
+
+    def ffill(self, order_by: str | None = None,
+              partition_by: str | None = None) -> "BodoSeries":
+        """pandas ffill: last non-null so far (reference Series.ffill);
+        explicit ordering, optional partition for the scale path."""
+        if order_by is None:
+            raise ValueError("ffill() needs order_by=<col>")
+        w = ((W.partitionBy(partition_by) if partition_by else W)
+             .orderBy(order_by)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        return BodoSeries(self._frame,
+                          F.last(self._col, ignorenulls=True).over(w),
+                          self.name)
+
+    def bfill(self, order_by: str | None = None,
+              partition_by: str | None = None) -> "BodoSeries":
+        if order_by is None:
+            raise ValueError("bfill() needs order_by=<col>")
+        w = ((W.partitionBy(partition_by) if partition_by else W)
+             .orderBy(order_by)
+             .rowsBetween(W.currentRow, W.unboundedFollowing))
+        return BodoSeries(self._frame,
+                          F.first(self._col, ignorenulls=True).over(w),
+                          self.name)
+
+    def pad(self, **kw): return self.ffill(**kw)
+    def backfill(self, **kw): return self.bfill(**kw)
+
+    def _moments(self) -> tuple:
+        """One-pass raw moments for the pandas-estimator reductions."""
+        c = self._col.cast("double")
+        row = self._frame._df.select(
+            F.count(c).alias("n"), F.sum(c).alias("s1"),
+            F.sum(c * c).alias("s2"), F.sum(c * c * c).alias("s3"),
+            F.sum(c * c * c * c).alias("s4")).collect()[0]
+        return (row["n"], row["s1"], row["s2"], row["s3"], row["s4"])
+
+    def skew(self) -> float:
+        """pandas sample skewness (bias-adjusted G1; Spark's builtin
+        skewness() is the population g1, so adjust explicitly)."""
+        n, s1, s2, s3, _ = self._moments()
+        m = s1 / n
+        m2 = s2 / n - m * m
+        m3 = s3 / n - 3 * m * s2 / n + 2 * m ** 3
+        g1 = m3 / m2 ** 1.5
+        return g1 * (n * (n - 1)) ** 0.5 / (n - 2)
+
+    def kurt(self) -> float:
+        """pandas sample excess kurtosis (bias-adjusted G2)."""
+        n, s1, s2, s3, s4 = self._moments()
+        m = s1 / n
+        m2 = s2 / n - m * m
+        m4 = s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * m ** 4
+        g2 = m4 / (m2 * m2) - 3.0
+        return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+    def kurtosis(self) -> float: return self.kurt()
+
+    def sem(self) -> float:
+        """Standard error of the mean: std / sqrt(n)."""
+        row = self._frame._df.select(
+            F.stddev_samp(self._col).alias("s"),
+            F.count(self._col).alias("n")).collect()[0]
+        return row["s"] / row["n"] ** 0.5
+
+    def autocorr(self, lag: int = 1, order_by: str | None = None) -> float:
+        """pandas Series.autocorr: corr(x, x.shift(lag)); explicit
+        ordering like shift."""
+        shifted = self.shift(lag, order_by=order_by)
+        # window exprs can't sit inside an aggregate: project first
+        row = (self._frame._df
+               .select(self._col.alias("_a"), shifted._col.alias("_b"))
+               .select(F.corr("_a", "_b").alias("r")).collect()[0])
+        return row["r"]
+
+    def unique(self) -> list:
+        return [r["v"] for r in self._frame._df.select(
+            self._col.alias("v")).distinct().collect()]
+
+    def drop_duplicates(self) -> "BodoDataFrame":
+        return BodoDataFrame(
+            self._frame._df.select(self._col.alias(self.name)).distinct())
+
+    def to_frame(self) -> "BodoDataFrame":
+        return BodoDataFrame(self._frame._df.select(
+            self._col.alias(self.name)))
+
+    @property
+    def hasnans(self) -> bool:
+        return self._frame._df.where(self._col.isNull()).limit(1).count() > 0
+
+    def equals(self, other: "BodoSeries") -> bool:
+        """Value equality under the frame's rows (null == null)."""
+        return self._frame._df.where(
+            ~self._col.eqNullSafe(other._col)).limit(1).count() == 0
+
+    # pandas named-operator spellings
+    def add(self, o): return self + o
+    def sub(self, o): return self - o
+    def mul(self, o): return self * o
+    def div(self, o): return self / o
+    def truediv(self, o): return self / o
+    def rdiv(self, o): return self._bin(o, lambda a, b: b / a)
+    def floordiv(self, o): return self // o
+    def mod(self, o): return self % o
+    def pow(self, o): return self ** o
+    def radd(self, o): return self + o
+    def rsub(self, o): return self._bin(o, lambda a, b: b - a)
+    def rmul(self, o): return self * o
+    def rmod(self, o): return self._bin(o, lambda a, b: b % a)
+    def rpow(self, o): return self._bin(o, lambda a, b: F.pow(b, a))
+    def rfloordiv(self, o): return self._bin(o, lambda a, b: F.floor(b / a))
+    def rtruediv(self, o): return self._bin(o, lambda a, b: b / a)
+    def eq(self, o): return self == o
+    def ne(self, o): return self != o
+    def lt(self, o): return self < o
+    def le(self, o): return self <= o
+    def gt(self, o): return self > o
+    def ge(self, o): return self >= o
+
     # pandas spelling aliases
     def isnull(self): return self.isna()
     def notnull(self): return self.notna()

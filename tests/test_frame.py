@@ -714,3 +714,46 @@ def test_frame_breadth_round5(spark):
     # select_dtypes
     assert set(bdf.select_dtypes("number").columns) == {"k", "x"}
     assert set(bdf.select_dtypes("string").columns) == {"g"}
+
+
+def test_series_breadth_round5(spark):
+    """cummax/cummin/ffill/bfill, pandas-estimator skew/kurt/sem,
+    autocorr, named operators, equals/hasnans -- differential vs pandas."""
+    import numpy as np
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "k": np.arange(200),
+        "x": np.round(rng.normal(50, 12, 200), 2),
+        "h": rng.choice([1.0, 2.0, None], 200),
+    })
+    bdf = bs.from_pandas(pdf)
+
+    got = bdf.assign(
+        cmx=bdf["x"].cummax(order_by="k"),
+        cmn=bdf["x"].cummin(order_by="k"),
+        ff=bdf["h"].ffill(order_by="k"),
+        bf=bdf["h"].bfill(order_by="k"),
+        named=bdf["x"].add(1).mul(2).sub(3).div(4),
+    ).sort_values("k").to_pandas()
+    p = pdf.sort_values("k")
+    assert np.allclose(got["cmx"], p["x"].cummax())
+    assert np.allclose(got["cmn"], p["x"].cummin())
+    assert np.allclose(got["ff"].fillna(-9), p["h"].ffill().fillna(-9))
+    assert np.allclose(got["bf"].fillna(-9), p["h"].bfill().fillna(-9))
+    assert np.allclose(got["named"], ((p["x"] + 1) * 2 - 3) / 4)
+
+    assert abs(bdf["x"].skew() - pdf["x"].skew()) < 1e-9
+    assert abs(bdf["x"].kurt() - pdf["x"].kurt()) < 1e-9
+    assert abs(bdf["x"].sem() - pdf["x"].sem()) < 1e-9
+    assert abs(bdf["x"].autocorr(1, order_by="k")
+               - pdf["x"].autocorr(1)) < 1e-9
+
+    assert bdf["h"].hasnans and not bdf["x"].hasnans
+    assert bdf["x"].equals(bdf["x"])
+    assert not bdf["x"].equals(bdf["x"] + 1)
+    assert sorted(bdf["h"].unique(), key=lambda v: (v is None, v)) \
+        == sorted(pdf["h"].unique(), key=lambda v: (v is None or v != v, v))[:3]
