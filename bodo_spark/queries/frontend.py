@@ -90,7 +90,48 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def pd_fill_cum_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Series ffill/bfill (null gap filling), cummax and diff through
+    the frontend -- all single-window JVM expressions, partitioned by
+    user (the scale path)."""
+    from ..frame import BodoDataFrame
+
+    e = tbl(spark, sf, "events").where(F.col("event_id") < 3000)
+    bdf = BodoDataFrame(
+        e.withColumn("h", F.when(F.col("event_id") % 5 != 0,
+                                 F.col("value"))))
+    out = bdf.assign(
+        ff=bdf["h"].ffill(order_by="event_id", partition_by="user_id"),
+        bf=bdf["h"].bfill(order_by="event_id", partition_by="user_id"),
+        cmx=bdf["value"].cummax(order_by="event_id"),
+        d=bdf["value"].diff(order_by="event_id",
+                            partition_by="user_id"),
+    )
+    return (out.spark.select(
+        "event_id",
+        F.round("ff", 2).alias("ff"), F.round("bf", 2).alias("bf"),
+        F.round("cmx", 2).alias("cmx"), F.round("d", 2).alias("d"))
+        .orderBy("event_id"))
+
+
+_FILL_CUM_SQL = """
+SELECT event_id,
+  round(last_value(CASE WHEN event_id % 5 != 0 THEN value END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING), 2) AS ff,
+  round(first_value(CASE WHEN event_id % 5 != 0 THEN value END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS bf,
+  round(max(value) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING), 2)
+    AS cmx,
+  round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 2)
+    AS d
+FROM events WHERE event_id < 3000 ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "pd_cut_qcut": QueryDef(pd_cut_qcut, _CUT_QCUT_SQL),
     "pd_crosstab": QueryDef(pd_crosstab, _CROSSTAB_SQL),
+    "pd_fill_cum_ops": QueryDef(pd_fill_cum_ops, _FILL_CUM_SQL),
 }
