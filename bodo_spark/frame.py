@@ -1244,6 +1244,52 @@ class BodoGroupBy:
     def max(self, cols=None): return self._simple("max", cols)
     def count(self, cols=None): return self._simple("count", cols)
     def nunique(self, cols=None): return self._simple("nunique", cols)
+    def first(self, cols=None): return self._simple("first", cols)
+    def last(self, cols=None): return self._simple("last", cols)
+    def median(self, cols=None): return self._simple("median", cols)
+    def std(self, cols=None): return self._simple("std", cols)
+    def var(self, cols=None): return self._simple("var", cols)
+
+    def prod(self, cols=None) -> BodoDataFrame:
+        cols = cols or [c for c in self._frame.columns
+                        if c not in self._keys]
+        return BodoDataFrame(self._frame._df.groupBy(*self._keys)
+                             .agg(*[F.product(c).alias(c) for c in cols]))
+
+    def aggregate(self, *a, **kw): return self.agg(*a, **kw)
+
+    def pipe(self, func: Callable, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def shift(self, col: str, periods: int = 1,
+              order_by: str | None = None) -> BodoDataFrame:
+        """groupby.shift (reference groupby shift ftype): lag within
+        each group over an explicit ordering."""
+        if order_by is None:
+            raise ValueError("groupby.shift() needs order_by=<col>")
+        w = W.partitionBy(*self._keys).orderBy(order_by)
+        fn = F.lag(col, periods) if periods >= 0 else F.lead(col, -periods)
+        return BodoDataFrame(self._frame._df.withColumn(
+            f"{col}_shift", fn.over(w)))
+
+    def value_counts(self, col: str) -> BodoDataFrame:
+        """SeriesGroupBy.value_counts: per-group value frequencies,
+        descending count then value (pandas order)."""
+        return BodoDataFrame(
+            self._frame._df.groupBy(*self._keys, col)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(*self._keys, F.col("count").desc(), col))
+
+    def rolling(self, window: int, order_by: str,
+                min_periods: int | None = None) -> "BodoRolling":
+        """groupby.rolling (reference groupby/rolling.md): the frame's
+        rolling with the group keys as the window partition -- the
+        scale path by construction."""
+        if len(self._keys) != 1:
+            raise NotImplementedError("groupby.rolling supports one key")
+        return self._frame.rolling(window, order_by=order_by,
+                                   partition_by=self._keys[0],
+                                   min_periods=min_periods)
 
     def size(self) -> BodoDataFrame:
         return BodoDataFrame(self._frame._df.groupBy(*self._keys)

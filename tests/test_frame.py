@@ -757,3 +757,44 @@ def test_series_breadth_round5(spark):
     assert not bdf["x"].equals(bdf["x"] + 1)
     assert sorted(bdf["h"].unique(), key=lambda v: (v is None, v)) \
         == sorted(pdf["h"].unique(), key=lambda v: (v is None or v != v, v))[:3]
+
+
+def test_groupby_breadth_round5(spark):
+    """groupby first/last/median/std/var/prod/shift/value_counts/
+    rolling/pipe vs pandas."""
+    import numpy as np
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    pdf = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b", "b"],
+        "k": [1, 2, 3, 1, 2, 3],
+        "x": [2.0, 4.0, 6.0, 1.0, 3.0, 9.0],
+    })
+    bdf = bs.from_pandas(pdf)
+    gb = bdf.groupby("g")
+
+    med = gb.median(["x"]).sort_values("g").to_pandas()
+    assert med["x"].tolist() == [4.0, 3.0]
+    assert gb.prod(["x"]).sort_values("g").to_pandas()["x"].tolist() \
+        == [48.0, 27.0]
+    assert np.allclose(gb.std(["x"]).sort_values("g").to_pandas()["x"],
+                       pdf.groupby("g")["x"].std().values)
+
+    sh = gb.shift("x", 1, order_by="k").sort_values(["g", "k"]).to_pandas()
+    exp = pdf.sort_values(["g", "k"]).groupby("g")["x"].shift(1)
+    assert sh["x_shift"].fillna(-9).tolist() == exp.fillna(-9).tolist()
+
+    vc = gb.value_counts("x").to_pandas()
+    assert vc["count"].sum() == 6
+
+    roll = gb.rolling(2, order_by="k").mean("x").sort_values(["g", "k"])
+    got = roll.to_pandas()["x_roll_mean"]
+    exp = (pdf.sort_values(["g", "k"]).groupby("g")["x"]
+           .rolling(2).mean().reset_index(drop=True))
+    assert np.allclose(got.fillna(-9), exp.fillna(-9))
+
+    assert gb.pipe(lambda g: g.size()).to_pandas()["size"].sum() == 6
+    assert gb.aggregate({"x": "sum"}).sort_values("g") \
+        .to_pandas()["x"].tolist() == [12.0, 13.0]
