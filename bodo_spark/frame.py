@@ -444,6 +444,28 @@ class _StrAccessor:
     def extract(self, pat, group=1):
         return self._wrap(F.regexp_extract(self._s._col, pat, group))
 
+    def extractall(self, pat, group=0):
+        """All matches as an array (reference str.extractall; the
+        row-per-match index shape needs explode() after)."""
+        return self._wrap(F.regexp_extract_all(self._s._col, F.lit(pat),
+                                               F.lit(group)))
+
+    def join(self, sep: str):
+        """str.join over an array column."""
+        return self._wrap(F.array_join(self._s._col, sep))
+
+    def index(self, sub):
+        """str.index: like find but raising on absence is a driver-side
+        contract pandas enforces eagerly; distributed form returns -1
+        (find) -- documented delta."""
+        return self.find(sub)
+
+    def rindex(self, sub):
+        return self.rfind(sub)
+
+    def isdecimal(self):
+        return self._wrap(self._s._col.rlike("^[0-9]+$"))
+
     def cat(self, other: "BodoSeries", sep: str = ""):
         """reference series.py _str_cat_helper."""
         return self._wrap(F.concat_ws(sep, self._s._col, other._col))

@@ -798,3 +798,22 @@ def test_groupby_breadth_round5(spark):
     assert gb.pipe(lambda g: g.size()).to_pandas()["size"].sum() == 6
     assert gb.aggregate({"x": "sum"}).sort_values("g") \
         .to_pandas()["x"].tolist() == [12.0, 13.0]
+
+
+def test_str_accessor_tail(spark):
+    """str.extractall/join/index/rindex/isdecimal close out the
+    reference str accessor list."""
+    import bodo_spark as bs
+    import pandas as pd
+
+    pdf = pd.DataFrame({"s": ["a1b22c", "no9digits77", "none"]})
+    b = bs.from_pandas(pdf)
+    out = b.assign(ms=b["s"].str.extractall(r"[0-9]+"),
+                   dec=b["s"].str.isdecimal(),
+                   i1=b["s"].str.index("b"),
+                   r1=b["s"].str.rindex("i"))
+    out = out.assign(j=out["ms"].str.join("-")).to_pandas()
+    assert out["j"].tolist() == ["1-22", "9-77", ""]
+    assert out["dec"].tolist() == [False, False, False]
+    assert out["i1"].tolist() == [2, -1, -1]
+    assert out["r1"].tolist() == [-1, 4, -1]
