@@ -816,4 +816,4 @@ def test_str_accessor_tail(spark):
     assert out["j"].tolist() == ["1-22", "9-77", ""]
     assert out["dec"].tolist() == [False, False, False]
     assert out["i1"].tolist() == [2, -1, -1]
-    assert out["r1"].tolist() == [-1, 4, -1]
+    assert out["r1"].tolist() == [-1, 6, -1]
