@@ -824,7 +824,54 @@ FROM t ORDER BY id
 """
 
 
+def sql_variant_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Snowflake VARIANT on Spark 4's NATIVE VariantType (reference
+    variant_array_kernels.py / PARSE_JSON): parse_json -> binary
+    variant, path navigation incl. array subscripts via variant_get,
+    TRY_ semantics for missing paths, is_variant_null for JSON null --
+    not the string-shim model, the real columnar variant encoding."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH j AS (
+          SELECT event_id AS id,
+                 parse_json(concat(
+                   '{"meta": {"type": "', event_type, '", "ks": [',
+                   CAST(event_id % 7 AS STRING), ',',
+                   CAST(event_id % 11 AS STRING), ']}, "v": ',
+                   CAST(CAST(value AS DECIMAL(12,2)) AS STRING),
+                   ', "z": null}')) AS v
+          FROM events_sf WHERE event_id < 3000)
+        SELECT id,
+               variant_get(v, '$.meta.type', 'string') AS mtype,
+               variant_get(v, '$.meta.ks[1]', 'bigint') AS k2,
+               CAST(variant_get(v, '$.v', 'double') AS DOUBLE) AS val,
+               try_variant_get(v, '$.missing', 'int') AS miss,
+               is_variant_null(variant_get(v, '$.z')) AS znull
+        FROM j ORDER BY id
+    """).spark
+
+
+_VARIANT_NATIVE_SQL = """
+WITH j AS (
+  SELECT event_id AS id,
+         concat('{"meta": {"type": "', event_type, '", "ks": [',
+                CAST(event_id % 7 AS VARCHAR), ',',
+                CAST(event_id % 11 AS VARCHAR), ']}, "v": ',
+                CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR),
+                ', "z": null}') AS js
+  FROM events WHERE event_id < 3000)
+SELECT id,
+       json_extract_string(js, '$.meta.type') AS mtype,
+       CAST(json_extract(js, '$.meta.ks[1]') AS BIGINT) AS k2,
+       CAST(json_extract(js, '$.v') AS DOUBLE) AS val,
+       CAST(NULL AS INT) AS miss,
+       json_type(js, '$.z') = 'NULL' AS znull
+FROM j ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sql_variant_native": QueryDef(sql_variant_native, _VARIANT_NATIVE_SQL),
     "sql_dialect_phase6_funcs": QueryDef(sql_dialect_phase6_funcs,
                                          _DIALECT_PHASE6_SQL),
     "sql_array_multiset_funcs": QueryDef(sql_array_multiset_funcs,
