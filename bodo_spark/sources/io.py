@@ -149,6 +149,71 @@ def read_sql(query_or_table: str, url: str, spark: SparkSession | None = None,
     return reader.load()
 
 
+def read_sql_table(table_name: str, con: str, schema: str | None = None,
+                   spark: SparkSession | None = None,
+                   **options: Any) -> DataFrame:
+    """pd.read_sql_table (reference docs io/read_sql_table.md: Iceberg
+    warehouse URLs or JDBC): iceberg:// URLs route to the Iceberg
+    reader, anything else is a JDBC table scan."""
+    if con.startswith("iceberg"):
+        name = f"{schema}.{table_name}" if schema else table_name
+        return read_iceberg(name, spark=spark, **options)
+    name = f"{schema}.{table_name}" if schema else table_name
+    return read_sql(name, con, spark=spark, **options)
+
+
+def read_excel(path: str, sheet_name: int | str = 0,
+               spark: SparkSession | None = None,
+               **options: Any) -> DataFrame:
+    """pd.read_excel (reference docs io/read_excel.md): Spark has no
+    native xlsx source, so the file is parsed driver-side by pandas
+    (openpyxl) and shipped as an Arrow frame -- correct for the
+    config-workbook sizes Excel implies; raises cleanly if the engine
+    is absent in this container."""
+    import pandas as _pd
+    try:
+        pdf = _pd.read_excel(path, sheet_name=sheet_name, **options)
+    except ImportError as e:  # openpyxl/xlrd not shipped offline
+        raise NotImplementedError(
+            "read_excel needs an excel engine (openpyxl); not available "
+            "in this container") from e
+    return from_pandas(pdf, spark=spark)
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction (the lakehouse OPTIMIZE primitive; the
+    reference's MPI writer sizes files at write time, a long-lived table
+    still degrades under trickle appends). Rewrites the directory to
+    ceil(bytes/target) files via repartition, using the same
+    staged-write + swap protocol as merge_into_parquet -- the original
+    is untouched until the compacted copy is fully durable. Returns the
+    new file count."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    norm = path.rstrip("/")
+    total = sum(os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(norm) for f in fs
+                if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    staging = f"{norm}.__compact_staging_{uuid.uuid4().hex[:8]}"
+    backup = f"{norm}.__compact_backup_{uuid.uuid4().hex[:8]}"
+    (spark.read.parquet(norm).repartition(n_files)
+     .write.mode("errorifexists").parquet(staging))
+    try:
+        shutil.move(norm, backup)
+        shutil.move(staging, norm)
+    except OSError:
+        if not os.path.isdir(norm) and os.path.isdir(backup):
+            shutil.move(backup, norm)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+    return n_files
+
+
 def to_sql(df: DataFrame, table: str, url: str, mode: str = "append",
            **options: Any) -> None:
     """JDBC sink. Reference: bodo/pandas/frame.py:775."""

@@ -224,3 +224,34 @@ def test_jdbc_filter_pushdown(spark, orders, tmp_path_factory):
         "PushedFilters")[1][:200], plan
     exp = sub.where(F.col("o_totalprice") > 100000.0).count()
     assert df.count() == exp
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """compact_parquet rewrites a trickle-append directory into the
+    target file count via staged write + swap; data identical."""
+    import glob as _glob
+
+    from bodo_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "trickle")
+    for i in range(8):
+        (spark.range(i * 100, (i + 1) * 100)
+         .write.mode("append").parquet(path))
+    before = len(_glob.glob(f"{path}/*.parquet"))
+    total_before = spark.read.parquet(path).count()
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    after = len(_glob.glob(f"{path}/*.parquet"))
+    assert n == 1 and after == 1 and before >= 8
+    assert spark.read.parquet(path).count() == total_before
+    assert not _glob.glob(f"{path}.__compact_*")
+
+
+def test_read_sql_table_routes(spark):
+    """read_sql_table: iceberg:// goes to the Iceberg reader (clean
+    error offline), JDBC URL goes to the JDBC reader."""
+    import pytest as _pytest
+
+    from bodo_spark.sources.io import read_sql_table
+
+    with _pytest.raises(Exception):
+        read_sql_table("t", "iceberg:///tmp/wh", schema="s", spark=spark)
