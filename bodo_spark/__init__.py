@@ -28,6 +28,8 @@ from .frame import (  # noqa: F401
     read_parquet,
     to_datetime,
     to_numeric,
+    to_timedelta,
+    timedelta_range,
     unique,
 )
 from .plans import summarize as plan_summary  # noqa: F401

@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 __all__ = ["BodoDataFrame", "BodoSeries", "read_parquet", "read_csv",
            "read_iceberg", "from_pandas", "concat", "merge", "merge_asof",
            "to_datetime", "cut", "qcut", "crosstab", "get_dummies",
-           "to_numeric", "unique", "date_range"]
+           "to_numeric", "unique", "date_range", "to_timedelta",
+           "timedelta_range"]
 
 
 # --------------------------------------------------------------------------
@@ -1539,6 +1540,34 @@ def to_datetime(s: "BodoSeries", format: str | None = None) -> "BodoSeries":
                 .replace("%M", "mm").replace("%S", "ss"))
         col = F.to_timestamp(s._col, java)
     return BodoSeries(s._frame, col, s.name)
+
+
+_TD_SECS = {"s": 1.0, "sec": 1.0, "seconds": 1.0, "m": 60.0, "min": 60.0,
+            "minutes": 60.0, "h": 3600.0, "hours": 3600.0, "d": 86400.0,
+            "days": 86400.0, "ms": 1e-3, "us": 1e-6}
+
+
+def to_timedelta(s: "BodoSeries", unit: str = "s") -> "BodoSeries":
+    """pd.to_timedelta (reference docs general_functions/to_timedelta.md)
+    as a day-time INTERVAL column -- adds directly to timestamps."""
+    if unit not in _TD_SECS:
+        raise ValueError(f"unsupported unit {unit!r}")
+    col = F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0),
+        s._col.cast("double") * _TD_SECS[unit])
+    return BodoSeries(s._frame, col, s.name)
+
+
+def timedelta_range(start: int = 0, periods: int = 10, freq: str = "d",
+                    spark=None) -> BodoDataFrame:
+    """pd.timedelta_range as a distributed interval spine."""
+    from .session import get_spark as _gs
+    spark = spark or _gs()
+    step = _TD_SECS[freq]
+    df = spark.range(periods).select(
+        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                           (F.col("id") + start) * step).alias("td"))
+    return BodoDataFrame(df)
 
 
 def merge_asof(left: BodoDataFrame, right: BodoDataFrame, **kw) -> BodoDataFrame:

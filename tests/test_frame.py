@@ -817,3 +817,21 @@ def test_str_accessor_tail(spark):
     assert out["dec"].tolist() == [False, False, False]
     assert out["i1"].tolist() == [2, -1, -1]
     assert out["r1"].tolist() == [-1, 6, -1]
+
+
+def test_to_timedelta_and_range(spark):
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    pdf = pd.DataFrame({"t": pd.to_datetime(["2024-01-01", "2024-06-01"]),
+                        "mins": [90, 30]})
+    b = bs.from_pandas(pdf)
+    out = b.assign(t2=b["t"] + bs.to_timedelta(b["mins"], unit="min")) \
+        .sort_values("t").to_pandas()
+    exp = (pdf["t"] + pd.to_timedelta(pdf["mins"], unit="min")).tolist()
+    assert [pd.Timestamp(x) for x in out["t2"]] == exp
+
+    tds = bs.timedelta_range(periods=3, freq="h", spark=spark) \
+        .spark.collect()
+    assert [r["td"].total_seconds() for r in tds] == [0.0, 3600.0, 7200.0]
