@@ -184,7 +184,60 @@ ORDER BY q_id, rn
 """
 
 
+def emb_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The embedding half of a training-data pipeline in one plan:
+    salt planted duplicates -> sign-bucket LSH blocking -> cosine
+    near-dup pairs -> connected components (min-label propagation) ->
+    one survivor per cluster -> per-label corpus budget. The oracle
+    re-resolves the identical components with a recursive CTE."""
+    from ..operators import dedup as D
+
+    emb = tbl(spark, sf, "embeddings")
+    planted = (emb.where(F.col("vec_id") < 3)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(10000)))
+    corpus = emb.unionByName(planted)
+    pairs = (S.embedding_neardup_pairs(corpus, threshold=0.9, block_bits=4)
+             .select(F.col("id_a"), F.col("id_b")))
+    surv = D.dedup_survivors(corpus, pairs, id_col="vec_id")
+    return (surv.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.min("vec_id").alias("min_vec"),
+                 F.max("vec_id").alias("max_vec"))
+            .orderBy("label"))
+
+
+_EMB_PIPELINE_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, label, embedding
+  FROM embeddings WHERE vec_id < 3),
+v AS (SELECT vec_id, label, embedding, {_sql_bucket('embedding', 4)} AS blk
+      FROM base),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.blk = b.blk AND a.vec_id < b.vec_id
+  WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.9),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u),
+lbl AS (SELECT u, MIN(comp) AS comp FROM reach GROUP BY u),
+keep AS (SELECT comp, MIN(u) AS keep_id FROM lbl GROUP BY comp),
+drops AS (SELECT u FROM lbl JOIN keep USING (comp) WHERE u <> keep_id)
+SELECT label, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec,
+       MAX(vec_id) AS max_vec
+FROM base
+WHERE vec_id NOT IN (SELECT u FROM drops)
+GROUP BY label ORDER BY label
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "emb_pipeline_e2e": QueryDef(emb_pipeline_e2e, _EMB_PIPELINE_SQL),
     "ann_ivf_topk": QueryDef(ann_ivf_topk, _ANN_IVF_SQL),
     "ann_cosine_topk": QueryDef(ann_cosine_topk, _ANN_TOPK_SQL),
     "ann_blocked_topk": QueryDef(ann_blocked_topk, _ANN_BLOCKED_SQL),
