@@ -591,6 +591,18 @@ SNOWFLAKE_SQL_FNS.update({
     "TIMESTAMP_NTZ_FROM_PARTS": (
         "(y INT, mo INT, d INT, h INT, mi INT, s INT) RETURNS TIMESTAMP_NTZ "
         "RETURN make_timestamp_ntz(y, mo, d, h, mi, s)"),
+    # Snowflake numeric TO_TIMESTAMP auto-scaling (reference
+    # snowflake_conversion_array_kernels.py number_to_datetime): a bare
+    # number is seconds / millis / micros / nanos after the epoch,
+    # chosen by magnitude at the 31536000000 (ms-per-year) thresholds.
+    "TO_TIMESTAMP_NUM": (
+        "(n BIGINT) RETURNS TIMESTAMP RETURN CASE "
+        "WHEN abs(n) < 31536000000 THEN timestamp_seconds(n) "
+        "WHEN abs(n) < CAST(31536000000 AS BIGINT) * 1000 "
+        "  THEN timestamp_millis(n) "
+        "WHEN abs(n) < CAST(31536000000 AS BIGINT) * 1000000 "
+        "  THEN timestamp_micros(n) "
+        "ELSE timestamp_micros(CAST(n DIV 1000 AS BIGINT)) END"),
     # TIMESTAMP_TZ_FROM_PARTS (reference datetime_array_kernels.py:322):
     # wall-clock parts interpreted in the named zone; Spark's
     # make_timestamp has exactly this timezone argument.

@@ -870,7 +870,46 @@ FROM j ORDER BY id
 """
 
 
+def dt_numeric_scaling(spark: SparkSession, sf: str) -> DataFrame:
+    """Snowflake numeric TO_TIMESTAMP magnitude auto-scaling (reference
+    number_to_datetime): the same instant expressed as seconds, millis,
+    micros and nanos must all round-trip through the thresholds."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH t AS (
+          SELECT event_id AS id, unix_timestamp(ts) AS es
+          FROM events_sf WHERE event_id < 2000)
+        SELECT id,
+               date_format(TO_TIMESTAMP_NUM(es), 'yyyy-MM-dd HH:mm:ss')
+                 AS from_s,
+               date_format(TO_TIMESTAMP_NUM(es * 1000 + 250),
+                           'yyyy-MM-dd HH:mm:ss.SSS') AS from_ms,
+               date_format(TO_TIMESTAMP_NUM(es * 1000000 + 250750),
+                           'yyyy-MM-dd HH:mm:ss.SSS') AS from_us,
+               date_format(TO_TIMESTAMP_NUM(es * 1000000000 + 250750999),
+                           'yyyy-MM-dd HH:mm:ss.SSS') AS from_ns
+        FROM t ORDER BY id
+    """).spark
+
+
+_DT_NUMERIC_SCALING_SQL = """
+WITH t AS (
+  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE event_id < 2000)
+SELECT id,
+  strftime(to_timestamp(es), '%Y-%m-%d %H:%M:%S') AS from_s,
+  strftime(epoch_ms(es * 1000 + 250), '%Y-%m-%d %H:%M:%S.%g') AS from_ms,
+  strftime(make_timestamp(es * 1000000 + 250750),
+           '%Y-%m-%d %H:%M:%S.%g') AS from_us,
+  strftime(make_timestamp((es * 1000000000 + 250750999) // 1000),
+           '%Y-%m-%d %H:%M:%S.%g') AS from_ns
+FROM t ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dt_numeric_scaling": QueryDef(dt_numeric_scaling,
+                                   _DT_NUMERIC_SCALING_SQL),
     "sql_variant_native": QueryDef(sql_variant_native, _VARIANT_NATIVE_SQL),
     "sql_dialect_phase6_funcs": QueryDef(sql_dialect_phase6_funcs,
                                          _DIALECT_PHASE6_SQL),
