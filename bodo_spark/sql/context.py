@@ -89,6 +89,19 @@ def desugar_qualify(query: str) -> str:
             f"{src}) __q WHERE __qualify__ {tail}")
 
 
+_GENERATOR_RE = re.compile(
+    r"(?:LATERAL\s+)?TABLE\s*\(\s*GENERATOR\s*\(\s*ROWCOUNT\s*=>\s*(\d+)"
+    r"\s*\)\s*\)", re.IGNORECASE)
+
+
+def _rewrite_generator(query: str) -> str:
+    """Snowflake's row-generator table function (reference BodoSQL
+    test_lateral.py GENERATOR tests) -> Spark's range() table-valued
+    function: TABLE(GENERATOR(ROWCOUNT => n)) becomes range(n), a
+    distributed n-row relation with an ``id`` column (SEQ4 analogue)."""
+    return _GENERATOR_RE.sub(lambda m: f"range({m.group(1)})", query)
+
+
 class BodoSQLContext:
     """reference BodoSQL/bodosql/context.py: tables registered once,
     .sql() plans through Catalyst with dialect shims applied."""
@@ -116,9 +129,20 @@ class BodoSQLContext:
         df.createOrReplaceTempView(name)
         self._tables[name] = df
 
-    def sql(self, query: str):
+    def sql(self, query: str, params: Mapping[str, Any] | None = None):
+        """Run a query (reference BodoSQLContext.sql, context.py:504).
+
+        ``params`` binds Snowflake-style named parameters (``@name`` in
+        the text; reference named_params_dict) -- values go through
+        Spark's parameterized-SQL binding (:name), never string
+        interpolation, so injection-shaped strings stay literals."""
         from ..frame import BodoDataFrame
-        return BodoDataFrame(self.spark.sql(desugar_qualify(query)))
+        q = _rewrite_generator(desugar_qualify(query))
+        if params:
+            for name in params:
+                q = re.sub(f"@{re.escape(name)}\\b", f":{name}", q)
+            return BodoDataFrame(self.spark.sql(q, args=dict(params)))
+        return BodoDataFrame(self.spark.sql(q))
 
     def remove_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)

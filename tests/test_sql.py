@@ -109,3 +109,29 @@ def test_context_reference_api_names(spark):
     finally:
         bc.execute_ddl("DROP TABLE t_ddl_check")
     bc.remove_view("v1")
+
+
+def test_generator_rewrite_and_named_params(spark):
+    """TABLE(GENERATOR(ROWCOUNT => n)) -> range(n) (reference BodoSQL
+    test_lateral.py) and @name named-parameter binding via Spark's
+    parameterized SQL (reference context.py named_params_dict)."""
+    import pandas as pd
+
+    from bodo_spark.sql import BodoSQLContext
+
+    bc = BodoSQLContext({"t1": pd.DataFrame({"i": [1, 2]})}, spark=spark)
+    r = bc.sql(
+        "SELECT COUNT(*) AS c FROM TABLE(GENERATOR(ROWCOUNT => 1776))"
+    ).spark.collect()
+    assert r[0]["c"] == 1776
+    r = bc.sql("SELECT i, COUNT(*) AS c FROM t1, "
+               "LATERAL TABLE(GENERATOR(ROWCOUNT => 10)) GROUP BY i "
+               "ORDER BY i").spark.collect()
+    assert [(x["i"], x["c"]) for x in r] == [(1, 10), (2, 10)]
+    r = bc.sql("SELECT COUNT(*) AS c FROM t1 WHERE i >= @lo AND i < @hi",
+               params={"lo": 2, "hi": 99}).spark.collect()
+    assert r[0]["c"] == 1
+    # injection-shaped string stays a literal value
+    r = bc.sql("SELECT COUNT(*) AS c FROM t1 WHERE CAST(i AS STRING) = @s",
+               params={"s": "1 OR 1=1"}).spark.collect()
+    assert r[0]["c"] == 0
