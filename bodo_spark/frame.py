@@ -243,8 +243,12 @@ class BodoSeries:
         """pandas sample skewness (bias-adjusted G1; Spark's builtin
         skewness() is the population g1, so adjust explicitly)."""
         n, s1, s2, s3, _ = self._moments()
+        if n < 3:
+            return float("nan")
         m = s1 / n
         m2 = s2 / n - m * m
+        if m2 <= 0:  # constant series: pandas yields NaN
+            return float("nan")
         m3 = s3 / n - 3 * m * s2 / n + 2 * m ** 3
         g1 = m3 / m2 ** 1.5
         return g1 * (n * (n - 1)) ** 0.5 / (n - 2)
@@ -252,8 +256,12 @@ class BodoSeries:
     def kurt(self) -> float:
         """pandas sample excess kurtosis (bias-adjusted G2)."""
         n, s1, s2, s3, s4 = self._moments()
+        if n < 4:
+            return float("nan")
         m = s1 / n
         m2 = s2 / n - m * m
+        if m2 <= 0:  # constant series: pandas yields NaN
+            return float("nan")
         m4 = s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * m ** 4
         g2 = m4 / (m2 * m2) - 3.0
         return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
@@ -278,8 +286,7 @@ class BodoSeries:
         return row["r"]
 
     def unique(self) -> list:
-        return [r["v"] for r in self._frame._df.select(
-            self._col.alias("v")).distinct().collect()]
+        return unique(self)
 
     def drop_duplicates(self) -> "BodoDataFrame":
         return BodoDataFrame(
@@ -989,11 +996,13 @@ class BodoDataFrame:
                    order_by: str | None = None) -> "BodoSeries":
         """pandas df.duplicated(keep='first') as a boolean Series:
         row_number within the key group > 1. ``order_by`` defines which
-        row is 'first' (no implicit row order on a distributed frame)."""
+        row is 'first' (no implicit row order on a distributed frame);
+        like pandas, the default key set is ALL columns -- pass
+        ``subset`` to exclude e.g. a unique id."""
         if order_by is None:
             raise ValueError("duplicated() needs order_by=<col>: "
                              "distributed frames have no implicit order")
-        keys = subset or [c for c in self._df.columns if c != order_by]
+        keys = list(subset) if subset else list(self._df.columns)
         w = W.partitionBy(*keys).orderBy(order_by)
         return BodoSeries(self, F.row_number().over(w) > 1, "duplicated")
 
@@ -1233,8 +1242,11 @@ class BodoGroupBy:
 
     _FN = {"sum": F.sum, "mean": F.avg, "avg": F.avg, "min": F.min,
            "max": F.max, "count": F.count, "nunique": F.countDistinct,
-           "std": F.stddev_samp, "var": F.var_samp, "first": F.first,
-           "last": F.last, "median": F.median,
+           "std": F.stddev_samp, "var": F.var_samp,
+           # pandas groupby.first/last = first/last NON-null
+           "first": (lambda c: F.first(c, ignorenulls=True)),
+           "last": (lambda c: F.last(c, ignorenulls=True)),
+           "median": F.median,
            "skew": F.skewness, "kurt": F.kurtosis,
            "all": F.bool_and, "any": F.bool_or,
            "collect_list": F.collect_list, "collect_set": F.collect_set}
@@ -1614,12 +1626,25 @@ def cut(s: BodoSeries, bins, labels=None, right: bool = True,
     else:
         edges = [float(b) for b in bins]
     code = _bin_code(s._col, edges, include_lowest)
+    return _bin_result(s, code, edges, labels)
+
+
+def _bin_result(s: BodoSeries, code: Column, edges: list[float],
+                labels) -> BodoSeries:
+    """Shared cut/qcut output shaping: False = integer codes, a list =
+    the caller's labels, None = pandas-style '(a, b]' strings."""
     if labels is False:
         return BodoSeries(s._frame, code, s.name)
+    if isinstance(labels, (list, tuple)):
+        if len(labels) != len(edges) - 1:
+            raise ValueError("labels length must equal number of bins")
+        texts = [str(v) for v in labels]
+    else:
+        texts = [f"({edges[i]}, {edges[i + 1]}]"
+                 for i in range(len(edges) - 1)]
     lab = F.lit(None).cast("string")
     for i in reversed(range(len(edges) - 1)):
-        lab = F.when(code == i,
-                     F.lit(f"({edges[i]}, {edges[i + 1]}]")).otherwise(lab)
+        lab = F.when(code == i, F.lit(texts[i])).otherwise(lab)
     return BodoSeries(s._frame, lab, s.name)
 
 
@@ -1638,13 +1663,7 @@ def qcut(s: BodoSeries, q, labels=None) -> BodoSeries:
            .collect())
     edges = [float(e) for e in row[0]["e"]]
     code = _bin_code(s._col, edges, include_lowest=True)
-    if labels is False:
-        return BodoSeries(s._frame, code, s.name)
-    lab = F.lit(None).cast("string")
-    for i in reversed(range(len(edges) - 1)):
-        lab = F.when(code == i,
-                     F.lit(f"({edges[i]}, {edges[i + 1]}]")).otherwise(lab)
-    return BodoSeries(s._frame, lab, s.name)
+    return _bin_result(s, code, edges, labels)
 
 
 def crosstab(index: BodoSeries, columns: BodoSeries) -> BodoDataFrame:
@@ -1681,11 +1700,19 @@ def get_dummies(s: BodoSeries, prefix: str | None = None,
 def to_numeric(s: BodoSeries, errors: str = "raise",
                downcast: str | None = None) -> BodoSeries:
     """pd.to_numeric (reference general_functions/to_numeric.md):
-    errors='coerce' is try_cast (NULL on garbage); 'raise' is an ANSI
-    cast. downcast='integer' casts to bigint, 'float' to double."""
+    errors='coerce' is try_cast (NULL on garbage); 'raise' raises on the
+    first unparseable value at execution time (the session runs with
+    ANSI off, so a plain cast would silently NULL -- guard explicitly).
+    downcast='integer' casts to bigint, 'float' to double."""
     target = "bigint" if downcast == "integer" else "double"
-    col = s._col.try_cast(target) if errors == "coerce" \
-        else s._col.cast(target)
+    tried = s._col.try_cast(target)
+    if errors == "coerce":
+        return BodoSeries(s._frame, tried, s.name)
+    col = F.when(
+        s._col.isNotNull() & tried.isNull(),
+        F.raise_error(F.concat(F.lit("to_numeric: unparseable value "),
+                               s._col.cast("string")))
+        .cast(target)).otherwise(tried)
     return BodoSeries(s._frame, col, s.name)
 
 
@@ -1712,6 +1739,10 @@ def date_range(start: str, end: str | None = None,
         raise NotImplementedError(f"freq {freq!r} not supported")
     step = unit_secs[freq]
     t0 = _dt.datetime.fromisoformat(start)
+    if freq == "W":
+        # pandas 'W' == 'W-SUN': the spine starts at the first Sunday
+        # on/after start (Monday=0 .. Sunday=6)
+        t0 += _dt.timedelta(days=(6 - t0.weekday()) % 7)
     if periods is None:
         if end is None:
             raise ValueError("date_range needs end or periods")

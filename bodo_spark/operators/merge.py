@@ -112,11 +112,14 @@ def merge_into_parquet(
     try:
         shutil.move(norm, backup)
         shutil.move(staging, norm)
-    except OSError:
+    except Exception:
         # Local-FS path only; on object stores callers should point a
         # catalog/table pointer at `staging` instead of renaming.
+        # shutil can raise shutil.Error (partial cross-device copy) as
+        # well as OSError; restore the original and drop staging.
         if not _exists_dir(norm) and _exists_dir(backup):
             shutil.move(backup, norm)
+        shutil.rmtree(staging, ignore_errors=True)
         raise
     shutil.rmtree(backup, ignore_errors=True)
 

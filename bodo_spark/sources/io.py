@@ -206,9 +206,12 @@ def compact_parquet(spark: SparkSession, path: str,
     try:
         shutil.move(norm, backup)
         shutil.move(staging, norm)
-    except OSError:
+    except Exception:
+        # restore the original and drop the (possibly partial) staging
+        # copy -- shutil can raise shutil.Error as well as OSError
         if not os.path.isdir(norm) and os.path.isdir(backup):
             shutil.move(backup, norm)
+        shutil.rmtree(staging, ignore_errors=True)
         raise
     shutil.rmtree(backup, ignore_errors=True)
     return n_files

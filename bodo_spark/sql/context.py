@@ -94,12 +94,37 @@ _GENERATOR_RE = re.compile(
     r"\s*\)\s*\)", re.IGNORECASE)
 
 
+def _sub_outside_quotes(pattern: re.Pattern, repl, query: str) -> str:
+    """re.sub that never rewrites inside '…'/"…" literals -- a naive
+    whole-text sub would corrupt literal data that happens to match
+    (e.g. an email containing @param)."""
+    out = []
+    i, n = 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch in ("'", '"'):
+            j = query.find(ch, i + 1)
+            j = n - 1 if j == -1 else j
+            out.append(query[i:j + 1])
+            i = j + 1
+            continue
+        m = pattern.match(query, i)
+        if m:
+            out.append(repl(m) if callable(repl) else repl)
+            i = m.end()
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _rewrite_generator(query: str) -> str:
     """Snowflake's row-generator table function (reference BodoSQL
     test_lateral.py GENERATOR tests) -> Spark's range() table-valued
     function: TABLE(GENERATOR(ROWCOUNT => n)) becomes range(n), a
     distributed n-row relation with an ``id`` column (SEQ4 analogue)."""
-    return _GENERATOR_RE.sub(lambda m: f"range({m.group(1)})", query)
+    return _sub_outside_quotes(_GENERATOR_RE,
+                               lambda m: f"range({m.group(1)})", query)
 
 
 class BodoSQLContext:
@@ -140,7 +165,8 @@ class BodoSQLContext:
         q = _rewrite_generator(desugar_qualify(query))
         if params:
             for name in params:
-                q = re.sub(f"@{re.escape(name)}\\b", f":{name}", q)
+                pat = re.compile(f"@{re.escape(name)}\\b")
+                q = _sub_outside_quotes(pat, f":{name}", q)
             return BodoDataFrame(self.spark.sql(q, args=dict(params)))
         return BodoDataFrame(self.spark.sql(q))
 

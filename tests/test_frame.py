@@ -660,6 +660,13 @@ def test_general_functions_vs_pandas(spark):
     exp = list(pd.date_range("2024-01-01", periods=50, freq="D"))
     assert [pd.Timestamp(t) for t in got] == exp
 
+    # weekly anchors to Sunday like pandas 'W'
+    got = sorted(r["ts"] for r in
+                 bs.date_range("2024-01-03", periods=4, freq="W",
+                               spark=spark).spark.collect())
+    exp = list(pd.date_range("2024-01-03", periods=4, freq="W"))
+    assert [pd.Timestamp(t) for t in got] == exp
+
 
 def test_frame_breadth_round5(spark):
     """diff/pct_change/cumprod/duplicated/mask/insert/join/pivot/
@@ -835,3 +842,47 @@ def test_to_timedelta_and_range(spark):
     tds = bs.timedelta_range(periods=3, freq="h", spark=spark) \
         .spark.collect()
     assert [r["td"].total_seconds() for r in tds] == [0.0, 3600.0, 7200.0]
+
+
+def test_review_fixes_round5(spark):
+    """Review fixes: cut/qcut label lists, to_numeric(errors='raise')
+    actually raising under non-ANSI sessions, skew/kurt NaN on
+    constant/small series, duplicated() pandas all-columns default,
+    groupby.first skipping nulls, @param safe inside string literals."""
+    import math
+
+    import pandas as pd
+    import pytest as _pytest
+
+    import bodo_spark as bs
+
+    pdf = pd.DataFrame({"k": [1, 2, 3, 4], "x": [5.0, 5.0, 5.0, 5.0],
+                        "s": ["1", "zzz", "3", "4"],
+                        "h": [None, 2.0, None, 4.0]})
+    bdf = bs.from_pandas(pdf)
+
+    lab = bdf.assign(c=bs.cut(bdf["k"], [0, 2, 4], labels=["lo", "hi"])) \
+        .sort_values("k").to_pandas()["c"]
+    assert lab.tolist() == ["lo", "lo", "hi", "hi"]
+
+    with _pytest.raises(Exception, match="unparseable"):
+        bdf.assign(n=bs.to_numeric(bdf["s"], errors="raise")) \
+            .spark.collect()
+
+    assert math.isnan(bdf["x"].skew()) and math.isnan(bdf["x"].kurt())
+
+    # all-columns default: k is unique -> nothing duplicated
+    d = bdf.assign(dup=bdf.duplicated(order_by="k")).to_pandas()
+    assert not d["dup"].any()
+
+    # groupby.first skips nulls like pandas
+    g = bs.from_pandas(pd.DataFrame({"g": ["a", "a"], "v": [None, 7.0]}))
+    assert g.groupby("g").first(["v"]).to_pandas()["v"].tolist() == [7.0]
+
+    # @param never rewrites inside string literals
+    from bodo_spark.sql import BodoSQLContext
+    bc = BodoSQLContext({"t": pd.DataFrame({"e": ["bob@lo.example"]})},
+                        spark=spark)
+    r = bc.sql("SELECT COUNT(*) AS c FROM t WHERE e = 'bob@lo.example' "
+               "AND length(e) > @lo", params={"lo": 3}).spark.collect()
+    assert r[0]["c"] == 1
