@@ -14,6 +14,7 @@ Public surface:
 from .frame import (  # noqa: F401
     BodoDataFrame,
     BodoSeries,
+    DateOffset,
     concat,
     crosstab,
     cut,

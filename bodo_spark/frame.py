@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame as SparkDF
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["BodoDataFrame", "BodoSeries", "read_parquet", "read_csv",
+__all__ = ["BodoDataFrame", "BodoSeries", "DateOffset", "read_parquet", "read_csv",
            "read_iceberg", "from_pandas", "concat", "merge", "merge_asof",
            "to_datetime", "cut", "qcut", "crosstab", "get_dummies",
            "to_numeric", "unique", "date_range", "to_timedelta",
@@ -39,6 +39,33 @@ __all__ = ["BodoDataFrame", "BodoSeries", "read_parquet", "read_csv",
 # --------------------------------------------------------------------------
 # Series: a named Column expression bound to a parent frame
 # --------------------------------------------------------------------------
+class DateOffset:
+    """pd.DateOffset (reference docs api_docs/pandas/dateoffsets/):
+    calendar-aware timestamp arithmetic. Month/year parts go through
+    add_months (calendar semantics: Jan 31 + 1 month = Feb 28/29);
+    day/time parts are a fixed day-time interval."""
+
+    def __init__(self, years: int = 0, months: int = 0, weeks: int = 0,
+                 days: int = 0, hours: int = 0, minutes: int = 0,
+                 seconds: int = 0, n: int = 1):
+        self.months = n * (years * 12 + months)
+        self.days = n * (weeks * 7 + days)
+        self.secs = n * (hours * 3600 + minutes * 60 + seconds)
+
+    def _apply(self, col: Column, sign: int = 1) -> Column:
+        out = col
+        if self.months:
+            # year-month INTERVAL addition clamps the day-of-month AND
+            # keeps the time of day (add_months would return a DATE)
+            out = out + F.make_ym_interval(F.lit(0),
+                                           F.lit(sign * self.months))
+        if self.days or self.secs:
+            out = out + F.make_dt_interval(
+                F.lit(sign * self.days), F.lit(0), F.lit(0),
+                F.lit(float(sign * self.secs)))
+        return out
+
+
 class BodoSeries:
     """Lazy column expression (reference bodo/pandas/series.py)."""
 
@@ -52,9 +79,21 @@ class BodoSeries:
         o = other._col if isinstance(other, BodoSeries) else F.lit(other)
         return BodoSeries(self._frame, op(self._col, o), self.name)
 
-    def __add__(self, o): return self._bin(o, lambda a, b: a + b)
-    def __radd__(self, o): return self._bin(o, lambda a, b: b + a)
-    def __sub__(self, o): return self._bin(o, lambda a, b: a - b)
+    def __add__(self, o):
+        if isinstance(o, DateOffset):
+            return BodoSeries(self._frame, o._apply(self._col), self.name)
+        return self._bin(o, lambda a, b: a + b)
+
+    def __radd__(self, o):
+        if isinstance(o, DateOffset):
+            return self + o
+        return self._bin(o, lambda a, b: b + a)
+
+    def __sub__(self, o):
+        if isinstance(o, DateOffset):
+            return BodoSeries(self._frame, o._apply(self._col, -1),
+                              self.name)
+        return self._bin(o, lambda a, b: a - b)
     def __rsub__(self, o): return self._bin(o, lambda a, b: b - a)
     def __mul__(self, o): return self._bin(o, lambda a, b: a * b)
     def __rmul__(self, o): return self._bin(o, lambda a, b: b * a)

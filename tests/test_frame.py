@@ -886,3 +886,25 @@ def test_review_fixes_round5(spark):
     r = bc.sql("SELECT COUNT(*) AS c FROM t WHERE e = 'bob@lo.example' "
                "AND length(e) > @lo", params={"lo": 3}).spark.collect()
     assert r[0]["c"] == 1
+
+
+def test_dateoffset_arithmetic(spark):
+    """pd.DateOffset parity: calendar month-end clamping + mixed
+    day/time parts, both directions."""
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    pdf = pd.DataFrame({"t": pd.to_datetime(
+        ["2024-01-31 10:00:00", "2024-02-29 23:30:00",
+         "2023-12-15 00:00:00"])})
+    b = bs.from_pandas(pdf)
+    off = dict(months=1, days=2, hours=3)
+    got = b.assign(plus=b["t"] + bs.DateOffset(**off),
+                   minus=b["t"] - bs.DateOffset(**off)) \
+        .sort_values("t").to_pandas()
+    p = pdf.sort_values("t")
+    assert [pd.Timestamp(x) for x in got["plus"]] \
+        == list(p["t"] + pd.DateOffset(**off))
+    assert [pd.Timestamp(x) for x in got["minus"]] \
+        == list(p["t"] - pd.DateOffset(**off))
