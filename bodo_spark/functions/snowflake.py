@@ -822,6 +822,30 @@ def _register_jaro_winkler(spark: SparkSession) -> None:
     spark.udf.register("JAROWINKLER_SIMILARITY", _jw100)
 
 
+# Default-argument arities (SQL UDFs are fixed-arity, so Snowflake's
+# optional position/occurrence/parameters arguments land as thin
+# forwarding shims with the documented defaults). Defined LAST: a SQL
+# UDF body referencing another temp function is analyzed at CREATE
+# time, so the forwarded-to kernels must already be registered.
+SNOWFLAKE_SQL_FNS.update({
+    "CHARINDEX2": ("(sub STRING, s STRING) RETURNS INT RETURN "
+                   "CHARINDEX(sub, s, 1)"),
+    "POSITION2": ("(sub STRING, s STRING) RETURNS INT RETURN "
+                  "POSITION3(sub, s, 1)"),
+    "REGEXP_COUNT2": ("(s STRING, p STRING) RETURNS INT RETURN "
+                      "REGEXP_COUNT4(s, p, 1, 'c')"),
+    "REGEXP_SUBSTR2": ("(s STRING, p STRING) RETURNS STRING RETURN "
+                       "REGEXP_SUBSTR6(s, p, 1, 1, 'c', 0)"),
+    "REGEXP_INSTR2": ("(s STRING, p STRING) RETURNS INT RETURN "
+                      "REGEXP_INSTR6(s, p, 1, 1, 0, 'c')"),
+    "REGEXP_REPLACE3": (
+        "(s STRING, p STRING, r STRING) RETURNS STRING RETURN "
+        "REGEXP_REPLACE6(s, p, r, 1, 0, 'c')"),
+    "STRTOK2": ("(s STRING, delim STRING) RETURNS STRING RETURN "
+                "split_part(s, delim, 1)"),
+})
+
+
 def register_snowflake_fns(spark: SparkSession) -> None:
     """Register the dialect kernel surface on a session (idempotent).
 

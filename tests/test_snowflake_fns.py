@@ -255,3 +255,21 @@ def test_timestamp_tz_from_parts(spark):
                'yyyy-MM-dd HH:mm:ss') AS utc_wall
     """).collect()[0]
     assert r["utc_wall"] == "2024-01-15 14:30:00"
+
+
+def test_default_arity_shims(spark):
+    """2/3-arg forwarding shims apply Snowflake's documented defaults
+    (pos=1, occurrence=1, params='c', group=0)."""
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    r = spark.sql("""
+        SELECT CHARINDEX2('b', 'abcb') AS ci,
+               POSITION2('cb', 'abcb') AS po,
+               REGEXP_COUNT2('aXbXc', 'X') AS rc,
+               REGEXP_SUBSTR2('aXbXc', '[a-z]') AS rs,
+               REGEXP_INSTR2('aXbXc', 'b') AS ri,
+               REGEXP_REPLACE3('aXbXc', 'X', '-') AS rr,
+               STRTOK2('p q r', ' ') AS st
+    """).collect()[0]
+    assert (r["ci"], r["po"], r["rc"], r["rs"], r["ri"], r["rr"],
+            r["st"]) == (2, 3, 2, "a", 3, "a-b-c", "p")
