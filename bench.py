@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_pipeline_e2e",
+    "emb_pipeline_e2e",
 ]
 
 
