@@ -38,3 +38,23 @@ from .session import get_spark  # noqa: F401
 from .sql import BodoSQLContext  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def jit(fn=None, **jit_kwargs):
+    """The reference's third entry point, ``@bodo.jit``
+    (reference bodo/compiler.py:117: Numba typing + distributed-pass
+    compilation of pandas code). On Spark there is nothing to compile:
+    BodoDataFrame methods already BUILD a lazy Catalyst plan, so the
+    decorator is the identity -- the decorated function runs once on
+    the driver and its frame operations plan/execute distributed.
+
+    Accepts and ignores the reference's knobs (cache, distributed,
+    replicated, spawn, returns_maybe_distributed, args_maybe_distributed)
+    so existing ``@bodo.jit(cache=True)`` call sites work unchanged.
+    """
+    del jit_kwargs
+
+    def _wrap(f):
+        return f
+
+    return _wrap if fn is None else fn

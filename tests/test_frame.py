@@ -908,3 +908,24 @@ def test_dateoffset_arithmetic(spark):
         == list(p["t"] + pd.DateOffset(**off))
     assert [pd.Timestamp(x) for x in got["minus"]] \
         == list(p["t"] - pd.DateOffset(**off))
+
+
+def test_jit_facade(spark):
+    """@bodo_spark.jit is the identity (reference bodo/compiler.py:117
+    collapses into lazy Catalyst planning): bare and parameterized
+    forms both run the function unchanged."""
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    @bs.jit
+    def f1(df):
+        return df.groupby("g").sum(["x"])
+
+    @bs.jit(cache=True, distributed=["df"])
+    def f2(df):
+        return df.groupby("g").sum(["x"])
+
+    bdf = bs.from_pandas(pd.DataFrame({"g": ["a", "a"], "x": [1.0, 2.0]}))
+    assert f1(bdf).to_pandas()["x"].tolist() == [3.0]
+    assert f2(bdf).to_pandas()["x"].tolist() == [3.0]
