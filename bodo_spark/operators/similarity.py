@@ -237,11 +237,25 @@ def topk_pandas(
             .select("q_id", id_col, "cos", F.col("rn").cast("bigint").alias("rn")))
 
 
+def auto_block_bits(n: int, target_per_block: int = 128,
+                    lo: int = 4, hi: int = 16) -> int:
+    """Sign-bucket width that keeps expected block occupancy ~target:
+    bits = ceil(log2(n / target)), clamped. The 10x scale exercise
+    (SCALE.md) showed why this must GROW with the corpus: at fixed
+    bits, occupancy rises linearly and candidate pairs quadratically
+    (4-bit blocking measured 11x wall at 10x data; 8-bit restored
+    sublinearity)."""
+    import math
+    if n <= target_per_block:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_per_block))))
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     block_col: str | None = None,
-    block_bits: int | None = 4,
+    block_bits: int | str | None = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -259,6 +273,10 @@ def embedding_neardup_pairs(
     loss at near-dup thresholds is minimal; the DuckDB oracle mirrors
     the same blocking, so results are engine-exact.
     """
+    if block_bits == "auto":
+        # one count job; bits track corpus size so block occupancy (and
+        # with it the quadratic within-block pair count) stays bounded
+        block_bits = auto_block_bits(vectors.count())
     if block_bits is not None and block_bits <= 0:
         raise ValueError(
             "block_bits must be >= 1; pass block_bits=None to request an "

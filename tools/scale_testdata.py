@@ -81,6 +81,18 @@ def scale(k: int, out: str) -> None:
                 sel.append("CASE WHEN r.r = 0 THEN text ELSE "
                            "regexp_replace(text, '(\\S+)', "
                            "'x' || r.r || '\\1', 'g') END AS text")
+            elif t == "embeddings" and c == "embedding":
+                # Per-replica orthogonal sign flip of a DISJOINT
+                # 6-coordinate window [6r, 6r+6): within-replica inner
+                # products (and therefore near-dup/ANN structure) are
+                # preserved EXACTLY, while cross-replica cosines drop to
+                # ~0.6 -- without this, K identical copies of every
+                # vector make near-dup pair output grow quadratically BY
+                # CONSTRUCTION, the same trap the text salting avoids.
+                sel.append(
+                    "list_transform(embedding, (x, i) -> CASE "
+                    "WHEN i - 1 >= 6 * r.r AND i - 1 < 6 * r.r + 6 "
+                    "THEN -x ELSE x END) AS embedding")
             else:
                 sel.append(c)
         con.execute(
