@@ -313,7 +313,16 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     slice, so candidates come from ``bands`` cheap equi-joins on slice
     values (never all-pairs). Verification is bit_count(xor) on the
     full fingerprint. Requires max_hamming < bands for the recall
-    guarantee."""
+    guarantee.
+
+    Scale sizing (the SCALE.md blocking-width lesson): a band slice has
+    ``2^(bits/bands)`` possible values, and random (non-near-dup)
+    fingerprints spread uniformly over them -- so keep
+    ``2^(bits/bands) >= n / 128`` or per-slice occupancy grows linearly
+    and candidate pairs quadratically with the corpus. At 16/4 (the
+    test default) that holds to ~2k docs; a 100 TB corpus wants
+    ``bits=64, bands=4`` (65536 slice values) with ``max_hamming``
+    rescaled to the wider fingerprint."""
     if max_hamming >= bands:
         raise ValueError("pigeonhole guarantee needs max_hamming < bands")
     fp = simhash64(df, id_col, text_col, bits=bits, k=k)
