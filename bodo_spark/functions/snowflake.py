@@ -124,7 +124,11 @@ SNOWFLAKE_SQL_FNS.update(
 # load-bearing: longest/ambiguous tokens first, and SS before FF3 so the
 # emitted 'SSS' (millis) is not re-rewritten.
 _SF_FMT_TOKENS = [
-    ("YYYY", "yyyy"), ("YY", "yy"), ("MON", "MMM"), ("DY", "EEE"),
+    # MMMM passes through untouched (Java MMMM = full month name);
+    # DAY must precede DY in the chain table for reader clarity though
+    # 'DAY' contains no 'DY' substring
+    ("YYYY", "yyyy"), ("YY", "yy"), ("MON", "MMM"),
+    ("DAY", "EEEE"), ("DY", "EEE"),
     ("DD", "dd"), ("HH24", "HH"), ("HH12", "hh"), ("AM", "a"), ("PM", "a"),
     ("MI", "mm"), ("SS", "ss"), ("FF3", "SSS"), ("FF", "SSSSSS"),
 ]

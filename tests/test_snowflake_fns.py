@@ -273,3 +273,18 @@ def test_default_arity_shims(spark):
     """).collect()[0]
     assert (r["ci"], r["po"], r["rc"], r["rs"], r["ri"], r["rr"],
             r["st"]) == (2, 3, 2, "a", 3, "a-b-c", "p")
+
+
+def test_to_char_full_name_tokens(spark):
+    """Snowflake DAY (full day name) and MMMM (full month) format
+    tokens in the TO_CHAR chain."""
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    r = spark.sql("""
+        SELECT TO_CHAR_TS(TIMESTAMP '2024-01-15 10:00:00',
+                          'DAY, DD MMMM YYYY') AS s,
+               TO_CHAR_TS(TIMESTAMP '2024-01-15 10:00:00',
+                          'DY DD MON YY') AS a
+    """).collect()[0]
+    assert r["s"] == "Monday, 15 January 2024"
+    assert r["a"] == "Mon 15 Jan 24"
