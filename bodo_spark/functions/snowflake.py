@@ -115,8 +115,26 @@ def _obj_construct(n: int, keep_null: bool) -> tuple[str, str]:
 
 
 SNOWFLAKE_SQL_FNS.update(
-    dict(_obj_construct(n, kn) for n in (1, 2, 3, 4)
+    dict(_obj_construct(n, kn) for n in (1, 2, 3, 4, 5, 6)
          for kn in (False, True)))
+
+
+def _obj_keyset(name: str, n: int, keep_matching: bool) -> tuple[str, str]:
+    """OBJECT_DELETE{n} / OBJECT_PICK{n}: drop or keep the listed keys
+    (reference variadic OBJECT_DELETE/OBJECT_PICK; fixed-arity shims)."""
+    args = ", ".join(f"k{i} STRING" for i in range(1, n + 1))
+    arr = "array({})".format(", ".join(f"k{i}" for i in range(1, n + 1)))
+    pred = f"array_contains({arr}, k)"
+    if not keep_matching:
+        pred = f"NOT {pred}"
+    body = (f"(m MAP<STRING,STRING>, {args}) RETURNS MAP<STRING,STRING> "
+            f"RETURN map_filter(m, (k, v) -> {pred})")
+    return f"{name}{n}", body
+
+
+SNOWFLAKE_SQL_FNS.update(dict(
+    [_obj_keyset("OBJECT_DELETE", n, False) for n in (3, 4)]
+    + [_obj_keyset("OBJECT_PICK", n, True) for n in (3, 4)]))
 
 # Snowflake format string -> Java DateTimeFormatter pattern, as a replace
 # chain (reference snowflake_conversion_array_kernels.py

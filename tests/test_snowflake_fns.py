@@ -288,3 +288,24 @@ def test_to_char_full_name_tokens(spark):
     """).collect()[0]
     assert r["s"] == "Monday, 15 January 2024"
     assert r["a"] == "Mon 15 Jan 24"
+
+
+def test_object_arity_extensions(spark):
+    """OBJECT_CONSTRUCT arities 5-6 (null-dropping vs KEEP_NULL) and
+    OBJECT_DELETE3/4, OBJECT_PICK3/4."""
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    r = spark.sql("""
+        SELECT map_keys(OBJECT_CONSTRUCT6('a','1','b',NULL,'c','3','d','4',
+                                          'e','5','f','6')) AS drop_null,
+               map_keys(OBJECT_CONSTRUCT_KEEP_NULL5('a','1','b',NULL,'c','3',
+                                                    'd','4','e','5')) AS keepn,
+               map_keys(OBJECT_DELETE3(map('a','1','b','2','c','3','d','4'),
+                                       'a', 'c', 'zz')) AS del3,
+               map_keys(OBJECT_PICK4(map('a','1','b','2','c','3','d','4'),
+                                     'a', 'd', 'zz', 'b')) AS pick4
+    """).collect()[0]
+    assert sorted(r["drop_null"]) == ["a", "c", "d", "e", "f"]
+    assert sorted(r["keepn"]) == ["a", "b", "c", "d", "e"]
+    assert sorted(r["del3"]) == ["b", "d"]
+    assert sorted(r["pick4"]) == ["a", "b", "d"]
