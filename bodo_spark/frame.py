@@ -327,6 +327,49 @@ class BodoSeries:
     def unique(self) -> list:
         return unique(self)
 
+    def describe(self) -> pd.Series:
+        """pandas Series.describe: count/mean/std/min/quartiles/max in
+        ONE aggregate job (exact percentiles)."""
+        row = (self._frame._df.select(self._col.alias("_x"))
+               .select(
+                   F.count("_x").alias("count"),
+                   F.avg("_x").alias("mean"),
+                   F.stddev_samp("_x").alias("std"),
+                   F.min("_x").alias("min"),
+                   F.expr("percentile(_x, array(0.25D, 0.5D, 0.75D))")
+                   .alias("q"),
+                   F.max("_x").alias("max")).collect()[0])
+        return pd.Series({"count": row["count"], "mean": row["mean"],
+                          "std": row["std"], "min": row["min"],
+                          "25%": row["q"][0], "50%": row["q"][1],
+                          "75%": row["q"][2], "max": row["max"]})
+
+    def idxmax(self, index_col: str):
+        """Index (from ``index_col``) of the max value (reference
+        Series.idxmax; the distributed index is an explicit column)."""
+        row = (self._frame._df
+               .select(F.max_by(F.col(index_col), self._col).alias("i"))
+               .collect()[0])
+        return row["i"]
+
+    def idxmin(self, index_col: str):
+        row = (self._frame._df
+               .select(F.min_by(F.col(index_col), self._col).alias("i"))
+               .collect()[0])
+        return row["i"]
+
+    def dropna(self) -> "BodoDataFrame":
+        """Rows of the parent frame where this Series is non-null."""
+        return BodoDataFrame(self._frame._df.where(self._col.isNotNull()))
+
+    def rename(self, name: str) -> "BodoSeries":
+        return BodoSeries(self._frame, self._col, name)
+
+    def sample(self, frac: float, seed: int | None = None) -> "BodoDataFrame":
+        return BodoDataFrame(
+            self._frame._df.select(self._col.alias(self.name))
+            .sample(fraction=frac, seed=seed))
+
     def drop_duplicates(self) -> "BodoDataFrame":
         return BodoDataFrame(
             self._frame._df.select(self._col.alias(self.name)).distinct())

@@ -929,3 +929,22 @@ def test_jit_facade(spark):
     bdf = bs.from_pandas(pd.DataFrame({"g": ["a", "a"], "x": [1.0, 2.0]}))
     assert f1(bdf).to_pandas()["x"].tolist() == [3.0]
     assert f2(bdf).to_pandas()["x"].tolist() == [3.0]
+
+
+def test_series_describe_idx(spark):
+    import numpy as np
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    pdf = pd.DataFrame({"k": [10, 20, 30, 40], "x": [3.0, 1.0, 4.0, 1.5]})
+    b = bs.from_pandas(pdf)
+    got = b["x"].describe()
+    exp = pdf["x"].describe()
+    for f in ("count", "mean", "std", "min", "25%", "50%", "75%", "max"):
+        assert abs(got[f] - exp[f]) < 1e-12, f
+    assert b["x"].idxmax(index_col="k") == 30
+    assert b["x"].idxmin(index_col="k") == 20
+    assert b["x"].rename("y").name == "y"
+    withna = bs.from_pandas(pd.DataFrame({"v": [1.0, None, 3.0]}))
+    assert len(withna["v"].dropna()) == 2
