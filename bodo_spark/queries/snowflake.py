@@ -907,7 +907,34 @@ FROM t ORDER BY id
 """
 
 
+def sql_generator_rowcount(spark: SparkSession, sf: str) -> DataFrame:
+    """Snowflake GENERATOR row source (reference BodoSQL test_lateral.py
+    GENERATOR tests) rewritten to Spark's distributed range() TVF, both
+    standalone and as a per-row LATERAL fan-out."""
+    bc = _ctx(spark, sf, nation_sf="nation")
+    return bc.sql("""
+        SELECT n.n_regionkey AS rk,
+               COUNT(*) AS n_rows,
+               CAST(SUM(g.id) AS BIGINT) AS id_sum
+        FROM nation_sf n, LATERAL TABLE(GENERATOR(ROWCOUNT => 12)) g
+        GROUP BY n.n_regionkey
+        ORDER BY rk
+    """).spark
+
+
+_GENERATOR_SQL = """
+SELECT n.n_regionkey AS rk,
+       COUNT(*) AS n_rows,
+       CAST(SUM(g.range) AS BIGINT) AS id_sum
+FROM nation n, range(12) g
+GROUP BY n.n_regionkey
+ORDER BY rk
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sql_generator_rowcount": QueryDef(sql_generator_rowcount,
+                                       _GENERATOR_SQL),
     "dt_numeric_scaling": QueryDef(dt_numeric_scaling,
                                    _DT_NUMERIC_SCALING_SQL),
     "sql_variant_native": QueryDef(sql_variant_native, _VARIANT_NATIVE_SQL),
