@@ -91,7 +91,25 @@ def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Real video frame sampling end to end: MBMP clips (concatenated
+    BMP frames, pure-numpy codec) attached per document, decoded and
+    strided in a row-expanding mapInPandas, per-frame mean/std features
+    aggregated per doc. Rows-only check (numpy batch math is not
+    SQL-expressible)."""
+    d = tbl(spark, sf, "documents").where(F.col("doc_id") < 200) \
+        .select("doc_id")
+    clips = M.attach_mbmp_media(d, "doc_id", n_frames=12)
+    feats = M.frame_sample(clips, id_col="doc_id", every_n=4)
+    return (feats.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.round(F.avg("mean_intensity"), 6).alias("avg_mean"),
+                 F.round(F.max("std_intensity"), 6).alias("max_std"))
+            .orderBy("doc_id"))
+
+
 QUERIES: dict[str, QueryDef] = {
+    "mm_frame_sample": QueryDef(mm_frame_sample, None),
     "mm_audio_features": QueryDef(mm_audio_features, None),
     "mm_binary_stats": QueryDef(mm_binary_stats, _MM_BINARY_SQL),
     "mm_media_metadata": QueryDef(mm_media_metadata, _MM_META_SQL),
