@@ -294,6 +294,39 @@ def resize_stub(df: DataFrame, media_col: str = "media",
         .withField("height", F.lit(height).cast("int")))
 
 
+def resize_images(df: DataFrame, media_col: str = "media",
+                  width: int = 16, height: int = 12) -> DataFrame:
+    """REAL image resize over BMP blobs (nearest-neighbor in numpy):
+    decode -> index-sample -> re-encode, metadata dims/bytes/sha
+    rewritten to the new payload. Arrow-batched; compressed formats
+    keep the resize_stub seam."""
+    meta_col = f"{media_col}_meta"
+    schema = df.schema
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            blobs, metas = [], []
+            for data, meta in zip(pdf[media_col], pdf[meta_col]):
+                px = decode_bmp(bytes(data))
+                h, w, _ = px.shape
+                yi = (np.arange(height) * h // height)
+                xi = (np.arange(width) * w // width)
+                out = encode_bmp(px[yi][:, xi])
+                blobs.append(out)
+                m = dict(meta)
+                m.update(width=width, height=height, n_bytes=len(out),
+                         sha=hashlib.sha256(out).hexdigest())
+                metas.append(m)
+            pdf = pdf.copy()
+            pdf[media_col] = blobs
+            pdf[meta_col] = metas
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def frame_sample_stub(df: DataFrame, media_col: str = "media",
                       every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emits (id, frame_no, frame_bytes)

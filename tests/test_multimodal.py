@@ -85,3 +85,25 @@ def test_mbmp_roundtrip_and_frame_sampling(spark):
     x = rng.reshape(6, 8, 3).astype(np.float64)
     assert abs(r0["mean_intensity"] - x.mean()) < 1e-9
     assert abs(r0["std_intensity"] - x.std()) < 1e-9
+
+
+def test_resize_images_real(spark):
+    """Nearest-neighbor BMP resize: decoded output has target dims and
+    matches numpy index-sampling of the original pixels."""
+    import numpy as np
+
+    from bodo_spark.operators.multimodal import (
+        attach_bmp_media, decode_bmp, resize_images)
+
+    df = spark.range(2).withColumnRenamed("id", "doc_id")
+    imgs = attach_bmp_media(df, "doc_id", width=8, height=6)
+    small = resize_images(imgs, width=4, height=3).orderBy("doc_id").collect()
+    orig = imgs.orderBy("doc_id").collect()
+    for o, s in zip(orig, small):
+        big = decode_bmp(bytes(o["media"]))
+        got = decode_bmp(bytes(s["media"]))
+        yi = (np.arange(3) * 6 // 3)
+        xi = (np.arange(4) * 8 // 4)
+        assert got.shape == (3, 4, 3)
+        assert (got == big[yi][:, xi]).all()
+        assert s["media_meta"]["width"] == 4 and s["media_meta"]["height"] == 3
