@@ -1478,10 +1478,24 @@ class BodoGroupBy:
     def cumsum(self, col: str, order_by: str) -> BodoDataFrame:
         """Distributed cumulative sum (reference MPI_Exscan path,
         distributed_api.py:2205) = window prefix sum."""
+        return self._cum(col, order_by, F.sum, "cumsum")
+
+    def cumprod(self, col: str, order_by: str) -> BodoDataFrame:
+        return self._cum(col, order_by, F.product, "cumprod")
+
+    def cummax(self, col: str, order_by: str) -> BodoDataFrame:
+        return self._cum(col, order_by, F.max, "cummax")
+
+    def cummin(self, col: str, order_by: str) -> BodoDataFrame:
+        return self._cum(col, order_by, F.min, "cummin")
+
+    def _cum(self, col: str, order_by: str, fn, tag: str) -> BodoDataFrame:
+        """Group cumulatives (reference groupby ftypes cumsum/cumprod/
+        cummin/cummax) as window prefix aggregates."""
         w = (W.partitionBy(*self._keys).orderBy(order_by)
              .rowsBetween(W.unboundedPreceding, W.currentRow))
         return BodoDataFrame(self._frame._df.withColumn(
-            f"{col}_cumsum", F.sum(col).over(w)))
+            f"{col}_{tag}", fn(col).over(w)))
 
 
 class BodoRolling:

@@ -396,6 +396,10 @@ def win_extended_aggs(spark: SparkSession, sf: str) -> DataFrame:
         F.bit_and((F.col("event_id") % 255).cast("int")).over(w).alias("band"),
         F.bit_xor((F.col("event_id") % 255).cast("int")).over(w).alias("bxor"),
         F.count_if(F.col("value") > 50).over(w).alias("cif"),
+        # windowed LISTAGG (reference windowed_object_agg family):
+        # frame-ordered collect_list is deterministic
+        F.array_join(F.collect_list(F.col("event_id") % 97).over(w), ",")
+         .alias("lagg"),
         F.round(F.last(nv, ignorenulls=True).over(wpast), 2).alias("lag_nn"),
         F.round(F.first(nv, ignorenulls=True).over(wfut), 2).alias("lead_nn"),
         F.when((n == 5) & (m2 > 0), F.round(m3 / F.pow(m2, 1.5), 6))
@@ -411,6 +415,7 @@ s AS (
     bit_and(CAST(event_id % 255 AS INT)) OVER w AS band,
     bit_xor(CAST(event_id % 255 AS INT)) OVER w AS bxor,
     count(CASE WHEN value > 50 THEN 1 END) OVER w AS cif,
+    string_agg(CAST(event_id % 97 AS VARCHAR), ',') OVER w AS lagg,
     round(lag(CASE WHEN event_id % 3 = 0 THEN value END IGNORE NULLS)
           OVER (PARTITION BY user_id ORDER BY event_id), 2) AS lag_nn,
     round(lead(CASE WHEN event_id % 3 = 0 THEN value END IGNORE NULLS)
@@ -425,7 +430,7 @@ s AS (
   FROM t
   WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
-SELECT event_id, bor, band, bxor, cif, lag_nn, lead_nn,
+SELECT event_id, bor, band, bxor, cif, lagg, lag_nn, lead_nn,
   CASE WHEN n = 5 AND s2/n - (s1/n)*(s1/n) > 0
        THEN round((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n))
                   / pow(s2/n - (s1/n)*(s1/n), 1.5), 6) END AS skw

@@ -948,3 +948,28 @@ def test_series_describe_idx(spark):
     assert b["x"].rename("y").name == "y"
     withna = bs.from_pandas(pd.DataFrame({"v": [1.0, None, 3.0]}))
     assert len(withna["v"].dropna()) == 2
+
+
+def test_groupby_cumulatives(spark):
+    import numpy as np
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    pdf = pd.DataFrame({"g": ["a", "a", "b", "b"], "k": [1, 2, 1, 2],
+                        "x": [2.0, 3.0, 5.0, 7.0]})
+    b = bs.from_pandas(pdf)
+    gb = b.groupby("g")
+    out = gb.cumprod("x", order_by="k")
+    out = bs.BodoDataFrame(out.spark)
+    got = out.sort_values(["g", "k"]).to_pandas()["x_cumprod"]
+    exp = pdf.sort_values(["g", "k"]).groupby("g")["x"].cumprod()
+    assert np.allclose(got, exp)
+    got = gb.cummax("x", order_by="k").sort_values(["g", "k"]) \
+        .to_pandas()["x_cummax"]
+    assert np.allclose(got, pdf.sort_values(["g", "k"])
+                       .groupby("g")["x"].cummax())
+    got = gb.cummin("x", order_by="k").sort_values(["g", "k"]) \
+        .to_pandas()["x_cummin"]
+    assert np.allclose(got, pdf.sort_values(["g", "k"])
+                       .groupby("g")["x"].cummin())
