@@ -370,6 +370,20 @@ class BodoSeries:
             self._frame._df.select(self._col.alias(self.name))
             .sample(fraction=frac, seed=seed))
 
+    def rolling(self, window: int, order_by: str,
+                partition_by: str | None = None,
+                min_periods: int | None = None,
+                allow_global: bool = True) -> "_SeriesRolling":
+        """Series.rolling (reference hiframes/rolling.py): the frame's
+        rolling scoped to this column. ``allow_global`` defaults True
+        here (Series rolling is the small-frame idiom); pass
+        ``partition_by`` at scale."""
+        roll = self._frame.rolling(window, order_by=order_by,
+                                   partition_by=partition_by,
+                                   min_periods=min_periods,
+                                   allow_global=allow_global)
+        return _SeriesRolling(roll, self.name)
+
     def drop_duplicates(self) -> "BodoDataFrame":
         return BodoDataFrame(
             self._frame._df.select(self._col.alias(self.name)).distinct())
@@ -1496,6 +1510,29 @@ class BodoGroupBy:
              .rowsBetween(W.unboundedPreceding, W.currentRow))
         return BodoDataFrame(self._frame._df.withColumn(
             f"{col}_{tag}", fn(col).over(w)))
+
+
+class _SeriesRolling:
+    """Series-scoped view over BodoRolling: each agg returns a
+    BodoSeries of the rolled column (pandas Series.rolling shape)."""
+
+    def __init__(self, roll: "BodoRolling", col: str):
+        self._roll = roll
+        self._col = col
+
+    def _one(self, method: str, suffix: str) -> "BodoSeries":
+        out = getattr(self._roll, method)(self._col)
+        name = f"{self._col}_roll_{suffix}"
+        return BodoSeries(out, F.col(name), name)
+
+    def sum(self): return self._one("sum", "sum")
+    def mean(self): return self._one("mean", "mean")
+    def min(self): return self._one("min", "min")
+    def max(self): return self._one("max", "max")
+    def count(self): return self._one("count", "count")
+    def std(self): return self._one("std", "std")
+    def var(self): return self._one("var", "var")
+    def median(self): return self._one("median", "median")
 
 
 class BodoRolling:

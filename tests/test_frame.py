@@ -973,3 +973,17 @@ def test_groupby_cumulatives(spark):
         .to_pandas()["x_cummin"]
     assert np.allclose(got, pdf.sort_values(["g", "k"])
                        .groupby("g")["x"].cummin())
+
+
+def test_series_rolling(spark):
+    import numpy as np
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    pdf = pd.DataFrame({"k": [1, 2, 3, 4, 5], "x": [2.0, 4.0, 6.0, 8.0, 1.0]})
+    b = bs.from_pandas(pdf)
+    got = b["x"].rolling(3, order_by="k").mean().to_frame().to_pandas()
+    exp = pdf.sort_values("k")["x"].rolling(3).mean()
+    assert np.allclose(np.sort(got.iloc[:, 0].fillna(-9).values),
+                       np.sort(exp.fillna(-9).values))
