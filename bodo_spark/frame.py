@@ -1065,6 +1065,27 @@ class BodoDataFrame:
     def head(self, n: int = 5) -> "BodoDataFrame":
         return BodoDataFrame(self._df.limit(n))
 
+    # -- partitioning / caching escape hatches (the knobs the reference
+    # exposes as distribution hints; on Spark they are first-class)
+    def repartition(self, n: int | None = None, *cols: str) -> "BodoDataFrame":
+        """Hash-repartition by columns (co-location before repeated
+        joins/aggs on the same key) or round-robin to n partitions."""
+        if cols:
+            args = ([n] if n else []) + [F.col(c) for c in cols]
+            return BodoDataFrame(self._df.repartition(*args))
+        return BodoDataFrame(self._df.repartition(n))
+
+    def coalesce(self, n: int) -> "BodoDataFrame":
+        return BodoDataFrame(self._df.coalesce(n))
+
+    def cache(self) -> "BodoDataFrame":
+        self._df.persist()
+        return self
+
+    def unpersist(self) -> "BodoDataFrame":
+        self._df.unpersist()
+        return self
+
     @property
     def empty(self) -> bool:
         return len(self) == 0

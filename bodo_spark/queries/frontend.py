@@ -130,8 +130,46 @@ FROM events WHERE event_id < 3000 ORDER BY event_id
 """
 
 
+def pd_group_cum_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Group cumulatives (cumprod/cummax/cummin -- the reference's
+    remaining groupby ftypes) and groupby.shift through the frontend,
+    all single-window prefix aggregates."""
+    from ..frame import BodoDataFrame
+
+    e = tbl(spark, sf, "events").where(F.col("event_id") < 3000)
+    bdf = BodoDataFrame(e.withColumn(
+        "r", (F.col("event_id") % 7).cast("double") / 10 + 1))
+    gb = bdf.groupby("user_id")
+    out = gb.cumprod("r", order_by="event_id")
+    out = BodoDataFrame(out.spark)
+    out = BodoDataFrame(BodoDataFrame(out.spark).groupby("user_id")
+                        .cummax("value", order_by="event_id").spark)
+    out = BodoDataFrame(out.groupby("user_id")
+                        .shift("value", 1, order_by="event_id").spark)
+    return (out.spark.select(
+        "event_id",
+        F.round("r_cumprod", 6).alias("cp"),
+        F.round("value_cummax", 2).alias("cmx"),
+        F.round("value_shift", 2).alias("prev"))
+        .orderBy("event_id"))
+
+
+_GROUP_CUM_SQL = """
+SELECT event_id,
+  round(product(CAST(event_id % 7 AS DOUBLE) / 10 + 1)
+        OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING), 6) AS cp,
+  round(max(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING), 2) AS cmx,
+  round(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 2)
+    AS prev
+FROM events WHERE event_id < 3000 ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "pd_cut_qcut": QueryDef(pd_cut_qcut, _CUT_QCUT_SQL),
     "pd_crosstab": QueryDef(pd_crosstab, _CROSSTAB_SQL),
     "pd_fill_cum_ops": QueryDef(pd_fill_cum_ops, _FILL_CUM_SQL),
+    "pd_group_cum_ops": QueryDef(pd_group_cum_ops, _GROUP_CUM_SQL),
 }

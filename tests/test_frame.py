@@ -987,3 +987,17 @@ def test_series_rolling(spark):
     exp = pdf.sort_values("k")["x"].rolling(3).mean()
     assert np.allclose(np.sort(got.iloc[:, 0].fillna(-9).values),
                        np.sort(exp.fillna(-9).values))
+
+
+def test_partitioning_passthroughs(spark):
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    b = bs.from_pandas(pd.DataFrame({"g": list("ababab"), "x": range(6)}))
+    r = b.repartition(4, "g")
+    assert r.spark.rdd.getNumPartitions() == 4
+    assert len(r) == 6
+    c = r.coalesce(1)
+    assert c.spark.rdd.getNumPartitions() == 1
+    assert len(b.cache().unpersist()) == 6
