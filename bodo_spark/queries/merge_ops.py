@@ -73,29 +73,39 @@ FROM merged GROUP BY seg ORDER BY seg
 
 def io_partitioned_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Partitioned-write + partition-pruned read under the correctness
-    gate: events written partitionBy(month) to a fixed staging dir
+    gate: events written partitionBy(day) to a fixed staging dir
     (overwrite -- bounded litter), read back with a partition-column
     filter (prunes to 3 directories; asserted in test_plans), and
-    aggregated. Oracle runs the same month filter on the source table."""
+    aggregated. The filter days are DERIVED from the data (3 smallest
+    distinct days) so the pruned-read path is exercised at every SF --
+    a hardcoded date range against synthetic data risks a vacuous 0-row
+    agreement. Oracle derives the same 3 days via a subquery."""
     import os
 
     e = tbl(spark, sf, "events").withColumn(
-        "month", F.date_format("ts", "yyyy-MM"))
+        "day", F.date_format("ts", "yyyy-MM-dd"))
     stage = f"/tmp/bodo_spark_part_demo_{os.path.basename(sf.rstrip('/'))}"
-    (e.write.mode("overwrite").partitionBy("month").parquet(stage))
-    back = (spark.read.parquet(stage)
-            .where(F.col("month").isin("1997-01", "1997-02", "1997-03")))
-    return (back.groupBy("month", "event_type")
+    (e.write.mode("overwrite").partitionBy("day").parquet(stage))
+    # Bounded driver-side discovery (<= 3 values) of real partition
+    # values, then literal IN filter -> static partition pruning.
+    days = [r[0] for r in
+            e.select("day").distinct().orderBy("day").limit(3).collect()]
+    back = (spark.read.parquet(stage).where(F.col("day").isin(days))
+            # partition-column type inference reads yyyy-MM-dd back as
+            # DateType; normalize to the oracle's string day
+            .withColumn("day", F.col("day").cast("string")))
+    return (back.groupBy("day", "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"))
-            .orderBy("month", "event_type"))
+            .orderBy("day", "event_type"))
 
 
 _IO_PART_SQL = """
-SELECT strftime(ts, '%Y-%m') AS month, event_type, COUNT(*) AS n,
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events
-WHERE strftime(ts, '%Y-%m') IN ('1997-01', '1997-02', '1997-03')
+WHERE strftime(ts, '%Y-%m-%d') IN (
+    SELECT DISTINCT strftime(ts, '%Y-%m-%d') FROM events ORDER BY 1 LIMIT 3)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 

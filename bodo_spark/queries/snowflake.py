@@ -818,7 +818,7 @@ SELECT id,
          THEN 'DOUBLE'
        ELSE 'VARCHAR' END AS ty,
   round(x, 0) AS r_away,
-  round_even(x, 0) AS r_even,
+  round_even(x, 0) + 0.0 AS r_even,
   TRY_CAST(replace(replace(trim(numstr), ',', ''), '$', '') AS DOUBLE) AS amt
 FROM t ORDER BY id
 """
