@@ -270,38 +270,45 @@ class BodoSeries:
     def backfill(self, **kw): return self.bfill(**kw)
 
     def _moments(self) -> tuple:
-        """One-pass raw moments for the pandas-estimator reductions."""
+        """Two-pass CENTERED moments for the pandas-estimator reductions.
+        Raw power sums (sum x, x^2, x^3, x^4) cancel catastrophically
+        when |mean| >> std (ids, prices ~1e8, epoch timestamps), so pass
+        1 gets the mean and pass 2 accumulates (x - mean)^k -- the same
+        exactness contract pandas' two-pass moments give."""
         c = self._col.cast("double")
+        first = self._frame._df.select(
+            F.count(c).alias("n"), F.avg(c).alias("m")).collect()[0]
+        n, m = first["n"], first["m"]
+        if not n:
+            return (0, 0.0, 0.0, 0.0, 0.0)
+        d = c - F.lit(float(m))
         row = self._frame._df.select(
-            F.count(c).alias("n"), F.sum(c).alias("s1"),
-            F.sum(c * c).alias("s2"), F.sum(c * c * c).alias("s3"),
-            F.sum(c * c * c * c).alias("s4")).collect()[0]
-        return (row["n"], row["s1"], row["s2"], row["s3"], row["s4"])
+            F.sum(d * d).alias("c2"), F.sum(d * d * d).alias("c3"),
+            F.sum(d * d * d * d).alias("c4")).collect()[0]
+        return (n, float(m), row["c2"], row["c3"], row["c4"])
 
     def skew(self) -> float:
         """pandas sample skewness (bias-adjusted G1; Spark's builtin
         skewness() is the population g1, so adjust explicitly)."""
-        n, s1, s2, s3, _ = self._moments()
+        n, _, c2, c3, _ = self._moments()
         if n < 3:
             return float("nan")
-        m = s1 / n
-        m2 = s2 / n - m * m
+        m2 = c2 / n
         if m2 <= 0:  # constant series: pandas yields NaN
             return float("nan")
-        m3 = s3 / n - 3 * m * s2 / n + 2 * m ** 3
+        m3 = c3 / n
         g1 = m3 / m2 ** 1.5
         return g1 * (n * (n - 1)) ** 0.5 / (n - 2)
 
     def kurt(self) -> float:
         """pandas sample excess kurtosis (bias-adjusted G2)."""
-        n, s1, s2, s3, s4 = self._moments()
+        n, _, c2, _, c4 = self._moments()
         if n < 4:
             return float("nan")
-        m = s1 / n
-        m2 = s2 / n - m * m
+        m2 = c2 / n
         if m2 <= 0:  # constant series: pandas yields NaN
             return float("nan")
-        m4 = s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * m ** 4
+        m4 = c4 / n
         g2 = m4 / (m2 * m2) - 3.0
         return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
 
@@ -1857,13 +1864,25 @@ def to_numeric(s: BodoSeries, errors: str = "raise",
     errors='coerce' is try_cast (NULL on garbage); 'raise' raises on the
     first unparseable value at execution time (the session runs with
     ANSI off, so a plain cast would silently NULL -- guard explicitly).
-    downcast='integer' casts to bigint, 'float' to double."""
-    target = "bigint" if downcast == "integer" else "double"
-    tried = s._col.try_cast(target)
+    downcast='integer' downcasts to bigint ONLY when every parsed value
+    is losslessly integral (pandas semantics: '2.5' stays 2.5 as float,
+    it is never coerced to NULL/int) -- that whole-column decision costs
+    one scan, same contract as pandas' post-parse downcast."""
+    tried = s._col.try_cast("double")
+    target = "double"
+    if downcast == "integer":
+        nonint = (s._frame._df.select(tried.alias("v"))
+                  .where(F.col("v").isNotNull()
+                         & ((F.floor("v") != F.col("v"))
+                            | (F.abs("v") > F.lit(2.0 ** 62))))
+                  .limit(1).count())
+        if nonint == 0:
+            target = "bigint"
+            tried = tried.cast("bigint")
     if errors == "coerce":
         return BodoSeries(s._frame, tried, s.name)
     col = F.when(
-        s._col.isNotNull() & tried.isNull(),
+        s._col.isNotNull() & s._col.try_cast("double").isNull(),
         F.raise_error(F.concat(F.lit("to_numeric: unparseable value "),
                                s._col.cast("string")))
         .cast(target)).otherwise(tried)

@@ -65,6 +65,22 @@ def _sql_bucket(vec: str, bits: int = 3) -> str:
     return f"({terms})"
 
 
+# DuckDB twin of operators.similarity.auto_block_bits(COUNT(*)): verified
+# equal for n in {2..2^22} incl. the clamp edges. Keeping the oracle's
+# bit width DATA-DERIVED (not hardcoded) means the gate stays honest on
+# scaled corpora from tools/scale_testdata.py, where "auto" > 4 bits.
+_SQL_AUTO_BITS = (
+    "GREATEST(4, LEAST(16, CAST(CEIL(LOG2(COUNT(*) / 128.0)) AS INT)))")
+
+
+def _sql_bucket_dyn(vec: str, bits_expr: str) -> str:
+    """Sign bucket whose width is a runtime scalar (matches
+    operators.similarity.sign_bucket for the same bits)."""
+    return (f"CAST(list_sum(list_transform(range(1, ({bits_expr}) + 1), "
+            f"j -> CASE WHEN ({vec})[j] >= 0 THEN 2 ** (j - 1) "
+            f"ELSE 0 END)) AS INT)")
+
+
 _ANN_BLOCKED_SQL = f"""
 WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,
                   {_sql_bucket('embedding')} AS qb
@@ -107,7 +123,9 @@ WITH base AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 3),
-v AS (SELECT vec_id, embedding, {_sql_bucket('embedding', 4)} AS blk
+bits AS (SELECT {_SQL_AUTO_BITS} AS b FROM base),
+v AS (SELECT vec_id, embedding,
+             {_sql_bucket_dyn('embedding', '(SELECT b FROM bits)')} AS blk
       FROM base)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_SQL_COS.format(a='a.embedding', b='b.embedding')} AS cos
@@ -213,7 +231,9 @@ WITH RECURSIVE base AS (
   UNION ALL
   SELECT vec_id + 10000 AS vec_id, label, embedding
   FROM embeddings WHERE vec_id < 3),
-v AS (SELECT vec_id, label, embedding, {_sql_bucket('embedding', 4)} AS blk
+bits AS (SELECT {_SQL_AUTO_BITS} AS b FROM base),
+v AS (SELECT vec_id, label, embedding,
+             {_sql_bucket_dyn('embedding', '(SELECT b FROM bits)')} AS blk
       FROM base),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -103,8 +103,21 @@ def _sub_outside_quotes(pattern: re.Pattern, repl, query: str) -> str:
     while i < n:
         ch = query[i]
         if ch in ("'", '"'):
-            j = query.find(ch, i + 1)
-            j = n - 1 if j == -1 else j
+            # scan for the real terminator: skip backslash-escaped quotes
+            # ('it\'s') and doubled quotes ('it''s') so the in/out-of-
+            # literal state never inverts mid-query
+            j = i + 1
+            while j < n:
+                if query[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if query[j] == ch:
+                    if j + 1 < n and query[j + 1] == ch:  # doubled quote
+                        j += 2
+                        continue
+                    break
+                j += 1
+            j = min(j, n - 1)
             out.append(query[i:j + 1])
             i = j + 1
             continue

@@ -54,33 +54,46 @@ def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
     return df
 
 
+def _window_aggs(df: DataFrame, value_col: str | None) -> list:
+    """count(*) plus sum(value_col) when the column exists/was asked for.
+    value_col='value' is a default-on convenience (the events table shape),
+    silently skipped when absent so the helpers stay generic over schemas."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None and value_col in df.columns:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    return aggs
+
+
 def tumbling_agg(df: DataFrame, ts_col: str, window: str,
                  group_cols: Iterable[str] = (),
-                 watermark: str = "10 minutes") -> DataFrame:
+                 watermark: str = "10 minutes",
+                 value_col: str | None = "value") -> DataFrame:
     """Watermarked tumbling-window counts/sums; late rows beyond the
     watermark are dropped, state is bounded."""
     df = _event_time(df, ts_col)
+    aggs = _window_aggs(df, value_col)
     return (df.withWatermark(ts_col, watermark)
             .groupBy(F.window(ts_col, window).alias("win"),
                      *group_cols)
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("value").alias("sum_value"))
+            .agg(*aggs)
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
-                    *group_cols, "n", "sum_value"))
+                    *group_cols,
+                    "n", *([f"sum_{value_col}"] if len(aggs) > 1 else [])))
 
 
 def sliding_agg(df: DataFrame, ts_col: str, window: str, slide: str,
                 group_cols: Iterable[str] = (),
-                watermark: str = "10 minutes") -> DataFrame:
+                watermark: str = "10 minutes",
+                value_col: str | None = "value") -> DataFrame:
     df = _event_time(df, ts_col)
+    aggs = _window_aggs(df, value_col)
     return (df.withWatermark(ts_col, watermark)
             .groupBy(F.window(ts_col, window, slide).alias("win"),
                      *group_cols)
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("value").alias("sum_value"))
+            .agg(*aggs)
             .select(F.col("win.start").alias("win_start"), *group_cols,
-                    "n", "sum_value"))
+                    "n", *([f"sum_{value_col}"] if len(aggs) > 1 else [])))
 
 
 def sessionize_stateful(df: DataFrame, ts_col: str, key_col: str,

@@ -1001,3 +1001,45 @@ def test_partitioning_passthroughs(spark):
     c = r.coalesce(1)
     assert c.spark.rdd.getNumPartitions() == 1
     assert len(b.cache().unpersist()) == 6
+
+
+def test_review_fixes_round6(spark):
+    """Round-6 review fixes: skew/kurt exact at large |mean|/std (two-pass
+    centered moments), to_numeric(downcast='integer') keeps fractional
+    values as float like pandas, escaped/doubled quotes don't invert the
+    SQL literal scanner."""
+    import math
+    import re
+
+    import pandas as pd
+
+    import bodo_spark as bs
+    from bodo_spark.sql.context import _sub_outside_quotes
+
+    # ids/prices-scale data: raw power sums cancel catastrophically here
+    vals = [1e8 + v for v in [1.0, 2.5, 3.1, 7.9, 2.2, 9.4, 0.3]]
+    pdf = pd.DataFrame({"x": vals})
+    bdf = bs.from_pandas(pdf)
+    assert abs(bdf["x"].skew() - pdf["x"].skew()) < 1e-6
+    assert abs(bdf["x"].kurt() - pdf["x"].kurt()) < 1e-6
+
+    # downcast='integer': fractional input stays float (pandas parity);
+    # integral input downcasts to int
+    frac = bs.from_pandas(pd.DataFrame({"s": ["1", "2.5", "3"]}))
+    got = frac.assign(n=bs.to_numeric(frac["s"], errors="coerce",
+                                      downcast="integer")).to_pandas()["n"]
+    assert sorted(got.tolist()) == [1.0, 2.5, 3.0]
+    whole = bs.from_pandas(pd.DataFrame({"s": ["1", "2", "3"]}))
+    got2 = whole.assign(n=bs.to_numeric(whole["s"], errors="coerce",
+                                        downcast="integer")).to_pandas()["n"]
+    assert sorted(got2.tolist()) == [1, 2, 3]
+    assert str(got2.dtype).startswith("int")
+
+    # literal scanner: backslash-escaped and doubled quotes
+    pat = re.compile(r"@p\b")
+    q = r"SELECT 'it\'s @p', 'a''b @p', @p"
+    out = _sub_outside_quotes(pat, "X", q)
+    assert out == r"SELECT 'it\'s @p', 'a''b @p', X"
+
+    assert math.isnan(bs.from_pandas(
+        pd.DataFrame({"x": [1.0]}))["x"].skew())

@@ -134,3 +134,23 @@ def test_stream_csv_json_sources(spark, tmp_path_factory):
             f"t_{fmt}_src").toPandas()
         assert got["n"].sum() == 3, fmt
         assert len(got) == 3, fmt  # (00h a), (02h a), (02h b)
+
+
+def test_window_aggs_generic_over_schema(spark):
+    """sliding_agg/tumbling_agg stay usable on streams WITHOUT a 'value'
+    column (round-6 review fix): sum_value appears only when the column
+    exists or an explicit value_col is given."""
+    import pandas as pd
+
+    from bodo_spark.streaming.windows import sliding_agg, tumbling_agg
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:05", "2024-01-01 00:20"]),
+        "k": ["a", "b"], "amount": [1.0, 2.0]}))
+    # no 'value' column: helpers analyze fine, no sum_value column
+    out = sliding_agg(df, "ts", "1 hour", "30 minutes", ["k"])
+    assert "sum_value" not in out.columns and "n" in out.columns
+    out2 = tumbling_agg(df, "ts", "1 hour", ["k"], value_col="amount")
+    assert "sum_amount" in out2.columns
+    rows = {(r["k"], r["sum_amount"]) for r in out2.collect()}
+    assert rows == {("a", 1.0), ("b", 2.0)}
