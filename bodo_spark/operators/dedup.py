@@ -233,8 +233,19 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     rounds. Labels persist each round; a count-based convergence check
     (#changed == 0) bounds the loop. The classic large-graph
     alternative (large-star/small-star) drops in with the same
-    signature if corpora with deep chains show up."""
+    signature if corpora with deep chains show up.
+
+    Lineage: persist bounds EXECUTION per round, but the LOGICAL plan
+    still deepens every iteration -- the driver re-analyzes an
+    ever-growing tree each round (quadratic total planning on deep
+    graphs; at 1000-executor scale the serialized plan also bloats task
+    dispatch). localCheckpoint every few rounds truncates the plan to
+    the materialized blocks, keeping per-round planning O(1)
+    (tests/test_dedup.py asserts the bounded plan size on a chain
+    graph)."""
     from pyspark.storagelevel import StorageLevel
+
+    checkpoint_every = 4
 
     edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
              .union(pairs.select(F.col(b_col).alias("u"),
@@ -244,7 +255,7 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     labels = (edges.select("u").distinct()
               .select("u", F.col("u").alias("comp"))
               .persist(StorageLevel.MEMORY_AND_DISK))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # candidate label per node: min over own label and neighbors'
         neigh = (edges.join(labels.withColumnRenamed("u", "v"), "v")
                  .groupBy("u").agg(F.min("comp").alias("ncomp")))
@@ -259,6 +270,10 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+        if (it + 1) % checkpoint_every == 0:
+            chk = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = chk
     edges.unpersist()
     out = labels
     _PERSISTED.append(out)

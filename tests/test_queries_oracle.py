@@ -71,3 +71,27 @@ def test_simhash_pairs_pigeonhole_guard(spark):
     # identical docs (planted dupes) must appear with hamming 0
     got = simhash_pairs(d.limit(200), bands=4, max_hamming=3).collect()
     assert all(r.hamming <= 3 for r in got)
+
+
+def test_connected_components_deep_chain_bounded_plan(spark):
+    """A 14-node chain forces ~13 label-propagation rounds, crossing the
+    localCheckpoint boundary several times: the result must still be
+    exact, and the returned frame's ANALYZED plan must be bounded (plan
+    truncation working) instead of one node per iteration."""
+    import pandas as pd
+
+    from bodo_spark.operators.dedup import (connected_components,
+                                            unpersist_cached)
+
+    n = 14
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))}))
+    out = connected_components(pairs)
+    comp = {r.id: r.comp for r in out.collect()}
+    assert all(comp[i] == 1 for i in range(1, n + 1))
+    # without truncation the analyzed tree holds 13 join+agg rounds
+    # (hundreds of lines); with checkpointing it is a short tail over a
+    # LogicalRDD scan
+    plan_lines = out._jdf.queryExecution().analyzed().toString().count("\n")
+    assert plan_lines < 60, f"CC plan not truncated: {plan_lines} lines"
+    unpersist_cached()
