@@ -1,7 +1,8 @@
 """LLM-ops battery (reference SURVEY.md 2.11): tokenize / embed /
-vector-sink plumbing over the documents table. The fallback tokenizer's
-md5-derived ids are reproducible in DuckDB SQL, so tokenization gets a
-full value oracle; the numpy embedding path gets a rows-only check.
+vector-sink plumbing over the documents table. Both the fallback
+tokenizer's md5-derived ids and the fallback embedding's signed md5
+bag-of-words projection are reproducible in DuckDB SQL, so both get
+full value oracles.
 """
 
 from __future__ import annotations
@@ -41,8 +42,12 @@ FROM toks GROUP BY lang ORDER BY lang
 
 
 def ai_embed_neighbors(spark: SparkSession, sf: str) -> DataFrame:
-    """Hash-projection embeddings feeding the ANN operator (rows-only:
-    the numpy path is not SQL-expressible)."""
+    """Hash-projection embeddings feeding the ANN operator. FULL value
+    oracle: the fallback embedding is a signed md5 bag-of-words
+    projection (bucket = digest byte 0 % dim, sign = byte 1 parity,
+    L2-normalized, float32), all of which DuckDB re-derives from
+    md5-hex + regexp tokens -- the embed->ANN path is hash-checked end
+    to end, not rows-only."""
     from ..operators.similarity import brute_force_topk
     emb = (ai.embed(tbl(spark, sf, "documents"), dim=16)
            .select(F.col("doc_id").alias("vec_id"), "embedding"))
@@ -52,7 +57,51 @@ def ai_embed_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5).orderBy("q_id", "rn")
 
 
+# ai.embed fallback twin: v[md5(tok)[0] % 16] += (md5(tok)[1] % 2 ? 1 :
+# -1) over the same token regex, L2-normalize, quantize to float32;
+# then the standard brute-force cosine top-5 (round-6, id tiebreak).
+_AI_EMB_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+           AS tok
+  FROM documents),
+tw AS (SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 2)) AS INT) % 16 AS b,
+         CASE WHEN CAST(concat('0x', substr(md5(tok), 3, 2)) AS INT) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+       FROM toks),
+w AS (SELECT doc_id, b, SUM(s) AS ws FROM tw GROUP BY 1, 2),
+grid AS (SELECT d.doc_id, r.range AS d
+         FROM (SELECT doc_id FROM documents) d CROSS JOIN range(0, 16) r),
+raw AS (SELECT g.doc_id, list(COALESCE(w.ws, 0.0) ORDER BY g.d) AS v
+        FROM grid g LEFT JOIN w ON w.doc_id = g.doc_id AND w.b = g.d
+        GROUP BY g.doc_id),
+emb AS (SELECT doc_id AS vec_id,
+          list_transform(v, x -> CAST(CASE WHEN n > 0 THEN x / n ELSE x END
+                                      AS REAL)) AS embedding
+        FROM (SELECT doc_id,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS n, v
+              FROM raw)),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM emb WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.q_vec AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]),
+                                    CAST(q.q_vec AS DOUBLE[])))), 6) AS cos
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id, cos,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+FROM scored
+QUALIFY rn <= 5
+ORDER BY q_id, rn
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "ai_tokenize_stats": QueryDef(ai_tokenize_stats, _AI_TOK_SQL),
-    "ai_embed_neighbors": QueryDef(ai_embed_neighbors, None),
+    "ai_embed_neighbors": QueryDef(ai_embed_neighbors, _AI_EMB_SQL),
 }

@@ -1,7 +1,8 @@
-"""Multimodal-column battery: binary plumbing with SQL-expressible
-oracles (byte-level ops on deterministic md5-derived blobs), plus the
-mapInPandas feature-extraction path (rows-only check: numpy batch math
-is not SQL-expressible)."""
+"""Multimodal-column battery: binary plumbing AND the mapInPandas
+codec/feature paths, all with full value oracles -- the synthetic
+media are sha256/md5-seeded, so DuckDB re-derives samples and pixels
+in hex-string space and recomputes every feature the numpy codecs
+produce."""
 
 from __future__ import annotations
 
@@ -65,8 +66,11 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image decode -> feature extraction: each row carries an
     actual 24-bit BMP (built-in numpy codec, no external libs), decoded
     and reduced to row/col-mean features in an Arrow-batched
-    mapInPandas stage. Pixel math is numpy-side, so the driver records
-    the rows-only check for this one."""
+    mapInPandas stage. FULL value oracle: the BMP pixels are
+    sha256(doc_id)-seeded, so DuckDB re-derives them in hex-string
+    space and recomputes the row/col-mean features (incl. the float32
+    quantization) -- the encode->decode->feature path is hash-checked
+    end to end."""
     d = M.attach_bmp_media(
         tbl(spark, sf, "documents").where(F.col("doc_id") < 2000),
         "doc_id")
@@ -79,24 +83,80 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+# attach_bmp_media synthesis twin: 8x6 BMP whose 144 RGB bytes are
+# (sha256(str(k)) digest * 6)[:144]; img = per-pixel channel mean;
+# features = float32((col means ++ row means) / 255), padded to 16;
+# n_bytes = 54-byte header + 6 rows * 24 bytes = 198.
+_COLSUM = " + ".join(f"px[{r}*8+c+1]" for r in range(6))
+_ROWSUM = " + ".join(f"px[r*8+{c}]" for c in range(1, 9))
+_MM_DECODE_SQL = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+s AS (SELECT doc_id, repeat(sha256(CAST(doc_id AS VARCHAR)), 6) AS h FROM d),
+b AS (SELECT doc_id, list_transform(range(0, 144), j ->
+        CAST(CAST(concat('0x', substr(h, j*2+1, 2)) AS INT) AS DOUBLE))
+        AS bs FROM s),
+img AS (SELECT doc_id, list_transform(range(0, 48), p ->
+        (bs[p*3+1] + bs[p*3+2] + bs[p*3+3]) / 3.0) AS px FROM b),
+feat AS (SELECT doc_id,
+  list_transform(range(0, 8), c ->
+      CAST(CAST(({_COLSUM}) / 6.0 / 255.0 AS REAL) AS DOUBLE)) AS colf,
+  list_transform(range(0, 6), r ->
+      CAST(CAST(({_ROWSUM}) / 8.0 / 255.0 AS REAL) AS DOUBLE)) AS rowf
+  FROM img)
+SELECT doc_id, CAST(198 AS BIGINT) AS n_bytes,
+       round(list_sum(colf) + list_sum(rowf), 6) AS feature_sum
+FROM feat ORDER BY doc_id
+"""
+
+
 def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """Real WAV (RIFF PCM) decode -> duration/RMS/peak per row (built-in
-    numpy codec). Sample synthesis is numpy-side: rows-only check."""
+    numpy codec). FULL value oracle: the synthetic samples are
+    sha256(doc_id)-seeded int16s, so DuckDB re-derives every sample in
+    hex-string space (substr over repeat(sha256(...))) and recomputes
+    rms/peak/duration exactly -- the mapInPandas decode path is
+    hash-checked end to end, not rows-only."""
     d = M.attach_wav_media(
         tbl(spark, sf, "documents").where(F.col("doc_id") < 2000),
         "doc_id")
     return (M.audio_features(d)
             .select("doc_id", F.round("duration_sec", 6).alias("duration_sec"),
-                    F.round("rms", 4).alias("rms"), "peak")
+                    F.round("rms", 4).alias("rms"),
+                    F.col("peak").cast("bigint").alias("peak"))
             .orderBy("doc_id"))
+
+
+# attach_wav_media synthesis twin: samples = frombuffer((sha256(str(k))
+# digest * 17)[:512], '<i2'); 256 samples at 16 kHz. Byte i of the blob
+# is hex pair i of repeat(sha256_hex, 17); int16 LE with two's
+# complement spelled out.
+_MM_AUDIO_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+s AS (SELECT doc_id, repeat(sha256(CAST(doc_id AS VARCHAR)), 17) AS h FROM d),
+samp AS (SELECT doc_id, list_transform(range(0, 256), i ->
+    CASE WHEN CAST(concat('0x', substr(h, (i*2+1)*2+1, 2)) AS INT) >= 128
+         THEN CAST(concat('0x', substr(h, i*4+1, 2)) AS INT)
+              + 256*CAST(concat('0x', substr(h, (i*2+1)*2+1, 2)) AS INT)
+              - 65536
+         ELSE CAST(concat('0x', substr(h, i*4+1, 2)) AS INT)
+              + 256*CAST(concat('0x', substr(h, (i*2+1)*2+1, 2)) AS INT)
+    END) AS xs FROM s)
+SELECT doc_id, CAST(256 AS DOUBLE) / 16000 AS duration_sec,
+       round(sqrt(list_avg(list_transform(xs,
+           x -> CAST(x AS DOUBLE) * x))), 4) AS rms,
+       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+FROM samp ORDER BY doc_id
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Real video frame sampling end to end: MBMP clips (concatenated
     BMP frames, pure-numpy codec) attached per document, decoded and
     strided in a row-expanding mapInPandas, per-frame mean/std features
-    aggregated per doc. Rows-only check (numpy batch math is not
-    SQL-expressible)."""
+    aggregated per doc. FULL value oracle: frame pixels are
+    sha256(f"{k}:{i}")-seeded uint8s, so DuckDB re-derives every pixel
+    in hex-string space and recomputes the per-frame mean/std -- the
+    decode+stride+feature path is hash-checked end to end."""
     d = tbl(spark, sf, "documents").where(F.col("doc_id") < 200) \
         .select("doc_id")
     clips = M.attach_mbmp_media(d, "doc_id", n_frames=12)
@@ -108,10 +168,35 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# attach_mbmp_media synthesis twin: frame pixels = frombuffer(
+# (sha256(f"{k}:{i}") digest * 6), uint8)[:144]; every_n=4 over 12
+# frames keeps frames 0/4/8; numpy .std() is the population std.
+_MM_FRAME_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+f AS (SELECT doc_id, unnest([0, 4, 8]) AS frame_no FROM d),
+s AS (SELECT doc_id, frame_no,
+        repeat(sha256(concat(CAST(doc_id AS VARCHAR), ':',
+                             CAST(frame_no AS VARCHAR))), 6) AS h
+      FROM f),
+px AS (SELECT doc_id, frame_no, list_transform(range(0, 144), j ->
+         CAST(CAST(concat('0x', substr(h, j*2+1, 2)) AS INT) AS DOUBLE))
+         AS xs FROM s),
+m AS (SELECT doc_id, frame_no, xs, list_avg(xs) AS mu FROM px),
+feat AS (SELECT doc_id, mu AS mean_i,
+                sqrt(list_avg(list_transform(xs,
+                    x -> (x - mu) * (x - mu)))) AS std_i
+         FROM m)
+SELECT doc_id, COUNT(*) AS n_frames,
+       round(avg(mean_i), 6) AS avg_mean,
+       round(max(std_i), 6) AS max_std
+FROM feat GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
-    "mm_frame_sample": QueryDef(mm_frame_sample, None),
-    "mm_audio_features": QueryDef(mm_audio_features, None),
+    "mm_frame_sample": QueryDef(mm_frame_sample, _MM_FRAME_SQL),
+    "mm_audio_features": QueryDef(mm_audio_features, _MM_AUDIO_SQL),
     "mm_binary_stats": QueryDef(mm_binary_stats, _MM_BINARY_SQL),
     "mm_media_metadata": QueryDef(mm_media_metadata, _MM_META_SQL),
-    "mm_decode_features": QueryDef(mm_decode_features, None),
+    "mm_decode_features": QueryDef(mm_decode_features, _MM_DECODE_SQL),
 }
