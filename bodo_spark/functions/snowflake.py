@@ -291,12 +291,31 @@ SNOWFLAKE_SQL_FNS.update({
         "ELSE instr(substr(s, pos), sub) + pos - 1 END"),
     "UUID_STRING": "() RETURNS STRING RETURN uuid()",
     "SYSDATE": "() RETURNS TIMESTAMP RETURN current_timestamp()",
-    # TO_NUMBER with the common display-format elements (commas, $):
-    # strip grouping/currency then exact decimal cast.
+    # TO_NUMBER with the common display-format elements (commas, $),
+    # HONORING prec/scale like Snowflake: parse, round half-away to
+    # ``scale`` (decimal-exact scaled-cast trick: round() needs a
+    # foldable scale), then error when the value needs more than
+    # prec-scale integer digits. Decimal-typed throughout; returns
+    # DECIMAL(38,6) (static UDF return type; scale <= 6 is exact).
     "TO_NUMBER_FMT": (
         "(s STRING, prec INT, scale INT) RETURNS DECIMAL(38,6) RETURN "
-        "CAST(replace(replace(trim(s), ',', ''), '$', '') "
-        "AS DECIMAL(38,6))"),
+        "CASE WHEN TRY_CAST(replace(replace(trim(s), ',', ''), '$', '') "
+        "       AS DECIMAL(38,6)) IS NULL THEN "
+        "  CASE WHEN s IS NULL THEN NULL "
+        "       ELSE CAST(raise_error(concat('Numeric value ', s, "
+        "            ' is not recognized')) AS DECIMAL(38,6)) END "
+        "WHEN CAST(abs(CAST(TRY_CAST(replace(replace(trim(s), ',', ''), "
+        "       '$', '') AS DECIMAL(38,6)) "
+        "       * CAST(power(10, coalesce(scale, 0)) AS DECIMAL(18,0)) "
+        "       AS DECIMAL(38,0))) AS DOUBLE) "
+        "     >= power(10, coalesce(prec, 38)) THEN "
+        "  CAST(raise_error(concat('Number out of representable range: ', "
+        "       s)) AS DECIMAL(38,6)) "
+        "ELSE CAST(TRY_CAST(replace(replace(trim(s), ',', ''), '$', "
+        "     '') AS DECIMAL(38,6)) "
+        "     * CAST(power(10, coalesce(scale, 0)) AS DECIMAL(18,0)) "
+        "     AS DECIMAL(38,0)) "
+        "     / CAST(power(10, coalesce(scale, 0)) AS DECIMAL(18,0)) END"),
     # -- array kernels (reference nested_data_kernels.py). Spark builtins
     # cover array_distinct/remove/append/prepend/max/min/size/compact/
     # flatten under the same names and semantics; shims exist where
@@ -438,10 +457,23 @@ SNOWFLAKE_SQL_FNS.update({
         "               THEN 0 ELSE 1 END) / power(10, s) "
         "WHEN x < 0 THEN floor(x * power(10, s)) / power(10, s) "
         "ELSE (floor(x * power(10, s)) + 1) / power(10, s) END"),
+    # TRY_ twin of TO_NUMBER_FMT: unparseable or out-of-range for
+    # (prec, scale) -> NULL instead of error; same half-away rounding
+    # to ``scale``.
     "TRY_TO_NUMBER_FMT": (
         "(s STRING, prec INT, scale INT) RETURNS DECIMAL(38,6) RETURN "
-        "TRY_CAST(replace(replace(trim(s), ',', ''), '$', '') "
-        "AS DECIMAL(38,6))"),
+        "CASE WHEN TRY_CAST(replace(replace(trim(s), ',', ''), '$', '') "
+        "       AS DECIMAL(38,6)) IS NULL THEN NULL "
+        "WHEN CAST(abs(CAST(TRY_CAST(replace(replace(trim(s), ',', ''), "
+        "       '$', '') AS DECIMAL(38,6)) "
+        "       * CAST(power(10, coalesce(scale, 0)) AS DECIMAL(18,0)) "
+        "       AS DECIMAL(38,0))) AS DOUBLE) "
+        "     >= power(10, coalesce(prec, 38)) THEN NULL "
+        "ELSE CAST(TRY_CAST(replace(replace(trim(s), ',', ''), '$', "
+        "     '') AS DECIMAL(38,6)) "
+        "     * CAST(power(10, coalesce(scale, 0)) AS DECIMAL(18,0)) "
+        "     AS DECIMAL(38,0)) "
+        "     / CAST(power(10, coalesce(scale, 0)) AS DECIMAL(18,0)) END"),
 })
 
 
@@ -631,20 +663,110 @@ SNOWFLAKE_SQL_FNS.update({
     "TIMESTAMP_TZ_FROM_PARTS": (
         "(y INT, mo INT, d INT, h INT, mi INT, s INT, tz STRING) "
         "RETURNS TIMESTAMP RETURN make_timestamp(y, mo, d, h, mi, s, tz)"),
-    # TO_CHAR for numbers, Snowflake display-format subset
-    # [$][9,]+[.0...] : decimals = digits after '.', ',' toggles
-    # grouping, '$' prefixes. (Full Snowflake format elements like
-    # B/S/XXXX are out of scope; these cover the documented common
-    # forms and raise no surprise -- unknown chars are just ignored.)
-    "TO_CHAR_NUM": (
-        "(x DOUBLE, fmt STRING) RETURNS STRING RETURN concat("
-        "CASE WHEN instr(fmt, '$') > 0 THEN '$' ELSE '' END, "
-        "CASE WHEN instr(fmt, ',') > 0 THEN "
-        "  format_number(x, CASE WHEN instr(fmt, '.') > 0 "
-        "                   THEN length(fmt) - instr(fmt, '.') ELSE 0 END) "
-        "ELSE replace(format_number(x, CASE WHEN instr(fmt, '.') > 0 "
-        "     THEN length(fmt) - instr(fmt, '.') ELSE 0 END), ',', '') "
-        "END)"),
+    # ------------------------------------------------------------------
+    # TO_CHAR numeric display masks (reference
+    # snowflake_conversion_array_kernels.py TO_CHAR(number) family).
+    # Supported tokens: FM prefix (no blank fill), $ currency, S prefix
+    # (always-signed), MI suffix (trailing sign), digits 9/0 (positions
+    # from the first '0' are zero-forced), ',' grouping, '.' decimals.
+    # Semantics: round half-away-from-zero to the mask's scale; value
+    # wider than the integer mask -> '#' * len(fmt) (Snowflake
+    # overflow fill); non-FM output is right-justified to mask width +
+    # sign slot. Documented delta: a pure-fraction value renders '0.xx'
+    # (Oracle/Snowflake render '.xx'). Masks are runtime values, so
+    # this is spelled out over string ops (Spark's to_char/round need
+    # FOLDABLE formats -- a UDF parameter can't reach them); the _NF_*
+    # helpers keep each piece readable and are registered first.
+    "_NF_GRP": (
+        "(s STRING) RETURNS STRING RETURN "
+        "reverse(regexp_replace(reverse(s), '([0-9]{3})(?=[0-9])', '$1,'))"),
+    # fmt minus the FM prefix and MI suffix
+    "_NF_CORE": (
+        "(fmt STRING) RETURNS STRING RETURN "
+        "CASE WHEN upper(CASE WHEN fmt LIKE 'FM%' THEN substr(fmt, 3) "
+        "ELSE fmt END) LIKE '%MI' "
+        "THEN substr(CASE WHEN fmt LIKE 'FM%' THEN substr(fmt, 3) "
+        "ELSE fmt END, 1, length(CASE WHEN fmt LIKE 'FM%' "
+        "THEN substr(fmt, 3) ELSE fmt END) - 2) "
+        "ELSE CASE WHEN fmt LIKE 'FM%' THEN substr(fmt, 3) ELSE fmt END "
+        "END"),
+    # digit/separator skeleton of the core mask
+    "_NF_MASK": (
+        "(core STRING) RETURNS STRING RETURN "
+        "regexp_replace(core, '[^09.,]', '')"),
+    "_NF_SCALE": (
+        "(mask STRING) RETURNS INT RETURN "
+        "CASE WHEN instr(mask, '.') = 0 THEN 0 "
+        "ELSE length(mask) - instr(mask, '.') END"),
+    # |x| * 10^scale rounded half-away via decimal cast, as digits
+    "_NF_SCALED": (
+        "(x DOUBLE, sc INT) RETURNS STRING RETURN "
+        "CAST(CAST(abs(x) * power(10, sc) AS DECIMAL(30,0)) AS STRING)"),
+    # scaled digits left-padded so the int/frac split below is safe
+    "_NF_PADSC": (
+        "(x DOUBLE, fmt STRING) RETURNS STRING RETURN "
+        "lpad(_NF_SCALED(x, _NF_SCALE(_NF_MASK(_NF_CORE(fmt)))), "
+        "greatest(length(_NF_SCALED(x, _NF_SCALE(_NF_MASK(_NF_CORE(fmt))))),"
+        " _NF_SCALE(_NF_MASK(_NF_CORE(fmt))) + 1), '0')"),
+    "_NF_INTRAW": (
+        "(x DOUBLE, fmt STRING) RETURNS STRING RETURN "
+        "substr(_NF_PADSC(x, fmt), 1, length(_NF_PADSC(x, fmt)) - "
+        "_NF_SCALE(_NF_MASK(_NF_CORE(fmt))))"),
+    "_NF_FRACSTR": (
+        "(x DOUBLE, fmt STRING) RETURNS STRING RETURN "
+        "substr(_NF_PADSC(x, fmt), length(_NF_PADSC(x, fmt)) - "
+        "_NF_SCALE(_NF_MASK(_NF_CORE(fmt))) + 1)"),
+    # integer digits with the mask's zero-forcing applied
+    "_NF_INTSTR": ("""(x DOUBLE, fmt STRING) RETURNS STRING RETURN
+CASE WHEN length(_NF_INTRAW(x, fmt)) >=
+       CASE WHEN instr(replace(substring_index(_NF_MASK(_NF_CORE(fmt)),
+                '.', 1), ',', ''), '0') = 0 THEN 1
+            ELSE length(replace(substring_index(_NF_MASK(_NF_CORE(fmt)),
+                '.', 1), ',', ''))
+                 - instr(replace(substring_index(_NF_MASK(_NF_CORE(fmt)),
+                '.', 1), ',', ''), '0') + 1 END
+     THEN _NF_INTRAW(x, fmt)
+     ELSE lpad(_NF_INTRAW(x, fmt),
+       CASE WHEN instr(replace(substring_index(_NF_MASK(_NF_CORE(fmt)),
+                '.', 1), ',', ''), '0') = 0 THEN 1
+            ELSE length(replace(substring_index(_NF_MASK(_NF_CORE(fmt)),
+                '.', 1), ',', ''))
+                 - instr(replace(substring_index(_NF_MASK(_NF_CORE(fmt)),
+                '.', 1), ',', ''), '0') + 1 END, '0')
+END"""),
+    # sign + $ + grouped int + decimals, before any width padding
+    "_NF_BODY": ("""(x DOUBLE, fmt STRING) RETURNS STRING RETURN
+concat(
+  CASE WHEN upper(CASE WHEN fmt LIKE 'FM%' THEN substr(fmt, 3)
+            ELSE fmt END) LIKE '%MI' THEN ''
+       WHEN x < 0 THEN '-'
+       WHEN upper(_NF_CORE(fmt)) LIKE 'S%' THEN '+' ELSE '' END,
+  CASE WHEN instr(_NF_CORE(fmt), '$') > 0 THEN '$' ELSE '' END,
+  CASE WHEN instr(substring_index(_NF_MASK(_NF_CORE(fmt)), '.', 1),
+             ',') > 0
+       THEN _NF_GRP(_NF_INTSTR(x, fmt)) ELSE _NF_INTSTR(x, fmt) END,
+  CASE WHEN _NF_SCALE(_NF_MASK(_NF_CORE(fmt))) > 0
+       THEN concat('.', _NF_FRACSTR(x, fmt)) ELSE '' END)"""),
+    "TO_CHAR_NUM": ("""(x DOUBLE, fmt STRING) RETURNS STRING RETURN
+CASE WHEN x IS NULL OR fmt IS NULL THEN NULL
+WHEN length(_NF_INTRAW(x, fmt)) >
+     length(replace(substring_index(_NF_MASK(_NF_CORE(fmt)), '.', 1),
+            ',', ''))
+  THEN repeat('#', length(fmt))
+ELSE concat(
+  CASE WHEN fmt LIKE 'FM%' THEN _NF_BODY(x, fmt)
+       ELSE lpad(_NF_BODY(x, fmt),
+         length(_NF_CORE(fmt)) +
+         CASE WHEN upper(_NF_CORE(fmt)) LIKE 'S%'
+                OR upper(CASE WHEN fmt LIKE 'FM%' THEN substr(fmt, 3)
+                         ELSE fmt END) LIKE '%MI'
+              THEN 0 ELSE 1 END, ' ') END,
+  CASE WHEN upper(CASE WHEN fmt LIKE 'FM%' THEN substr(fmt, 3)
+            ELSE fmt END) LIKE '%MI'
+       THEN CASE WHEN x < 0 THEN '-' WHEN fmt LIKE 'FM%' THEN ''
+            ELSE ' ' END
+       ELSE '' END)
+END"""),
 })
 
 

@@ -70,8 +70,8 @@ def sql_time_tochar_funcs(spark: SparkSession, sf: str) -> DataFrame:
                date_format(TIMESTAMP_FROM_PARTS(2024, 3,
                            CAST(event_id % 28 AS INT) + 1, 10, 30, 0),
                            'yyyy-MM-dd HH:mm:ss') AS ts_parts,
-               TO_CHAR_NUM(amt, '$9,999.00') AS money,
-               TO_CHAR_NUM(amt, '9999.00') AS plain2
+               TO_CHAR_NUM(amt, 'FM$9,999.00') AS money,
+               TO_CHAR_NUM(amt, 'FM9999.00') AS plain2
         FROM t ORDER BY event_id
     """).spark
 
@@ -932,7 +932,87 @@ ORDER BY rk
 """
 
 
+def sql_numeric_format_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """TO_CHAR numeric display masks + mask-honoring TO_NUMBER
+    (reference snowflake_conversion_array_kernels.py TO_CHAR(number) /
+    TO_NUMBER(prec, scale)): space-padded 9-masks with grouping,
+    FM fill mode, $-currency with correct '-$' sign placement, 0-forced
+    digit positions, trailing-sign MI, always-signed S, '#' overflow
+    fill, scale-rounding and precision-overflow NULL under TRY_.
+    Values are built from integer (units, cents) pairs so every display
+    is rounding-free except the columns that TEST rounding (third
+    decimal digit 7; half-away ties at .50 cents)."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH t AS (
+          SELECT event_id AS id,
+                 CAST(event_id % 10000 AS BIGINT) AS n,
+                 CAST(event_id % 100 AS BIGINT) AS c,
+                 (event_id % 3 = 0) AS neg
+          FROM events_sf WHERE event_id < 2000),
+        v AS (
+          SELECT id, n, c, neg,
+                 concat(CASE WHEN neg THEN '-' ELSE '' END,
+                        CAST(n AS STRING), '.',
+                        lpad(CAST(c AS STRING), 2, '0')) AS xstr
+          FROM t),
+        x AS (SELECT id, n, c, neg, xstr,
+                     CAST(xstr AS DOUBLE) AS xv FROM v)
+        SELECT id,
+               TO_CHAR_NUM(xv, '999,999.99') AS pad_grp,
+               TO_CHAR_NUM(xv, 'FM$9,999,990.00') AS fm_money,
+               TO_CHAR_NUM(abs(xv), 'FM00000.00') AS zpad,
+               TO_CHAR_NUM(xv, '99999MI') AS mi_sign,
+               TO_CHAR_NUM(xv, 'FMS99999.99') AS s_sign,
+               TO_CHAR_NUM(CAST(id % 1000 AS DOUBLE), '99') AS ovf,
+               CAST(TO_NUMBER_FMT(concat(CASE WHEN neg THEN '-' ELSE ''
+                                         END, '$', CAST(n AS STRING), '.',
+                                         lpad(CAST(c AS STRING), 2, '0'),
+                                         '7'), 12, 2) AS DOUBLE) AS parsed,
+               CAST(TRY_TO_NUMBER_FMT(xstr, 4, 2) AS DOUBLE) AS bounded
+        FROM x ORDER BY id
+    """).spark
+
+
+_NUMERIC_FORMAT_SQL = """
+WITH t AS (
+  SELECT event_id AS id,
+         CAST(event_id % 10000 AS BIGINT) AS n,
+         CAST(event_id % 100 AS BIGINT) AS c,
+         (event_id % 3 = 0) AS neg
+  FROM events WHERE event_id < 2000),
+v AS (SELECT id, n, c, neg,
+             -- a -0.00 input is IEEE negative zero: not < 0, so the
+             -- formatter shows no sign (matches Spark's x < 0 checks)
+             (neg AND (n > 0 OR c > 0)) AS isneg,
+             CASE WHEN neg AND (n > 0 OR c > 0) THEN '-' ELSE '' END AS sgn,
+             format('{:,}', n) AS ngrp,
+             lpad(CAST(c AS VARCHAR), 2, '0') AS cc
+      FROM t)
+SELECT id,
+  lpad(concat(sgn, ngrp, '.', cc), 11, ' ') AS pad_grp,
+  concat(sgn, '$', ngrp, '.', cc) AS fm_money,
+  concat(lpad(CAST(n AS VARCHAR), 5, '0'), '.', cc) AS zpad,
+  concat(lpad(CAST(n + CASE WHEN c >= 50 THEN 1 ELSE 0 END AS VARCHAR),
+              5, ' '),
+         CASE WHEN isneg THEN '-' ELSE ' ' END) AS mi_sign,
+  concat(CASE WHEN isneg THEN '-' ELSE '+' END,
+         CAST(n AS VARCHAR), '.', cc) AS s_sign,
+  CASE WHEN id % 1000 >= 100 THEN '##'
+       ELSE lpad(CAST(id % 1000 AS VARCHAR), 3, ' ') END AS ovf,
+  CAST((CASE WHEN neg THEN -1 ELSE 1 END)
+       * CAST(n * 100 + c + 1 AS DECIMAL(38,6)) / 100 AS DOUBLE) AS parsed,
+  CASE WHEN n >= 100 THEN NULL
+       ELSE CAST((CASE WHEN neg THEN -1 ELSE 1 END)
+            * CAST(n * 100 + c AS DECIMAL(38,6)) / 100 AS DOUBLE)
+  END AS bounded
+FROM v ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sql_numeric_format_funcs": QueryDef(sql_numeric_format_funcs,
+                                         _NUMERIC_FORMAT_SQL),
     "sql_generator_rowcount": QueryDef(sql_generator_rowcount,
                                        _GENERATOR_SQL),
     "dt_numeric_scaling": QueryDef(dt_numeric_scaling,

@@ -309,3 +309,62 @@ def test_object_arity_extensions(spark):
     assert sorted(r["keepn"]) == ["a", "b", "c", "d", "e"]
     assert sorted(r["del3"]) == ["b", "d"]
     assert sorted(r["pick4"]) == ["a", "b", "d"]
+
+
+def test_to_char_numeric_masks(spark):
+    """TO_CHAR_NUM display masks (reference
+    snowflake_conversion_array_kernels.py TO_CHAR(number)): FM fill
+    mode, grouping, $-sign placement, 0-forced digits, MI/S signs,
+    overflow fill, half-away rounding, space-justified 9-masks."""
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    cases = [
+        (1234.5, "999,999.99", "   1,234.50"),
+        (-1234.5, "$999,999.99", "  -$1,234.50"),
+        (1234.5, "FM999,999.99", "1,234.50"),
+        (0.5, "FM9.99", "0.50"),
+        (12345, "999", "###"),
+        (7, "FM0009", "0007"),
+        (-7, "99MI", " 7-"),
+        (7, "99MI", " 7 "),
+        (7, "FMS99", "+7"),
+        (-7, "FMS99", "-7"),
+        (0, "FM99", "0"),
+        (0.256, "FM9.99", "0.26"),
+        (1234.5, "FM99999", "1235"),
+        (-0.75, "FM$9.99", "-$0.75"),
+        (1234567.891, "FM9,999,999.9", "1,234,567.9"),
+    ]
+    sel = ", ".join(
+        f"TO_CHAR_NUM(CAST({x} AS DOUBLE), '{f}') AS c{i}"
+        for i, (x, f, _) in enumerate(cases))
+    row = spark.sql(f"SELECT {sel}").collect()[0]
+    for i, (x, f, exp) in enumerate(cases):
+        assert row[f"c{i}"] == exp, (x, f, row[f"c{i}"], exp)
+
+
+def test_to_number_prec_scale(spark):
+    """TO_NUMBER_FMT/TRY_TO_NUMBER_FMT honor (prec, scale): scale
+    rounding half-away, precision overflow -> NULL under TRY_ / error
+    otherwise."""
+    import pytest as _pytest
+
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    r = spark.sql("""
+        SELECT CAST(TO_NUMBER_FMT('$1,234.567', 12, 2) AS DOUBLE) AS a,
+               CAST(TO_NUMBER_FMT('-2.005', 12, 2) AS DOUBLE) AS b,
+               CAST(TRY_TO_NUMBER_FMT('99.99', 4, 2) AS DOUBLE) AS fits,
+               TRY_TO_NUMBER_FMT('100.00', 4, 2) AS too_wide,
+               TRY_TO_NUMBER_FMT('junk', 4, 2) AS junk,
+               CAST(TO_NUMBER_FMT('42', 10, NULL) AS DOUBLE) AS noscale
+    """).collect()[0]
+    assert r["a"] == 1234.57
+    assert r["b"] == -2.01
+    assert r["fits"] == 99.99
+    assert r["too_wide"] is None and r["junk"] is None
+    assert r["noscale"] == 42.0
+    with _pytest.raises(Exception, match="not recognized"):
+        spark.sql("SELECT TO_NUMBER_FMT('junk', 4, 2)").collect()
+    with _pytest.raises(Exception, match="range"):
+        spark.sql("SELECT TO_NUMBER_FMT('100.00', 4, 2)").collect()
