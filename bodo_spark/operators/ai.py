@@ -97,6 +97,72 @@ def embed(df: DataFrame, text_col: str = "text", dim: int = 32,
     return df.mapInPandas(run, schema)
 
 
+def openai_client_factory(base_url: str, model: str = "default",
+                          api_key: Optional[str] = None,
+                          concurrency: int = 8, max_retries: int = 3,
+                          timeout: float = 30.0,
+                          backoff: float = 0.1) -> Callable[[], Callable]:
+    """Batched/retrying OpenAI-compatible chat client for llm_generate
+    (reference bodo/pandas/series.py:1932 async-batched generation).
+
+    Transport is stdlib urllib (the container has no HTTP client
+    libraries); concurrency within a batch comes from a per-partition
+    thread pool -- the same overlap an asyncio client gives, without an
+    event-loop dependency inside executor workers. Each prompt is one
+    POST to {base_url}/chat/completions; 429/5xx and connection errors
+    retry with exponential backoff (capped at ``max_retries``), other
+    HTTP errors raise immediately. The returned factory is
+    serialization-safe (the pool is created inside the partition, never
+    on the driver)."""
+
+    def factory() -> Callable:
+        import json as _json
+        import time as _time
+        import urllib.error
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        url = base_url.rstrip("/") + "/chat/completions"
+        headers = {"Content-Type": "application/json"}
+        if api_key:
+            headers["Authorization"] = f"Bearer {api_key}"
+
+        def one(prompt: str) -> str:
+            body = _json.dumps({
+                "model": model,
+                "messages": [{"role": "user", "content": prompt}],
+            }).encode()
+            last: Exception | None = None
+            for attempt in range(max_retries + 1):
+                try:
+                    req = urllib.request.Request(url, data=body,
+                                                 headers=headers)
+                    with urllib.request.urlopen(req, timeout=timeout) as r:
+                        out = _json.loads(r.read())
+                    return out["choices"][0]["message"]["content"]
+                except urllib.error.HTTPError as e:
+                    if e.code not in (429, 500, 502, 503, 504):
+                        raise
+                    last = e
+                except (urllib.error.URLError, OSError, TimeoutError) as e:
+                    last = e
+                _time.sleep(backoff * (2 ** attempt))
+            raise RuntimeError(
+                f"llm_generate: request failed after "
+                f"{max_retries + 1} attempts: {last}") from last
+
+        pool = ThreadPoolExecutor(max_workers=concurrency)
+
+        def call(prompts: list[str]) -> list[str]:
+            # pool.map preserves input order regardless of completion
+            # order -- responses line up with their rows
+            return list(pool.map(one, prompts))
+
+        return call
+
+    return factory
+
+
 def llm_generate(df: DataFrame, prompt_col: str = "text",
                  client_factory: Optional[Callable[[], Callable]] = None,
                  out_col: str = "response",
@@ -108,9 +174,11 @@ def llm_generate(df: DataFrame, prompt_col: str = "text",
     fallback: raises unless a client is provided."""
     if client_factory is None:
         raise NotImplementedError(
-            "llm_generate needs an endpoint client; no HTTP client "
-            "libraries are available in this environment. Pass "
-            "client_factory=lambda: <callable>(prompts) -> responses.")
+            "llm_generate needs an endpoint client: pass "
+            "client_factory=openai_client_factory(base_url, model, ...) "
+            "for an OpenAI-compatible endpoint, or any callable mapping "
+            "list[str] -> list[str]. There is deliberately no fake "
+            "fallback -- model output cannot be honestly simulated.")
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema.fields)
     schema += f", {out_col} string"

@@ -117,3 +117,76 @@ def test_torch_train_seam(spark):
     assert all(r.n_rows <= 128 for r in shapes)  # batches stay bounded
     with pytest.raises(NotImplementedError, match="torch"):
         torch_train(lambda: None)
+
+
+def test_llm_generate_http_transport(docs):
+    """openai_client_factory against an in-process OpenAI-compatible
+    fake server: tests the TRANSPORT honestly (batched concurrent
+    requests, 5xx retry with backoff, order preservation, auth header)
+    without faking model quality -- the server echoes deterministic
+    completions."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    state = {"requests": 0, "failures_left": 2, "max_inflight": 0,
+             "inflight": 0, "auth_seen": set()}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            with lock:
+                state["requests"] += 1
+                state["inflight"] += 1
+                state["max_inflight"] = max(state["max_inflight"],
+                                            state["inflight"])
+                state["auth_seen"].add(
+                    self.headers.get("Authorization"))
+                fail = state["failures_left"] > 0
+                if fail:
+                    state["failures_left"] -= 1
+            try:
+                body = json.loads(self.rfile.read(
+                    int(self.headers["Content-Length"])))
+                if fail:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                prompt = body["messages"][0]["content"]
+                resp = json.dumps({"choices": [{"message": {
+                    "content": f"echo:{prompt[:20]}"}}]}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+            finally:
+                with lock:
+                    state["inflight"] -= 1
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        factory = ai.openai_client_factory(
+            f"http://127.0.0.1:{port}/v1", model="m", api_key="sk-test",
+            concurrency=4, max_retries=3, backoff=0.01)
+        d = docs.limit(40).coalesce(1)
+        out = ai.llm_generate(d, client_factory=factory, batch_size=8)
+        rows = out.select("doc_id", "text", "response").collect()
+        assert len(rows) == 40
+        # order preservation + deterministic content per row
+        for r in rows:
+            assert r["response"] == f"echo:{r['text'][:20]}"
+        # retry really happened: 2 forced 503s -> > 40 total requests
+        assert state["requests"] >= 42
+        # concurrency really happened within a batch
+        assert state["max_inflight"] >= 2
+        assert "Bearer sk-test" in state["auth_seen"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
