@@ -109,6 +109,68 @@ def blocked_topk(
             .select(q_id_col, id_col, "cos", F.col("rn").cast("bigint").alias("rn")))
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    coarse_dim: int = 16,
+) -> list:
+    """Spherical k-means over a bounded driver-side sample -> centroid
+    list for ivf_topk(centroids=...).
+
+    Scale design: the TRAINING set is a fixed-size random sample
+    (seeded, so deterministic per (data, seed)) -- collecting it is
+    O(sample_size * coarse_dim), independent of corpus size; the
+    k-means itself is a few numpy matmuls on that sample. The trained
+    centroids then broadcast exactly like the lowest-id ones, so the
+    ivf_topk plan shape is unchanged. Training happens in the SAME
+    truncated coarse subspace the quantizer routes in (training
+    full-dim then routing truncated would optimize the wrong metric).
+
+    The lowest-id mode remains the oracle-deterministic default in
+    ivf_topk; this is the recall path for real distributions (the
+    reference delegates to a managed index, bodo/pandas/frame.py:721)."""
+    import numpy as np
+
+    n = vectors.count()
+    frac = min(1.0, (sample_size * 1.3) / max(n, 1))
+    sample = (vectors.select(vec_col)
+              .sample(withReplacement=False, fraction=frac, seed=seed)
+              .limit(sample_size).collect())
+    X = np.array([list(r[0])[:coarse_dim] for r in sample],
+                 dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("train_ivf_centroids: empty sample")
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(Xn))
+    C = Xn[rng.choice(len(Xn), size=k, replace=False)]
+    for _ in range(iters):
+        sim = Xn @ C.T
+        labels = np.argmax(sim, axis=1)
+        newC = np.zeros_like(C)
+        for j in range(k):
+            members = Xn[labels == j]
+            if len(members) == 0:
+                # re-seed an empty cell to the worst-served point
+                worst = int(np.argmin(np.max(sim, axis=1)))
+                newC[j] = Xn[worst]
+            else:
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                newC[j] = m / nm if nm > 0 else m
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return [c.astype(np.float32) for c in C]
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -119,6 +181,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     every vector to its nearest centroid; each query scores only the
@@ -132,10 +195,12 @@ def ivf_topk(
     search to a managed index, bodo/pandas/frame.py:721; here the
     engine provides the index itself).
 
-    Centroid choice is deterministic -- the ``n_centroids`` lowest-id
-    vectors -- so results are engine-reproducible (the DuckDB oracle
-    re-derives the identical cells). At real scale swap in a sampled
-    k-means; the plan shape is unchanged.
+    Centroid choice: by default the ``n_centroids`` lowest-id vectors --
+    deterministic, so results are engine-reproducible (the DuckDB
+    oracle re-derives the identical cells). Pass
+    ``centroids=train_ivf_centroids(...)`` for sampled-k-means cells
+    (better recall on clustered distributions); the plan shape is
+    identical either way.
     """
     # Coarse quantizer works in a TRUNCATED subspace (first ``coarse_dim``
     # components): cell assignment is a routing decision, not a scoring
@@ -144,12 +209,20 @@ def ivf_topk(
     # fold-based dot is interpreted per element) by dim/coarse_dim while
     # candidate scoring below stays full-precision.
     coarse_dim = 16
-    trunc = F.slice(F.col("_cvec"), 1, coarse_dim)
-    cents = (vectors.select(F.col(id_col).alias("_cid"),
-                            F.col(vec_col).alias("_cvec"))
-             .orderBy("_cid").limit(n_centroids)
-             .withColumn("_cvec", trunc)
-             .withColumn("_cn", F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
+    if centroids is not None:
+        rows = [(i, [float(x) for x in list(c)[:coarse_dim]])
+                for i, c in enumerate(centroids)]
+        cents = (vectors.sparkSession.createDataFrame(
+            rows, "_cid bigint, _cvec array<float>")
+            .withColumn("_cn", F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
+    else:
+        trunc = F.slice(F.col("_cvec"), 1, coarse_dim)
+        cents = (vectors.select(F.col(id_col).alias("_cid"),
+                                F.col(vec_col).alias("_cvec"))
+                 .orderBy("_cid").limit(n_centroids)
+                 .withColumn("_cvec", trunc)
+                 .withColumn("_cn",
+                             F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
 
     def assign(df: DataFrame, vec: str, norm: str, key: str,
                n: int) -> DataFrame:

@@ -74,3 +74,49 @@ def test_ivf_topk_recall_vs_brute_force(spark):
                                   n_probe=2).collect()}
     recall = len(probed & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_ivf_kmeans_centroids_recall(spark):
+    """Sampled-k-means centroids (train_ivf_centroids) on a CLUSTERED
+    corpus: recall@5 must be at least that of the lowest-id centroid
+    mode (which samples all its cells from one corner of the data) and
+    decently high in absolute terms; all-cells-probed stays exact."""
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 16, 8, 100
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            v = c + 0.15 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = (corpus.where("vec_id % 100 = 3")
+         .selectExpr("vec_id as q_id", "embedding as q_vec"))
+
+    exact = {}
+    for r in S.brute_force_topk(corpus, q, k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+
+    def recall(res):
+        got = {}
+        for r in res:
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        return sum(len(got.get(k, set()) & v) for k, v in exact.items()) \
+            / sum(len(v) for v in exact.values())
+
+    lowid = recall(S.ivf_topk(corpus, q, k=5, n_centroids=8,
+                              n_probe=2).collect())
+    km = S.train_ivf_centroids(corpus, n_centroids=8, sample_size=400,
+                               iters=10, seed=0)
+    assert len(km) == 8 and all(len(c) == 16 for c in km)
+    kmeans = recall(S.ivf_topk(corpus, q, k=5, n_probe=2,
+                               centroids=km).collect())
+    assert kmeans >= lowid, (kmeans, lowid)
+    assert kmeans >= 0.8, kmeans
+    # sanity: probing every trained cell == exact search
+    allprobe = recall(S.ivf_topk(corpus, q, k=5, n_probe=8,
+                                 centroids=km).collect())
+    assert allprobe == 1.0
