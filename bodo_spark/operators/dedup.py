@@ -280,6 +280,71 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     return out.withColumnRenamed("u", "id")
 
 
+def connected_components_star(pairs: DataFrame, a_col: str = "id_a",
+                              b_col: str = "id_b",
+                              max_iter: int = 30) -> DataFrame:
+    """(node, component) labels via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 -- public algorithm): converges in O(log n) rounds on ANY
+    graph shape, vs. graph-diameter rounds for min-label propagation.
+
+    Use this over connected_components() when clusters can be deep
+    chains (reply threads, citation chains): a 1M-node path costs ~20
+    rounds here vs 1M rounds there. Per round: two groupBy-min + join
+    shuffles on node id; edges localCheckpoint each round (bounded
+    plan). Same output contract as connected_components.
+
+    large-star: every neighbor LARGER than u links to u's minimum
+    (strictly decreases large endpoints); small-star: u and its
+    smaller neighbors all link to the minimum (flattens into stars).
+    Fixpoint: every edge (u, root) with root = component minimum."""
+    e = (pairs.select(F.col(a_col).cast("long").alias("u"),
+                      F.col(b_col).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v")))
+    nodes = (e.select("u").union(e.select(F.col("v").alias("u")))
+             .distinct())
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("m"))
+                .withColumn("m", F.least("m", F.col("u"))))
+        return (sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        o = ed.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v")).distinct()
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        linked = o.join(mins, "u").select(
+            F.explode(F.array(
+                F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                F.struct(F.col("u").alias("a"), F.col("m").alias("b"))
+            )).alias("p")).select(F.col("p.a").alias("u"),
+                                  F.col("p.b").alias("v"))
+        return linked.where(F.col("u") != F.col("v")).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # convergence: the oriented edge set is a fixpoint -- one tiny
+        # aggregate over (count, checksum) instead of a full diff join
+        sig = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h")).collect()[0]
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    labels = (nodes.join(e.withColumnRenamed("v", "comp"), "u", "left")
+              .select("u", F.coalesce("comp", F.col("u")).alias("comp")))
+    out = labels
+    _PERSISTED.append(out)
+    return out.withColumnRenamed("u", "id")
+
+
 def dedup_survivors(df: DataFrame, pairs: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """Resolve near-dup PAIRS into a deduplicated corpus: group pairs

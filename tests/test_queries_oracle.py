@@ -112,3 +112,37 @@ def test_registry_count_documented():
     assert m, "README registry-count line missing"
     assert int(m.group(1)) == n, (
         f"README says {m.group(1)} queries, registry has {n}")
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Alternating large-star/small-star CC agrees with min-label
+    propagation on random graphs and collapses a deep chain in
+    O(log n) rounds (same labels, far fewer shuffles than diameter)."""
+    import random
+
+    import pandas as pd
+
+    from bodo_spark.operators.dedup import (connected_components,
+                                            connected_components_star,
+                                            unpersist_cached)
+
+    rng = random.Random(11)
+    a, b = [], []
+    for _ in range(120):
+        x, y = rng.randint(0, 60), rng.randint(0, 60)
+        if x != y:
+            a.append(x)
+            b.append(y)
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": a, "id_b": b}))
+    lp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    st = {r.id: r.comp for r in connected_components_star(pairs).collect()}
+    assert st == lp
+
+    # 40-node chain: propagation needs ~39 rounds, star ~log2(40)
+    n = 40
+    chain = spark.createDataFrame(pd.DataFrame(
+        {"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))}))
+    stc = {r.id: r.comp for r in
+           connected_components_star(chain, max_iter=10).collect()}
+    assert all(stc[i] == 1 for i in range(1, n + 1))
+    unpersist_cached()
