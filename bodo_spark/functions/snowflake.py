@@ -756,11 +756,12 @@ WHEN length(_NF_INTRAW(x, fmt)) >
 ELSE concat(
   CASE WHEN fmt LIKE 'FM%' THEN _NF_BODY(x, fmt)
        ELSE lpad(_NF_BODY(x, fmt),
-         length(_NF_CORE(fmt)) +
-         CASE WHEN upper(_NF_CORE(fmt)) LIKE 'S%'
-                OR upper(CASE WHEN fmt LIKE 'FM%' THEN substr(fmt, 3)
-                         ELSE fmt END) LIKE '%MI'
-              THEN 0 ELSE 1 END, ' ') END,
+         greatest(length(_NF_BODY(x, fmt)),
+           length(_NF_CORE(fmt)) +
+           CASE WHEN upper(_NF_CORE(fmt)) LIKE 'S%'
+                  OR upper(CASE WHEN fmt LIKE 'FM%' THEN substr(fmt, 3)
+                           ELSE fmt END) LIKE '%MI'
+                THEN 0 ELSE 1 END), ' ') END,
   CASE WHEN upper(CASE WHEN fmt LIKE 'FM%' THEN substr(fmt, 3)
             ELSE fmt END) LIKE '%MI'
        THEN CASE WHEN x < 0 THEN '-' WHEN fmt LIKE 'FM%' THEN ''

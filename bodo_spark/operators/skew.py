@@ -55,3 +55,34 @@ def salted_join(
     lcols = [c for c in left.columns if c != on]
     rcols = [c for c in right.columns if c != on]
     return out.select(on, *lcols, *rcols)
+
+
+def two_stage_distinct_count(df: DataFrame, keys: str | list[str],
+                             value: str, salt: int = 32,
+                             out_col: str = "n_distinct") -> DataFrame:
+    """COUNT(DISTINCT value) per key without funneling each hot key's
+    whole distinct set through one reducer: stage 1 dedups on
+    (key, hash(value) % salt, value) -- the hot key's values spread
+    over ``salt`` reducers -- stage 2 sums per-salt distinct counts
+    (sub-sets are disjoint by construction, so the sum is exact).
+
+    This is the salting twin of Spark's own two-phase rewrite for
+    single distinct aggregates; it stays available where the planner's
+    rewrite doesn't apply (multiple distincts alongside, streaming
+    foreachBatch, explicit control). Salt derives from the VALUE
+    (deterministic, like salted_join's hash-derived salt)."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    bucket = F.pmod(F.xxhash64(F.col(value)), F.lit(salt)).alias("_vb")
+    stage1 = (df.where(F.col(value).isNotNull())  # COUNT(DISTINCT) skips NULL
+              .select(*ks, bucket, F.col(value))
+              .distinct()
+              .groupBy(*ks, "_vb")
+              .agg(F.count(F.lit(1)).alias("_n")))
+    counts = (stage1.groupBy(*ks)
+              .agg(F.sum("_n").cast("bigint").alias(out_col)))
+    # groups whose values are ALL NULL must still appear (count 0),
+    # exactly like GROUP BY + COUNT(DISTINCT)
+    allkeys = df.select(*ks).distinct()
+    return (allkeys.join(counts, ks, "left")
+            .select(*ks, F.coalesce(F.col(out_col), F.lit(0))
+                    .cast("bigint").alias(out_col)))

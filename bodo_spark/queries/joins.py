@@ -320,7 +320,59 @@ ORDER BY k NULLS FIRST
 """
 
 
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit key-salting (operators/skew.py salted_join) on a join
+    whose key distribution is MADE skewed: ~70% of events collapse onto
+    one hot key. The salted plan spreads the hot key over 8 sub-keys;
+    results must equal the plain join, which is exactly what the oracle
+    states (the oracle knows nothing about salt)."""
+    from ..operators.skew import salted_join
+    e = (tbl(spark, sf, "events")
+         .withColumn("k", F.when(F.col("event_id") % 10 < 7, F.lit(1))
+                     .otherwise(F.col("event_id") % 1000 + 2)))
+    dim = (e.select("k").distinct()
+           .withColumn("grp", F.pmod(F.col("k"), F.lit(7))))
+    joined = salted_join(e, dim, "k", salt_n=8, how="inner")
+    return (joined.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(dec("value", 12, 2)).cast("double").alias("sum_value"))
+            .orderBy("grp"))
+
+
+_JOIN_SALTED_SQL = """
+WITH e AS (
+  SELECT CASE WHEN event_id % 10 < 7 THEN 1
+              ELSE event_id % 1000 + 2 END AS k, value
+  FROM events),
+dim AS (SELECT DISTINCT k, k % 7 AS grp FROM e)
+SELECT grp, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM e JOIN dim USING (k)
+GROUP BY grp ORDER BY grp
+"""
+
+
+def join_two_stage_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-stage COUNT(DISTINCT) (operators/skew.py) under the
+    gate: per event_type distinct users, hot key's value set spread
+    over 32 sub-reducers; exact result, plain-SQL oracle."""
+    from ..operators.skew import two_stage_distinct_count
+    e = tbl(spark, sf, "events")
+    return (two_stage_distinct_count(e, "event_type", "user_id",
+                                     salt=32, out_col="n_users")
+            .orderBy("event_type"))
+
+
+_JOIN_TWO_STAGE_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "join_salted_skew": QueryDef(join_salted_skew, _JOIN_SALTED_SQL),
+    "join_two_stage_distinct": QueryDef(join_two_stage_distinct,
+                                        _JOIN_TWO_STAGE_SQL),
     "join_semi": QueryDef(join_semi, _JOIN_SEMI_SQL),
     "join_anti": QueryDef(join_anti, _JOIN_ANTI_SQL),
     "join_full_outer": QueryDef(join_full_outer, _JOIN_FULL_SQL),

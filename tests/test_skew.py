@@ -1,0 +1,45 @@
+"""Skew-mitigation operators (operators/skew.py): two-stage distinct
+aggregation semantics and salted_join's error contract. (salted_join's
+result-equivalence is covered in test_io.py::test_salted_join_equals_
+plain_join.)"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from bodo_spark.operators.skew import salted_join, two_stage_distinct_count
+
+
+def test_salted_join_rejects_right_full(spark):
+    big = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [1, 2]}))
+    small = spark.createDataFrame(pd.DataFrame({"k": [1], "n": ["a"]}))
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, "k", how=how)
+
+
+def test_two_stage_distinct_count_exact(spark):
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["x"] * 60 + ["y"] * 20,
+        "u": [i % 7 for i in range(60)] + [i % 13 for i in range(20)]}))
+    got = {r["g"]: r["n_distinct"] for r in
+           two_stage_distinct_count(df, "g", "u", salt=8).collect()}
+    exp = {r["g"]: r["nd"] for r in
+           df.groupBy("g").agg(F.countDistinct("u").alias("nd")).collect()}
+    assert got == exp == {"x": 7, "y": 13}
+
+
+def test_two_stage_distinct_nulls(spark):
+    """NULL values: countDistinct ignores NULLs; the two-stage path
+    must agree."""
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["x", "x", "x", "y"],
+        "u": [1.0, None, 1.0, None]}))
+    got = {r["g"]: r["n_distinct"] for r in
+           two_stage_distinct_count(df, "g", "u", salt=4).collect()}
+    exp = {r["g"]: r["nd"] for r in
+           df.groupBy("g").agg(F.countDistinct("u").alias("nd")).collect()}
+    assert got == exp

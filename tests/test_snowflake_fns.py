@@ -368,3 +368,94 @@ def test_to_number_prec_scale(spark):
         spark.sql("SELECT TO_NUMBER_FMT('junk', 4, 2)").collect()
     with _pytest.raises(Exception, match="range"):
         spark.sql("SELECT TO_NUMBER_FMT('100.00', 4, 2)").collect()
+
+
+def _ref_to_char_num(x: float, fmt: str) -> str:
+    """Independent pure-Python reference of the TO_CHAR_NUM spec
+    (functions/snowflake.py docstring) for the property test."""
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    fm = fmt.startswith("FM")
+    c1 = fmt[2:] if fm else fmt
+    mi = c1.upper().endswith("MI")
+    core = c1[:-2] if mi else c1
+    has_s = core.upper().startswith("S")
+    dollar = "$" in core
+    mask = _re.sub(r"[^09.,]", "", core)
+    dot = mask.find(".")
+    scale = 0 if dot < 0 else len(mask) - dot - 1
+    int_mask = mask if dot < 0 else mask[:dot]
+    compact = int_mask.replace(",", "")
+
+    scaled = int((Decimal(str(abs(x))) * (10 ** scale))
+                 .quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    digits = str(scaled).zfill(scale + 1)
+    intraw = digits[:-scale] if scale else digits
+    frac = digits[len(digits) - scale:] if scale else ""
+    if len(intraw) > len(compact):
+        return "#" * len(fmt)
+    first0 = compact.find("0")
+    forced = 1 if first0 < 0 else len(compact) - first0
+    intstr = intraw.zfill(forced)
+    if "," in int_mask:
+        out = []
+        for i, ch in enumerate(reversed(intstr)):
+            if i and i % 3 == 0:
+                out.append(",")
+            out.append(ch)
+        intstr = "".join(reversed(out))
+    neg = x < 0  # IEEE: -0.0 is not < 0, matching the SQL kernel;
+    # a negative value that ROUNDS to zero still shows its sign
+    sign = "" if mi else ("-" if neg else ("+" if has_s else ""))
+    body = sign + ("$" if dollar else "") + intstr \
+        + (("." + frac) if scale else "")
+    if not fm:
+        width = len(core) + (0 if (has_s or mi) else 1)
+        body = body.rjust(width)
+    if mi:
+        body += "-" if neg else ("" if fm else " ")
+    return body
+
+
+def test_to_char_num_property_vs_reference(spark):
+    """TO_CHAR_NUM over ~200 random (value, mask) combos vs the
+    independent Python reference. Values are (units, cents) pairs and
+    mask scales are 0 or 2, so every rounding decision is exact in
+    both implementations (scale-1 would tie-break on unrepresentable
+    doubles)."""
+    import random
+
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    rng = random.Random(13)
+    combos = []
+    for _ in range(200):
+        n = rng.choice([0, rng.randint(0, 9), rng.randint(0, 999),
+                        rng.randint(0, 99999)])
+        c = rng.choice([0, 50, rng.randint(0, 99)])
+        sign = rng.choice([1, -1])
+        x = sign * (n + c / 100.0)
+        fm = rng.choice(["", "FM"])
+        prefix = rng.choice(["", "S", "$", "S$"])
+        width = rng.randint(1, 7)
+        digs = "".join(rng.choice("90") for _ in range(width))
+        if rng.random() < 0.4 and width > 3:
+            digs = digs[:-3] + "," + digs[-3:]
+        dec = rng.choice(["", ".99", ".00"])
+        suffix = "" if prefix.startswith("S") else rng.choice(["", "MI"])
+        fmt = f"{fm}{prefix}{digs}{dec}{suffix}"
+        combos.append((x, fmt))
+
+    # one VALUES relation + ONE kernel column: a single expression tree
+    # over 200 rows (200 projected kernel columns each inline the whole
+    # _NF_* helper tree and take minutes to analyze)
+    vals = ", ".join(f"({i}, CAST({x!r} AS DOUBLE), '{f}')"
+                     for i, (x, f) in enumerate(combos))
+    rows = spark.sql(
+        f"SELECT i, TO_CHAR_NUM(x, f) AS r FROM VALUES {vals} AS t(i, x, f)"
+    ).collect()
+    got = {r["i"]: r["r"] for r in rows}
+    for i, (x, f) in enumerate(combos):
+        exp = _ref_to_char_num(x, f)
+        assert got[i] == exp, (x, f, got[i], exp)
