@@ -290,6 +290,26 @@ SNOWFLAKE_SQL_FNS.update({
         "CASE WHEN instr(substr(s, pos), sub) = 0 THEN 0 "
         "ELSE instr(substr(s, pos), sub) + pos - 1 END"),
     "UUID_STRING": "() RETURNS STRING RETURN uuid()",
+    # UNIFORM(lo, hi, gen) (reference other_array_kernels.py:1075):
+    # deterministic per-row generator -- same gen, same output; int
+    # domain [lo, hi]. The reference seeds numpy's MT19937 with gen;
+    # replicating MT's bit stream in SQL is neither possible nor part
+    # of the contract, so the generator here is an md5-derived hash of
+    # gen (engine-portable: DuckDB reproduces it exactly, so UNIFORM
+    # is oracle-checkable -- stronger than a numpy-seeded twin).
+    "UNIFORM_SF": (
+        "(lo BIGINT, hi BIGINT, gen BIGINT) RETURNS BIGINT RETURN "
+        "lo + pmod(CAST(conv(substr(md5(CAST(gen AS STRING)), 1, 8), "
+        "16, 10) AS BIGINT), hi - lo + 1)"),
+    "UNIFORM_FLOAT": (
+        "(lo DOUBLE, hi DOUBLE, gen BIGINT) RETURNS DOUBLE RETURN "
+        "lo + (CAST(conv(substr(md5(CAST(gen AS STRING)), 1, 8), "
+        "16, 10) AS DOUBLE) / 4294967296.0) * (hi - lo)"),
+    # TO_BINARY / TRY_TO_BINARY (reference
+    # snowflake_conversion_array_kernels.py to_binary): Spark 4 ships
+    # BOTH as builtins with Snowflake's exact HEX/BASE64/UTF-8
+    # semantics (NULL-on-garbage under TRY_) -- same-name builtin, no
+    # shim needed; exercised by q:sql_uniform_binary_funcs.
     "SYSDATE": "() RETURNS TIMESTAMP RETURN current_timestamp()",
     # TO_NUMBER with the common display-format elements (commas, $),
     # HONORING prec/scale like Snowflake: parse, round half-away to

@@ -1010,7 +1010,55 @@ FROM v ORDER BY id
 """
 
 
+def sql_uniform_binary_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """UNIFORM/UNIFORM_FLOAT (reference other_array_kernels.py:1075:
+    deterministic per-row generator, int domain [lo, hi]) and
+    TO_BINARY/TRY_TO_BINARY (HEX/BASE64/UTF-8; NULL on garbage under
+    TRY_). The md5-derived generator is engine-portable, so UNIFORM is
+    value-checked exactly -- not just distribution-checked."""
+    bc = _ctx(spark, sf, events_sf="events")
+    return bc.sql("""
+        WITH t AS (
+          SELECT event_id AS id, event_type,
+                 substr(md5(CAST(event_id AS STRING)), 1, 8) AS h
+          FROM events_sf WHERE event_id < 2000)
+        SELECT id,
+               UNIFORM_SF(0, 9, id) AS u_int,
+               UNIFORM_SF(100, 199, id + 7) AS u_shift,
+               round(UNIFORM_FLOAT(0.0, 1.0, id), 10) AS u_flt,
+               hex(TRY_TO_BINARY(h, 'HEX')) AS b_hex,
+               hex(TRY_TO_BINARY(CASE WHEN id % 7 = 0 THEN 'zz!'
+                                      ELSE h END, 'HEX')) AS b_bad,
+               hex(TO_BINARY(event_type, 'UTF-8')) AS b_utf,
+               hex(TRY_TO_BINARY(base64(encode(event_type, 'UTF-8')),
+                                 'BASE64')) AS b_b64
+        FROM t ORDER BY id
+    """).spark
+
+
+_UNIFORM_BINARY_SQL = """
+WITH t AS (
+  SELECT event_id AS id, event_type,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS h
+  FROM events WHERE event_id < 2000)
+SELECT id,
+  0 + CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 10 AS u_int,
+  100 + CAST(concat('0x', substr(md5(CAST(id + 7 AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 AS u_shift,
+  round(CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0, 10) AS u_flt,
+  upper(h) AS b_hex,
+  CASE WHEN id % 7 = 0 THEN NULL ELSE upper(h) END AS b_bad,
+  upper(hex(encode(event_type))) AS b_utf,
+  upper(hex(from_base64(to_base64(encode(event_type))))) AS b_b64
+FROM t ORDER BY id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sql_uniform_binary_funcs": QueryDef(sql_uniform_binary_funcs,
+                                         _UNIFORM_BINARY_SQL),
     "sql_numeric_format_funcs": QueryDef(sql_numeric_format_funcs,
                                          _NUMERIC_FORMAT_SQL),
     "sql_generator_rowcount": QueryDef(sql_generator_rowcount,
