@@ -146,7 +146,58 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join, the stateful join both
+    sides buffer state for (streaming/joins.py): purchases join onto
+    clicks by user within [click_ts, click_ts + 6h]. Both event streams
+    run through the real streaming engine (AvailableNow -> memory
+    sink); the joined rows are then batch-aggregated for a stable
+    output. Oracle: the identical interval join stated in plain SQL."""
+    from ..streaming import (read_stream_parquet, run_available_now,
+                             stream_stream_interval_join)
+
+    e = tbl(spark, sf, "events")
+    clicks = (e.where(F.col("event_type") == "click")
+              .select("user_id", "ts"))
+    buys = (e.where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("user_id_r"),
+                    F.col("ts").alias("ts_r"),
+                    F.col("value").cast("decimal(12,2)").alias("bval")))
+    stage_c = f"/tmp/bodo_spark_stream_{uuid.uuid4().hex[:8]}"
+    stage_b = f"/tmp/bodo_spark_stream_{uuid.uuid4().hex[:8]}"
+    clicks.coalesce(2).write.mode("overwrite").parquet(stage_c)
+    buys.coalesce(2).write.mode("overwrite").parquet(stage_b)
+    sc = read_stream_parquet(spark, stage_c, clicks.schema,
+                             max_files_per_trigger=1)
+    sb = read_stream_parquet(spark, stage_b, buys.schema,
+                             max_files_per_trigger=1)
+    joined = stream_stream_interval_join(
+        sc, sb, key="user_id", left_ts="ts", right_ts="ts_r",
+        upper="INTERVAL 6 HOURS", watermark="12 hours")
+    res = run_available_now(joined, f"t_ssj_{uuid.uuid4().hex[:8]}",
+                            output_mode="append")
+    shutil.rmtree(stage_c, ignore_errors=True)
+    shutil.rmtree(stage_b, ignore_errors=True)
+    return (res.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("bval").cast("double").alias("sum_buy_value"))
+            .orderBy("user_bucket"))
+
+
+_STREAM_SSJOIN_SQL = """
+SELECT c.user_id % 10 AS user_bucket, COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_buy_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "stream_stream_join": QueryDef(stream_stream_join, _STREAM_SSJOIN_SQL),
     "stream_sliding_agg": QueryDef(stream_sliding_agg, _STREAM_SLIDING_SQL),
     "stream_tumbling_agg": QueryDef(stream_tumbling_agg,
                                     _STREAM_TUMBLING_SQL),

@@ -10,6 +10,9 @@ stateful sessionization via applyInPandasWithState) so stream-shaped
 workloads run on the same engine.
 """
 
+from .joins import (  # noqa: F401
+    stream_stream_interval_join,
+)
 from .stateful import (  # noqa: F401
     dedup_stream,
     running_totals_stateful,

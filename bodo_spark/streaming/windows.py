@@ -111,12 +111,17 @@ def sessionize_stateful(df: DataFrame, ts_col: str, key_col: str,
                     F.col(key_col), "n_events"))
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      output_mode: str = "complete") -> DataFrame:
     """Execute a streaming plan over all currently-available input
     (Trigger.AvailableNow) into an in-memory sink and return the result
-    as a batch DataFrame -- deterministic, test-friendly."""
+    as a batch DataFrame -- deterministic, test-friendly.
+
+    ``output_mode``: "complete" for aggregations (the sink holds the
+    final table); "append" for non-aggregating plans like stream-stream
+    joins (the sink accumulates every emitted row)."""
     spark = stream_df.sparkSession
     q = (stream_df.writeStream.format("memory").queryName(query_name)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)

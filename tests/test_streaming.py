@@ -154,3 +154,44 @@ def test_window_aggs_generic_over_schema(spark):
     assert "sum_amount" in out2.columns
     rows = {(r["k"], r["sum_amount"]) for r in out2.collect()}
     assert rows == {("a", 1.0), ("b", 2.0)}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join == the same join run as
+    a plain batch query (AvailableNow drains everything, so no rows are
+    late; state was still bounded by the watermark+interval pair)."""
+    import pandas as pd
+
+    from bodo_spark.streaming import (read_stream_parquet,
+                                      run_available_now,
+                                      stream_stream_interval_join)
+
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "ts": [base, base + pd.Timedelta(hours=2),
+               base + pd.Timedelta(hours=1), base]})
+    right = pd.DataFrame({
+        "k_r": [1, 1, 2, 9],
+        "ts_r": [base + pd.Timedelta(hours=1),
+                 base + pd.Timedelta(hours=9),
+                 base + pd.Timedelta(hours=1, minutes=30), base],
+        "amt": [10.0, 20.0, 30.0, 40.0]})
+    ldir = str(tmp_path_factory.mktemp("ssj_l"))
+    rdir = str(tmp_path_factory.mktemp("ssj_r"))
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    ldf.coalesce(1).write.mode("overwrite").parquet(ldir)
+    rdf.coalesce(1).write.mode("overwrite").parquet(rdir)
+
+    js = stream_stream_interval_join(
+        read_stream_parquet(spark, ldir, ldf.schema),
+        read_stream_parquet(spark, rdir, rdf.schema),
+        key="k", left_ts="ts", right_ts="ts_r",
+        upper="INTERVAL 6 HOURS", watermark="1 hour")
+    got = run_available_now(js, "t_ssj_test", output_mode="append")
+    rows = {(r["k"], r["amt"]) for r in got.collect()}
+    # k=1@0h matches amt 10 (1h later); k=1@2h matches nothing within
+    # [2h, 8h] except... amt 20 at 9h is outside; k=2@1h matches amt 30;
+    # k=3 and k_r=9 match nothing
+    assert rows == {(1, 10.0), (2, 30.0)}
