@@ -953,6 +953,16 @@ class BodoDataFrame:
             self._df = self._df.withColumn(name, F.lit(value))
         self._cached_len = None if isinstance(value, BodoSeries) else self._cached_len
 
+    @property
+    def loc(self) -> "_LocIndexer":
+        """df.loc (reference frame.py:94 BodoDataFrameLocIndexer): the
+        reference keeps only df.loc[:, cols] lazy and falls back to
+        pandas otherwise; a distributed frame has no positional index,
+        so here the LAZY subset is the whole contract -- [:, cols],
+        [mask], [mask, cols] -- and anything positional raises
+        instead of silently collecting."""
+        return _LocIndexer(self)
+
     def assign(self, **kwargs) -> "BodoDataFrame":
         df = self._df
         for name, v in kwargs.items():
@@ -1358,6 +1368,39 @@ class BodoDataFrame:
 
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
+
+
+class _LocIndexer:
+    """Lazy df.loc: [:, cols], [bool_mask], [bool_mask, cols]."""
+
+    def __init__(self, frame: "BodoDataFrame"):
+        self._frame = frame
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            rows, cols = key
+            if isinstance(cols, tuple):
+                cols = list(cols)
+            if isinstance(rows, slice):
+                if rows != slice(None, None, None):
+                    raise NotImplementedError(
+                        "df.loc positional slices need a row order a "
+                        "distributed frame doesn't define; use a boolean "
+                        "mask or sort_values().head()")
+                return self._frame[cols]
+            if isinstance(rows, BodoSeries):
+                filtered = BodoDataFrame(self._frame._df.where(rows._col))
+                return filtered[cols]
+            raise NotImplementedError(
+                f"df.loc row selector {type(rows).__name__} not supported "
+                "on a distributed frame (no positional index)")
+        if isinstance(key, BodoSeries):
+            return BodoDataFrame(self._frame._df.where(key._col))
+        if isinstance(key, slice) and key == slice(None, None, None):
+            return self._frame
+        raise NotImplementedError(
+            f"df.loc[{type(key).__name__}] not supported on a "
+            "distributed frame (no positional index)")
 
 
 class BodoGroupBy:

@@ -1043,3 +1043,29 @@ def test_review_fixes_round6(spark):
 
     assert math.isnan(bs.from_pandas(
         pd.DataFrame({"x": [1.0]}))["x"].skew())
+
+
+def test_loc_indexer(spark):
+    """df.loc lazy subset (reference frame.py:94): [:, cols], [mask],
+    [mask, cols]; positional selectors raise instead of collecting."""
+    import pandas as pd
+    import pytest as _pytest
+
+    import bodo_spark as bs
+
+    pdf = pd.DataFrame({"a": [1, 2, 3, 4], "b": list("wxyz"),
+                        "c": [10.0, 20.0, 30.0, 40.0]})
+    bdf = bs.from_pandas(pdf)
+
+    cols = bdf.loc[:, ["a", "c"]]
+    assert cols.columns == ["a", "c"]
+    masked = bdf.loc[bdf["a"] > 2].to_pandas().sort_values("a")
+    assert masked["b"].tolist() == ["y", "z"]
+    both = bdf.loc[bdf["a"] > 1, ("a", "b")].to_pandas().sort_values("a")
+    assert both.columns.tolist() == ["a", "b"] and len(both) == 3
+    one_col = bdf.loc[bdf["a"] == 2, "b"]
+    assert one_col.to_frame().to_pandas().iloc[0, 0] == "x"
+    with _pytest.raises(NotImplementedError, match="positional|not supported"):
+        bdf.loc[0]
+    with _pytest.raises(NotImplementedError):
+        bdf.loc[0:2, ["a"]]
