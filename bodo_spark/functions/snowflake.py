@@ -767,8 +767,36 @@ concat(
        THEN _NF_GRP(_NF_INTSTR(x, fmt)) ELSE _NF_INTSTR(x, fmt) END,
   CASE WHEN _NF_SCALE(_NF_MASK(_NF_CORE(fmt))) > 0
        THEN concat('.', _NF_FRACSTR(x, fmt)) ELSE '' END)"""),
+    # hex display masks (X = uppercase hex digit, x = lowercase; 0
+    # positions zero-force like numeric masks; negatives/overflow -> '#')
+    "_NF_XM": (
+        "(fmt STRING) RETURNS STRING RETURN "
+        "regexp_replace(_NF_CORE(fmt), '[^0Xx]', '')"),
+    "_NF_XHEX": (
+        "(x DOUBLE) RETURNS STRING RETURN "
+        "conv(CAST(CAST(abs(x) AS DECIMAL(30,0)) AS STRING), 10, 16)"),
+    "_NF_XBODY": ("""(x DOUBLE, fmt STRING) RETURNS STRING RETURN
+CASE WHEN instr(_NF_XM(fmt), 'x') > 0
+     THEN lower(lpad(_NF_XHEX(x),
+       greatest(length(_NF_XHEX(x)),
+         CASE WHEN instr(_NF_XM(fmt), '0') = 0 THEN 1
+              ELSE length(_NF_XM(fmt)) - instr(_NF_XM(fmt), '0') + 1 END),
+       '0'))
+     ELSE lpad(_NF_XHEX(x),
+       greatest(length(_NF_XHEX(x)),
+         CASE WHEN instr(_NF_XM(fmt), '0') = 0 THEN 1
+              ELSE length(_NF_XM(fmt)) - instr(_NF_XM(fmt), '0') + 1 END),
+       '0') END"""),
     "TO_CHAR_NUM": ("""(x DOUBLE, fmt STRING) RETURNS STRING RETURN
 CASE WHEN x IS NULL OR fmt IS NULL THEN NULL
+WHEN upper(_NF_CORE(fmt)) LIKE '%X%' THEN
+  CASE WHEN x < 0
+         OR length(_NF_XHEX(x)) > length(_NF_XM(fmt))
+       THEN repeat('#', length(fmt))
+       WHEN fmt LIKE 'FM%' THEN _NF_XBODY(x, fmt)
+       ELSE lpad(_NF_XBODY(x, fmt),
+                 greatest(length(_NF_XBODY(x, fmt)),
+                          length(_NF_CORE(fmt))), ' ') END
 WHEN length(_NF_INTRAW(x, fmt)) >
      length(replace(substring_index(_NF_MASK(_NF_CORE(fmt)), '.', 1),
             ',', ''))

@@ -213,6 +213,24 @@ class BodoSQLContext:
         self.spark.sql(desugar_qualify(query)).schema
         return True
 
+    def validate_query_compiles(self, query: str,
+                                params_dict: Mapping[str, Any] | None = None,
+                                dynamic_params_list=None) -> bool:
+        """reference context.py:198: validate that the query plans all
+        the way through (Calcite codegen there; Catalyst analysis +
+        physical planning here), with named params bound."""
+        del dynamic_params_list  # positional ? params: not supported
+        q = _rewrite_generator(desugar_qualify(query))
+        if params_dict:
+            for name in params_dict:
+                pat = re.compile(f"@{re.escape(name)}\\b")
+                q = _sub_outside_quotes(pat, f":{name}", q)
+            df = self.spark.sql(q, args=dict(params_dict))
+        else:
+            df = self.spark.sql(q)
+        df._jdf.queryExecution().executedPlan()  # force physical planning
+        return True
+
     def execute_ddl(self, stmt: str):
         """DDL passthrough (CREATE/DROP/ALTER ... run eagerly)."""
         return self.spark.sql(stmt)

@@ -459,3 +459,26 @@ def test_to_char_num_property_vs_reference(spark):
     for i, (x, f) in enumerate(combos):
         exp = _ref_to_char_num(x, f)
         assert got[i] == exp, (x, f, got[i], exp)
+
+
+def test_to_char_hex_masks(spark):
+    """TO_CHAR X/x hex display masks: case, 0-forcing, '#' overflow,
+    space justification, negative -> overflow fill."""
+    from bodo_spark.functions import register_snowflake_fns
+    register_snowflake_fns(spark)
+    cases = [
+        (255, "XXXX", "  FF"),
+        (255, "FMXXXX", "FF"),
+        (255, "FMxxxx", "ff"),
+        (255, "FM0XXX", "00FF"),
+        (4096, "XXX", "###"),
+        (-5, "XXXX", "####"),
+        (0, "FMXX", "0"),
+        (48879, "FMXXXX", "BEEF"),
+    ]
+    sel = ", ".join(
+        f"TO_CHAR_NUM(CAST({x} AS DOUBLE), '{f}') AS c{i}"
+        for i, (x, f, _) in enumerate(cases))
+    row = spark.sql(f"SELECT {sel}").collect()[0]
+    for i, (x, f, exp) in enumerate(cases):
+        assert row[f"c{i}"] == exp, (x, f, row[f"c{i}"], exp)
