@@ -255,29 +255,37 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     labels = (edges.select("u").distinct()
               .select("u", F.col("u").alias("comp"))
               .persist(StorageLevel.MEMORY_AND_DISK))
+    cached = labels  # the live persisted/checkpointed handle
     for it in range(max_iter):
-        # candidate label per node: min over own label and neighbors'
+        # candidate label per node: min over own label and neighbors'.
+        # The change flag rides the SAME persisted frame, so the
+        # convergence count materializes the update in one action --
+        # one join + one groupBy per round instead of two joins (r6).
         neigh = (edges.join(labels.withColumnRenamed("u", "v"), "v")
                  .groupBy("u").agg(F.min("comp").alias("ncomp")))
-        new_labels = (labels.join(neigh, "u", "left")
-                      .select("u", F.least("comp", F.coalesce(
-                          "ncomp", "comp")).alias("comp"))
-                      .persist(StorageLevel.MEMORY_AND_DISK))
-        changed = (new_labels.join(labels.withColumnRenamed("comp", "old"),
-                                   "u")
-                   .where(F.col("comp") != F.col("old")).count())
-        labels.unpersist()
-        labels = new_labels
+        upd = (labels.join(neigh, "u", "left")
+               .select("u",
+                       F.least("comp", F.coalesce("ncomp", "comp"))
+                       .alias("newc"),
+                       (F.coalesce("ncomp", F.col("comp"))
+                        < F.col("comp")).cast("long").alias("chg"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = upd.agg(F.sum("chg")).collect()[0][0] or 0
+        cached.unpersist()
+        cached = upd
+        labels = upd.select("u", F.col("newc").alias("comp"))
         if changed == 0:
             break
         if (it + 1) % checkpoint_every == 0:
             chk = labels.localCheckpoint(eager=True)
-            labels.unpersist()
+            cached.unpersist()
+            cached = chk
             labels = chk
     edges.unpersist()
-    out = labels
-    _PERSISTED.append(out)
-    return out.withColumnRenamed("u", "id")
+    # hand the LIVE cache handle to the release hook (the returned
+    # projection reads through it); callers free via unpersist_cached()
+    _PERSISTED.append(cached)
+    return labels.withColumnRenamed("u", "id")
 
 
 def connected_components_star(pairs: DataFrame, a_col: str = "id_a",
