@@ -479,6 +479,13 @@ class BodoSeries:
             raise ValueError(f"unsupported rank method {method!r}")
         return BodoSeries(self._frame, r.cast("double"), self.name)
 
+    def convert_dtypes(self, **kwargs) -> "BodoSeries":
+        """reference series.py:1522 convert_dtypes normalizes to Arrow
+        dtypes; Spark columns already carry canonical Arrow-compatible
+        types, so this is the documented identity."""
+        del kwargs
+        return self
+
     def isocalendar(self) -> "BodoDataFrame":
         """ISO (year, week, day) triple (reference Series.isocalendar,
         series.py _isocalendar_helper)."""
@@ -769,6 +776,32 @@ class _DtAccessor:
 
     def _wrap(self, col: Column) -> BodoSeries:
         return BodoSeries(self._s._frame, col, self._s.name)
+
+    @property
+    def components(self) -> "BodoDataFrame":
+        """pandas Timedelta .components over a day-time interval column
+        (reference series.py:2396): days floor-divide (negative
+        timedeltas get negative days and POSITIVE remainders, pandas
+        semantics); sub-day parts are non-negative. Nanoseconds are 0:
+        Spark intervals carry microsecond resolution."""
+        us = (self._s._col.cast("decimal(30,6)")
+              * F.lit(1000000)).cast("long")
+        day_us = F.lit(86400000000)
+        rem = F.pmod(us, day_us)
+        days = ((us - rem) / day_us).cast("long")
+        hours = F.floor(rem / F.lit(3600000000)).cast("long")
+        rem_h = rem - hours * F.lit(3600000000)
+        minutes = F.floor(rem_h / F.lit(60000000)).cast("long")
+        rem_m = rem_h - minutes * F.lit(60000000)
+        seconds = F.floor(rem_m / F.lit(1000000)).cast("long")
+        rem_s = rem_m - seconds * F.lit(1000000)
+        millis = F.floor(rem_s / F.lit(1000)).cast("long")
+        micros = (rem_s - millis * F.lit(1000)).cast("long")
+        return BodoDataFrame(self._s._frame._df.select(
+            days.alias("days"), hours.alias("hours"),
+            minutes.alias("minutes"), seconds.alias("seconds"),
+            millis.alias("milliseconds"), micros.alias("microseconds"),
+            F.lit(0).cast("long").alias("nanoseconds")))
 
     @property
     def year(self): return self._wrap(F.year(self._s._col))
@@ -1241,6 +1274,22 @@ class BodoDataFrame:
         def gen(batches):
             for pdf in batches:
                 yield func(pdf)
+        return BodoDataFrame(self._df.mapInPandas(gen, schema))
+
+    def map_partitions_with_state(
+            self, init_state_fn: Callable[[], Any],
+            func: Callable[[Any, pd.DataFrame], pd.DataFrame],
+            schema: str) -> "BodoDataFrame":
+        """reference series.py:857 map_partitions_with_state: ``init_
+        state_fn()`` runs ONCE per partition (model handle, client,
+        compiled regex...) and its result is passed to every batch --
+        the per-worker-init pattern an expensive-setup UDF needs.
+        State is created inside the executor task, never serialized
+        from the driver."""
+        def gen(batches):
+            state = init_state_fn()
+            for pdf in batches:
+                yield func(state, pdf)
         return BodoDataFrame(self._df.mapInPandas(gen, schema))
 
     def rolling(self, window: int, order_by: str,

@@ -1069,3 +1069,31 @@ def test_loc_indexer(spark):
         bdf.loc[0]
     with _pytest.raises(NotImplementedError):
         bdf.loc[0:2, ["a"]]
+
+
+def test_dt_components_and_state(spark):
+    """dt.components pandas parity (incl. negative floor semantics),
+    map_partitions_with_state per-partition init, convert_dtypes
+    identity."""
+    import pandas as pd
+
+    import bodo_spark as bs
+
+    tds = ["1 days 02:03:04.500617", "-2 days", "-1 s", "0 s"]
+    pdf = pd.DataFrame({"td": pd.to_timedelta(tds)})
+    bdf = bs.from_pandas(pdf)
+    got = bdf["td"].dt.components.to_pandas()
+    exp = pdf["td"].dt.components
+    for col in ("days", "hours", "minutes", "seconds",
+                "milliseconds", "microseconds", "nanoseconds"):
+        assert sorted(got[col].tolist()) == sorted(exp[col].tolist()), col
+
+    d2 = bs.from_pandas(pd.DataFrame({"x": [1, 2, 3, 4]}))
+    out = d2.map_partitions_with_state(
+        lambda: {"mult": 10},
+        lambda st, p: p.assign(y=p["x"] * st["mult"]),
+        "x long, y long").to_pandas().sort_values("x")
+    assert out["y"].tolist() == [10, 20, 30, 40]
+
+    s = d2["x"]
+    assert s.convert_dtypes() is s
