@@ -369,7 +369,43 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def join_null_aware_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-aware anti join (the reference's mark join, _join.h:276:
+    NOT IN under 3VL): PROBE-side NULLs -- a NULL key's NOT IN is
+    UNKNOWN, so those rows must be DROPPED (a naive LEFT ANTI
+    translation would keep them: NULL matches nothing). A build-side
+    NULL variant would legally return zero rows (x NOT IN (...NULL) is
+    never TRUE) -- vacuous at the gate, so the probe side carries the
+    NULLs instead and the result stays non-empty."""
+    c = tbl(spark, sf, "customer")
+    o = tbl(spark, sf, "orders")
+    c.createOrReplaceTempView("_naa_cust")
+    o.createOrReplaceTempView("_naa_ord")
+    return spark.sql("""
+        SELECT c_mktsegment AS seg, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_bal
+        FROM _naa_cust
+        WHERE CASE WHEN c_custkey % 89 = 0 THEN NULL
+                   ELSE c_custkey END NOT IN (
+            SELECT o_custkey FROM _naa_ord WHERE o_orderkey % 3 = 0)
+        GROUP BY seg ORDER BY seg
+    """)
+
+
+_JOIN_NULL_AWARE_SQL = """
+SELECT c_mktsegment AS seg, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM customer
+WHERE CASE WHEN c_custkey % 89 = 0 THEN NULL ELSE c_custkey END NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0)
+GROUP BY seg ORDER BY seg
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "join_null_aware_anti": QueryDef(join_null_aware_anti,
+                                     _JOIN_NULL_AWARE_SQL),
     "join_salted_skew": QueryDef(join_salted_skew, _JOIN_SALTED_SQL),
     "join_two_stage_distinct": QueryDef(join_two_stage_distinct,
                                         _JOIN_TWO_STAGE_SQL),
