@@ -135,3 +135,21 @@ def test_generator_rewrite_and_named_params(spark):
     r = bc.sql("SELECT COUNT(*) AS c FROM t1 WHERE CAST(i AS STRING) = @s",
                params={"s": "1 OR 1=1"}).spark.collect()
     assert r[0]["c"] == 0
+
+
+def test_validate_query_compiles(spark):
+    """validate_query_compiles (reference context.py:198): full
+    physical planning without execution, named params bound; invalid
+    SQL raises."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from bodo_spark.sql import BodoSQLContext
+
+    bc = BodoSQLContext(
+        {"t_vqc": pd.DataFrame({"a": [1, 2, 3]})}, spark=spark)
+    assert bc.validate_query_compiles("SELECT a + 1 FROM t_vqc")
+    assert bc.validate_query_compiles(
+        "SELECT a FROM t_vqc WHERE a > @lo", params_dict={"lo": 1})
+    with _pytest.raises(Exception):
+        bc.validate_query_compiles("SELECT nosuchcol FROM t_vqc")
