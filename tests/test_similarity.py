@@ -120,3 +120,25 @@ def test_ivf_kmeans_centroids_recall(spark):
     allprobe = recall(S.ivf_topk(corpus, q, k=5, n_probe=8,
                                  centroids=km).collect())
     assert allprobe == 1.0
+
+
+def test_neardup_blas_scorer_matches_expr(spark):
+    """The BLAS (applyInPandas matmul) scorer must produce EXACTLY the
+    expression scorer's pairs -- same blocking, same round-6 cosines --
+    on the salted corpus the gate uses."""
+    from pyspark.sql import functions as F
+
+    from bodo_spark.queries._util import tbl
+
+    emb = tbl(spark, SF_DIR, "embeddings")
+    planted = (emb.where(F.col("vec_id") < 3)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(10000)))
+    corpus = emb.unionByName(planted)
+    expr_pairs = {(r.id_a, r.id_b, r.cos) for r in
+                  S.embedding_neardup_pairs(corpus, threshold=0.9,
+                                            block_bits=4).collect()}
+    blas_pairs = {(r.id_a, r.id_b, r.cos) for r in
+                  S.embedding_neardup_pairs(corpus, threshold=0.9,
+                                            block_bits=4,
+                                            scorer="blas").collect()}
+    assert expr_pairs == blas_pairs and len(expr_pairs) >= 3
