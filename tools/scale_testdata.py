@@ -82,17 +82,23 @@ def scale(k: int, out: str) -> None:
                            "regexp_replace(text, '(\\S+)', "
                            "'x' || r.r || '\\1', 'g') END AS text")
             elif t == "embeddings" and c == "embedding":
-                # Per-replica orthogonal sign flip of a DISJOINT
-                # 6-coordinate window [6r, 6r+6): within-replica inner
-                # products (and therefore near-dup/ANN structure) are
-                # preserved EXACTLY, while cross-replica cosines drop to
-                # ~0.6 -- without this, K identical copies of every
-                # vector make near-dup pair output grow quadratically BY
-                # CONSTRUCTION, the same trap the text salting avoids.
+                # Per-replica orthogonal sign PATTERN over every
+                # coordinate (md5-derived from (replica, i)): within-
+                # replica inner products (and therefore near-dup/ANN
+                # structure) are preserved EXACTLY -- the same pattern
+                # multiplies both sides, signs cancel -- while
+                # cross-replica patterns differ in ~half the coords, so
+                # expected cross-replica cosine ~0. The earlier
+                # 6-coordinate-window variant saturated at K>10 (64
+                # dims hold ~10 disjoint windows; replicas sharing a
+                # window were EXACT duplicates, quadratic pair growth
+                # by construction). Replica 0 keeps the originals.
                 sel.append(
                     "list_transform(embedding, (x, i) -> CASE "
-                    "WHEN i - 1 >= 6 * r.r AND i - 1 < 6 * r.r + 6 "
-                    "THEN -x ELSE x END) AS embedding")
+                    "WHEN r.r > 0 AND "
+                    "CAST(concat('0x', substr(md5(concat(CAST(r.r AS "
+                    "VARCHAR), ':', CAST(i AS VARCHAR))), 1, 2)) AS INT) "
+                    "% 2 = 1 THEN -x ELSE x END) AS embedding")
             else:
                 sel.append(c)
         con.execute(
