@@ -482,3 +482,18 @@ def test_to_char_hex_masks(spark):
     row = spark.sql(f"SELECT {sel}").collect()[0]
     for i, (x, f, exp) in enumerate(cases):
         assert row[f"c{i}"] == exp, (x, f, row[f"c{i}"], exp)
+
+
+def test_kernel_count_documented():
+    """COVERAGE.md's '<N> kernels' figure is generated from the
+    registry (same discipline as the README query count)."""
+    import os
+    import re
+
+    from bodo_spark.functions.snowflake import SNOWFLAKE_SQL_FNS
+
+    n = len([k for k in SNOWFLAKE_SQL_FNS if not k.startswith("_")])
+    cov = open(os.path.join(os.path.dirname(__file__), "..",
+                            "COVERAGE.md")).read()
+    m = re.search(r"\((\d+) kernels \+ vectorized", cov)
+    assert m and int(m.group(1)) == n, (m and m.group(1), n)
