@@ -26,6 +26,7 @@ from .frame import (  # noqa: F401
     qcut,
     read_csv,
     read_iceberg,
+    read_iceberg_table,
     read_parquet,
     to_datetime,
     to_numeric,

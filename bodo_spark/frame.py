@@ -30,7 +30,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["BodoDataFrame", "BodoSeries", "DateOffset", "read_parquet", "read_csv",
-           "read_iceberg", "from_pandas", "concat", "merge", "merge_asof",
+           "read_iceberg", "read_iceberg_table", "from_pandas", "concat", "merge", "merge_asof",
            "to_datetime", "cut", "qcut", "crosstab", "get_dummies",
            "to_numeric", "unique", "date_range", "to_timedelta",
            "timedelta_range"]
@@ -1792,6 +1792,13 @@ def read_iceberg(table: str, **kw) -> BodoDataFrame:
     """reference base.py read_iceberg -> sources.io (clean error offline)."""
     from .sources.io import read_iceberg as _ri
     return BodoDataFrame(_ri(table, **kw))
+
+
+def read_iceberg_table(table, **kw) -> BodoDataFrame:
+    """reference base.py:364 read_iceberg_table(PyIcebergTable) ->
+    sources.io routing by dotted identifier."""
+    from .sources.io import read_iceberg_table as _rit
+    return BodoDataFrame(_rit(table, **kw))
 
 
 def to_datetime(s: "BodoSeries", format: str | None = None) -> "BodoSeries":

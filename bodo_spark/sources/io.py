@@ -257,6 +257,23 @@ def read_iceberg(table: str, spark: SparkSession | None = None,
         ) from e
 
 
+def read_iceberg_table(table, spark: SparkSession | None = None) -> DataFrame:
+    """reference base.py:364 read_iceberg_table(PyIcebergTable): accept
+    a pyiceberg Table handle and route to read_iceberg by its dotted
+    identifier. The pyiceberg package (like the Spark Iceberg runtime)
+    is absent in this container, so the argument is duck-typed: any
+    object exposing ``_identifier`` (or ``name()``) works."""
+    ident = getattr(table, "_identifier", None)
+    if ident is None and hasattr(table, "name"):
+        ident = table.name()
+    if ident is None:
+        raise TypeError(
+            "read_iceberg_table expects a pyiceberg Table (or any object "
+            "with an _identifier tuple / name())")
+    dotted = ".".join(ident) if not isinstance(ident, str) else ident
+    return read_iceberg(dotted, spark=spark)
+
+
 def to_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
     """Iceberg sink. Reference: bodo/pandas/frame.py:507, physical/write_iceberg.h."""
     try:

@@ -87,6 +87,19 @@ def test_iceberg_raises_cleanly(spark):
         bio.read_iceberg("nosuch.catalog.table", spark=spark)
 
 
+def test_read_iceberg_table_routing(spark):
+    """read_iceberg_table (reference base.py:364) routes a pyiceberg
+    Table handle by its dotted identifier; duck-typed since pyiceberg
+    is absent here."""
+    class FakeTable:
+        _identifier = ("cat", "db", "tbl")
+
+    with pytest.raises(NotImplementedError, match="[Ii]ceberg"):
+        bio.read_iceberg_table(FakeTable(), spark=spark)
+    with pytest.raises(TypeError, match="pyiceberg"):
+        bio.read_iceberg_table(object(), spark=spark)
+
+
 def test_jdbc_surface_exists():
     assert callable(bio.read_sql) and callable(bio.to_sql)
 
