@@ -150,7 +150,82 @@ SELECT
 """
 
 
+def io_zorder_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustered write (sources/zorder.py) under the gate:
+    lineitem written clustered on (l_quantity, l_extendedprice), read
+    back with RANGE FILTERS on both clustered columns, aggregated.
+    Values are layout-independent (clustering only moves rows between
+    files), so the oracle states the same filter+agg on the source --
+    any value drift would mean the clustered write corrupted rows.
+    File-skipping effectiveness itself is asserted in test_zorder."""
+    import os
+
+    from ..sources.zorder import write_zordered
+
+    li = tbl(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    stage = f"/tmp/bodo_spark_zorder_{os.path.basename(sf.rstrip('/'))}"
+    write_zordered(li, stage, ["l_quantity", "l_extendedprice"], bits=6)
+    back = (spark.read.parquet(stage)
+            .where((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 20)
+                   & (F.col("l_extendedprice") < 20000)))
+    return (back.groupBy(F.col("l_quantity").cast("bigint").alias("qty"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(dec("l_extendedprice", 12, 2)).cast("double")
+                 .alias("sum_price"))
+            .orderBy("qty"))
+
+
+_IO_ZORDER_SQL = """
+SELECT CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+WHERE l_quantity >= 10 AND l_quantity < 20 AND l_extendedprice < 20000
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def io_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed catalog tables joined under the gate: customer and
+    orders bucketed 4 ways on the customer key as EXTERNAL tables
+    (explicit /tmp location), joined bucket-to-bucket -- the
+    co-location layout that makes the join ZERO-shuffle (plan asserted
+    in test_io; here the VALUES are gate-checked against the plain
+    join the oracle states)."""
+    import os
+
+    from ..sources.io import to_table_bucketed
+
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    c = tbl(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    o = tbl(spark, sf, "orders").select(
+        "o_custkey", dec("o_totalprice", 12, 2).alias("price"))
+    to_table_bucketed(c, f"g_cust_b_{tag}", 4, ["c_custkey"],
+                      path=f"/tmp/bodo_spark_bkt_c_{tag}")
+    to_table_bucketed(o, f"g_ord_b_{tag}", 4, ["o_custkey"],
+                      path=f"/tmp/bodo_spark_bkt_o_{tag}")
+    cb = spark.table(f"g_cust_b_{tag}")
+    ob = spark.table(f"g_ord_b_{tag}")
+    return (cb.join(ob, cb["c_custkey"] == ob["o_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("price").cast("double").alias("sum_price"))
+            .orderBy("c_mktsegment"))
+
+
+_IO_BUCKETED_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "io_zorder_skipping": QueryDef(io_zorder_skipping, _IO_ZORDER_SQL),
+    "io_bucketed_join": QueryDef(io_bucketed_join, _IO_BUCKETED_SQL),
     "io_versioned_time_travel": QueryDef(io_versioned_time_travel,
                                          _IO_VERSIONED_SQL),
     "io_partitioned_roundtrip": QueryDef(io_partitioned_roundtrip,

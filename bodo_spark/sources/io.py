@@ -67,7 +67,8 @@ def to_parquet(df: DataFrame, path: str, mode: str = "overwrite",
 def to_table_bucketed(df: DataFrame, table: str, buckets: int,
                       bucket_cols: Iterable[str],
                       sort_cols: Iterable[str] | None = None,
-                      mode: str = "overwrite") -> None:
+                      mode: str = "overwrite",
+                      path: str | None = None) -> None:
     """Bucketed parquet table (catalog-managed): rows are hash-placed
     into ``buckets`` files per partition by ``bucket_cols``, optionally
     sorted within each bucket.
@@ -84,6 +85,8 @@ def to_table_bucketed(df: DataFrame, table: str, buckets: int,
               .bucketBy(buckets, *bucket_cols))
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:  # EXTERNAL table: explicit location instead of warehouse dir
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
