@@ -1,7 +1,9 @@
-"""MERGE INTO battery: the reference's Iceberg MERGE (COW) semantics
-re-expressed as a DataFrame transformation (bodo_spark.operators.merge).
-The oracle states the identical MERGE as an explicit full-outer-join
-CASE expression, which is what a COW MERGE compiles to in any engine.
+"""MERGE INTO + lakehouse-I/O battery: the reference's Iceberg MERGE
+(COW) semantics re-expressed as a DataFrame transformation
+(bodo_spark.operators.merge) with a full-outer-join CASE oracle, plus
+the storage-layout operators under the gate -- partitioned-write
+pruned read-back, versioned-table time travel, z-order clustered
+writes, bucketed-table joins.
 """
 
 from __future__ import annotations
