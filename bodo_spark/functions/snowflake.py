@@ -1066,17 +1066,30 @@ def register_snowflake_fns(spark: SparkSession) -> None:
 
 def flatten(df: DataFrame, col: str | Column, seq_col: str,
             outer: bool = False) -> DataFrame:
-    """Snowflake LATERAL FLATTEN over an array column: the full 6-output
-    struct (SEQ, KEY, PATH, INDEX, VALUE, THIS) alongside the input row.
+    """Snowflake LATERAL FLATTEN over an ARRAY or OBJECT(map) column:
+    the full 6-output struct (SEQ, KEY, PATH, INDEX, VALUE, THIS)
+    alongside the input row.
 
     SEQ is taken from ``seq_col`` (Snowflake's SEQ is an opaque per-row
     number; an explicit key keeps results deterministic/oracle-checkable).
-    KEY is NULL for arrays (populated for maps), PATH is '[i]', INDEX the
-    0-based position, VALUE the element, THIS the whole input array.
-    ``outer=True`` keeps rows whose array is empty/NULL with NULL
-    flatten outputs (posexplode_outer).
+    Arrays: KEY is NULL, PATH '[i]', INDEX the 0-based position.
+    Objects (MapType): KEY the field name, PATH = KEY, INDEX NULL --
+    Snowflake's object-flatten contract. VALUE the element, THIS the
+    whole input collection. ``outer=True`` keeps rows whose collection
+    is empty/NULL with NULL flatten outputs.
     """
+    from pyspark.sql import types as T
+
     c = F.col(col) if isinstance(col, str) else col
+    dt = df.select(c.alias("_f")).schema[0].dataType
+    if isinstance(dt, T.MapType):
+        ex = F.explode_outer(c) if outer else F.explode(c)
+        return (df.withColumn("THIS", c)
+                .select(F.col(seq_col).alias("SEQ"), "*",
+                        ex.alias("KEY", "VALUE"))
+                .withColumn("INDEX", F.lit(None).cast("int"))
+                .withColumn("PATH", F.col("KEY").cast("string"))
+                .drop(seq_col))
     ex = F.posexplode_outer(c) if outer else F.posexplode(c)
     return (df.withColumn("THIS", c)
             .select(F.col(seq_col).alias("SEQ"), "*",

@@ -497,3 +497,23 @@ def test_kernel_count_documented():
                             "COVERAGE.md")).read()
     m = re.search(r"\((\d+) kernels \+ vectorized", cov)
     assert m and int(m.group(1)) == n, (m and m.group(1), n)
+
+
+def test_flatten_object_map(spark):
+    """FLATTEN over an OBJECT (MapType): KEY populated, INDEX NULL,
+    PATH = KEY -- Snowflake's object-flatten contract (reference
+    lateral.py lateral_flatten over objects)."""
+    import pyspark.sql.functions as F
+
+    from bodo_spark.functions import flatten
+
+    df = spark.createDataFrame(
+        [(1, {"a": 10, "b": 20}), (2, {}), (3, None)],
+        "id long, m map<string,int>")
+    out = flatten(df, "m", seq_col="id").orderBy("SEQ", "KEY").collect()
+    assert [(r.SEQ, r.KEY, r.VALUE, r.PATH, r.INDEX) for r in out] == [
+        (1, "a", 10, "a", None), (1, "b", 20, "b", None)]
+    outer = flatten(df, "m", seq_col="id", outer=True) \
+        .orderBy("SEQ", "KEY").collect()
+    assert {r.SEQ for r in outer} == {1, 2, 3}
+    assert len(outer) == 4
