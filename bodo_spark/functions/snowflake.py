@@ -1082,18 +1082,23 @@ def flatten(df: DataFrame, col: str | Column, seq_col: str,
 
     c = F.col(col) if isinstance(col, str) else col
     dt = df.select(c.alias("_f")).schema[0].dataType
+    passthrough = [x for x in df.columns if x != seq_col]
+    # fixed output order regardless of input type (array vs map):
+    # SEQ, passthrough..., KEY, PATH, INDEX, VALUE, THIS
+    tail = ["KEY", "PATH", "INDEX", "VALUE", "THIS"]
     if isinstance(dt, T.MapType):
         ex = F.explode_outer(c) if outer else F.explode(c)
-        return (df.withColumn("THIS", c)
-                .select(F.col(seq_col).alias("SEQ"), "*",
-                        ex.alias("KEY", "VALUE"))
-                .withColumn("INDEX", F.lit(None).cast("int"))
-                .withColumn("PATH", F.col("KEY").cast("string"))
-                .drop(seq_col))
-    ex = F.posexplode_outer(c) if outer else F.posexplode(c)
-    return (df.withColumn("THIS", c)
-            .select(F.col(seq_col).alias("SEQ"), "*",
-                    ex.alias("INDEX", "VALUE"))
-            .withColumn("KEY", F.lit(None).cast("string"))
-            .withColumn("PATH", F.concat(F.lit("["), F.col("INDEX"), F.lit("]")))
-            .drop(seq_col))
+        out = (df.withColumn("THIS", c)
+               .select(F.col(seq_col).alias("SEQ"), "*",
+                       ex.alias("KEY", "VALUE"))
+               .withColumn("INDEX", F.lit(None).cast("int"))
+               .withColumn("PATH", F.col("KEY").cast("string")))
+    else:
+        ex = F.posexplode_outer(c) if outer else F.posexplode(c)
+        out = (df.withColumn("THIS", c)
+               .select(F.col(seq_col).alias("SEQ"), "*",
+                       ex.alias("INDEX", "VALUE"))
+               .withColumn("KEY", F.lit(None).cast("string"))
+               .withColumn("PATH",
+                           F.concat(F.lit("["), F.col("INDEX"), F.lit("]"))))
+    return out.select("SEQ", *passthrough, *tail)

@@ -151,12 +151,15 @@ def openai_client_factory(base_url: str, model: str = "default",
                 f"llm_generate: request failed after "
                 f"{max_retries + 1} attempts: {last}") from last
 
-        pool = ThreadPoolExecutor(max_workers=concurrency)
-
         def call(prompts: list[str]) -> list[str]:
-            # pool.map preserves input order regardless of completion
-            # order -- responses line up with their rows
-            return list(pool.map(one, prompts))
+            # pool per call, context-managed: executor Python workers are
+            # reused across tasks, so a partition-lifetime pool would leak
+            # non-daemon threads; pool startup is negligible next to the
+            # HTTP round-trips it overlaps. map preserves input order
+            # regardless of completion order -- responses line up with
+            # their rows.
+            with ThreadPoolExecutor(max_workers=concurrency) as pool:
+                return list(pool.map(one, prompts))
 
         return call
 

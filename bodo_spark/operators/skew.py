@@ -81,8 +81,18 @@ def two_stage_distinct_count(df: DataFrame, keys: str | list[str],
     counts = (stage1.groupBy(*ks)
               .agg(F.sum("_n").cast("bigint").alias(out_col)))
     # groups whose values are ALL NULL must still appear (count 0),
-    # exactly like GROUP BY + COUNT(DISTINCT)
+    # exactly like GROUP BY + COUNT(DISTINCT). GROUP BY treats NULL as
+    # one group, so the re-join must match NULL keys too: eqNullSafe,
+    # not USING-list equality (which would zero out NULL-key groups
+    # that have real distinct values).
     allkeys = df.select(*ks).distinct()
-    return (allkeys.join(counts, ks, "left")
+    c = counts
+    for k in ks:
+        c = c.withColumnRenamed(k, f"_r_{k}")
+    cond = None
+    for k in ks:
+        e = allkeys[k].eqNullSafe(c[f"_r_{k}"])
+        cond = e if cond is None else cond & e
+    return (allkeys.join(c, cond, "left")
             .select(*ks, F.coalesce(F.col(out_col), F.lit(0))
                     .cast("bigint").alias(out_col)))

@@ -165,15 +165,23 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("value").cast("decimal(12,2)").alias("bval")))
     stage_c = f"/tmp/bodo_spark_stream_{uuid.uuid4().hex[:8]}"
     stage_b = f"/tmp/bodo_spark_stream_{uuid.uuid4().hex[:8]}"
-    clicks.coalesce(2).write.mode("overwrite").parquet(stage_c)
-    buys.coalesce(2).write.mode("overwrite").parquet(stage_b)
+    # repartition (not coalesce -- the filtered frames may already be 1
+    # partition, and coalesce can't grow) so each side genuinely has 2
+    # files and max_files_per_trigger=1 drives MULTIPLE micro-batches:
+    # the stateful path where batch-2 rows join batch-1 state. The
+    # watermark must then exceed the events table's full time span
+    # (~30 days) -- files split by hash, not time, so a row's match can
+    # arrive a whole span "late"; a narrower watermark would evict its
+    # state and silently drop pairs vs the batch oracle.
+    clicks.repartition(2).write.mode("overwrite").parquet(stage_c)
+    buys.repartition(2).write.mode("overwrite").parquet(stage_b)
     sc = read_stream_parquet(spark, stage_c, clicks.schema,
                              max_files_per_trigger=1)
     sb = read_stream_parquet(spark, stage_b, buys.schema,
                              max_files_per_trigger=1)
     joined = stream_stream_interval_join(
         sc, sb, key="user_id", left_ts="ts", right_ts="ts_r",
-        upper="INTERVAL 6 HOURS", watermark="12 hours")
+        upper="INTERVAL 6 HOURS", watermark="60 days")
     res = run_available_now(joined, f"t_ssj_{uuid.uuid4().hex[:8]}",
                             output_mode="append")
     shutil.rmtree(stage_c, ignore_errors=True)

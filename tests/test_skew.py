@@ -43,3 +43,33 @@ def test_two_stage_distinct_nulls(spark):
     exp = {r["g"]: r["nd"] for r in
            df.groupBy("g").agg(F.countDistinct("u").alias("nd")).collect()}
     assert got == exp
+
+
+def test_two_stage_distinct_null_keys(spark):
+    """NULL KEY groups: GROUP BY treats NULL as one group with a real
+    COUNT(DISTINCT); the re-join of all-keys to counts must be
+    null-safe or the NULL-key group collapses to 0."""
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["x", None, None, None, "y"],
+        "u": [1.0, 5.0, 6.0, 5.0, None]}))
+    got = {r["g"]: r["n_distinct"] for r in
+           two_stage_distinct_count(df, "g", "u", salt=4).collect()}
+    exp = {r["g"]: r["nd"] for r in
+           df.groupBy("g").agg(F.countDistinct("u").alias("nd")).collect()}
+    assert got == exp == {"x": 1, None: 2, "y": 0}
+
+
+def test_two_stage_distinct_multi_key_null(spark):
+    """Composite keys with NULL components must match GROUP BY too."""
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": ["x", "x", None, None],
+        "b": [None, None, "p", "p"],
+        "u": [1.0, 2.0, 3.0, 3.0]}))
+    got = {(r["a"], r["b"]): r["n_distinct"] for r in
+           two_stage_distinct_count(df, ["a", "b"], "u", salt=4).collect()}
+    exp = {(r["a"], r["b"]): r["nd"] for r in
+           df.groupBy("a", "b")
+             .agg(F.countDistinct("u").alias("nd")).collect()}
+    assert got == exp == {("x", None): 2, (None, "p"): 1}

@@ -517,3 +517,17 @@ def test_flatten_object_map(spark):
         .orderBy("SEQ", "KEY").collect()
     assert {r.SEQ for r in outer} == {1, 2, 3}
     assert len(outer) == 4
+
+
+def test_flatten_column_order_type_independent(spark):
+    """Array- and map-flatten must emit the same column order
+    (SEQ, passthrough..., KEY, PATH, INDEX, VALUE, THIS) -- downstream
+    positional consumers must not care about the input's type."""
+    from bodo_spark.functions import flatten
+
+    arr = spark.createDataFrame([(1, ["a"])], "id long, c array<string>")
+    mp = spark.createDataFrame([(1, {"k": "v"})], "id long, c map<string,string>")
+    cols_arr = flatten(arr, "c", seq_col="id").columns
+    cols_map = flatten(mp, "c", seq_col="id").columns
+    assert cols_arr == cols_map == [
+        "SEQ", "c", "KEY", "PATH", "INDEX", "VALUE", "THIS"]
