@@ -241,8 +241,9 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     graphs; at 1000-executor scale the serialized plan also bloats task
     dispatch). localCheckpoint every few rounds truncates the plan to
     the materialized blocks, keeping per-round planning O(1)
-    (tests/test_dedup.py asserts the bounded plan size on a chain
-    graph)."""
+    (tests/test_queries_oracle.py::
+    test_connected_components_deep_chain_bounded_plan asserts the
+    bounded plan size on a chain graph)."""
     from pyspark.storagelevel import StorageLevel
 
     checkpoint_every = 4

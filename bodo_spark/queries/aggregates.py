@@ -422,22 +422,68 @@ GROUP BY o_custkey ORDER BY o_custkey
 
 def agg_sample(spark: SparkSession, sf: str) -> DataFrame:
     """TABLESAMPLE / df.sample (reference physical/sample.h:22).
-    Sampling RNGs differ across engines -> rows-only check; result is a
-    one-row summary so the driver sees a stable schema."""
+    Sampling RNGs differ across engines, so the sample itself can't be
+    value-compared -- instead the query emits ENGINE-CHECKED INVARIANTS
+    the oracle states as constants: the sampled row count lies within
+    +-6 sigma of the binomial expectation, every sampled key exists in
+    the source (anti-join empty), and the sampled key range sits inside
+    the source range. n_source is exact and hash-compared for real."""
     li = tbl(spark, sf, "lineitem")
-    s = li.sample(fraction=0.1, seed=42)
-    return s.agg(F.count(F.lit(1)).alias("n_sampled"),
-                 F.countDistinct("l_orderkey").alias("n_orders"))
+    frac = 0.1
+    s = li.sample(fraction=frac, seed=42)
+    stats = s.agg(F.count(F.lit(1)).alias("_n_sampled"),
+                  F.min("l_orderkey").alias("_smin"),
+                  F.max("l_orderkey").alias("_smax"))
+    src = li.agg(F.count(F.lit(1)).alias("n_source"),
+                 F.min("l_orderkey").alias("_min"),
+                 F.max("l_orderkey").alias("_max"))
+    # distinct keys seen in the sample but absent from the source: a
+    # correct sample is a subset, so this count must be 0
+    stray = (s.select("l_orderkey").distinct()
+             .join(li.select("l_orderkey").distinct(), "l_orderkey",
+                   "left_anti")
+             .agg(F.count(F.lit(1)).alias("_n_stray")))
+    mu = F.col("n_source") * frac
+    sigma = F.sqrt(F.col("n_source") * frac * (1 - frac))
+    return (stats.crossJoin(src).crossJoin(stray).select(
+        "n_source",
+        ((F.col("_n_sampled") >= mu - 6 * sigma)
+         & (F.col("_n_sampled") <= mu + 6 * sigma)).alias("n_in_bounds"),
+        (F.col("_n_stray") == 0).alias("keys_in_source"),
+        ((F.col("_smin") >= F.col("_min"))
+         & (F.col("_smax") <= F.col("_max"))).alias("range_ok")))
+
+
+_AGG_SAMPLE_SQL = """
+SELECT COUNT(*) AS n_source,
+       TRUE AS n_in_bounds,
+       TRUE AS keys_in_source,
+       TRUE AS range_ok
+FROM lineitem
+"""
 
 
 def agg_approx_ndv(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (reference theta sketches,
-    bodo/libs/_theta_sketches.cpp). Sketches differ across engines ->
-    rows-only check (no oracle), plus exact NDV alongside for sanity."""
+    bodo/libs/_theta_sketches.cpp). Sketch estimates differ across
+    engines, so the estimate itself is wrapped in an engine-checked
+    invariant -- |approx - exact| / exact <= 0.05 (HLL++ at rsd=0.02,
+    so 5% is a 2.5-sigma envelope; deterministic for fixed data) --
+    while the exact NDV is hash-compared for real."""
     li = tbl(spark, sf, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    return (li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
         F.countDistinct("l_partkey").alias("exact_parts"))
+        .select(
+            "exact_parts",
+            (F.abs(F.col("_approx") - F.col("exact_parts"))
+             / F.col("exact_parts") <= 0.05).alias("rel_err_ok")))
+
+
+_AGG_APPROX_NDV_SQL = """
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS rel_err_ok
+FROM lineitem
+"""
 
 
 def agg_mode_deterministic(spark: SparkSession, sf: str) -> DataFrame:
@@ -518,6 +564,6 @@ QUERIES: dict[str, QueryDef] = {
     "agg_skew_kurt_moments": QueryDef(agg_skew_kurt_moments, _AGG_SKEW_SQL),
     "agg_corr_covar": QueryDef(agg_corr_covar, _AGG_CORR_SQL),
     "agg_object_agg": QueryDef(agg_object_agg, _AGG_OBJAGG_SQL),
-    "agg_sample": QueryDef(agg_sample, None),
-    "agg_approx_ndv": QueryDef(agg_approx_ndv, None),
+    "agg_sample": QueryDef(agg_sample, _AGG_SAMPLE_SQL),
+    "agg_approx_ndv": QueryDef(agg_approx_ndv, _AGG_APPROX_NDV_SQL),
 }
