@@ -101,7 +101,87 @@ ORDER BY q_id, rn
 """
 
 
+def ai_llm_generate_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """llm_generate through the REAL transport under the correctness
+    gate: an in-process OpenAI-compatible endpoint (ThreadingHTTPServer,
+    same shape as tests/test_ai_ops.py) serves deterministic echo
+    completions and force-fails the first two requests with 503 so the
+    retry/backoff path executes; openai_client_factory issues batched
+    concurrent POSTs from executor workers. Model quality is NOT faked
+    -- the oracle restates only the deterministic echo contract
+    (response = 'echo:' || first 20 chars of the prompt): n_match
+    counts rows whose response matches it exactly, and the oracle
+    asserts n_match = n_docs. The tiny per-language aggregate is
+    materialized before the server shuts down."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    state = {"failures_left": 2}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            with lock:
+                fail = state["failures_left"] > 0
+                if fail:
+                    state["failures_left"] -= 1
+            body = json.loads(self.rfile.read(
+                int(self.headers["Content-Length"])))
+            if fail:
+                self.send_response(503)
+                self.end_headers()
+                return
+            prompt = body["messages"][0]["content"]
+            resp = json.dumps({"choices": [{"message": {
+                "content": f"echo:{prompt[:20]}"}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        d = tbl(spark, sf, "documents").where(F.col("doc_id") % 5 == 0)
+        out = ai.llm_generate(
+            d, prompt_col="text",
+            client_factory=ai.openai_client_factory(
+                f"http://127.0.0.1:{port}/v1", model="gate",
+                api_key="sk-gate", concurrency=8, max_retries=3,
+                backoff=0.01),
+            batch_size=16)
+        expected = F.concat(F.lit("echo:"), F.substring("text", 1, 20))
+        rows = (out.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("response") == expected).cast("bigint"))
+             .alias("n_match"),
+            F.sum(F.length("response")).cast("bigint")
+             .alias("sum_resp_len"))
+            .orderBy("lang")).collect()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "lang string, n_docs bigint, n_match bigint, sum_resp_len bigint")
+
+
+_AI_LLM_SQL = """
+SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS n_match,
+       CAST(SUM(5 + LEAST(20, length(text))) AS BIGINT) AS sum_resp_len
+FROM documents WHERE doc_id % 5 = 0
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "ai_tokenize_stats": QueryDef(ai_tokenize_stats, _AI_TOK_SQL),
     "ai_embed_neighbors": QueryDef(ai_embed_neighbors, _AI_EMB_SQL),
+    "ai_llm_generate_stats": QueryDef(ai_llm_generate_stats, _AI_LLM_SQL),
 }

@@ -204,6 +204,44 @@ GROUP BY source ORDER BY source
 
 
 
+def dedup_cc_star_chains(spark: SparkSession, sf: str) -> DataFrame:
+    """connected_components_star on DEEP CHAINS -- the graph shape the
+    O(log n) large-star/small-star algorithm exists for (min-label
+    propagation needs diameter rounds: 63 here; star converges in ~7).
+
+    Chains are built deterministically from the contiguous doc_id
+    space: edge (id, id+1) whenever both ids share the same id DIV 64
+    block -- no window, fully parallel construction. The engine
+    resolves components from the PAIR LIST via the star rounds
+    (operators/dedup.py connected_components_star); the oracle states
+    the ground truth the construction implies: component label =
+    block minimum = (id DIV 64) * 64. A hash-match therefore proves
+    the star fixpoint labeled every 64-node chain correctly."""
+    d = tbl(spark, sf, "documents").select("doc_id")
+    nxt = d.select((F.col("doc_id")).alias("id_b"))
+    pairs = (d.select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") + 1).alias("id_b"))
+             .where(((F.col("doc_id") + 1) % 64) != 0)
+             .join(nxt, "id_b", "semi"))
+    labels = D.connected_components_star(pairs)
+    full = (d.join(labels.withColumnRenamed("id", "doc_id"),
+                   "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("comp", F.col("doc_id")).alias("comp")))
+    return (full.groupBy("comp")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"))
+            .orderBy("comp"))
+
+
+_DEDUP_CC_STAR_SQL = """
+SELECT (doc_id // 64) * 64 AS comp, COUNT(*) AS n_nodes,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash Hamming-distance pairs (<=3 of 16 bits) with pigeonhole
     band blocking (operators/dedup.simhash_pairs): candidates from 4
@@ -248,6 +286,7 @@ ORDER BY id_a, id_b
 QUERIES: dict[str, QueryDef] = {
     "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, _sql_simhash_pairs(16)),
     "dedup_resolve_survivors": QueryDef(dedup_resolve_survivors, _DEDUP_RESOLVE_SQL),
+    "dedup_cc_star_chains": QueryDef(dedup_cc_star_chains, _DEDUP_CC_STAR_SQL),
     "dedup_exact_subset": QueryDef(dedup_exact_subset, _DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, _DEDUP_MINHASH_SQL),
     "dedup_simhash": QueryDef(dedup_simhash, _sql_simhash(16)),
