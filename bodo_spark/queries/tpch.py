@@ -107,17 +107,24 @@ ORDER BY p_partkey
 
 
 def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3: 3-way join, agg, top-10. customer is small -> broadcast."""
+    """TPC-H Q3: 3-way join, agg, top-10. customer is small -> broadcast.
+
+    Groups on the RAW date and formats to string after the aggregate:
+    'yyyy-MM-dd' is injective on dates so the groups are identical, but
+    the per-row pre-shuffle key stays a 4-byte date instead of a
+    formatted string (narrower shuffle, no per-row formatting -- the
+    r6 verdict's q3-vs-handwritten plan-delta audit traced the gap to
+    exactly this)."""
     cust = tbl(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = tbl(spark, sf, "orders").where(F.col("o_orderdate") < "1998-06-01")
     li = tbl(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-06-01")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey",
-                 fmt_date("o_orderdate").alias("o_orderdate"),
-                 "o_orderpriority")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_disc_price()).alias("revenue"))
+        .select("l_orderkey", fmt_date("o_orderdate").alias("o_orderdate"),
+                "o_orderpriority", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
