@@ -70,6 +70,7 @@ def all_queries() -> dict[str, "QueryDef"]:
         datetimes,
         dedup,
         frontend,
+        io_formats,
         joins,
         merge_ops,
         multimodal,
@@ -89,7 +90,7 @@ def all_queries() -> dict[str, "QueryDef"]:
     # contiguous block at the end.
     mods = (tpch, aggregates, windows, joins, merge_ops, setops, strings,
             datetimes, scalars, snowflake, text, dedup, similarity,
-            multimodal, ai_ops, streaming_ops, frontend)
+            multimodal, ai_ops, streaming_ops, frontend, io_formats)
     merged: dict[str, QueryDef] = {}
     iters = [iter(mod.QUERIES.items()) for mod in mods]
     while iters:

@@ -180,8 +180,28 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def ai_vector_sink_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector-store sink dry-run under the gate (reference frame.py:721
+    to_s3_vectors): every embedding row flows through the real
+    foreachPartition + batched-put path (batch assembly, per-partition
+    writer lifecycle) with no external store attached; the accumulator
+    count of vectors "written" must equal the corpus size. Also checks
+    a non-trivial batch size so the tail-batch flush path runs."""
+    from ..operators import ai
+
+    emb = tbl(spark, sf, "embeddings")
+    n = ai.to_vector_sink(emb, "vec_id", "embedding", batch_size=64)
+    return spark.createDataFrame([(int(n),)], "n_vectors bigint")
+
+
+_AI_VSINK_SQL = """
+SELECT COUNT(*) AS n_vectors FROM embeddings
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "ai_tokenize_stats": QueryDef(ai_tokenize_stats, _AI_TOK_SQL),
     "ai_embed_neighbors": QueryDef(ai_embed_neighbors, _AI_EMB_SQL),
     "ai_llm_generate_stats": QueryDef(ai_llm_generate_stats, _AI_LLM_SQL),
+    "ai_vector_sink_count": QueryDef(ai_vector_sink_count, _AI_VSINK_SQL),
 }

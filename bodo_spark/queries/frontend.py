@@ -167,9 +167,63 @@ FROM events WHERE event_id < 3000 ORDER BY event_id
 """
 
 
+def pd_udf_surfaces(spark: SparkSession, sf: str) -> DataFrame:
+    """All three Python-UDF surfaces chained in ONE plan under the gate
+    (reference frame.py:1410 df.apply(axis=1), series.py:857
+    map_partitions, groupby.py:159 groupby.apply): row-wise apply
+    derives a priority code, an Arrow-batched map_partitions adds
+    doubled-price and name-length columns in pandas space, and
+    groupby.apply aggregates each group inside a pandas UDF. Every
+    computed value is deterministic (count / int sum / max -- no
+    float-accumulation order sensitivity), so the oracle restates the
+    whole chain in plain SQL: a hash match proves the Arrow
+    serialization boundary round-trips values exactly."""
+    from ..frame import BodoDataFrame
+
+    o = tbl(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"))
+    bdf = BodoDataFrame(o)
+    # surface 1: row-wise apply (pandas_udf over a struct of all cols)
+    coded = bdf.apply(lambda r: r["o_orderpriority"][:1],
+                      return_type="string", result_name="prio_code")
+    # surface 2: mapInPandas batch transform (x2 is exact in binary fp)
+    mapped = coded.map_partitions(
+        lambda pdf: pdf.assign(
+            price2=pdf["price"] * 2,
+            prio_len=pdf["o_orderpriority"].str.len().astype("int64")),
+        schema="o_orderkey bigint, o_orderpriority string, price double, "
+               "prio_code string, price2 double, prio_len bigint")
+
+    # surface 3: groupby.apply (applyInPandas per group)
+    def per_group(pdf):
+        import pandas as pd
+        return pd.DataFrame({
+            "prio_code": [pdf["prio_code"].iloc[0]],
+            "n_rows": [len(pdf)],
+            "sum_prio_len": [int(pdf["prio_len"].sum())],
+            "max_price2": [float(pdf["price2"].max())]})
+
+    out = mapped.groupby("prio_code").apply(
+        per_group,
+        schema="prio_code string, n_rows bigint, sum_prio_len bigint, "
+               "max_price2 double")
+    return out.spark.orderBy("prio_code")
+
+
+_UDF_SURFACES_SQL = """
+SELECT substr(o_orderpriority, 1, 1) AS prio_code,
+       COUNT(*) AS n_rows,
+       CAST(SUM(length(o_orderpriority)) AS BIGINT) AS sum_prio_len,
+       MAX(CAST(o_totalprice AS DOUBLE) * 2) AS max_price2
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "pd_cut_qcut": QueryDef(pd_cut_qcut, _CUT_QCUT_SQL),
     "pd_crosstab": QueryDef(pd_crosstab, _CROSSTAB_SQL),
     "pd_fill_cum_ops": QueryDef(pd_fill_cum_ops, _FILL_CUM_SQL),
     "pd_group_cum_ops": QueryDef(pd_group_cum_ops, _GROUP_CUM_SQL),
+    "pd_udf_surfaces": QueryDef(pd_udf_surfaces, _UDF_SURFACES_SQL),
 }

@@ -1,0 +1,199 @@
+"""Format-I/O battery under the correctness gate: CSV, JSON(-lines with
+nested structs), JDBC (embedded Derby, partitioned read), from_pandas
+(Arrow in-memory scan) and DDL/CTAS passthrough. Each query ROUND-TRIPS
+data through the format (write -> read back -> aggregate) so the driver
+hash-checks the whole encode/decode path, not just the reader; the
+oracles state the same aggregate straight off the source parquet --
+any value drift means the format sink or scan corrupted rows.
+
+Reference parity: bodo/pandas/base.py:392 (read_csv), bodo/ir/json_ext.py
+(read_json/to_json), bodo/ir/sql_ext.py:140 (partitioned SQL fetch),
+bodo/pandas/base.py:74 (from_pandas), BodoSQL/bodosql/ddl_ext.py:17
+(execute_ddl / CTAS).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import QueryDef, dec, tbl
+
+
+def _tag(sf: str) -> str:
+    return os.path.basename(sf.rstrip("/")).replace(".", "_")
+
+
+def io_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """supplier -> CSV (quoted strings, header) -> read back with an
+    explicit schema (no inference: schema drift would surface as a
+    hash mismatch, not a silent cast) -> per-nation aggregate. The
+    decimal(12,2) balance survives text round-trip exactly; the name
+    checksum catches quoting/escaping corruption."""
+    from ..sources.io import read_csv, to_csv
+
+    sup = tbl(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        dec("s_acctbal", 12, 2).alias("bal"))
+    stage = f"/tmp/bodo_spark_csv_{_tag(sf)}"
+    to_csv(sup, stage)
+    back = read_csv(
+        stage,
+        schema="s_suppkey bigint, s_name string, s_nationkey bigint, "
+               "bal decimal(12,2)",
+        infer_schema=False, spark=spark)
+    return (back.groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("bal").cast("double").alias("sum_bal"),
+                 F.sum(F.length("s_name")).cast("bigint")
+                 .alias("sum_name_len"))
+            .orderBy("s_nationkey"))
+
+
+_IO_CSV_SQL = """
+SELECT s_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+       CAST(SUM(length(s_name)) AS BIGINT) AS sum_name_len
+FROM supplier GROUP BY 1 ORDER BY 1
+"""
+
+
+def io_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """events -> JSON-lines with a NESTED struct column -> read back
+    with an explicit schema -> aggregate over both the flat and the
+    nested field (flat and nested sums must agree with each other and
+    with the source)."""
+    from ..sources.io import read_json, to_json
+
+    e = (tbl(spark, sf, "events")
+         .select("event_id", "event_type", dec("value", 12, 2).alias("val"))
+         .withColumn("meta", F.struct(F.col("event_type").alias("t"),
+                                      F.col("val").alias("v"))))
+    stage = f"/tmp/bodo_spark_json_{_tag(sf)}"
+    to_json(e, stage)
+    back = read_json(
+        stage,
+        schema="event_id bigint, event_type string, val decimal(12,2), "
+               "meta struct<t:string,v:decimal(12,2)>",
+        spark=spark)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("val").cast("double").alias("sum_val"),
+                 F.sum("meta.v").cast("double").alias("sum_nested_val"),
+                 F.sum((F.col("meta.t") == F.col("event_type"))
+                       .cast("bigint")).alias("n_nested_match"))
+            .orderBy("event_type"))
+
+
+_IO_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_nested_val,
+       COUNT(*) AS n_nested_match
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def io_jdbc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """customer -> JDBC sink (embedded Derby, the JDBC engine Spark
+    itself ships) -> PARTITIONED JDBC read (partitionColumn/bounds/
+    numPartitions=4, the reference's distributed batch-fetch shape,
+    bodo/ir/sql_ext.py:140) -> per-segment aggregate. Bounds come from
+    one bounded driver-side scalar aggregate (standard discovery
+    pattern). DECIMAL(12,2) survives the SQL type system exactly."""
+    from ..sources.io import read_sql, to_sql
+
+    tag = _tag(sf)
+    url = f"jdbc:derby:/tmp/bodo_spark_derby_{tag}/db;create=true"
+    c = tbl(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", dec("c_acctbal", 12, 2).alias("bal"))
+    to_sql(c, "gate_cust", url, mode="overwrite")
+    hi = c.agg(F.max("c_custkey")).collect()[0][0]  # bounded scalar
+    back = read_sql("gate_cust", url, spark=spark,
+                    partition_column="c_custkey", lower_bound=0,
+                    upper_bound=int(hi) + 1, num_partitions=4)
+    return (back.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("bal").cast("double").alias("sum_bal"))
+            .orderBy("c_mktsegment"))
+
+
+_IO_JDBC_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
+def io_from_pandas_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """from_pandas (Arrow-backed createDataFrame, reference
+    base.py:74): nation and region enter as ACTUAL pandas frames
+    (pandas.read_parquet), are scattered to Spark, joined and
+    aggregated -- the in-memory-scan path with a real oracle."""
+    import pandas as pd
+
+    from ..sources.io import from_pandas
+
+    nat = from_pandas(
+        pd.read_parquet(os.path.join(sf, "nation.parquet")), spark=spark)
+    reg = from_pandas(
+        pd.read_parquet(os.path.join(sf, "region.parquet")), spark=spark)
+    return (nat.join(F.broadcast(reg),
+                     nat["n_regionkey"] == reg["r_regionkey"])
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.min("n_name").alias("first_nation"))
+            .orderBy("r_name"))
+
+
+_IO_FROM_PANDAS_SQL = """
+SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def sql_ddl_ctas_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """DDL/CTAS passthrough (reference ddl_ext.py:17 execute_ddl,
+    IcebergDDLExecutor CTAS): DROP + CREATE TABLE AS SELECT through
+    BodoSQLContext.execute_ddl into an external parquet location, then
+    query the CATALOG TABLE (not the source view) back through .sql().
+    The oracle restates the CTAS subquery's aggregate off orders."""
+    from ..sql.context import BodoSQLContext
+
+    tag = _tag(sf)
+    loc = f"/tmp/bodo_spark_ctas_{tag}"
+    bc = BodoSQLContext({"ord_src": tbl(spark, sf, "orders")}, spark=spark)
+    bc.execute_ddl(f"DROP TABLE IF EXISTS gate_ctas_{tag}")
+    shutil.rmtree(loc, ignore_errors=True)
+    bc.execute_ddl(f"""
+        CREATE TABLE gate_ctas_{tag} USING PARQUET LOCATION '{loc}' AS
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM ord_src WHERE o_orderkey % 4 = 0""")
+    return (bc.sql(f"""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(price) AS DOUBLE) AS sum_price
+        FROM gate_ctas_{tag} GROUP BY 1 ORDER BY 1""").spark)
+
+
+_SQL_CTAS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderkey % 4 = 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "io_csv_roundtrip": QueryDef(io_csv_roundtrip, _IO_CSV_SQL),
+    "io_json_roundtrip": QueryDef(io_json_roundtrip, _IO_JSON_SQL),
+    "io_jdbc_roundtrip": QueryDef(io_jdbc_roundtrip, _IO_JDBC_SQL),
+    "io_from_pandas_stats": QueryDef(io_from_pandas_stats,
+                                     _IO_FROM_PANDAS_SQL),
+    "sql_ddl_ctas_roundtrip": QueryDef(sql_ddl_ctas_roundtrip,
+                                       _SQL_CTAS_SQL),
+}
