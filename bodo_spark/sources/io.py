@@ -93,8 +93,15 @@ def to_table_bucketed(df: DataFrame, table: str, buckets: int,
 def read_csv(path: str, header: bool = True, sep: str = ",",
              schema: Any | None = None, infer_schema: bool = True,
              spark: SparkSession | None = None, **options: Any) -> DataFrame:
-    """CSV scan. Reference: bodo/pandas/base.py:392, bodo/ir/csv_ext.py."""
+    """CSV scan. Reference: bodo/pandas/base.py:392, bodo/ir/csv_ext.py.
+
+    Defaults are round-trip-safe with :func:`to_csv`: RFC-4180 quoting
+    (escape = the quote char, not Spark's backslash default). Pass
+    ``multiLine=True`` when fields may contain embedded newlines
+    (disables the per-line input split, so use only when needed -- it
+    costs scan parallelism within a file)."""
     spark = spark or get_spark()
+    options.setdefault("escape", '"')
     reader = spark.read.options(header=header, sep=sep, **options)
     if schema is not None:
         reader = reader.schema(schema)
@@ -104,9 +111,18 @@ def read_csv(path: str, header: bool = True, sep: str = ",",
 
 
 def to_csv(df: DataFrame, path: str, mode: str = "overwrite",
-           header: bool = True, sep: str = ",") -> None:
-    """CSV sink. Reference: bodo/pandas/frame.py (to_csv)."""
-    df.write.mode(mode).options(header=header, sep=sep).csv(path)
+           header: bool = True, sep: str = ",", **options: Any) -> None:
+    """CSV sink. Reference: bodo/pandas/frame.py (to_csv).
+
+    Round-trip-safe defaults: RFC-4180 quote-doubling (escape='\"';
+    Spark's own default backslash-escape is not understood by its
+    reader's defaults), and NO whitespace trimming (Spark's write-side
+    ignore*WhiteSpace defaults silently strip leading/trailing spaces
+    from every field)."""
+    options.setdefault("escape", '"')
+    options.setdefault("ignoreLeadingWhiteSpace", False)
+    options.setdefault("ignoreTrailingWhiteSpace", False)
+    df.write.mode(mode).options(header=header, sep=sep, **options).csv(path)
 
 
 def read_json(path: str, lines: bool = True, schema: Any | None = None,

@@ -60,6 +60,35 @@ def test_two_stage_distinct_null_keys(spark):
     assert got == exp == {"x": 1, None: 2, "y": 0}
 
 
+def test_two_stage_distinct_property(spark):
+    """Property-style differential vs GROUP BY + COUNT(DISTINCT) on
+    randomized frames with NULLs in BOTH keys and values and varying
+    salt widths -- the r6 ADVICE bug (NULL-key groups zeroed by a
+    null-unsafe re-join) lived exactly in the space this sweeps.
+    Deterministic seed: Spark-session cost makes per-example spawning
+    (hypothesis-style) too slow, so this sweeps a fixed grid of seeded
+    random cases instead."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(7)
+    for case in range(6):
+        n = rng.randint(1, 40)
+        keys = [rng.choice(["a", "b", None]) for _ in range(n)]
+        vals = [rng.choice([1.0, 2.0, 3.0, None]) for _ in range(n)]
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": keys, "u": vals}),
+            "g string, u double")
+        salt = rng.choice([1, 2, 8])
+        got = {r["g"]: r["n_distinct"] for r in
+               two_stage_distinct_count(df, "g", "u", salt=salt).collect()}
+        exp = {r["g"]: r["nd"] for r in
+               df.groupBy("g").agg(
+                   F.countDistinct("u").alias("nd")).collect()}
+        assert got == exp, (case, n, salt, got, exp)
+
+
 def test_two_stage_distinct_multi_key_null(spark):
     """Composite keys with NULL components must match GROUP BY too."""
     import pyspark.sql.functions as F
