@@ -187,8 +187,6 @@ def ai_vector_sink_count(spark: SparkSession, sf: str) -> DataFrame:
     writer lifecycle) with no external store attached; the accumulator
     count of vectors "written" must equal the corpus size. Also checks
     a non-trivial batch size so the tail-batch flush path runs."""
-    from ..operators import ai
-
     emb = tbl(spark, sf, "embeddings")
     n = ai.to_vector_sink(emb, "vec_id", "embedding", batch_size=64)
     return spark.createDataFrame([(int(n),)], "n_vectors bigint")

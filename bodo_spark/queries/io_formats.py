@@ -6,6 +6,14 @@ hash-checks the whole encode/decode path, not just the reader; the
 oracles state the same aggregate straight off the source parquet --
 any value drift means the format sink or scan corrupted rows.
 
+Staging discipline: CSV/JSON/CTAS stage under uuid-suffixed /tmp dirs,
+MATERIALIZE the (tiny) aggregate, then remove the staging dir before
+returning -- no litter, and concurrent gate runs cannot collide. The
+Derby database is the one fixed-path exception (embedded Derby holds
+the db open for the JVM's lifetime, so rmtree underneath it is unsafe);
+it is bounded (one small db per sf tag) and the table is overwritten
+per run, with the aggregate likewise materialized before return.
+
 Reference parity: bodo/pandas/base.py:392 (read_csv), bodo/ir/json_ext.py
 (read_json/to_json), bodo/ir/sql_ext.py:140 (partitioned SQL fetch),
 bodo/pandas/base.py:74 (from_pandas), BodoSQL/bodosql/ddl_ext.py:17
@@ -16,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,8 +36,15 @@ def _tag(sf: str) -> str:
     return os.path.basename(sf.rstrip("/")).replace(".", "_")
 
 
+def _materialize(df: DataFrame, schema: str) -> DataFrame:
+    """Collect a TINY aggregate and rewrap it, so the returned frame no
+    longer depends on staging files the caller is about to delete."""
+    rows = [tuple(r) for r in df.collect()]
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
 def io_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """supplier -> CSV (quoted strings, header) -> read back with an
+    """supplier -> CSV (RFC-4180 quoting, header) -> read back with an
     explicit schema (no inference: schema drift would surface as a
     hash mismatch, not a silent cast) -> per-nation aggregate. The
     decimal(12,2) balance survives text round-trip exactly; the name
@@ -38,19 +54,25 @@ def io_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     sup = tbl(spark, sf, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey",
         dec("s_acctbal", 12, 2).alias("bal"))
-    stage = f"/tmp/bodo_spark_csv_{_tag(sf)}"
-    to_csv(sup, stage)
-    back = read_csv(
-        stage,
-        schema="s_suppkey bigint, s_name string, s_nationkey bigint, "
-               "bal decimal(12,2)",
-        infer_schema=False, spark=spark)
-    return (back.groupBy("s_nationkey")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("bal").cast("double").alias("sum_bal"),
-                 F.sum(F.length("s_name")).cast("bigint")
-                 .alias("sum_name_len"))
-            .orderBy("s_nationkey"))
+    stage = f"/tmp/bodo_spark_csv_{uuid.uuid4().hex[:8]}"
+    try:
+        to_csv(sup, stage)
+        back = read_csv(
+            stage,
+            schema="s_suppkey bigint, s_name string, s_nationkey bigint, "
+                   "bal decimal(12,2)",
+            infer_schema=False, spark=spark)
+        agg = (back.groupBy("s_nationkey")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("bal").cast("double").alias("sum_bal"),
+                    F.sum(F.length("s_name")).cast("bigint")
+                    .alias("sum_name_len"))
+               .orderBy("s_nationkey"))
+        return _materialize(
+            agg, "s_nationkey bigint, n bigint, sum_bal double, "
+                 "sum_name_len bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 _IO_CSV_SQL = """
@@ -72,20 +94,26 @@ def io_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
          .select("event_id", "event_type", dec("value", 12, 2).alias("val"))
          .withColumn("meta", F.struct(F.col("event_type").alias("t"),
                                       F.col("val").alias("v"))))
-    stage = f"/tmp/bodo_spark_json_{_tag(sf)}"
-    to_json(e, stage)
-    back = read_json(
-        stage,
-        schema="event_id bigint, event_type string, val decimal(12,2), "
-               "meta struct<t:string,v:decimal(12,2)>",
-        spark=spark)
-    return (back.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("val").cast("double").alias("sum_val"),
-                 F.sum("meta.v").cast("double").alias("sum_nested_val"),
-                 F.sum((F.col("meta.t") == F.col("event_type"))
-                       .cast("bigint")).alias("n_nested_match"))
-            .orderBy("event_type"))
+    stage = f"/tmp/bodo_spark_json_{uuid.uuid4().hex[:8]}"
+    try:
+        to_json(e, stage)
+        back = read_json(
+            stage,
+            schema="event_id bigint, event_type string, val decimal(12,2), "
+                   "meta struct<t:string,v:decimal(12,2)>",
+            spark=spark)
+        agg = (back.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("val").cast("double").alias("sum_val"),
+                    F.sum("meta.v").cast("double").alias("sum_nested_val"),
+                    F.sum((F.col("meta.t") == F.col("event_type"))
+                          .cast("bigint")).alias("n_nested_match"))
+               .orderBy("event_type"))
+        return _materialize(
+            agg, "event_type string, n bigint, sum_val double, "
+                 "sum_nested_val double, n_nested_match bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 _IO_JSON_SQL = """
@@ -103,7 +131,9 @@ def io_jdbc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     numPartitions=4, the reference's distributed batch-fetch shape,
     bodo/ir/sql_ext.py:140) -> per-segment aggregate. Bounds come from
     one bounded driver-side scalar aggregate (standard discovery
-    pattern). DECIMAL(12,2) survives the SQL type system exactly."""
+    pattern). DECIMAL(12,2) survives the SQL type system exactly.
+    Fixed db path per sf (see module docstring); table overwritten and
+    the aggregate materialized before return."""
     from ..sources.io import read_sql, to_sql
 
     tag = _tag(sf)
@@ -115,10 +145,11 @@ def io_jdbc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     back = read_sql("gate_cust", url, spark=spark,
                     partition_column="c_custkey", lower_bound=0,
                     upper_bound=int(hi) + 1, num_partitions=4)
-    return (back.groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("bal").cast("double").alias("sum_bal"))
-            .orderBy("c_mktsegment"))
+    agg = (back.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("bal").cast("double").alias("sum_bal"))
+           .orderBy("c_mktsegment"))
+    return _materialize(agg, "c_mktsegment string, n bigint, sum_bal double")
 
 
 _IO_JDBC_SQL = """
@@ -161,23 +192,29 @@ def sql_ddl_ctas_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     IcebergDDLExecutor CTAS): DROP + CREATE TABLE AS SELECT through
     BodoSQLContext.execute_ddl into an external parquet location, then
     query the CATALOG TABLE (not the source view) back through .sql().
-    The oracle restates the CTAS subquery's aggregate off orders."""
+    The oracle restates the CTAS subquery's aggregate off orders.
+    uuid-suffixed table name + location, dropped after materializing."""
     from ..sql.context import BodoSQLContext
 
-    tag = _tag(sf)
-    loc = f"/tmp/bodo_spark_ctas_{tag}"
+    run = uuid.uuid4().hex[:8]
+    loc = f"/tmp/bodo_spark_ctas_{run}"
+    name = f"gate_ctas_{run}"
     bc = BodoSQLContext({"ord_src": tbl(spark, sf, "orders")}, spark=spark)
-    bc.execute_ddl(f"DROP TABLE IF EXISTS gate_ctas_{tag}")
-    shutil.rmtree(loc, ignore_errors=True)
-    bc.execute_ddl(f"""
-        CREATE TABLE gate_ctas_{tag} USING PARQUET LOCATION '{loc}' AS
-        SELECT o_orderkey, o_orderpriority,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS price
-        FROM ord_src WHERE o_orderkey % 4 = 0""")
-    return (bc.sql(f"""
-        SELECT o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(price) AS DOUBLE) AS sum_price
-        FROM gate_ctas_{tag} GROUP BY 1 ORDER BY 1""").spark)
+    try:
+        bc.execute_ddl(f"""
+            CREATE TABLE {name} USING PARQUET LOCATION '{loc}' AS
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS price
+            FROM ord_src WHERE o_orderkey % 4 = 0""")
+        agg = bc.sql(f"""
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(price) AS DOUBLE) AS sum_price
+            FROM {name} GROUP BY 1 ORDER BY 1""").spark
+        return _materialize(
+            agg, "o_orderpriority string, n bigint, sum_price double")
+    finally:
+        bc.execute_ddl(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 _SQL_CTAS_SQL = """

@@ -99,7 +99,9 @@ def read_csv(path: str, header: bool = True, sep: str = ",",
     (escape = the quote char, not Spark's backslash default). Pass
     ``multiLine=True`` when fields may contain embedded newlines
     (disables the per-line input split, so use only when needed -- it
-    costs scan parallelism within a file)."""
+    costs scan parallelism within a file). Known loss, identical to
+    pandas read_csv/to_csv: empty string and NULL both serialize to an
+    empty field and read back as NULL."""
     spark = spark or get_spark()
     options.setdefault("escape", '"')
     reader = spark.read.options(header=header, sep=sep, **options)
@@ -118,7 +120,9 @@ def to_csv(df: DataFrame, path: str, mode: str = "overwrite",
     Spark's own default backslash-escape is not understood by its
     reader's defaults), and NO whitespace trimming (Spark's write-side
     ignore*WhiteSpace defaults silently strip leading/trailing spaces
-    from every field)."""
+    from every field). Empty string vs NULL is NOT preserved (both
+    write as an empty field -- the same loss pandas.to_csv has);
+    round-trip through JSON or parquet when that distinction matters."""
     options.setdefault("escape", '"')
     options.setdefault("ignoreLeadingWhiteSpace", False)
     options.setdefault("ignoreTrailingWhiteSpace", False)

@@ -82,10 +82,11 @@ _NASTY = ["plain", "comma,inside", 'quote"inside', "both\",and,comma",
 
 def test_csv_roundtrip_adversarial_strings(spark, tmp_path_factory):
     """CSV quoting/escaping must survive commas, quotes, newlines,
-    tabs, unicode, empty strings and NULLs bit-for-bit (multiLine on
-    the read side for embedded newlines; Spark writes RFC-4180-quoted
-    fields). NULL vs empty-string distinction is preserved via the
-    default empty-quoted encoding."""
+    tabs, unicode bit-for-bit (multiLine on the read side for embedded
+    newlines; Spark writes RFC-4180-quoted fields). KNOWN LOSS, same
+    as pandas.to_csv/read_csv: empty string and NULL both serialize to
+    an empty field and read back as NULL -- asserted below, not
+    papered over."""
     import pandas as pd
     rows = pd.DataFrame({"id": range(len(_NASTY)), "s": _NASTY})
     df = spark.createDataFrame(rows, "id bigint, s string")
@@ -95,9 +96,7 @@ def test_csv_roundtrip_adversarial_strings(spark, tmp_path_factory):
                         infer_schema=False, spark=spark, multiLine=True)
     got = {r["id"]: r["s"] for r in back.collect()}
     exp = {i: s for i, s in enumerate(_NASTY)}
-    # Spark's CSV writer emits NULL and "" identically by default
-    # (emptyValue="") -- both read back as NULL with the default
-    # nullValue; normalize the one lossy case and assert the rest exact
+    # the documented ""/NULL conflation: both come back as NULL
     exp[_NASTY.index("")] = None
     exp[len(_NASTY) - 1] = None
     assert got == exp
