@@ -398,6 +398,18 @@ def embedding_neardup_pairs(
 
     # per-row norm computed once below the self-join (not per pair)
     d = d.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # Scoring work is O(pairs) = O(sum block_size^2), NOT O(input
+    # bytes) -- both the parquet file-split parallelism AND AQE's
+    # byte-targeted coalescing mis-size this stage (a 200k-vector
+    # corpus is ~50 MB = one scan partition / one post-coalesce
+    # partition, so ~10M candidate pairs score on ONE core; measured
+    # 51 s -> 2 s at the 100x probe). Hash-distribute on blk at an
+    # EXPLICIT partition count (user-specified counts are exempt from
+    # AQE coalescing) = cluster width; blocks are occupancy-bounded by
+    # auto_block_bits, so tasks stay even. Both join sides share the
+    # partitioning, so the join adds no second shuffle.
+    npart = max(d.sparkSession.sparkContext.defaultParallelism, 16)
+    d = d.repartition(npart, F.col("blk"))
     a = d.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
                  F.col("nrm").alias("n_a"), "blk")
     b = d.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),

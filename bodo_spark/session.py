@@ -24,6 +24,15 @@ from pyspark.sql import SparkSession
 _ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Shuffles START wide and AQE coalesces down to the advisory size:
+    # the static shuffle.partitions=32 below is only the post-coalesce
+    # floor for tiny inputs. Without this, partition width grows
+    # linearly with data (32 partitions x 180M-row lineitem at the
+    # 300x probe = multi-GB tasks): measured -24%/-29% on q18/q21 at
+    # sf30-equivalent, zero cost at sf0.1 (AQE coalesces 256 -> few
+    # before tasks launch). On a real 1000-executor cluster raise it
+    # (or call plans.tune_shuffle_partitions from input bytes).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.localShuffleReader.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
