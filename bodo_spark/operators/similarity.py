@@ -47,6 +47,21 @@ def sign_bucket(vec: Column, bits: int = 4) -> Column:
     return out.cast("int")
 
 
+def _ensure_scan_width(df: DataFrame) -> DataFrame:
+    """Round-robin widen a frame whose partition count is below cluster
+    width. Scoring stages do work proportional to ROWS x queries, not
+    bytes, so a compact corpus (one ~50 MB parquet file = one scan
+    split) would otherwise run on one core (the SCALE.md round-7
+    lesson). On a genuinely large input (>= defaultParallelism
+    partitions -- any real multi-file corpus) this is a NO-OP: no
+    shuffle is added at 100 TB, where repartitioning would be pure
+    waste."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
+    return df
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -67,7 +82,8 @@ def brute_force_topk(
     # re-evaluating dot(v,v)/dot(q,q) inside cosine() for every
     # (vector, query) pair -- at q queries that saves 2q redundant
     # dim-length folds per row.
-    v = vectors.withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+    v = (_ensure_scan_width(vectors)
+         .withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))))
     q = queries.withColumn("_qn", F.sqrt(dot(F.col(q_vec_col), F.col(q_vec_col))))
     scored = (v.crossJoin(F.broadcast(q))
               .where(F.col(id_col) != F.col(q_id_col))
@@ -93,7 +109,8 @@ def blocked_topk(
 ) -> DataFrame:
     """Approximate top-k: only vectors sharing the query's sign-bucket
     are scored (2^bits-fold pruning; recall depends on data)."""
-    v = (vectors.withColumn("_bkt", sign_bucket(F.col(vec_col), bits))
+    v = (_ensure_scan_width(vectors)
+         .withColumn("_bkt", sign_bucket(F.col(vec_col), bits))
          .withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))))
     q = (queries.withColumn("_qbkt", sign_bucket(F.col(q_vec_col), bits))
          .withColumn("_qn", F.sqrt(dot(F.col(q_vec_col), F.col(q_vec_col)))))
@@ -227,23 +244,41 @@ def ivf_topk(
     def assign(df: DataFrame, vec: str, norm: str, key: str,
                n: int) -> DataFrame:
         """Nearest-n centroid ids per row: broadcast cross join against
-        the tiny centroid table + window rank -- rows x n_centroids
-        narrow intermediates, no giant literal expression trees (which
-        cost seconds of codegen at even 8x64 floats), and the same plan
-        shape holds at thousands of centroids."""
+        the tiny centroid table -- rows x n_centroids narrow
+        intermediates, no giant literal expression trees (which cost
+        seconds of codegen at even 8x64 floats), and the same plan
+        shape holds at thousands of centroids.
+
+        n=1 (the corpus-side hot path) reduces with max_by, a hash
+        aggregate whose MAP-SIDE partial combine collapses the
+        n_centroids candidate rows per key before the exchange --
+        1/n_centroids the shuffle rows of the window-rank formulation
+        and no sort (this plus widening the corpus scan measured
+        8.4 -> 4.2 s on the assignment-dominated ann_ivf_topk at the
+        100x probe). n>1 (query-side n_probe) keeps the window rank.
+        Ties are impossible: _cid is unique."""
         tv = F.slice(F.col(vec), 1, coarse_dim)
         tn = F.sqrt(dot(tv, tv))
         scored = (df.crossJoin(F.broadcast(cents))
                   .withColumn("_ccos",
                               F.round(dot(tv, F.col("_cvec"))
                                       / (tn * F.col("_cn")), 9)))
+        if n == 1:
+            val = F.struct(*[F.col(c) for c in df.columns],
+                           F.col("_cid").alias("_cell"))
+            ordkey = F.struct(F.col("_ccos").alias("c"),
+                              (-F.col("_cid")).alias("nc"))
+            return (scored.groupBy(key)
+                    .agg(F.max_by(val, ordkey).alias("_m"))
+                    .select("_m.*"))
         w = W.partitionBy(key).orderBy(F.col("_ccos").desc(), F.col("_cid"))
         return (scored.withColumn("_crn", F.row_number().over(w))
                 .where(F.col("_crn") <= n)
                 .withColumnRenamed("_cid", "_cell")
                 .drop("_cvec", "_cn", "_ccos", "_crn"))
 
-    v = vectors.withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+    v = (_ensure_scan_width(vectors)
+         .withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))))
     v = assign(v, vec_col, "_vn", id_col, 1)
     q = queries.withColumn(
         "_qn", F.sqrt(dot(F.col(q_vec_col), F.col(q_vec_col))))
