@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans import ensure_scan_width
+
 _WORD_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
 
 
@@ -60,7 +62,8 @@ def tokenize(df: DataFrame, text_col: str = "text",
             pdf[out_col] = pdf[text_col].map(encode)
             yield pdf
 
-    return df.mapInPandas(run, schema)
+    # row-proportional Python stage: don't inherit a 1-file scan's width
+    return ensure_scan_width(df).mapInPandas(run, schema)
 
 
 def embed(df: DataFrame, text_col: str = "text", dim: int = 32,
@@ -94,7 +97,8 @@ def embed(df: DataFrame, text_col: str = "text", dim: int = 32,
             pdf[out_col] = embed_batch(pdf[text_col].tolist())
             yield pdf
 
-    return df.mapInPandas(run, schema)
+    # row-proportional Python stage: don't inherit a 1-file scan's width
+    return ensure_scan_width(df).mapInPandas(run, schema)
 
 
 def openai_client_factory(base_url: str, model: str = "default",
@@ -197,7 +201,9 @@ def llm_generate(df: DataFrame, prompt_col: str = "text",
             pdf[out_col] = outs
             yield pdf
 
-    return df.mapInPandas(run, schema)
+    # effective request concurrency = partitions x client threads; a
+    # 1-split input would serialize every batch through one worker
+    return ensure_scan_width(df).mapInPandas(run, schema)
 
 
 def to_vector_sink(df: DataFrame, id_col: str, vec_col: str,

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..plans import ensure_scan_width
+
 # metadata struct carried next to every media binary column
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),   # image/audio/video
@@ -179,7 +181,8 @@ def audio_features(df: DataFrame, media_col: str = "media",
             yield pd.DataFrame(rows, columns=[id_col, "duration_sec",
                                               "rms", "peak"])
 
-    return df.select(id_col, media_col).mapInPandas(run, out_schema)
+    return ensure_scan_width(df.select(id_col, media_col)) \
+        .mapInPandas(run, out_schema)
 
 
 def attach_wav_media(df: DataFrame, key_col: str,
@@ -280,7 +283,9 @@ def decode_features(df: DataFrame, media_col: str = "media",
                 "features": feats,
             })
 
-    return df.select(id_col, media_col).mapInPandas(batches, out_schema)
+    # decode work is per-ROW; a 1-file scan must not serialize it
+    return ensure_scan_width(df.select(id_col, media_col)) \
+        .mapInPandas(batches, out_schema)
 
 
 def resize_stub(df: DataFrame, media_col: str = "media",

@@ -47,19 +47,7 @@ def sign_bucket(vec: Column, bits: int = 4) -> Column:
     return out.cast("int")
 
 
-def _ensure_scan_width(df: DataFrame) -> DataFrame:
-    """Round-robin widen a frame whose partition count is below cluster
-    width. Scoring stages do work proportional to ROWS x queries, not
-    bytes, so a compact corpus (one ~50 MB parquet file = one scan
-    split) would otherwise run on one core (the SCALE.md round-7
-    lesson). On a genuinely large input (>= defaultParallelism
-    partitions -- any real multi-file corpus) this is a NO-OP: no
-    shuffle is added at 100 TB, where repartitioning would be pure
-    waste."""
-    width = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < width:
-        return df.repartition(width)
-    return df
+from ..plans import ensure_scan_width as _ensure_scan_width
 
 
 def brute_force_topk(

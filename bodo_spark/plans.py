@@ -12,6 +12,9 @@ module gives both a programmatic surface:
 - tune_shuffle_partitions(spark, input_bytes): partition count so each
   shuffle partition lands near a target size -- the knob that decides
   spill-vs-parallelism at 100 TB.
+- ensure_scan_width(df): widen under-partitioned inputs ahead of
+  row-proportional stages (Python UDFs, pair scoring); no-op on real
+  multi-file inputs.
 """
 
 from __future__ import annotations
@@ -79,6 +82,21 @@ def assert_scaling(df: DataFrame, max_exchanges: int | None = None,
         raise AssertionError(
             f"{s.python_evals} Python eval nodes in a JVM-only plan")
     return s
+
+
+def ensure_scan_width(df: "DataFrame") -> "DataFrame":
+    """Round-robin widen a frame whose partition count is below cluster
+    width. Use before stages whose work is proportional to ROWS (Python
+    UDF batches, per-row decode, pair scoring), not bytes: a compact
+    input (one ~50 MB parquet file = one scan split) would otherwise
+    run the whole stage on one core (the SCALE.md round-7 lesson). On a
+    genuinely large input (>= defaultParallelism partitions -- any real
+    multi-file corpus) this is a NO-OP: no shuffle is added at 100 TB,
+    where repartitioning would be pure waste."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
+    return df
 
 
 def tune_shuffle_partitions(spark: SparkSession, input_bytes: int,
