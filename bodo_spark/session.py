@@ -48,7 +48,14 @@ _ENGINE_CONFS: dict[str, str] = {
     # read as long and convert in the scan layer (values are us-aligned).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # 24m, not bigger: a borderline build side (the 300x probe's 4.5M-row
+    # customer at ~70 MB serialized) explodes to several hundred MB of
+    # JVM hash relation -- q5 ran 20-76 s with high GC variance at 64m
+    # vs a stable 13.5 s once customer shuffled instead. AQE still
+    # broadcasts genuinely-small sides from MEASURED shuffle sizes, so
+    # small-SF plans keep their broadcasts (three-way A/B at sf0.1:
+    # 24m fastest).
+    "spark.sql.autoBroadcastJoinThreshold": "24m",
     # pandas semantics: no silent int overflow surprises in ansi mode off,
     # keep legacy permissive casts (reference follows Snowflake/pandas, not ANSI).
     "spark.sql.ansi.enabled": "false",
