@@ -391,8 +391,26 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     return agg.select("id", fp.cast("bigint").alias("simhash"))
 
 
+def auto_simhash_bits(n: int, bands: int = 4, target_per_slice: int = 128,
+                      lo: int = 16, hi: int = 60) -> int:
+    """Fingerprint width so each band slice's value space keeps expected
+    occupancy ~target: 2^(bits/bands) >= n / target, bits snapped UP to
+    a multiple of ``bands``, clamped to [lo, hi]. The simhash twin of
+    auto_block_bits -- at fixed width, slice occupancy grows linearly
+    with the corpus and candidate pairs quadratically."""
+    import math
+    per_slice = max(1, math.ceil(math.log2(max(n, 1) / target_per_slice))
+                    if n > target_per_slice else 1)
+    bits = per_slice * bands
+    bits = ((bits + bands - 1) // bands) * bands
+    # hi defaults to 60, not 64: fingerprints assemble as 2^j literals
+    # in a signed 64-bit column, so j must stay below 63; 60 also keeps
+    # bits a multiple of the default 4 bands
+    return max(lo, min(hi, max(bits, lo)))
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", bits: int = 16, k: int = 3,
+                  text_col: str = "text", bits: int | str = 16, k: int = 3,
                   bands: int = 4, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
@@ -411,9 +429,14 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     and candidate pairs quadratically with the corpus. At 16/4 (the
     test default) that holds to ~2k docs; a 100 TB corpus wants
     ``bits=64, bands=4`` (65536 slice values) with ``max_hamming``
-    rescaled to the wider fingerprint."""
+    rescaled to the wider fingerprint. Pass ``bits="auto"`` to apply
+    that rule from a corpus count (auto_simhash_bits) instead of
+    trusting the caller got it right -- the explicit-width form stays
+    the oracle-deterministic default."""
     if max_hamming >= bands:
         raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    if bits == "auto":
+        bits = auto_simhash_bits(df.count(), bands=bands)
     fp = simhash64(df, id_col, text_col, bits=bits, k=k)
     width = bits // bands
     mask = (1 << width) - 1

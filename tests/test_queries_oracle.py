@@ -73,6 +73,26 @@ def test_simhash_pairs_pigeonhole_guard(spark):
     assert all(r.hamming <= 3 for r in got)
 
 
+def test_auto_simhash_bits_sizing(spark):
+    """bits='auto' applies the documented slice-occupancy rule: width
+    grows with the corpus (multiple of bands, clamped to a signed-long-
+    safe 60), and the auto path equals the explicit-width path."""
+    from bodo_spark.operators.dedup import auto_simhash_bits, simhash_pairs
+    from bodo_spark.queries._util import tbl
+
+    assert auto_simhash_bits(100) == 16          # clamp floor
+    assert auto_simhash_bits(500_000) == 48      # log2(500k/128)=12/slice
+    assert auto_simhash_bits(10**9) == 60        # clamp ceiling (2^j < 2^63)
+    for n in (10, 10_000, 10**7):
+        b = auto_simhash_bits(n)
+        assert b % 4 == 0 and 16 <= b <= 60
+    d = tbl(spark, SF_DIR, "documents").limit(150)
+    exp_bits = auto_simhash_bits(150)
+    auto = set(map(tuple, simhash_pairs(d, bits="auto").collect()))
+    explicit = set(map(tuple, simhash_pairs(d, bits=exp_bits).collect()))
+    assert auto == explicit
+
+
 def test_connected_components_deep_chain_bounded_plan(spark):
     """A 14-node chain forces ~13 label-propagation rounds, crossing the
     localCheckpoint boundary several times: the result must still be
