@@ -220,10 +220,50 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def pd_stateful_map(spark: SparkSession, sf: str) -> DataFrame:
+    """map_partitions_with_state under the gate (reference
+    series.py:857 map_with_state): per-partition init builds a compiled
+    regex ONCE (the expensive-setup pattern -- model handle, client,
+    compiled automaton) and every Arrow batch reuses it. Vowel counts
+    per document, aggregated per language; the oracle restates the
+    regex count in SQL, so a hash match proves the stateful path
+    computed real values, not just ran."""
+    from ..frame import BodoDataFrame
+
+    d = tbl(spark, sf, "documents").select("doc_id", "lang", "text")
+
+    def init_state():
+        import re
+        return re.compile(r"[aeiou]")
+
+    def count_vowels(state, pdf):
+        out = pdf[["doc_id", "lang"]].copy()
+        out["n_vowels"] = pdf["text"].map(
+            lambda s: len(state.findall(s))).astype("int64")
+        return out
+
+    out = BodoDataFrame(d).map_partitions_with_state(
+        init_state, count_vowels,
+        schema="doc_id bigint, lang string, n_vowels bigint")
+    return (out.spark.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_vowels").cast("bigint").alias("sum_vowels"))
+            .orderBy("lang"))
+
+
+_STATEFUL_MAP_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[aeiou]'))) AS BIGINT)
+         AS sum_vowels
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "pd_cut_qcut": QueryDef(pd_cut_qcut, _CUT_QCUT_SQL),
     "pd_crosstab": QueryDef(pd_crosstab, _CROSSTAB_SQL),
     "pd_fill_cum_ops": QueryDef(pd_fill_cum_ops, _FILL_CUM_SQL),
     "pd_group_cum_ops": QueryDef(pd_group_cum_ops, _GROUP_CUM_SQL),
     "pd_udf_surfaces": QueryDef(pd_udf_surfaces, _UDF_SURFACES_SQL),
+    "pd_stateful_map": QueryDef(pd_stateful_map, _STATEFUL_MAP_SQL),
 }

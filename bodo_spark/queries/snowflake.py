@@ -258,6 +258,38 @@ FROM ex ORDER BY seq, idx
 """
 
 
+def sql_flatten_object(spark: SparkSession, sf: str) -> DataFrame:
+    """FLATTEN over an OBJECT (MapType) column -- the r6 object-flatten
+    contract under the gate: KEY populated, PATH = KEY, INDEX NULL,
+    THIS the whole map (reference kernels/lateral.py object flatten).
+    The map is built deterministically from two document columns."""
+    from ..functions import flatten
+    d = (tbl(spark, sf, "documents").where(F.col("doc_id") < 50)
+         .select("doc_id",
+                 F.create_map(F.lit("lang"), F.col("lang"),
+                              F.lit("src"), F.col("source")).alias("m")))
+    fl = flatten(d, "m", seq_col="doc_id")
+    return (fl.select(
+        F.col("SEQ").alias("seq"), F.col("KEY").alias("key"),
+        F.col("PATH").alias("path"),
+        F.col("INDEX").cast("int").alias("idx"),
+        F.col("VALUE").alias("value"),
+        F.size("THIS").alias("n_this"))
+        .orderBy("seq", "key"))
+
+
+_FLATTEN_OBJ_SQL = """
+WITH d AS (SELECT doc_id, lang, source FROM documents WHERE doc_id < 50),
+kv AS (
+  SELECT doc_id, 'lang' AS k, lang AS v FROM d
+  UNION ALL
+  SELECT doc_id, 'src' AS k, source AS v FROM d)
+SELECT doc_id AS seq, k AS key, k AS path, CAST(NULL AS INT) AS idx,
+       v AS value, 2 AS n_this
+FROM kv ORDER BY seq, key
+"""
+
+
 def sql_regexp_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """Snowflake regex kernels with position/occurrence/parameters/group
     semantics (reference regexp_array_kernels.py): REGEXP_SUBSTR (2nd
@@ -1089,6 +1121,7 @@ QUERIES: dict[str, QueryDef] = {
     "str_jaro_winkler": QueryDef(str_jaro_winkler, _JARO_WINKLER_SQL),
     "str_parse_url": QueryDef(str_parse_url, _PARSE_URL_SQL),
     "sql_flatten_lateral": QueryDef(sql_flatten_lateral, _FLATTEN_SQL),
+    "sql_flatten_object": QueryDef(sql_flatten_object, _FLATTEN_OBJ_SQL),
     "sql_regexp_funcs": QueryDef(sql_regexp_funcs, _REGEXP_SQL),
     "sql_object_funcs": QueryDef(sql_object_funcs, _OBJECT_SQL),
     "dt_interval_diff_funcs": QueryDef(
