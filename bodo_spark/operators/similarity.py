@@ -347,6 +347,21 @@ def auto_block_bits(n: int, target_per_block: int = 128,
     return max(lo, min(hi, math.ceil(math.log2(n / target_per_block))))
 
 
+def auto_scorer(n: int, block_bits: int,
+                pair_cutover: int = 15_000_000) -> str:
+    """Pick the pair-scoring backend from the ESTIMATED candidate-pair
+    count n * (n / 2^bits) / 2, not from corpus bytes: interpreted
+    Catalyst folds cost ~O(dim) per pair (fine to ~10M pairs), while
+    the per-block numpy matmul amortizes to a few ns per pair but pays
+    an Arrow round-trip for the whole corpus. The 1000x probe is the
+    motivating data point: at 2M vectors / 14 bits the candidate set is
+    ~122M pairs and the expr path went 8.7x for 3.3x data; blas keeps
+    the segment linear. Below the cutover, expr stays the default --
+    pure JVM, no Python workers in the plan."""
+    est_pairs = n * (n / float(1 << block_bits)) / 2.0
+    return "blas" if est_pairs >= pair_cutover else "expr"
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -377,11 +392,20 @@ def embedding_neardup_pairs(
     per-element folds the bottleneck (measured 96 s -> 3.8 s, 25x, on
     a 200k-vector corpus with 8.2M candidate pairs; identical output).
     Same blocking, same round-6 cosines, same (id_a < id_b) contract.
+    "auto" picks between them from the estimated candidate-pair count
+    (see auto_scorer) -- expr below the cutover, blas above it.
     """
-    if block_bits == "auto":
+    n_rows = None
+    if block_bits == "auto" or scorer == "auto":
         # one count job; bits track corpus size so block occupancy (and
         # with it the quadratic within-block pair count) stays bounded
-        block_bits = auto_block_bits(vectors.count())
+        n_rows = vectors.count()
+    if block_bits == "auto":
+        block_bits = auto_block_bits(n_rows)
+    if scorer == "auto":
+        scorer = (auto_scorer(n_rows, block_bits)
+                  if block_bits is not None and not block_col
+                  else "expr")
     if block_bits is not None and block_bits <= 0:
         raise ValueError(
             "block_bits must be >= 1; pass block_bits=None to request an "
@@ -415,7 +439,16 @@ def embedding_neardup_pairs(
             return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep],
                                  "cos": cos[keep]})
 
-        return (d.groupBy("blk")
+        # same byte-vs-work lesson as the expr path below: the matmul
+        # work is O(sum block_size^2) while AQE sizes the groupBy
+        # exchange by Arrow BYTES (a 2M x 64-float corpus is ~1 GB ->
+        # ~16 post-coalesce partitions on a 64 MB advisory = half the
+        # cluster idle). Explicit hash distribution on blk at cluster
+        # width is exempt from AQE coalescing, and groupBy reuses it
+        # (no second exchange).
+        npart = max(d.sparkSession.sparkContext.defaultParallelism, 16)
+        return (d.repartition(npart, F.col("blk"))
+                .groupBy("blk")
                 .applyInPandas(score_block,
                                "id_a long, id_b long, cos double"))
 

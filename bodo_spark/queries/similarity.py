@@ -114,7 +114,8 @@ def emb_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     planted = (emb.where(F.col("vec_id") < 3)
                .withColumn("vec_id", F.col("vec_id") + F.lit(10000)))
     return (S.embedding_neardup_pairs(emb.unionByName(planted),
-                                      threshold=0.9, block_bits="auto")
+                                      threshold=0.9, block_bits="auto",
+                                      scorer="auto")
             .orderBy("id_a", "id_b"))
 
 
@@ -215,7 +216,7 @@ def emb_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
                .withColumn("vec_id", F.col("vec_id") + F.lit(10000)))
     corpus = emb.unionByName(planted)
     pairs = (S.embedding_neardup_pairs(corpus, threshold=0.9,
-                                      block_bits="auto")
+                                      block_bits="auto", scorer="auto")
              .select(F.col("id_a"), F.col("id_b")))
     surv = D.dedup_survivors(corpus, pairs, id_col="vec_id")
     return (surv.groupBy("label")

@@ -142,3 +142,21 @@ def test_neardup_blas_scorer_matches_expr(spark):
                                             block_bits=4,
                                             scorer="blas").collect()}
     assert expr_pairs == blas_pairs and len(expr_pairs) >= 3
+    # "auto" resolves to one of the two equivalent backends, so its
+    # output must match as well (at this corpus size it picks expr)
+    auto_pairs = {(r.id_a, r.id_b, r.cos) for r in
+                  S.embedding_neardup_pairs(corpus, threshold=0.9,
+                                            block_bits=4,
+                                            scorer="auto").collect()}
+    assert auto_pairs == expr_pairs
+
+
+def test_auto_scorer_cutover():
+    """Chooser is driven by ESTIMATED PAIRS n*(n/2^bits)/2, not corpus
+    size: the same n flips backend as bits shrink (occupancy grows)."""
+    # sf0.1-scale corpus, auto bits: ~9.8M pairs -> stays on expr
+    assert S.auto_scorer(200_000, S.auto_block_bits(200_000)) == "expr"
+    # 1000x-probe shape: 2M vectors / 14 bits ~ 122M pairs -> blas
+    assert S.auto_scorer(2_000_000, S.auto_block_bits(2_000_000)) == "blas"
+    # same 200k corpus under coarse 4-bit blocking: 1.25B pairs -> blas
+    assert S.auto_scorer(200_000, 4) == "blas"
