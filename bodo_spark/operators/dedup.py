@@ -453,14 +453,21 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                       F.col("simhash").alias("fp_a"), "band", "val")
     b = banded.select(F.col("id").alias("id_b"),
                       F.col("simhash").alias("fp_b"), "band", "val")
-    cand = (a.join(b, ["band", "val"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "fp_a", "fp_b")
-            .dropDuplicates(["id_a", "id_b"]))
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (cand.select("id_a", "id_b",
-                        ham.cast("int").alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
+    # Hamming-verify BEFORE dropDuplicates: a pair surfacing from k
+    # bands is k candidate rows, and at auto-sized occupancy (~128 per
+    # slice) the candidate stream is ~bands*128/2 rows PER DOC -- 1.5B
+    # rows at the 5M-doc probe. Verification is a map-side bit_count on
+    # the joined row, so failing candidates die in-stage; only real
+    # near-dups (plus band-duplicates of them) reach the dedup
+    # shuffle. The pre-fix order shuffled the full candidate set
+    # through dropDuplicates first and filled 50+ GB of spill at 5M
+    # docs. Result-identical: hamming is a pure function of the pair.
+    return (a.join(b, ["band", "val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def ngram_jaccard_pairs(
