@@ -204,7 +204,59 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def stream_stateful_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary per-key state machine under the gate: per-user
+    running (n, total) maintained in explicit GroupState
+    (applyInPandasWithState, streaming/stateful.py) across MULTIPLE
+    micro-batches (2 staged files, max_files_per_trigger=1), so state
+    genuinely carries batch to batch. The final emit per key equals
+    the batch groupBy, which the oracle states in plain SQL. value is
+    carried as integer cents (exact in float64) so the streamed float
+    accumulation is order-independent."""
+    from ..streaming import (read_stream_parquet, run_available_now,
+                             running_totals_stateful)
+
+    e = (tbl(spark, sf, "events")
+         .select("user_id",
+                 (F.col("value").cast("decimal(12,2)") * 100)
+                 .cast("bigint").cast("double").alias("value")))
+    stage = f"/tmp/bodo_spark_stream_{uuid.uuid4().hex[:8]}"
+    e.repartition(2).write.mode("overwrite").parquet(stage)
+    stream = read_stream_parquet(spark, stage, e.schema,
+                                 max_files_per_trigger=1)
+    res = run_available_now(
+        running_totals_stateful(stream, "user_id", "value"),
+        f"t_sst_{uuid.uuid4().hex[:8]}", output_mode="update")
+    shutil.rmtree(stage, ignore_errors=True)
+    # update mode emits one row per key per batch it appears in; n is
+    # strictly increasing per key, so max_by(total, n) is the final state
+    final = (res.groupBy("user_id")
+             .agg(F.max("n").alias("n_events"),
+                  F.max_by("total", "n").alias("cents")))
+    return (final.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("n_events").cast("bigint").alias("n_events"),
+                 (F.sum("cents") / F.lit(100.0)).alias("sum_value"))
+            .orderBy("user_bucket"))
+
+
+_STREAM_STATEFUL_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(12,2))) AS total
+  FROM events GROUP BY user_id)
+SELECT user_id % 10 AS user_bucket,
+       COUNT(*) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(total) AS DOUBLE) AS sum_value
+FROM per_user
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "stream_stateful_totals": QueryDef(stream_stateful_totals,
+                                       _STREAM_STATEFUL_SQL),
     "stream_stream_join": QueryDef(stream_stream_join, _STREAM_SSJOIN_SQL),
     "stream_sliding_agg": QueryDef(stream_sliding_agg, _STREAM_SLIDING_SQL),
     "stream_tumbling_agg": QueryDef(stream_tumbling_agg,
