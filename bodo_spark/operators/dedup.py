@@ -113,25 +113,25 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
 
 
-def minhash_lsh_pairs(
+def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     num_perm: int = 16,
-    bands: int = 8,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash + LSH banding, verified with the
-    true Jaccard over shingle sets. Returns (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard >= threshold.
-    """
-    rows = num_perm // bands
-    # Explode to (id, shingle) rows FIRST: each md5 is then evaluated
-    # exactly once per (doc, shingle, perm). Building the signature as
-    # nested array expressions instead lets Catalyst's CollapseProject
-    # inline the whole tree into every downstream reference -- observed
-    # 50x recompute blowup.
+    """Per-doc MinHash signature + Jaccard-verify hash set: columns
+    (id, m0..m{num_perm-1}, sh). This is the INDEX artifact of the
+    dedup family -- compute it once per corpus (and persist/write it);
+    `minhash_lsh_pairs` derives pairs within one corpus and
+    `minhash_lsh_pairs_between` dedups a new batch against a stored
+    signature frame without re-hashing the corpus.
+
+    Explode to (id, shingle) rows FIRST: each hash is then evaluated
+    exactly once per (doc, shingle, perm). Building the signature as
+    nested array expressions instead lets Catalyst's CollapseProject
+    inline the whole tree into every downstream reference -- observed
+    50x recompute blowup."""
     spark = df.sparkSession
     # hashing is CPU-bound: spread docs across all cores even when the
     # source is one small parquet file (one-partition scans otherwise
@@ -170,9 +170,41 @@ def minhash_lsh_pairs(
     # same set semantics (distinct shingles -> distinct 60/64-bit hashes,
     # collisions ~2^-60 and engine-identical), but the shuffle carries
     # 8-byte longs and the verify join intersects long arrays.
-    sig = hashed.groupBy("id").agg(
+    return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_perm)],
         F.collect_set("h0").alias("sh"))
+
+
+def _band_sig_cols(num_perm: int, bands: int) -> list:
+    """Band signature expressions over signature columns m0..m{n-1}."""
+    rows = num_perm // bands
+    if exact_mode():
+        return [
+            F.md5(F.concat_ws(
+                "_", F.lit(str(b)),
+                *[F.col(f"m{b * rows + r}").cast("string")
+                  for r in range(rows)]))
+            for b in range(bands)]
+    return [
+        F.xxhash64(F.lit(b),
+                   *[F.col(f"m{b * rows + r}") for r in range(rows)])
+        for b in range(bands)]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with the
+    true Jaccard over shingle sets. Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+    """
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
     # sig feeds three plan branches (banding explode + both verify-join
     # sides); column pruning gives each branch a different aggregate above
     # the groupBy shuffle, so ReuseExchange does NOT apply and the
@@ -183,18 +215,7 @@ def minhash_lsh_pairs(
     from pyspark.storagelevel import StorageLevel
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(sig)
-    if exact_mode():
-        band_cols = [
-            F.md5(F.concat_ws(
-                "_", F.lit(str(b)),
-                *[F.col(f"m{b * rows + r}").cast("string")
-                  for r in range(rows)]))
-            for b in range(bands)]
-    else:
-        band_cols = [
-            F.xxhash64(F.lit(b),
-                       *[F.col(f"m{b * rows + r}") for r in range(rows)])
-            for b in range(bands)]
+    band_cols = _band_sig_cols(num_perm, bands)
     # Banding carries ONLY (id, band_sig) -- never the shingle-hash set.
     # Carrying `sh` through the xbands explode and the band-keyed self-join
     # would replicate the corpus' largest column 8x through the widest
@@ -217,6 +238,55 @@ def minhash_lsh_pairs(
     jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
            / F.size(F.array_union("sh_a", "sh_b")))
     return (cand.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def minhash_lsh_pairs_between(
+    new_df: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN a new batch and an
+    already-indexed corpus. Returns (new_id, corpus_id, jaccard >=
+    threshold); within-batch and within-corpus pairs are NOT emitted
+    (use minhash_lsh_pairs for those).
+
+    ``corpus_sig`` is a signature frame from `minhash_signatures` --
+    built with the SAME (k, num_perm) -- typically computed once and
+    stored as parquet. That's the shape a 100 TB ingest pipeline
+    needs: each incoming batch hashes only ITSELF (work ∝ batch), the
+    corpus contributes a band-keyed join against its stored signatures,
+    and the candidate set is new x corpus band collisions only -- never
+    corpus x corpus. The band join's corpus side prunes to colliding
+    band values; a small batch broadcast-joins under AQE."""
+    new_sig = minhash_signatures(new_df, id_col, text_col, k, num_perm)
+    from pyspark.storagelevel import StorageLevel
+    new_sig = new_sig.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(new_sig)
+    band_cols = _band_sig_cols(num_perm, bands)
+    nb = (new_sig.select("id", F.explode(F.array(*band_cols))
+                 .alias("band_sig"))
+          .select(F.col("id").alias("new_id"), "band_sig"))
+    cb = (corpus_sig.select("id", F.explode(F.array(*band_cols))
+                    .alias("band_sig"))
+          .select(F.col("id").alias("corpus_id"), "band_sig"))
+    cand = (nb.join(cb, "band_sig")
+            .select("new_id", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"]))
+    cand = (cand
+            .join(new_sig.select(F.col("id").alias("new_id"),
+                                 F.col("sh").alias("sh_a")), "new_id")
+            .join(corpus_sig.select(F.col("id").alias("corpus_id"),
+                                    F.col("sh").alias("sh_b")), "corpus_id"))
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (cand.select("new_id", "corpus_id",
+                        F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 
@@ -477,10 +547,21 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs, blocked by ``block_col`` to bound the
     quadratic comparison (at scale: block on a cheap key -- source,
-    length band, LSH bucket -- never all-pairs)."""
+    length band, LSH bucket -- never all-pairs).
+
+    ``max_doc_freq``: drop "stop shingles" appearing in more than this
+    many docs BEFORE the intersection join, and compute Jaccard over
+    the pruned sets (sizes prune consistently, so the ratio stays a
+    true Jaccard -- of the informative-shingle sets). The shingle-keyed
+    join's worst case is sum(df_s^2) over shingles; on a web-scale
+    corpus a single boilerplate shingle shared by 1M docs alone
+    contributes 10^12 join rows, so the default-off cap is the knob
+    that bounds the join independent of corpus skew. Standard
+    CCNet/RefinedWeb-style practice."""
     spark = df.sparkSession
     width = spark.sparkContext.defaultParallelism
     ex = (df.select(F.col(id_col).alias("id"),
@@ -492,6 +573,14 @@ def ngram_jaccard_pairs(
                   F.explode(word_shingles(F.col("t"), k, distinct=False))
                   .alias("s"))
           .dropDuplicates(["id", "s"]))
+    if max_doc_freq is not None:
+        # one extra shuffle on shingle; the join after it is bounded by
+        # max_doc_freq^2 per surviving shingle
+        keep = (ex.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= max_doc_freq)
+                .select("s"))
+        ex = ex.join(keep, "s")
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # shingle-keyed join counts |A ∩ B| directly: work is proportional to
     # actually-shared shingles, never to all O(n^2) pairs x array length.

@@ -283,7 +283,60 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) MinHash dedup: the corpus is
+    indexed ONCE via minhash_signatures and each incoming batch joins
+    its bands against the stored signatures -- work ∝ batch + band
+    collisions, never corpus x corpus. New batch = exact copies of
+    doc_id < 5 re-keyed +100000, so the cross pairs (jaccard 1.0 to
+    their corpus twins) make a drop-everything bug visible; any natural
+    cross near-dups surface too. Oracle restates the identical banding
+    and verification in SQL."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = tbl(spark, sf, "documents")
+    corpus_sig = D.minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
+    D._PERSISTED.append(corpus_sig)
+    new = (d.where(F.col("doc_id") < 5)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
+    return (D.minhash_lsh_pairs_between(new, corpus_sig, threshold=0.5)
+            .orderBy("new_id", "corpus_id"))
+
+
+_H0 = _sql_h60("concat('0|', s)")
+_DEDUP_INCR_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, {_SQL_SHINGLES} AS sh FROM documents),
+newdocs AS (
+  SELECT doc_id + 100000 AS id, {_SQL_SHINGLES} AS sh FROM documents
+  WHERE doc_id < 5),
+chs AS (
+  SELECT id, list_distinct(list_transform(sh, s -> {_H0})) AS hs
+  FROM corpus),
+nhs AS (
+  SELECT id, list_distinct(list_transform(sh, s -> {_H0})) AS hs
+  FROM newdocs),
+csig AS (SELECT id, {_sql_minhash(16)} AS sig FROM corpus),
+nsig AS (SELECT id, {_sql_minhash(16)} AS sig FROM newdocs),
+cband AS (SELECT id, unnest({_sql_bands(8, 2)}) AS band_sig FROM csig),
+nband AS (SELECT id, unnest({_sql_bands(8, 2)}) AS band_sig FROM nsig),
+cand AS (
+  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+  FROM nband n JOIN cband c ON n.band_sig = c.band_sig),
+verified AS (
+  SELECT new_id, corpus_id,
+         round(CAST(len(list_intersect(na.hs, ca.hs)) AS DOUBLE)
+               / len(list_distinct(list_concat(na.hs, ca.hs))), 6) AS jaccard
+  FROM cand JOIN nhs na ON cand.new_id = na.id
+            JOIN chs ca ON cand.corpus_id = ca.id)
+SELECT new_id, corpus_id, jaccard FROM verified
+WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dedup_incremental_minhash": QueryDef(dedup_incremental_minhash,
+                                          _DEDUP_INCR_SQL),
     "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, _sql_simhash_pairs(16)),
     "dedup_resolve_survivors": QueryDef(dedup_resolve_survivors, _DEDUP_RESOLVE_SQL),
     "dedup_cc_star_chains": QueryDef(dedup_cc_star_chains, _DEDUP_CC_STAR_SQL),

@@ -43,6 +43,57 @@ def test_dedup_unpersist_cached_releases(spark):
     assert not dd._PERSISTED
 
 
+def test_minhash_between_equals_cross_subset_of_full(spark):
+    """Incremental pairs (new batch vs corpus signatures) must equal
+    the full self-join's pairs restricted to cross pairs -- same
+    banding, same Jaccard verification, no within-set pairs."""
+    from pyspark.sql import functions as F
+
+    import bodo_spark.operators.dedup as dd
+    from bodo_spark.queries._util import tbl
+    d = tbl(spark, SF_DIR, "documents")
+    new = (d.where(F.col("doc_id") < 3)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
+    both = d.unionByName(new)
+    full = {(r.id_a, r.id_b, r.jaccard) for r in
+            dd.minhash_lsh_pairs(both, threshold=0.5).collect()}
+    cross_expected = {(a, b, j) for (a, b, j) in full
+                      if (a >= 100000) != (b >= 100000)}
+    sig = dd.minhash_signatures(d)
+    got = {(min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id),
+            r.jaccard) for r in
+           dd.minhash_lsh_pairs_between(new, sig, threshold=0.5).collect()}
+    assert got == cross_expected and len(got) >= 3
+    dd.unpersist_cached()
+
+
+def test_ngram_max_doc_freq_prunes_stop_shingles(spark):
+    """With the cap, shingles shared by > max_doc_freq docs leave both
+    the intersection and the sizes; boilerplate-only pairs disappear
+    while distinctive-overlap pairs keep a consistent Jaccard."""
+    import pandas as pd
+
+    import bodo_spark.operators.dedup as dd
+    boiler = "click here to accept cookies and continue"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [f"{boiler} alpha beta gamma delta",
+                 f"{boiler} alpha beta gamma delta",
+                 f"{boiler} totally different words entirely",
+                 f"{boiler} some other unrelated content here"],
+    }))
+    uncapped = {(r.id_a, r.id_b): r.jaccard for r in
+                dd.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard for r in
+              dd.ngram_jaccard_pairs(docs, threshold=0.1,
+                                     max_doc_freq=2).collect()}
+    # boilerplate makes EVERY pair overlap without the cap
+    assert len(uncapped) == 6
+    # with it, only the genuinely-duplicated docs remain; their pruned
+    # sets are identical so jaccard is exactly 1
+    assert set(capped) == {(1, 2)} and capped[(1, 2)] == 1.0
+
+
 def test_connected_components_and_survivors(spark):
     """Chains collapse into one component (a-b, b-c, c-d); isolated
     pairs stay separate; survivors keep exactly one doc per cluster."""
