@@ -225,7 +225,45 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def io_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction (lakehouse OPTIMIZE) under the gate: a
+    deliberately fragmented write (16 files) is compacted through the
+    staged-write + swap protocol, then the compacted table is
+    aggregated. Output carries value-checked aggregates PLUS the
+    invariant the oracle states directly: files_reduced = TRUE (16
+    fragments -> ceil(bytes/target) with a target far above the table
+    size = 1 file)."""
+    import glob
+    import os
+
+    from ..sources.io import compact_parquet
+
+    e = (tbl(spark, sf, "events")
+         .select("event_type", dec("value", 12, 2).alias("value")))
+    stage = f"/tmp/bodo_spark_compact_{os.path.basename(sf.rstrip('/'))}"
+    e.repartition(16).write.mode("overwrite").parquet(stage)
+    before = len(glob.glob(os.path.join(stage, "*.parquet")))
+    compact_parquet(spark, stage)
+    after = len(glob.glob(os.path.join(stage, "*.parquet")))
+    back = spark.read.parquet(stage)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").cast("double").alias("sum_value"))
+            .withColumn("files_reduced", F.lit(bool(after < before)))
+            .orderBy("event_type"))
+
+
+_IO_COMPACT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       TRUE AS files_reduced
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "io_compact_roundtrip": QueryDef(io_compact_roundtrip, _IO_COMPACT_SQL),
     "io_zorder_skipping": QueryDef(io_zorder_skipping, _IO_ZORDER_SQL),
     "io_bucketed_join": QueryDef(io_bucketed_join, _IO_BUCKETED_SQL),
     "io_versioned_time_travel": QueryDef(io_versioned_time_travel,
