@@ -21,8 +21,10 @@ Scale design (the whole point):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..modes import exact_mode
 
@@ -290,20 +292,64 @@ def minhash_lsh_pairs_between(
             .where(F.col("jaccard") >= threshold))
 
 
+def _union_find_labels(rows) -> "pd.DataFrame":
+    """Driver-side union-find over a SMALL collected edge list; labels
+    every node with its component's MIN node id (the same fixpoint the
+    distributed propagation converges to)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    nodes = sorted(parent)
+    return pd.DataFrame({"id": nodes,
+                         "comp": [comp_min[find(n)] for n in nodes]})
+
+
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
                          b_col: str = "id_b",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         small_graph_edges: int = 1_000_000) -> DataFrame:
     """(node, component) labels for the undirected near-dup pair graph:
     iterative min-label propagation to fixpoint.
 
-    Scale design: each round is one groupBy-min over the edge list
-    (labels hash-join onto edges, shuffle on node id); rounds needed =
-    graph diameter, and near-dup clusters are shallow (pairs/triples --
-    log-diameter even for chains), so this converges in a handful of
-    rounds. Labels persist each round; a count-based convergence check
-    (#changed == 0) bounds the loop. The classic large-graph
-    alternative (large-star/small-star) drops in with the same
-    signature if corpora with deep chains show up.
+    Small-graph fast path: verified near-dup pair sets are typically
+    ORDERS smaller than the corpus (dedup's whole premise), so when a
+    bounded limit-probe shows <= ``small_graph_edges`` edges (~30 MB
+    collected at the 1M default) the labels come from one driver-side
+    union-find instead of 3-5 shuffle rounds -- the standard production
+    shape (GraphFrames does the same). The probe is a CollectLimit, so
+    an over-limit graph stops early and falls through to the
+    distributed loop; pass ``small_graph_edges=0`` to force the loop
+    (the plan-growth tests do).
+
+    Scale design (distributed path): each round is one groupBy-min over
+    the edge list (labels hash-join onto edges, shuffle on node id);
+    rounds needed = graph diameter, and near-dup clusters are shallow
+    (pairs/triples -- log-diameter even for chains), so this converges
+    in a handful of rounds. Labels persist each round; a count-based
+    convergence check (#changed == 0) bounds the loop. The classic
+    large-graph alternative (large-star/small-star) drops in with the
+    same signature if corpora with deep chains show up.
 
     Lineage: persist bounds EXECUTION per round, but the LOGICAL plan
     still deepens every iteration -- the driver re-analyzes an
@@ -317,6 +363,26 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     from pyspark.storagelevel import StorageLevel
 
     checkpoint_every = 4
+
+    if small_graph_edges:
+        sel = (pairs.select(F.col(a_col).alias("u"),
+                            F.col(b_col).alias("v"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        probe = sel.limit(small_graph_edges + 1).count()
+        if probe <= small_graph_edges:
+            rows = [(r.u, r.v) for r in sel.collect()]
+            sel.unpersist()
+            spark = pairs.sparkSession
+            out_schema = T.StructType([
+                T.StructField("id", sel.schema["u"].dataType),
+                T.StructField("comp", sel.schema["u"].dataType)])
+            if not rows:
+                return spark.createDataFrame([], schema=out_schema)
+            return spark.createDataFrame(_union_find_labels(rows),
+                                         schema=out_schema)
+        pairs = sel  # reuse the materialized edges in the loop below
+        _PERSISTED.append(sel)
+        a_col, b_col = "u", "v"
 
     edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
              .union(pairs.select(F.col(b_col).alias("u"),

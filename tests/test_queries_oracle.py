@@ -112,6 +112,32 @@ def test_connected_components_and_survivors(spark):
     assert surv == [1, 10, 99]
 
 
+def test_cc_fast_path_equals_distributed_loop(spark):
+    """The driver union-find fast path and the distributed min-label
+    loop must produce IDENTICAL (id, comp) labels -- component label is
+    the min node id either way."""
+    import random
+
+    import pandas as pd
+
+    from bodo_spark.operators.dedup import (connected_components,
+                                            unpersist_cached)
+
+    rng = random.Random(7)
+    a, b = [], []
+    for _ in range(200):
+        x, y = rng.randint(0, 80), rng.randint(0, 80)
+        if x != y:
+            a.append(x)
+            b.append(y)
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": a, "id_b": b}))
+    fast = {(r.id, r.comp) for r in connected_components(pairs).collect()}
+    loop = {(r.id, r.comp) for r in
+            connected_components(pairs, small_graph_edges=0).collect()}
+    assert fast == loop and len(fast) > 50
+    unpersist_cached()
+
+
 def test_simhash_pairs_pigeonhole_guard(spark):
     import pytest
     from bodo_spark.operators.dedup import simhash_pairs
@@ -157,7 +183,9 @@ def test_connected_components_deep_chain_bounded_plan(spark):
     n = 14
     pairs = spark.createDataFrame(pd.DataFrame(
         {"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))}))
-    out = connected_components(pairs)
+    # small_graph_edges=0 forces the distributed loop -- this test
+    # exists to pin ITS plan truncation, not the fast path
+    out = connected_components(pairs, small_graph_edges=0)
     comp = {r.id: r.comp for r in out.collect()}
     assert all(comp[i] == 1 for i in range(1, n + 1))
     # without truncation the analyzed tree holds 13 join+agg rounds
