@@ -12,10 +12,17 @@ query registry to the driver's expected shape.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 from functools import wraps
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the driver may import this module by file path from another cwd;
+# make the sibling bodo_spark package importable regardless
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from bodo_spark.queries import all_queries
 from bodo_spark.session import _apply_runtime_confs
