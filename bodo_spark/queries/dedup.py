@@ -334,7 +334,48 @@ WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id
 """
 
 
+def dedup_ngram_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard with the stop-shingle cap (max_doc_freq=3):
+    shingles shared by more than 3 docs are boilerplate for this
+    corpus (615 of 16k shingles at sf0.01) and leave both the
+    intersection join and the sizes; Jaccard is computed over the
+    pruned (informative) sets. Near-dup twins share distinctive
+    df<=2 shingles, so their pairs survive -- non-vacuous."""
+    d = tbl(spark, sf, "documents")
+    return (D.ngram_jaccard_pairs(d, block_col="source", threshold=0.5,
+                                  max_doc_freq=3)
+            .orderBy("id_a", "id_b"))
+
+
+_DEDUP_NGRAM_CAP_SQL = f"""
+WITH docs AS (
+  SELECT doc_id AS id, source, {_SQL_SHINGLES} AS sh FROM documents),
+ex AS (SELECT id, source, unnest(sh) AS s FROM docs),
+keep AS (
+  SELECT s FROM (SELECT s, COUNT(*) AS c FROM ex GROUP BY s)
+  WHERE c <= 3),
+pruned AS (SELECT id, source, s FROM ex WHERE s IN (SELECT s FROM keep)),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM pruned GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+  FROM pruned a JOIN pruned b
+    ON a.source = b.source AND a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b,
+         round(CAST(common AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON common.id_a = sa.id
+  JOIN sizes sb ON common.id_b = sb.id)
+SELECT id_a, id_b, jaccard FROM jac
+WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dedup_ngram_capped": QueryDef(dedup_ngram_capped,
+                                   _DEDUP_NGRAM_CAP_SQL),
     "dedup_incremental_minhash": QueryDef(dedup_incremental_minhash,
                                           _DEDUP_INCR_SQL),
     "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, _sql_simhash_pairs(16)),
