@@ -35,9 +35,16 @@ def _exact(fn):
     correctness gate is the one consumer that needs bit-reproducible
     arithmetic, so it opts in here. The env flag is read at plan-build
     time only, so it is restored immediately after the DataFrame (a lazy
-    plan) is constructed."""
+    plan) is constructed.
+
+    Also applies the engine's documented runtime confs (ansi=false, UTC,
+    AQE/bloom posture -- bodo_spark/session.py) to the CALLER's session:
+    driver-run queries must execute under the engine's semantics, not the
+    driver session's Spark defaults (Spark 4 ships ansi=true, which e.g.
+    turns wraparound arithmetic into ARITHMETIC_OVERFLOW errors)."""
     @wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _apply_runtime_confs(spark)
         prev = os.environ.get("BODO_SPARK_EXACT")
         os.environ["BODO_SPARK_EXACT"] = "1"
         try:

@@ -202,8 +202,11 @@ def llm_generate(df: DataFrame, prompt_col: str = "text",
             yield pdf
 
     # effective request concurrency = partitions x client threads; a
-    # 1-split input would serialize every batch through one worker
-    return ensure_scan_width(df).mapInPandas(run, schema)
+    # 1-split input would serialize every batch through one worker.
+    # bytes_per_partition=None: request latency, not bytes, is the work
+    # unit here -- always widen to full cluster width.
+    return ensure_scan_width(df, bytes_per_partition=None) \
+        .mapInPandas(run, schema)
 
 
 def to_vector_sink(df: DataFrame, id_col: str, vec_col: str,

@@ -270,6 +270,16 @@ def minhash_lsh_pairs_between(
     from pyspark.storagelevel import StorageLevel
     new_sig = new_sig.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(new_sig)
+    # corpus_sig feeds TWO plan branches (band explode + verify join);
+    # an unpersisted in-memory signature frame would recompute the full
+    # corpus shingle-hash groupBy twice -- the exact blowup this function
+    # exists to avoid. Parquet-reloaded frames are cheap re-scans, but
+    # persist unconditionally when the caller hasn't: correctness of the
+    # work bound shouldn't depend on call-site discipline.
+    sl = corpus_sig.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        corpus_sig = corpus_sig.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(corpus_sig)
     band_cols = _band_sig_cols(num_perm, bands)
     nb = (new_sig.select("id", F.explode(F.array(*band_cols))
                  .alias("band_sig"))
@@ -370,14 +380,19 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                .persist(StorageLevel.MEMORY_AND_DISK))
         probe = sel.limit(small_graph_edges + 1).count()
         if probe <= small_graph_edges:
-            rows = [(r.u, r.v) for r in sel.collect()]
+            # Arrow collect (toPandas), not .collect(): Row objects cost
+            # ~10x the columnar footprint, which at the 1M-edge cap is
+            # the difference between ~30 MB and hundreds of MB of driver
+            # heap on a default-memory local driver.
+            pdf = sel.toPandas()
             sel.unpersist()
             spark = pairs.sparkSession
             out_schema = T.StructType([
                 T.StructField("id", sel.schema["u"].dataType),
                 T.StructField("comp", sel.schema["u"].dataType)])
-            if not rows:
+            if not len(pdf):
                 return spark.createDataFrame([], schema=out_schema)
+            rows = zip(pdf["u"].tolist(), pdf["v"].tolist())
             return spark.createDataFrame(_union_find_labels(rows),
                                          schema=out_schema)
         pairs = sel  # reuse the materialized edges in the loop below
@@ -476,10 +491,14 @@ def connected_components_star(pairs: DataFrame, a_col: str = "id_a",
     for _ in range(max_iter):
         e = small_star(large_star(e)).localCheckpoint(eager=True)
         # convergence: the oriented edge set is a fixpoint -- one tiny
-        # aggregate over (count, checksum) instead of a full diff join
+        # aggregate over (count, checksum) instead of a full diff join.
+        # bit_xor, not sum: XOR of 64-bit hashes is order-insensitive
+        # and cannot overflow, so the check is safe under ANSI mode
+        # (Spark 4 default) where sum(xxhash64) throws ARITHMETIC_OVERFLOW
+        # almost surely beyond a handful of edges.
         sig = e.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h")).collect()[0]
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
         if prev_sig == (sig["n"], sig["h"]):
             break
         prev_sig = (sig["n"], sig["h"])

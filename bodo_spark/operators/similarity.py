@@ -465,7 +465,14 @@ def embedding_neardup_pairs(
     # auto_block_bits, so tasks stay even. Both join sides share the
     # partitioning, so the join adds no second shuffle.
     npart = max(d.sparkSession.sparkContext.defaultParallelism, 16)
-    d = d.repartition(npart, F.col("blk"))
+    if block_col or block_bits is not None:
+        d = d.repartition(npart, F.col("blk"))
+    else:
+        # all-pairs mode: blk is the constant lit(1) -- hashing it would
+        # collapse every row into ONE partition and serialize scoring.
+        # Round-robin keeps the scan work-parallel; the constant-key
+        # equi-join broadcasts the (provably small) side under AQE.
+        d = d.repartition(npart)
     a = d.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
                  F.col("nrm").alias("n_a"), "blk")
     b = d.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),

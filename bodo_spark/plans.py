@@ -84,7 +84,8 @@ def assert_scaling(df: DataFrame, max_exchanges: int | None = None,
     return s
 
 
-def ensure_scan_width(df: "DataFrame") -> "DataFrame":
+def ensure_scan_width(df: "DataFrame",
+                      bytes_per_partition: int | None = 1 << 20) -> "DataFrame":
     """Round-robin widen a frame whose partition count is below cluster
     width. Use before stages whose work is proportional to ROWS (Python
     UDF batches, per-row decode, pair scoring), not bytes: a compact
@@ -92,11 +93,36 @@ def ensure_scan_width(df: "DataFrame") -> "DataFrame":
     run the whole stage on one core (the SCALE.md round-7 lesson). On a
     genuinely large input (>= defaultParallelism partitions -- any real
     multi-file corpus) this is a NO-OP: no shuffle is added at 100 TB,
-    where repartitioning would be pure waste."""
+    where repartitioning would be pure waste.
+
+    Work-aware cap (round 8): widening is bounded by the Catalyst size
+    estimate -- at most ceil(sizeInBytes / bytes_per_partition)
+    partitions. A sub-MB input (the sf0.1 ANN corpus) keeps its narrow
+    scan instead of paying 32-44 tasks of pure scheduling overhead
+    (BENCH_r07 regression: ann_cosine 0.94 -> 1.23 s), while anything
+    >= width * bytes_per_partition still widens to full cluster width
+    (the 300x probe's 240 MB corpus is unaffected). When the estimate
+    is unavailable -- or ``bytes_per_partition=None`` (per-row cost
+    unrelated to bytes, e.g. remote LLM calls where width = request
+    concurrency) -- widen unconditionally, the safe-at-scale default."""
+    import math
+
     width = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < width:
-        return df.repartition(width)
-    return df
+    cur = df.rdd.getNumPartitions()
+    if cur >= width:
+        return df
+    target = width
+    if bytes_per_partition:
+        try:
+            est = df._jdf.queryExecution().optimizedPlan() \
+                .stats().sizeInBytes()
+            est = int(est if isinstance(est, int) else est.longValue())
+            target = min(width, max(1, math.ceil(est / bytes_per_partition)))
+        except Exception:
+            target = width  # no estimate -> legacy full widening
+    if target <= cur:
+        return df
+    return df.repartition(target)
 
 
 def tune_shuffle_partitions(spark: SparkSession, input_bytes: int,

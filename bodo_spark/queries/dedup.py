@@ -334,6 +334,36 @@ WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id
 """
 
 
+def dedup_index_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Production shape of incremental dedup: the corpus signature index
+    is STORED as parquet and RELOADED before the batch band-join --
+    proving the signature frame's schema (id + array<long> sh + sig
+    band columns) survives a parquet round-trip byte-exactly. A silent
+    type drift (e.g. minhash lanes widening to decimal, band structs
+    reordering) would corrupt every stored index at upgrade time; this
+    gate pins it. Same batch and same oracle as
+    dedup_incremental_minhash -- identical pairs must come back from
+    the reloaded index."""
+    import shutil
+    import uuid
+
+    from .io_formats import _materialize
+
+    d = tbl(spark, sf, "documents")
+    stage = f"/tmp/bodo_spark_sigidx_{uuid.uuid4().hex[:8]}"
+    try:
+        D.minhash_signatures(d).write.mode("overwrite").parquet(stage)
+        corpus_sig = spark.read.parquet(stage)
+        new = (d.where(F.col("doc_id") < 5)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
+        out = (D.minhash_lsh_pairs_between(new, corpus_sig, threshold=0.5)
+               .orderBy("new_id", "corpus_id"))
+        return _materialize(
+            out, "new_id long, corpus_id long, jaccard double")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def dedup_ngram_capped(spark: SparkSession, sf: str) -> DataFrame:
     """n-gram Jaccard with the stop-shingle cap (max_doc_freq=3):
     shingles shared by more than 3 docs are boilerplate for this
@@ -378,6 +408,8 @@ QUERIES: dict[str, QueryDef] = {
                                    _DEDUP_NGRAM_CAP_SQL),
     "dedup_incremental_minhash": QueryDef(dedup_incremental_minhash,
                                           _DEDUP_INCR_SQL),
+    "dedup_index_roundtrip": QueryDef(dedup_index_roundtrip,
+                                      _DEDUP_INCR_SQL),
     "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, _sql_simhash_pairs(16)),
     "dedup_resolve_survivors": QueryDef(dedup_resolve_survivors, _DEDUP_RESOLVE_SQL),
     "dedup_cc_star_chains": QueryDef(dedup_cc_star_chains, _DEDUP_CC_STAR_SQL),

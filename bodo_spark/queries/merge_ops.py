@@ -235,22 +235,35 @@ def io_compact_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     size = 1 file)."""
     import glob
     import os
+    import shutil
+    import uuid
 
     from ..sources.io import compact_parquet
+    from .io_formats import _materialize
 
     e = (tbl(spark, sf, "events")
          .select("event_type", dec("value", 12, 2).alias("value")))
-    stage = f"/tmp/bodo_spark_compact_{os.path.basename(sf.rstrip('/'))}"
-    e.repartition(16).write.mode("overwrite").parquet(stage)
-    before = len(glob.glob(os.path.join(stage, "*.parquet")))
-    compact_parquet(spark, stage)
-    after = len(glob.glob(os.path.join(stage, "*.parquet")))
-    back = spark.read.parquet(stage)
-    return (back.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("value").cast("double").alias("sum_value"))
-            .withColumn("files_reduced", F.lit(bool(after < before)))
-            .orderBy("event_type"))
+    # uuid-suffixed staging + materialize-then-rmtree, same discipline as
+    # io_formats: a fixed per-sf path would let concurrent gate runs race
+    # through compact_parquet's directory swap, and a lazy return would
+    # dangle on deleted files.
+    stage = f"/tmp/bodo_spark_compact_{uuid.uuid4().hex[:8]}"
+    try:
+        e.repartition(16).write.mode("overwrite").parquet(stage)
+        before = len(glob.glob(os.path.join(stage, "*.parquet")))
+        compact_parquet(spark, stage)
+        after = len(glob.glob(os.path.join(stage, "*.parquet")))
+        back = spark.read.parquet(stage)
+        out = (back.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("value").cast("double").alias("sum_value"))
+               .withColumn("files_reduced", F.lit(bool(after < before)))
+               .orderBy("event_type"))
+        return _materialize(
+            out, "event_type string, n long, sum_value double, "
+                 "files_reduced boolean")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 _IO_COMPACT_SQL = """

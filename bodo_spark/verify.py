@@ -130,7 +130,18 @@ def compare_one(name: str, qd: QueryDef, spark, con, sf_dir: str) -> dict:
 
 
 def run_all(sf_dir: str = "/root/testdata/sf0.01",
-            only: list[str] | None = None, verbose: bool = True) -> list[dict]:
+            only: list[str] | None = None, verbose: bool = True,
+            driver_parity: bool = False) -> list[dict]:
+    """Compare every registered query against its oracle.
+
+    ``driver_parity=True`` simulates the DRIVER's environment for every
+    query independently: before each one, the session is forced back to
+    Spark 4 defaults (ansi=true, non-UTC timezone) and the query runs
+    through the ``__spark_entry__._exact`` wrapper -- exactly what happens
+    when the driver's verify samples that query first in a fresh session.
+    Green here proves no query depends on engine confs being applied by
+    anything other than the wrapper itself (the r7 `dedup_cc_star_chains`
+    ANSI overflow is the defect class this guards)."""
     import json
     import time
 
@@ -139,9 +150,18 @@ def run_all(sf_dir: str = "/root/testdata/sf0.01",
     con = duckdb_conn(sf_dir)
     out = []
     qs = all_queries()
+    if driver_parity:
+        import importlib
+        entry = importlib.import_module("__spark_entry__")
+        qs = {name: QueryDef(entry._exact(qd.fn), qd.oracle, qd.doc)
+              for name, qd in qs.items()}
     for name, qd in qs.items():
         if only and name not in only:
             continue
+        if driver_parity:
+            spark.conf.set("spark.sql.ansi.enabled", "true")
+            spark.conf.set("spark.sql.session.timeZone",
+                           "America/Los_Angeles")
         t0 = time.time()
         r = compare_one(name, qd, spark, con, sf_dir)
         r["sec"] = round(time.time() - t0, 2)
@@ -158,8 +178,10 @@ def run_all(sf_dir: str = "/root/testdata/sf0.01",
 if __name__ == "__main__":
     import json
     import sys
-    only = sys.argv[1:] or None
-    results = run_all(only=only)
+    argv = sys.argv[1:]
+    driver_parity = "--driver-parity" in argv
+    only = [a for a in argv if not a.startswith("--")] or None
+    results = run_all(only=only, driver_parity=driver_parity)
     from pyspark.sql import SparkSession
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -117,3 +117,39 @@ def test_fast_mode_has_no_decimal_columns(spark):
     from bodo_spark.queries.tpch import q1_pricing_summary
     df = q1_pricing_summary(spark, SF_DIR)
     assert "decimal" not in str(df.schema).lower(), df.schema
+
+
+def test_cc_star_checksum_survives_ansi_mode(spark):
+    """Regression: the star-CC convergence checksum was sum(xxhash64),
+    which overflows a signed long under ANSI mode (the Spark 4 DRIVER
+    default -- the engine's own sessions set ansi=false, which is why
+    pytest alone never caught it and the r7 driver row went red). The
+    bit_xor checksum must converge a 64-node chain under ansi=true."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        from bodo_spark.operators.dedup import connected_components_star
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "id_a long, id_b long")
+        labels = {r.id: r.comp
+                  for r in connected_components_star(chain).collect()}
+        assert labels == {i: 0 for i in range(65)}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_exact_wrapper_applies_engine_confs(spark):
+    """Conf parity: the driver runs queries()[name] under ITS session
+    (Spark 4 defaults: ansi=true, local timezone). The _exact wrapper
+    must re-assert the engine posture so driver-run plans execute under
+    documented semantics."""
+    import __spark_entry__ as entry
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        entry.queries()["q1_pricing_summary"](spark, SF_DIR)
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        from bodo_spark.session import _apply_runtime_confs
+        _apply_runtime_confs(spark)
