@@ -1,0 +1,202 @@
+"""Training-corpus curation operators: benchmark decontamination,
+sequence packing (concat-and-chunk), deterministic domain mixing, and
+PII redaction.
+
+These are the corpus-preparation steps every large-scale LLM data
+pipeline runs between dedup and training (decontamination per GPT-3
+appendix C / The Pile / Llama's n-gram overlap protocol; packing per
+the standard concat-and-chunk sample packing; mixing per the
+domain-weight recipes of Pile/RefinedWeb). The reference engine has no
+dedicated module for them -- they extend its text/dedup surface
+(SURVEY §2.11) the same way operators/dedup.py does -- so everything
+here is designed Spark-first:
+
+  - decontamination is ONE corpus scan: explode train n-grams, map-side
+    broadcast LEFT SEMI against the (tiny) benchmark gram set -- the
+    100-TB corpus is never shuffled, only the hit ids are.
+  - packing needs a global running token offset; a naive
+    Window.orderBy() cumsum is single-partition (a non-starter at
+    scale), so `global_offsets` does the classic two-phase cumsum:
+    range-partition by the order key, per-partition local cumsum, plus
+    an exclusive prefix over the per-partition totals (a window over
+    n_partitions rows, trivially small) broadcast-joined back.
+  - domain mixing is exact + deterministic: a Knuth multiplicative hash
+    of the id (not rand()) decides keep/drop, so the sample is
+    reproducible across runs, engines, and retries, and the keep
+    fraction per domain is computed from exact counts so the output
+    hits the target mix as closely as integer ids allow.
+  - PII redaction is a chain of JVM regexp_replace (RE2/Java-compatible
+    patterns) -- whole-stage codegen, no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+__all__ = [
+    "contaminated_ids", "decontaminate", "global_offsets", "pack_chunks",
+    "domain_mix_sample", "redact_pii", "u01_hash",
+]
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+
+def contaminated_ids(train: DataFrame, bench: DataFrame, *, k: int = 13,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Ids of training docs sharing any word ``k``-gram with ``bench``.
+
+    The benchmark side (eval sets: MBs, not TBs) is distinct-ed and
+    broadcast; the train side is scan -> explode -> broadcast LEFT SEMI
+    -> distinct(ids). The corpus is never shuffled -- the only exchange
+    carries the contaminated id set, which is small by construction.
+    """
+    tg = train.select(F.col(id_col),
+                      F.explode(word_shingles(text_col, k)).alias("gram"))
+    bg = (bench.select(F.explode(word_shingles(text_col, k)).alias("gram"))
+          .distinct())
+    return (tg.join(F.broadcast(bg), "gram", "left_semi")
+            .select(id_col).distinct())
+
+
+def decontaminate(train: DataFrame, bench: DataFrame, *, k: int = 13,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Drop training docs that leak any benchmark ``k``-gram.
+
+    LEFT ANTI against the contaminated id set (small -> broadcast-able
+    by AQE); the full text columns ride the anti join untouched.
+    """
+    bad = contaminated_ids(train, bench, k=k, text_col=text_col,
+                           id_col=id_col)
+    return train.join(bad, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+
+def global_offsets(df: DataFrame, *, order_col: str, val_col: str,
+                   out_col: str = "offset",
+                   num_partitions: int | None = None) -> DataFrame:
+    """Exclusive global running sum of ``val_col`` in ``order_col`` order.
+
+    Two-phase distributed cumsum: range-partition on the order key,
+    local cumsum per partition (window partitioned by
+    spark_partition_id -- parallel), then an exclusive prefix over the
+    per-partition totals. The totals frame has one row per partition,
+    so ITS single-partition window is trivially small, and it joins
+    back broadcast. No driver collect; nothing single-partition ever
+    sees more than num_partitions rows.
+    """
+    npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = (df.repartitionByRange(npart, order_col)
+            .withColumn("_pid", F.spark_partition_id()))
+    w_local = (Window.partitionBy("_pid").orderBy(order_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(F.sum(val_col).over(w_local), F.lit(0))
+    totals = part.groupBy("_pid").agg(F.sum(val_col).alias("_tot"))
+    w_pref = (Window.orderBy("_pid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(w_pref), F.lit(0))
+        .alias("_prefix"))
+    return (part.join(F.broadcast(prefix), "_pid")
+            .withColumn(out_col, (local + F.col("_prefix")).cast("bigint"))
+            .drop("_pid", "_prefix"))
+
+
+def pack_chunks(df: DataFrame, capacity: int, *, id_col: str = "doc_id",
+                tokens_col: str = "n_tokens") -> DataFrame:
+    """GPT-style sample packing: concatenate all docs in ``id_col`` order
+    and cut every ``capacity`` tokens. Returns one row per
+    (chunk_id, doc) assignment -- a doc spanning a chunk boundary
+    appears in every chunk it touches (where it would be split).
+
+    Chunk membership is pure arithmetic on the global offset
+    (first = offset div C, last = (offset+len-1) div C) + an explode of
+    that id range; no shuffle beyond the one cumsum exchange.
+    """
+    toks = F.greatest(F.col(tokens_col), F.lit(1))  # 0-token docs occupy 1
+    out = global_offsets(df, order_col=id_col, val_col=tokens_col)
+    first = F.floor(F.col("offset") / capacity).cast("bigint")
+    last = F.floor((F.col("offset") + toks - 1) / capacity).cast("bigint")
+    return (out.withColumn("chunk_id",
+                           F.explode(F.sequence(first, last)))
+            .drop("offset"))
+
+
+# --------------------------------------------------------------------------
+# deterministic domain mixing
+
+_KNUTH = 2654435761  # Knuth multiplicative hashing constant (2^32 * phi)
+_M31 = 2147483648    # 2^31
+_M32 = 4294967296    # 2^32
+
+
+def u01_hash(id_col: Column | str) -> Column:
+    """Deterministic uniform-ish [0,1) from an integer id.
+
+    ((id mod 2^31) * KNUTH) mod 2^32 / 2^32 -- every step stays below
+    2^63 (ANSI-overflow-safe) and is exact integer math, so any engine
+    reproduces the identical double. Used instead of rand() so samples
+    are stable across runs, task retries, and engines.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (((c % _M31) * F.lit(_KNUTH)) % _M32) / F.lit(float(_M32))
+
+
+def domain_mix_sample(df: DataFrame, weights: dict[str, float], *,
+                      domain_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic sample hitting target domain proportions.
+
+    Given target mix ``weights`` (relative, need not sum to 1), the
+    achievable budget is ``B = min_d(count_d / w_d)`` -- the largest
+    total for which no domain runs out -- and each domain keeps
+    ``B * w_d / count_d`` of its docs, chosen by the id hash (so the
+    same corpus always yields the same sample). Domains absent from
+    ``weights`` are dropped. Counts are one small aggregate
+    (one row per domain), broadcast back onto the corpus scan.
+    """
+    wdf = df.sparkSession.createDataFrame(
+        [(d, float(w)) for d, w in sorted(weights.items())],
+        f"{domain_col} string, _w double")
+    counts = (df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+              .join(F.broadcast(wdf), domain_col))
+    budget = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_budget"))
+    frac = (counts.crossJoin(F.broadcast(budget))
+            .select(domain_col,
+                    F.least(F.col("_budget") * F.col("_w") / F.col("_n"),
+                            F.lit(1.0)).alias("_keep_frac")))
+    return (df.join(F.broadcast(frac), domain_col)
+            .where(u01_hash(id_col) < F.col("_keep_frac"))
+            .drop("_keep_frac"))
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+
+# RE2- and Java-regex compatible (no lookarounds), so the DuckDB oracle
+# can run the identical patterns.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d \-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, IPv4s and phone-ish digit runs with typed tags.
+
+    A chain of JVM regexp_replace -- stays in whole-stage codegen.
+    Order matters: emails first (their local part can contain digits),
+    IPs before phones (dotted quads contain 8+ digit runs).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c

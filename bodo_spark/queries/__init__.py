@@ -67,6 +67,7 @@ def all_queries() -> dict[str, "QueryDef"]:
     from . import (
         aggregates,
         ai_ops,
+        curation,
         datetimes,
         dedup,
         frontend,
@@ -89,7 +90,7 @@ def all_queries() -> dict[str, "QueryDef"]:
     # contributes representatives early rather than being appended as a
     # contiguous block at the end.
     mods = (tpch, aggregates, windows, joins, merge_ops, setops, strings,
-            datetimes, scalars, snowflake, text, dedup, similarity,
+            datetimes, scalars, snowflake, text, curation, dedup, similarity,
             multimodal, ai_ops, streaming_ops, frontend, io_formats)
     merged: dict[str, QueryDef] = {}
     iters = [iter(mod.QUERIES.items()) for mod in mods]

@@ -1,0 +1,224 @@
+"""Corpus-curation battery: benchmark decontamination, sequence
+packing, deterministic domain mixing, PII redaction. Implementations in
+bodo_spark.operators.curation; oracles mirror the exact arithmetic in
+DuckDB SQL (the id-hash sampler and the offset math are exact integer
+ops, so hashes match bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as C
+from ..operators import text as T
+from ._util import QueryDef, tbl
+
+_SQL_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _sql_shingles(k: int) -> str:
+    """DuckDB twin of operators.dedup.word_shingles at gram size k."""
+    return (
+        f"CASE WHEN len({_SQL_WORDS}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({_SQL_WORDS}) - {k - 2}), "
+        f"i -> array_to_string(({_SQL_WORDS})[i:i+{k - 1}], ' '))) "
+        f"ELSE [trim(text)] END")
+
+
+# --------------------------------------------------------------------------
+# decontamination: benchmark = every 19th doc (a synthetic eval set);
+# k=5 so the small-vocabulary corpus produces real hits AND real misses
+
+def cur_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus sizes before/after dropping docs that share any
+    word 5-gram with the held-out benchmark slice (benchmark members
+    themselves excluded from training by id, as real pipelines do)."""
+    d = tbl(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 19 == 0)
+    train = d.where(F.col("doc_id") % 19 != 0)
+    clean = C.decontaminate(train, bench, k=5)
+    tot = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
+    kept = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
+    return (tot.join(kept, "source", "left")
+            .select("source", "n_train",
+                    F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+                    (F.col("n_train")
+                     - F.coalesce("n_clean", F.lit(0))).alias("n_dropped"))
+            .orderBy("source"))
+
+
+_DECON_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, source, {_sql_shingles(5)} AS sh FROM documents),
+bench AS (
+  SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM grams
+                          WHERE doc_id % 19 = 0) t),
+train AS (SELECT * FROM grams WHERE doc_id % 19 <> 0),
+bad AS (
+  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(sh) AS g FROM train) t
+  WHERE g IN (SELECT g FROM bench)),
+tot AS (SELECT source, COUNT(*) AS n_train FROM train GROUP BY source),
+kept AS (SELECT source, COUNT(*) AS n_clean FROM train
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad) GROUP BY source)
+SELECT t.source, t.n_train, COALESCE(k.n_clean, 0) AS n_clean,
+       t.n_train - COALESCE(k.n_clean, 0) AS n_dropped
+FROM tot t LEFT JOIN kept k ON t.source = k.source
+ORDER BY t.source
+"""
+
+
+# --------------------------------------------------------------------------
+# sequence packing: concat-and-chunk at capacity 256 ws-tokens
+
+_CAP = 256
+
+
+def cur_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack the corpus into 256-token training chunks (docs in doc_id
+    order); verify the chunk map: total chunks, total (chunk, doc)
+    assignments, boundary-spanning docs, fattest chunk."""
+    d = (tbl(spark, sf, "documents")
+         .withColumn("n_tokens", T.token_count("text"))
+         .select("doc_id", "n_tokens"))
+    packed = C.pack_chunks(d, _CAP, id_col="doc_id", tokens_col="n_tokens")
+    per_chunk = packed.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs_in_chunk"))
+    spanning = (packed.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_chunks_of_doc")))
+    return (per_chunk.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_docs_in_chunk").cast("bigint").alias("n_assignments"),
+        F.max("n_docs_in_chunk").cast("bigint").alias("max_docs_in_chunk"))
+        .crossJoin(spanning.agg(
+            F.count_if(F.col("n_chunks_of_doc") > 1).alias("n_spanning"))))
+
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len({_SQL_WORDS}) AS n_tokens FROM documents),
+offs AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks),
+spans AS (
+  -- // is floor division; plain / on integers is true division in DuckDB
+  -- and CAST(double AS BIGINT) rounds instead of flooring
+  SELECT doc_id, CAST(off // {_CAP} AS BIGINT) AS first_c,
+         CAST((off + greatest(n_tokens, 1) - 1) // {_CAP} AS BIGINT) AS last_c
+  FROM offs),
+assign AS (
+  SELECT doc_id, unnest(generate_series(first_c, last_c)) AS chunk_id
+  FROM spans),
+per_chunk AS (
+  SELECT chunk_id, COUNT(*) AS n FROM assign GROUP BY chunk_id),
+spanning AS (
+  SELECT CAST(count_if(last_c > first_c) AS BIGINT) AS n_spanning FROM spans)
+SELECT (SELECT COUNT(*) FROM per_chunk) AS n_chunks,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM per_chunk) AS n_assignments,
+       (SELECT MAX(n) FROM per_chunk) AS max_docs_in_chunk,
+       (SELECT n_spanning FROM spanning) AS n_spanning
+"""
+
+
+# --------------------------------------------------------------------------
+# domain mixing: 4:2:1:1 over four sources, deterministic id-hash sampler
+
+_MIX = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+
+
+def cur_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample the corpus to a 4:2:1:1 source mix; report kept counts and
+    an id checksum per source (proves WHICH docs, not just how many)."""
+    d = tbl(spark, sf, "documents")
+    out = C.domain_mix_sample(d, _MIX, domain_col="source", id_col="doc_id")
+    return (out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"))
+        .orderBy("source"))
+
+
+def _mix_sql() -> str:
+    wvals = ", ".join(f"('{d}', {w})" for d, w in sorted(_MIX.items()))
+    return f"""
+WITH w(source, wt) AS (VALUES {wvals}),
+counts AS (
+  SELECT d.source, COUNT(*) AS n, ANY_VALUE(wt) AS wt
+  FROM documents d JOIN w ON d.source = w.source GROUP BY d.source),
+budget AS (SELECT MIN(n / wt) AS b FROM counts),
+frac AS (
+  SELECT source, LEAST(b * wt / n, 1.0) AS keep_frac
+  FROM counts CROSS JOIN budget)
+SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN frac f ON d.source = f.source
+WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)
+      / 4294967296.0 < keep_frac
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
+# PII redaction: synthesize deterministic PII around the real text, then
+# verify the redaction kernel end-to-end (counts AND redacted-text hash)
+
+def cur_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Inject synthetic email/IP/phone spans into each doc, redact with
+    the production kernel, and verify tag counts plus an md5 over the
+    redacted text (catches any regex-boundary drift, not just counts)."""
+    d = tbl(spark, sf, "documents")
+    pii = F.concat(
+        F.lit("reach "), F.col("source"), F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.col("doc_id") % 100).cast("string"), F.lit(" tel +1 555 01"),
+        (F.col("doc_id") % 90 + 10).cast("string"), F.lit(" :: "),
+        F.col("text"))
+    red = d.select("source", C.redact_pii(pii).alias("r"))
+
+    def tag_count(tag: str):
+        return (F.size(F.split(F.col("r"), tag, -1)) - 1).cast("bigint")
+
+    return (red.groupBy("source").agg(
+        F.sum(tag_count("<EMAIL>")).cast("bigint").alias("n_email"),
+        F.sum(tag_count("<IP>")).cast("bigint").alias("n_ip"),
+        F.sum(tag_count("<PHONE>")).cast("bigint").alias("n_phone"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(F.md5("r"))), ""))
+        .alias("red_hash"))
+        .orderBy("source"))
+
+
+_PII_SQL = """
+WITH injected AS (
+  SELECT source,
+         'reach ' || source || '@example.com or 10.0.' ||
+         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         CAST(doc_id % 100 AS VARCHAR) || ' tel +1 555 01' ||
+         CAST(doc_id % 90 + 10 AS VARCHAR) || ' :: ' || text AS p
+  FROM documents),
+red AS (
+  SELECT source,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(p,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '\\+?\\d[\\d \\-]{7,}\\d', '<PHONE>', 'g') AS r
+  FROM injected)
+SELECT source,
+       CAST(SUM(len(r) - len(replace(r, '<EMAIL>', '')) ) / 7 AS BIGINT)
+         AS n_email,
+       CAST(SUM(len(r) - len(replace(r, '<IP>', ''))) / 4 AS BIGINT) AS n_ip,
+       CAST(SUM(len(r) - len(replace(r, '<PHONE>', ''))) / 7 AS BIGINT)
+         AS n_phone,
+       md5(string_agg(md5(r), '' ORDER BY md5(r))) AS red_hash
+FROM red GROUP BY source ORDER BY source
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "cur_decontaminate": QueryDef(cur_decontaminate, _DECON_SQL),
+    "cur_pack_chunks": QueryDef(cur_pack_chunks, _PACK_SQL),
+    "cur_domain_mix": QueryDef(cur_domain_mix, _mix_sql()),
+    "cur_pii_redact": QueryDef(cur_pii_redact, _PII_SQL),
+}

@@ -733,18 +733,27 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf: str) -> DataFrame:
                  F.col("l_suppkey").alias("sk"),
                  (F.col("l_shipdate")
                   > F.date_add(F.col("o_orderdate"), 60)).alias("late")))
-    g = j.groupBy("ok").agg(
-        F.countDistinct("sk").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("sk")))
+    # Two-stage distinct: rolling up to (order, supplier) first replaces
+    # the twin countDistinct (whose Expand doubles the join output) with
+    # plain partial-aggregating counts, and shrinks the join-back input
+    # from lines to supplier-orders. late_lines preserves line-level
+    # numwait multiplicity. Every stage (both groupBys and the join-back)
+    # reuses the li-orders join's orderkey hash partitioning -- one
+    # lineitem scan, one shuffle after it.
+    per = j.groupBy("ok", "sk").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_lines"))
+    g = per.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("late_lines") > 0, 1).otherwise(0))
         .alias("n_late_supp"))
-    waiting = (j.where(F.col("late"))
+    waiting = (per.where(F.col("late_lines") > 0)
                .join(g, "ok")
                .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)))
     return (waiting.join(supp, F.col("sk") == supp.s_suppkey)
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey,
                   "left_semi")
             .groupBy("s_name")
-            .agg(F.count(F.lit(1)).alias("numwait"))
+            .agg(F.sum("late_lines").cast("bigint").alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name")
             .limit(20))
 

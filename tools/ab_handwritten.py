@@ -1,0 +1,191 @@
+"""A/B: engine queries vs STRAIGHTFORWARD hand-written PySpark twins.
+
+The operative baseline (BASELINE.md) is "what a competent PySpark user
+would write by hand for the same question on the same parquet" -- the
+reference's own TPC-H PySpark scripts are the model for what that looks
+like (reference benchmarks/tpch/pds-benchmark/queries/pyspark/; written
+here from the public TPC-H spec, not copied). This tool runs both
+variants in ONE session, interleaved, best-of-3 each, with a q1 anchor
+re-measured at the start and end so host drift is visible (the
+SCALE.md bench-noise discipline: never compare across runs).
+
+Usage:
+    python tools/ab_handwritten.py <sf_dir> [q3 q9 q18 q21] [--check]
+
+--check additionally collects both results and asserts value equality
+(outputs are <=100 rows for every query here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ["BODO_SPARK_EXACT"] = "0"  # bench protocol: fast mode
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
+
+
+# ---- hand-written twins: plain reads, double arithmetic, classic shapes
+
+def hand_q1(spark, sf):
+    l = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= "2001-09-01")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (l.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.sum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(disc).alias("sum_disc_price"),
+                 F.sum(charge).alias("sum_charge"),
+                 F.avg("l_quantity").alias("avg_qty"),
+                 F.avg("l_extendedprice").alias("avg_price"),
+                 F.avg("l_discount").alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def hand_q3(spark, sf):
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1998-06-01")
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-06-01")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(disc).alias("revenue"))
+            .select("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "o_orderpriority", "revenue")
+            .orderBy(F.col("revenue").desc(), "l_orderkey")
+            .limit(10))
+
+
+def hand_q9(spark, sf):
+    part = _t(spark, sf, "part").where(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    li = _t(spark, sf, "lineitem")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(nation, supp.s_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("l_shipdate").cast("bigint").alias("o_year"))
+            .agg(F.sum(amount).alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+def hand_q18(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 300))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(100))
+
+
+def hand_q21(spark, sf):
+    """Classic 3-scan formulation: l1 late lines on 'F' orders; EXISTS
+    as a semi-join against other-supplier lines of the same order; NOT
+    EXISTS as an anti-join against other-supplier LATE lines (of 'F'
+    orders) -- the direct transcription of the SQL a hand-writer does."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_0")
+    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .where(F.col("l_shipdate")
+                   > F.date_add(F.col("o_orderdate"), 60))
+            .select("l_orderkey", "l_suppkey"))
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    w = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                 & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+                 "left_semi")
+         .join(l3, (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+               & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+               "left_anti"))
+    return (w.join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+            .join(nation, supp.s_nationkey == nation.n_nationkey, "left_semi")
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))
+
+
+HAND = {"q1_pricing_summary": hand_q1, "q3_shipping_priority": hand_q3,
+        "q9_profit_by_nation_year": hand_q9,
+        "q18_large_volume_customer": hand_q18,
+        "q21_suppliers_kept_waiting": hand_q21}
+
+
+def _run(fn, spark, sf, n=3):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    sf = sys.argv[1]
+    check = "--check" in sys.argv
+    names = [a for a in sys.argv[2:] if not a.startswith("--")] or [
+        "q3_shipping_priority", "q9_profit_by_nation_year",
+        "q18_large_volume_customer", "q21_suppliers_kept_waiting"]
+    from bodo_spark.queries import all_queries
+    from bodo_spark.session import get_spark
+    spark = get_spark(app_name="ab_handwritten")
+    qs = all_queries()
+
+    # warm both code paths + JIT
+    qs["q1_pricing_summary"].fn(spark, sf).count()
+    hand_q1(spark, sf).count()
+
+    anchor_start = _run(qs["q1_pricing_summary"].fn, spark, sf)
+    out = {}
+    for name in names:
+        if check:
+            eng = sorted(map(tuple, qs[name].fn(spark, sf).collect()))
+            hnd = sorted(map(tuple, HAND[name](spark, sf).collect()))
+            same = len(eng) == len(hnd) and all(
+                all((a == b) or (isinstance(a, float)
+                                 and abs(a - b) <= 1e-6 * max(1, abs(a)))
+                    for a, b in zip(ra, rb))
+                for ra, rb in zip(eng, hnd))
+            if not same:
+                print(f"MISMATCH {name}: engine {len(eng)} rows vs "
+                      f"hand {len(hnd)} rows", flush=True)
+        e = _run(qs[name].fn, spark, sf)
+        h = _run(HAND[name], spark, sf)
+        out[name] = {"engine": e, "hand": h,
+                     "ratio": round(e / h, 3) if h else None}
+        print(json.dumps({name: out[name]}), flush=True)
+    anchor_end = _run(qs["q1_pricing_summary"].fn, spark, sf)
+    print(json.dumps({"sf_dir": sf, "anchor_q1_start": anchor_start,
+                      "anchor_q1_end": anchor_end, "ab": out}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
