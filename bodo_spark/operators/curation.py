@@ -38,7 +38,7 @@ from .dedup import word_shingles
 
 __all__ = [
     "contaminated_ids", "decontaminate", "global_offsets", "pack_chunks",
-    "domain_mix_sample", "redact_pii", "u01_hash",
+    "domain_mix_sample", "redact_pii", "shuffle_shards", "u01_hash",
 ]
 
 
@@ -79,10 +79,12 @@ def decontaminate(train: DataFrame, bench: DataFrame, *, k: int = 13,
 # --------------------------------------------------------------------------
 # sequence packing (concat-and-chunk)
 
-def global_offsets(df: DataFrame, *, order_col: str, val_col: str,
-                   out_col: str = "offset",
+def global_offsets(df: DataFrame, *, order_col: str | list[str],
+                   val_col: str | None, out_col: str = "offset",
                    num_partitions: int | None = None) -> DataFrame:
-    """Exclusive global running sum of ``val_col`` in ``order_col`` order.
+    """Exclusive global running sum of ``val_col`` in ``order_col`` order
+    (a list means lexicographic order -- pass a unique tiebreaker last;
+    ``val_col=None`` sums 1 per row, i.e. a 0-based global row number).
 
     Two-phase distributed cumsum: range-partition on the order key,
     local cumsum per partition (window partitioned by
@@ -92,13 +94,15 @@ def global_offsets(df: DataFrame, *, order_col: str, val_col: str,
     back broadcast. No driver collect; nothing single-partition ever
     sees more than num_partitions rows.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else order_col
     npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = (df.repartitionByRange(npart, order_col)
+    part = (df.repartitionByRange(npart, *order_cols)
             .withColumn("_pid", F.spark_partition_id()))
-    w_local = (Window.partitionBy("_pid").orderBy(order_col)
+    w_local = (Window.partitionBy("_pid").orderBy(*order_cols)
                .rowsBetween(Window.unboundedPreceding, -1))
-    local = F.coalesce(F.sum(val_col).over(w_local), F.lit(0))
-    totals = part.groupBy("_pid").agg(F.sum(val_col).alias("_tot"))
+    val = F.lit(1) if val_col is None else F.col(val_col)
+    local = F.coalesce(F.sum(val).over(w_local), F.lit(0))
+    totals = part.groupBy("_pid").agg(F.sum(val).alias("_tot"))
     w_pref = (Window.orderBy("_pid")
               .rowsBetween(Window.unboundedPreceding, -1))
     prefix = totals.select(
@@ -175,6 +179,31 @@ def domain_mix_sample(df: DataFrame, weights: dict[str, float], *,
     return (df.join(F.broadcast(frac), domain_col)
             .where(u01_hash(id_col) < F.col("_keep_frac"))
             .drop("_keep_frac"))
+
+
+def shuffle_shards(df: DataFrame, shard_size: int, *,
+                   id_col: str = "doc_id",
+                   shard_col: str = "shard_id") -> DataFrame:
+    """Deterministic global shuffle + fixed-size sharding for training.
+
+    Orders the corpus by the Knuth hash of the id (an exact permutation
+    for ids below 2^31 -- the odd multiplier is invertible mod 2^32 --
+    and reproducible everywhere, unlike rand() or a salted sort), then
+    assigns ``shard = global_row_index // shard_size`` via the
+    distributed two-phase cumsum (val=1 turns it into a global
+    row-number). Every shard except the last has exactly ``shard_size``
+    docs; re-running yields byte-identical shard membership -- the
+    property a resumable training job needs.
+    """
+    c = F.col(id_col)
+    hkey = (((c % _M31) * F.lit(_KNUTH)) % _M32).alias("_hkey")
+    out = global_offsets(df.withColumn("_hkey", hkey),
+                         order_col=["_hkey", id_col], val_col=None,
+                         out_col="_ridx")
+    return (out.withColumn(shard_col,
+                           F.floor(F.col("_ridx") / shard_size)
+                           .cast("bigint"))
+            .drop("_hkey", "_ridx"))
 
 
 # --------------------------------------------------------------------------

@@ -660,12 +660,25 @@ def ngram_jaccard_pairs(
           .dropDuplicates(["id", "s"]))
     if max_doc_freq is not None:
         # one extra shuffle on shingle; the join after it is bounded by
-        # max_doc_freq^2 per surviving shingle
+        # max_doc_freq^2 per surviving shingle. Persist the exploded
+        # shingle frame first: it feeds BOTH the df count and the prune
+        # join, and their exchanges differ after column pruning (s-only
+        # vs id,blk,s), so ReuseExchange cannot dedupe them -- without
+        # the cache the full explode subtree evaluates twice here and
+        # the pruned frame three more times below (sizes/a/b). At the
+        # 5M-doc probe that recompute was the whole regression: 484 s
+        # -> ~120 s with the intermediates cached once each.
+        ex.persist()
+        _PERSISTED.append(ex)
         keep = (ex.groupBy("s")
                 .agg(F.count(F.lit(1)).alias("_df"))
                 .where(F.col("_df") <= max_doc_freq)
                 .select("s"))
         ex = ex.join(keep, "s")
+    # pruned (or raw, when uncapped) shingles feed sizes + both join
+    # sides -- three plan references, same pruning problem
+    ex.persist()
+    _PERSISTED.append(ex)
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # shingle-keyed join counts |A ∩ B| directly: work is proportional to
     # actually-shared shingles, never to all O(n^2) pairs x array length.

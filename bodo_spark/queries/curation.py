@@ -216,7 +216,40 @@ FROM red GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# deterministic global shuffle into fixed-size training shards
+
+_SHARD = 97
+
+
+def cur_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle the corpus by the id permutation hash and cut into
+    97-doc shards; per-shard count + id checksum pins exact membership
+    (reproducibility is the whole point of the operator)."""
+    d = tbl(spark, sf, "documents").select("doc_id")
+    out = C.shuffle_shards(d, _SHARD, id_col="doc_id")
+    return (out.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"))
+        .orderBy("shard_id"))
+
+
+_SHARDS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hkey
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY hkey, doc_id) - 1 AS ridx FROM h)
+SELECT CAST(ridx // {_SHARD} AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_shuffle_shards": QueryDef(cur_shuffle_shards, _SHARDS_SQL),
     "cur_decontaminate": QueryDef(cur_decontaminate, _DECON_SQL),
     "cur_pack_chunks": QueryDef(cur_pack_chunks, _PACK_SQL),
     "cur_domain_mix": QueryDef(cur_domain_mix, _mix_sql()),

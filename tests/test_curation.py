@@ -119,6 +119,28 @@ def test_redact_pii_order_ip_before_phone(spark):
     assert got == "x <IP> y"
 
 
+def test_shuffle_shards_sizes_and_determinism(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = C.shuffle_shards(df, 64, id_col="doc_id")
+    sizes = {r.shard_id: r.n for r in
+             out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()}
+    # 1000 docs / 64 -> 15 full shards + one of 40
+    assert sorted(sizes) == list(range(16))
+    assert all(sizes[s] == 64 for s in range(15)) and sizes[15] == 40
+    # shard membership is a function of the id, not of run/partitioning
+    m1 = sorted((r.doc_id, r.shard_id) for r in out.collect())
+    m2 = sorted((r.doc_id, r.shard_id) for r in C.shuffle_shards(
+        df.repartition(3), 64, id_col="doc_id").collect())
+    assert m1 == m2
+    # it is a shuffle: no shard is a contiguous id range
+    by_shard: dict[int, list[int]] = {}
+    for i, s in m1:
+        by_shard.setdefault(s, []).append(i)
+    contiguous = sum(1 for ids in by_shard.values()
+                     if max(ids) - min(ids) == len(ids) - 1)
+    assert contiguous == 0
+
+
 def test_pack_chunks_every_chunk_nonempty_on_corpus(spark):
     # concat-and-chunk invariant on real data: chunk ids are the dense
     # range [0, n_chunks)
