@@ -121,6 +121,31 @@ def _rev_ord(lang: str) -> int:
     return len(order) - order.index(lang)
 
 
+def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-gram instances that are repeats of an earlier
+    gram in the same doc: 1 - distinct/total. The Gopher-style
+    repetition filter (Rae et al. 2021 'duplicate n-gram fraction');
+    high values flag boilerplate/spam. Pure JVM array expressions."""
+    from .dedup import word_shingles
+    c = F.col(col) if isinstance(col, str) else col
+    grams = word_shingles(c, n, distinct=False)
+    return (1 - F.size(F.array_distinct(grams))
+            / F.size(grams).cast("double"))
+
+
+def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-gram instances taken by the single most
+    frequent gram (Gopher's 'top n-gram fraction'). O(g^2) per doc over
+    the gram array -- still whole-stage codegen, no explode/shuffle."""
+    from .dedup import word_shingles
+    c = F.col(col) if isinstance(col, str) else col
+    grams = word_shingles(c, n, distinct=False)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    return F.array_max(counts) / F.size(grams).cast("double")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Canonical-form document fingerprint: lowercase, collapse
     whitespace, strip punctuation, md5. Identical content -> identical

@@ -258,7 +258,71 @@ GROUP BY label ORDER BY label
 """
 
 
+_DIM = 64
+
+
+def emb_gram_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed gram-matrix reduction (operators/embeddings.py
+    gram_stats: per-Arrow-batch numpy X^T X partials, one index-keyed
+    sum, d^2+d+1 doubles collected): report the upper-left 8x8 slice of
+    X^T X plus per-dim sums, rounded to 4 digits (float64 partials drift
+    only in summation order). The oracle recomputes every entry as
+    SUM(e[i]*e[j]) -- a hash match proves the whole mapInPandas
+    reduction path, not just the slice."""
+    from ..operators.embeddings import gram_stats
+    emb = tbl(spark, sf, "embeddings")
+    gram, sums, n = gram_stats(emb, "embedding", dim=_DIM)
+    rows = [(i, j, round(float(gram[i, j]), 4), round(float(sums[i]), 4), n)
+            for i in range(8) for j in range(8)]
+    return (spark.createDataFrame(
+        rows, "i int, j int, g double, s_i double, n long")
+        .orderBy("i", "j"))
+
+
+_EMB_GRAM_SQL = """
+WITH idx AS (SELECT unnest(range(0, 8)) AS k),
+cells AS (SELECT a.k AS i, b.k AS j FROM idx a CROSS JOIN idx b),
+vals AS (
+  SELECT c.i, c.j,
+         SUM(CAST(e.embedding[c.i + 1] AS DOUBLE) * e.embedding[c.j + 1])
+           AS g,
+         SUM(CAST(e.embedding[c.i + 1] AS DOUBLE)) AS s_i,
+         COUNT(*) AS n
+  FROM cells c CROSS JOIN embeddings e GROUP BY c.i, c.j)
+SELECT i, j, round(g, 4) AS g, round(s_i, 4) AS s_i, n
+FROM vals ORDER BY i, j
+"""
+
+
+def emb_pca_trace(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-rank PCA fit over the distributed covariance: the eigenvalue
+    sum must equal the covariance trace, which the oracle computes
+    directly as the sum of per-dimension variances. Cross-checks the
+    centering arithmetic AND the eigendecomposition in one scalar."""
+    from ..operators.embeddings import pca_fit
+    emb = tbl(spark, sf, "embeddings")
+    model = pca_fit(emb, "embedding", dim=_DIM, k=_DIM)
+    return spark.createDataFrame(
+        [(int(model["n"]),
+          round(float(model["explained_variance"].sum()), 4))],
+        "n long, trace double")
+
+
+_EMB_TRACE_SQL = """
+WITH per AS (
+  SELECT unnest(range(0, 64)) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings),
+dims AS (SELECT i, SUM(v) AS s, SUM(v * v) AS sq FROM per GROUP BY i),
+n AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT n.n AS n, round(SUM(sq / n.n - (s / n.n) * (s / n.n)), 4) AS trace
+FROM dims, n GROUP BY n.n
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "emb_gram_slice": QueryDef(emb_gram_slice, _EMB_GRAM_SQL),
+    "emb_pca_trace": QueryDef(emb_pca_trace, _EMB_TRACE_SQL),
     "emb_pipeline_e2e": QueryDef(emb_pipeline_e2e, _EMB_PIPELINE_SQL),
     "ann_ivf_topk": QueryDef(ann_ivf_topk, _ANN_IVF_SQL),
     "ann_cosine_topk": QueryDef(ann_cosine_topk, _ANN_TOPK_SQL),

@@ -159,6 +159,44 @@ FROM r GROUP BY lang ORDER BY lang
 
 
 
+def text_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021): duplicate
+    bigram fraction and top-bigram fraction per language, plus the
+    would-be-filtered count (dup fraction > 0.5). Pure JVM array
+    expressions -- no explode, no shuffle before the final group."""
+    d = (tbl(spark, sf, "documents")
+         .withColumn("dup2", T.dup_ngram_fraction("text", 2))
+         .withColumn("top2", T.top_ngram_fraction("text", 2)))
+    return (d.groupBy("lang").agg(
+        F.round(F.avg("dup2"), 6).alias("avg_dup_bigram"),
+        F.round(F.avg("top2"), 6).alias("avg_top_bigram"),
+        F.count_if(F.col("dup2") > 0.5).alias("n_flagged"))
+        .orderBy("lang"))
+
+
+# DuckDB twin of word_shingles(k=2, distinct=False)
+_SQL_BIGRAMS = (
+    "CASE WHEN len({w}) >= 2 THEN "
+    "list_transform(range(1, len({w})), i -> array_to_string(({w})[i:i+1], ' ')) "
+    "ELSE [trim(text)] END"
+).format(w="regexp_split_to_array(trim(text), '\\s+')")
+
+_TEXT_REP_SQL = f"""
+WITH g AS (SELECT lang, {_SQL_BIGRAMS} AS grams FROM documents),
+m AS (
+  SELECT lang,
+         1 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE) AS dup2,
+         list_max(list_transform(list_distinct(grams),
+                  x -> len(list_filter(grams, y -> y = x))))
+           / CAST(len(grams) AS DOUBLE) AS top2
+  FROM g)
+SELECT lang, round(avg(dup2), 6) AS avg_dup_bigram,
+       round(avg(top2), 6) AS avg_top_bigram,
+       CAST(count_if(dup2 > 0.5) AS BIGINT) AS n_flagged
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
 def text_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end training-data pipeline in one declarative plan:
     quality-filter (C4-style) -> exact near-dup removal by canonical
@@ -219,4 +257,5 @@ QUERIES: dict[str, QueryDef] = {
     "text_lang_id": QueryDef(text_lang_id, _langid_sql()),
     "text_fingerprint_dedup": QueryDef(text_fingerprint_dedup, _TEXT_FP_SQL),
     "text_stopword_punct": QueryDef(text_stopword_punct, _TEXT_SW_SQL),
+    "text_repetition_stats": QueryDef(text_repetition_stats, _TEXT_REP_SQL),
 }
