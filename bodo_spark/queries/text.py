@@ -197,6 +197,48 @@ FROM m GROUP BY lang ORDER BY lang
 """
 
 
+def text_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Real BPE, end-to-end: distributed word-frequency count -> driver
+    merge-table training (deterministic tiebreaks) -> Arrow-batched
+    encode of the full corpus. The encoding itself is not
+    SQL-expressible, so the gate follows the engine-checked-invariant
+    pattern (see agg_sample): exact word/char totals hash-compare for
+    real, and the booleans assert the tokenizer laws -- every doc's
+    tokens concatenate back to its words (lossless), token counts lie
+    in [n_words, n_chars], and the 50 merges strictly compressed."""
+    from ..operators import bpe as B
+    d = tbl(spark, sf, "documents")
+    merges = B.train_bpe(B.word_frequencies(d, "text"), num_merges=50)
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = (d.withColumn("toks", B.bpe_tokens("text", merges))
+         .withColumn("n_words", F.size(words))
+         .withColumn("n_chars", F.length(F.regexp_replace(
+             F.trim(F.lower(F.col("text"))), r"\s+", "")))
+         .withColumn("rt", F.array_join(F.col("toks"), "")
+                     == F.array_join(words, "")))
+    return (t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("sum_words"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.bool_and("rt").alias("roundtrip_ok"),
+        F.bool_and(F.size("toks") <= F.col("n_chars")).alias("le_chars"),
+        F.bool_and(F.size("toks") >= F.col("n_words")).alias("ge_words"),
+        (F.sum(F.size("toks")) < F.sum("n_chars")).alias("compressed"))
+        .orderBy("lang"))
+
+
+_TEXT_BPE_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+            AS BIGINT) AS sum_words,
+       CAST(SUM(len(regexp_replace(trim(lower(text)), '\\s+', '', 'g')))
+            AS BIGINT) AS sum_chars,
+       TRUE AS roundtrip_ok, TRUE AS le_chars, TRUE AS ge_words,
+       TRUE AS compressed
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def text_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end training-data pipeline in one declarative plan:
     quality-filter (C4-style) -> exact near-dup removal by canonical
@@ -258,4 +300,5 @@ QUERIES: dict[str, QueryDef] = {
     "text_fingerprint_dedup": QueryDef(text_fingerprint_dedup, _TEXT_FP_SQL),
     "text_stopword_punct": QueryDef(text_stopword_punct, _TEXT_SW_SQL),
     "text_repetition_stats": QueryDef(text_repetition_stats, _TEXT_REP_SQL),
+    "text_bpe_roundtrip": QueryDef(text_bpe_roundtrip, _TEXT_BPE_SQL),
 }
