@@ -135,15 +135,31 @@ def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
 
 def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
     """Fraction of word n-gram instances taken by the single most
-    frequent gram (Gopher's 'top n-gram fraction'). O(g^2) per doc over
-    the gram array -- still whole-stage codegen, no explode/shuffle."""
+    frequent gram (Gopher's 'top n-gram fraction').
+
+    Max multiplicity = longest equal run in the SORTED gram array, so
+    one O(g) aggregate fold replaces the transform-x-filter O(g^2)
+    formulation -- higher-order lambdas evaluate interpreted, and the
+    quadratic version cost 14.5 s at sf0.1 vs ~1 s for this fold
+    (values identical; the DuckDB oracle keeps the direct
+    count-per-distinct-gram spelling)."""
     from .dedup import word_shingles
     c = F.col(col) if isinstance(col, str) else col
-    grams = word_shingles(c, n, distinct=False)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)))
-    return F.array_max(counts) / F.size(grams).cast("double")
+    grams = F.array_sort(word_shingles(c, n, distinct=False))
+    best = F.aggregate(
+        grams,
+        F.struct(F.lit(chr(0)).alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)))
+            .alias("best")),
+        lambda acc: acc.best)
+    return best / F.size(grams).cast("double")
 
 
 def fingerprint(col: Column | str) -> Column:
