@@ -88,11 +88,19 @@ def word_shingles(col: Column | str, k: int = 3,
     return F.when(F.size(words) >= k, grams).otherwise(F.array(F.trim(c)))
 
 
+def _perm_lane(i: int):
+    """Single-arg lambda factory for transform(): a two-parameter
+    lambda (s, i=i) would be interpreted by PySpark as the
+    (element, INDEX) form and the array index would silently override
+    the bound permutation."""
+    return lambda s: perm_hash(s, i)
+
+
 def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
     """MinHash signature: array of num_perm 60-bit minima.
     Permutation i hashes shingle s as h60(i || '|' || s)."""
     sigs = [
-        F.array_min(F.transform(shingles, lambda s, i=i: perm_hash(s, i)))
+        F.array_min(F.transform(shingles, _perm_lane(i)))
         for i in range(num_perm)
     ]
     return F.array(*sigs)
@@ -107,6 +115,52 @@ def band_signatures(sig: Column, bands: int, rows: int) -> Column:
               for r in range(rows)]))
         for b in range(bands)
     ])
+
+
+def minhash_signature_cols(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """Per-row expression twin of `minhash_signatures`: identical
+    (id, m0..m{n-1}, sh) schema AND values, built as a stateless
+    projection -- no explode, no groupBy, no shuffle. That makes it
+    legal under Structured Streaming (each micro-batch row signs
+    itself), which the aggregate formulation is not.
+
+    Stepwise selects matter: the shingle/hash arrays are
+    multiply-referenced non-cheap expressions, which CollapseProject
+    declines to inline, so each array materializes once per row instead
+    of once per signature lane (the 50x-recompute hazard noted on the
+    batch path)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k, distinct=False).alias("_sha"))
+    if exact_mode():
+        return base.select(
+            "id",
+            *[F.array_min(F.transform("_sha", _perm_lane(i)))
+              .alias(f"m{i}") for i in range(num_perm)],
+            F.array_distinct(F.transform(
+                "_sha", lambda s: perm_hash(s, 0))).alias("sh"))
+    hashed = base.select(
+        "id",
+        F.transform("_sha", lambda s: F.xxhash64(s)).alias("_h1"),
+        F.transform("_sha",
+                    lambda s: F.xxhash64(F.lit(-1), s)).alias("_h2"))
+
+    # same Kirsch-Mitzenmacher family as the batch path: h_i = h1 + i*h2
+    # (factory, not a default-arg lambda -- see _perm_lane)
+    def _km_lane(i: int):
+        return lambda a, b: a + F.lit(i) * b
+
+    return hashed.select(
+        "id",
+        *[F.array_min(F.zip_with("_h1", "_h2", _km_lane(i)))
+          .alias(f"m{i}") for i in range(num_perm)],
+        F.array_distinct(F.col("_h1")).alias("sh"))
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

@@ -254,7 +254,49 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def stream_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming incremental dedup under the gate: the corpus is indexed
+    once (batch minhash_signatures, persisted), the new batch (doc_id<5
+    re-keyed +100000, same construction as dedup_incremental_minhash)
+    arrives as a 2-file stream with max_files_per_trigger=1 -- so the
+    band join, verify join, and pair dedup genuinely run across
+    multiple micro-batches. The per-row signature projection
+    (minhash_signature_cols) is value-identical to the aggregate
+    builder, so this shares dedup_incremental_minhash's oracle
+    verbatim: the streaming engine must emit the exact same verified
+    pairs as the batch path AND the SQL restatement."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators import dedup as D
+    from ..streaming import (read_stream_parquet, run_available_now,
+                             stream_minhash_flags)
+
+    d = tbl(spark, sf, "documents")
+    corpus_sig = (D.minhash_signatures(d)
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+    D._PERSISTED.append(corpus_sig)
+    new = (d.where(F.col("doc_id") < 5)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+           .select("doc_id", "text"))
+    stage = f"/tmp/bodo_spark_stream_{uuid.uuid4().hex[:8]}"
+    new.repartition(2).write.mode("overwrite").parquet(stage)
+    stream = read_stream_parquet(spark, stage, new.schema,
+                                 max_files_per_trigger=1)
+    res = run_available_now(
+        stream_minhash_flags(stream, corpus_sig, threshold=0.5),
+        f"t_sdedup_{uuid.uuid4().hex[:8]}", output_mode="append")
+    shutil.rmtree(stage, ignore_errors=True)
+    return res.orderBy("new_id", "corpus_id")
+
+
+def _incr_oracle() -> str:
+    from .dedup import _DEDUP_INCR_SQL
+    return _DEDUP_INCR_SQL
+
+
 QUERIES: dict[str, QueryDef] = {
+    "stream_incremental_dedup": QueryDef(stream_incremental_dedup,
+                                         _incr_oracle()),
     "stream_stateful_totals": QueryDef(stream_stateful_totals,
                                        _STREAM_STATEFUL_SQL),
     "stream_stream_join": QueryDef(stream_stream_join, _STREAM_SSJOIN_SQL),

@@ -10,6 +10,9 @@ stateful sessionization via applyInPandasWithState) so stream-shaped
 workloads run on the same engine.
 """
 
+from .dedup import (  # noqa: F401
+    stream_minhash_flags,
+)
 from .joins import (  # noqa: F401
     stream_stream_interval_join,
 )

@@ -1,0 +1,67 @@
+"""Streaming incremental dedup: flag documents arriving on a stream
+that are near-duplicates of an already-indexed static corpus -- the
+production ingest shape (index once, dedup every incoming micro-batch)
+run on Structured Streaming instead of batch jobs.
+
+Plan shape (all streaming-legal):
+  stream docs -> per-row MinHash signature (stateless projection,
+  operators/dedup.minhash_signature_cols) -> band explode ->
+  stream-static join against the stored corpus band frame ->
+  stream-static join for the corpus verify sets -> Jaccard filter ->
+  stateful dropDuplicates on the pair key (multi-band repeats).
+The corpus side should be persisted (or a parquet reload) -- it is
+re-evaluated per micro-batch otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+
+__all__ = ["stream_minhash_flags"]
+
+
+def stream_minhash_flags(
+    stream_docs: DataFrame,
+    corpus_sig: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard) pairs, streaming: every stream doc
+    whose true Jaccard against a band-colliding corpus doc clears the
+    threshold. ``corpus_sig`` is a `minhash_signatures` frame built with
+    the same (k, num_perm) -- typically reloaded from parquet.
+
+    Value-identical to the batch `minhash_lsh_pairs_between` over the
+    same inputs: signatures, banding, and verification use the same
+    expressions; only the execution engine differs. The Jaccard filter
+    runs BEFORE the stateful dropDuplicates so pair state holds only
+    true near-dups, not every band collision.
+    """
+    sig = D.minhash_signature_cols(stream_docs, id_col, text_col,
+                                   k, num_perm)
+    band_cols = D._band_sig_cols(num_perm, bands)
+    nb = (sig.select("id", "sh",
+                     F.explode(F.array(*band_cols)).alias("band_sig"))
+          .select(F.col("id").alias("new_id"),
+                  F.col("sh").alias("sh_a"), "band_sig"))
+    cb = (corpus_sig.select(
+        F.col("id").alias("corpus_id"),
+        F.explode(F.array(*band_cols)).alias("band_sig")))
+    sets_b = corpus_sig.select(F.col("id").alias("corpus_id"),
+                               F.col("sh").alias("sh_b"))
+    cand = (nb.join(cb, "band_sig")
+            .join(sets_b, "corpus_id"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")), 6)
+    return (cand.select("new_id", "corpus_id", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .dropDuplicates(["new_id", "corpus_id"]))

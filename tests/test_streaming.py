@@ -195,3 +195,64 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
     # [2h, 8h] except... amt 20 at 9h is outside; k=2@1h matches amt 30;
     # k=3 and k_r=9 match nothing
     assert rows == {(1, 10.0), (2, 30.0)}
+
+
+def test_minhash_signature_cols_matches_aggregate_builder(spark):
+    """Per-row signature projection == aggregate builder, both modes.
+    Regression pin: a two-parameter lambda in F.transform is the
+    (element, index) form -- binding the permutation via a default arg
+    let the array index silently override it (every lane identical to
+    lane-by-position), which zeroed the streaming dedup's band
+    collisions."""
+    import os
+
+    from bodo_spark.operators import dedup as D
+    from bodo_spark.queries._util import tbl
+
+    d = tbl(spark, SF_DIR, "documents").limit(40)
+    for mode in ("1", "0"):
+        prev = os.environ.get("BODO_SPARK_EXACT")
+        os.environ["BODO_SPARK_EXACT"] = mode
+        try:
+            a = D.minhash_signatures(d).orderBy("id").toPandas()
+            b = D.minhash_signature_cols(d).orderBy("id").toPandas()
+        finally:
+            if prev is None:
+                os.environ.pop("BODO_SPARK_EXACT", None)
+            else:
+                os.environ["BODO_SPARK_EXACT"] = prev
+        assert all((a[f"m{i}"] == b[f"m{i}"]).all() for i in range(16))
+        assert (a["sh"].apply(sorted) == b["sh"].apply(sorted)).all()
+        # lanes must differ from each other (the regression collapsed them)
+        assert (a["m0"] != a["m1"]).any()
+
+
+def test_stream_minhash_flags_matches_batch_between(spark, tmp_path_factory):
+    """Streaming incremental dedup emits exactly the batch
+    minhash_lsh_pairs_between pairs over the same inputs, across
+    multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators import dedup as D
+    from bodo_spark.queries._util import tbl
+    from bodo_spark.streaming import (read_stream_parquet,
+                                      run_available_now,
+                                      stream_minhash_flags)
+
+    d = tbl(spark, SF_DIR, "documents")
+    corpus_sig = D.minhash_signatures(d).persist()
+    new = (d.where(F.col("doc_id") < 8)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(50000))
+           .select("doc_id", "text"))
+    batch_pairs = {(r.new_id, r.corpus_id) for r in
+                   D.minhash_lsh_pairs_between(new, corpus_sig).collect()}
+    stage = str(tmp_path_factory.mktemp("sid"))
+    new.repartition(3).write.mode("overwrite").parquet(stage)
+    stream = read_stream_parquet(spark, stage, new.schema,
+                                 max_files_per_trigger=1)
+    got = run_available_now(
+        stream_minhash_flags(stream, corpus_sig),
+        "t_sid_test", output_mode="append")
+    stream_pairs = {(r.new_id, r.corpus_id) for r in got.collect()}
+    assert stream_pairs == batch_pairs and batch_pairs
+    corpus_sig.unpersist()
