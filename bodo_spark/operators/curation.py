@@ -55,9 +55,14 @@ def contaminated_ids(train: DataFrame, bench: DataFrame, *, k: int = 13,
     -> distinct(ids). The corpus is never shuffled -- the only exchange
     carries the contaminated id set, which is small by construction.
     """
-    tg = train.select(F.col(id_col),
-                      F.explode(word_shingles(text_col, k)).alias("gram"))
-    bg = (bench.select(F.explode(word_shingles(text_col, k)).alias("gram"))
+    # distinct=False: the semi join and the distinct below are
+    # duplicate-insensitive, and array_distinct on string arrays is the
+    # O(grams^2)-per-doc cost word_shingles warns about
+    tg = train.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, k, distinct=False)).alias("gram"))
+    bg = (bench.select(F.explode(word_shingles(text_col, k, distinct=False))
+                       .alias("gram"))
           .distinct())
     return (tg.join(F.broadcast(bg), "gram", "left_semi")
             .select(id_col).distinct())

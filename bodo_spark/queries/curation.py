@@ -248,7 +248,116 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# the whole curation pipeline in ONE declarative plan
+
+def cur_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus curation as one Catalyst plan: C4-style quality
+    filter -> benchmark decontamination (5-gram overlap vs the held-out
+    slice) -> exact fingerprint dedup (keep lowest id) -> deterministic
+    4:2:1:1 domain mix -> pack survivors into 256-token chunks. The
+    single output row pins the corpus size, chunk map, token total, AND
+    an id checksum -- so the oracle proves exactly WHICH documents
+    survive the full five-stage pipeline, not just how many."""
+    from pyspark.sql import Window as W
+
+    from ..operators import text as T
+    d = tbl(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 19 == 0)
+    train = (d.where(F.col("doc_id") % 19 != 0)
+             .where(T.quality_score("text") >= 0.66))
+    clean = C.decontaminate(train, bench, k=5)
+    w = W.partitionBy("fp").orderBy("doc_id")
+    deduped = (clean.withColumn("fp", T.fingerprint("text"))
+               .withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1))
+    mixed = C.domain_mix_sample(deduped, _MIX, domain_col="source",
+                                id_col="doc_id")
+    toks = (mixed.withColumn("n_tokens", T.token_count("text"))
+            .select("doc_id", "n_tokens"))
+    packed = C.pack_chunks(toks, _CAP, id_col="doc_id",
+                           tokens_col="n_tokens")
+    return (packed.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("chunk_id").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_assignments"),
+        F.sum(F.when(F.col("chunk_id") == 0, F.col("n_tokens"))
+              .otherwise(0)).cast("bigint").alias("chunk0_tokens"),
+        F.sum_distinct(F.col("doc_id")).cast("bigint").alias("id_sum")))
+
+
+_PIPE_NTOK = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_PIPE_Q = f"""
+((CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1 ELSE 0 END
+  + CASE WHEN CAST(length(text) AS DOUBLE) / greatest({_PIPE_NTOK}, 1) >= 3.0
+          AND CAST(length(text) AS DOUBLE) / greatest({_PIPE_NTOK}, 1) <= 12.0
+         THEN 1 ELSE 0 END
+  + CASE WHEN CAST(length(text) - length(regexp_replace(text,
+              '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) <= 0.1
+         THEN 1 ELSE 0 END)) / 3.0
+"""
+
+
+def _pipeline_sql() -> str:
+    wvals = ", ".join(f"('{d}', {w})" for d, w in sorted(_MIX.items()))
+    return f"""
+WITH grams AS (
+  SELECT doc_id, source, text, {_sql_shingles(5)} AS sh FROM documents),
+bench AS (
+  SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM grams
+                          WHERE doc_id % 19 = 0) t),
+train AS (
+  SELECT doc_id, source, text, sh FROM grams
+  WHERE doc_id % 19 <> 0 AND {_PIPE_Q} >= 0.66),
+bad AS (
+  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(sh) AS g FROM train) t
+  WHERE g IN (SELECT g FROM bench)),
+clean AS (SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+dedup AS (
+  SELECT doc_id, source, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM clean
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+w(source, wt) AS (VALUES {wvals}),
+counts AS (
+  SELECT d.source, COUNT(*) AS n, ANY_VALUE(wt) AS wt
+  FROM dedup d JOIN w ON d.source = w.source GROUP BY d.source),
+budget AS (SELECT MIN(n / wt) AS b FROM counts),
+frac AS (
+  SELECT source, LEAST(b * wt / n, 1.0) AS keep_frac
+  FROM counts CROSS JOIN budget),
+mixed AS (
+  SELECT d.doc_id, {_PIPE_NTOK} AS n_tokens
+  FROM dedup d JOIN frac f ON d.source = f.source
+  WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)
+        / 4294967296.0 < keep_frac),
+offs AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM mixed),
+spans AS (
+  SELECT doc_id, n_tokens, CAST(off // {_CAP} AS BIGINT) AS first_c,
+         CAST((off + greatest(n_tokens, 1) - 1) // {_CAP} AS BIGINT) AS last_c
+  FROM offs),
+assign AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(first_c, last_c)) AS chunk_id
+  FROM spans)
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+       COUNT(*) AS n_assignments,
+       CAST(SUM(CASE WHEN chunk_id = 0 THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS chunk0_tokens,
+       CAST(SUM(DISTINCT doc_id) AS BIGINT) AS id_sum
+FROM assign
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_pipeline_e2e": QueryDef(cur_pipeline_e2e, _pipeline_sql()),
     "cur_shuffle_shards": QueryDef(cur_shuffle_shards, _SHARDS_SQL),
     "cur_decontaminate": QueryDef(cur_decontaminate, _DECON_SQL),
     "cur_pack_chunks": QueryDef(cur_pack_chunks, _PACK_SQL),

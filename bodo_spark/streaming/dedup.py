@@ -45,6 +45,15 @@ def stream_minhash_flags(
     runs BEFORE the stateful dropDuplicates so pair state holds only
     true near-dups, not every band collision.
     """
+    # the corpus frame feeds TWO static branches (bands + verify sets)
+    # and is re-evaluated once per micro-batch on top of that; persist
+    # unless the caller already has (same discipline as the batch
+    # minhash_lsh_pairs_between)
+    sl = corpus_sig.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        from pyspark.storagelevel import StorageLevel
+        corpus_sig = corpus_sig.persist(StorageLevel.MEMORY_AND_DISK)
+        D._PERSISTED.append(corpus_sig)
     sig = D.minhash_signature_cols(stream_docs, id_col, text_col,
                                    k, num_perm)
     band_cols = D._band_sig_cols(num_perm, bands)
