@@ -156,3 +156,49 @@ def bpe_tokens(col: Column | str, merges: list[tuple[str, str]], *,
     """Column expression: BPE tokens of a text column."""
     c = F.col(col) if isinstance(col, str) else col
     return bpe_encode_udf(merges, lowercase=lowercase)(c)
+
+
+def bpe_vocab(word_freqs: list[tuple[str, int]],
+              merges: list[tuple[str, str]]) -> dict[str, int]:
+    """token string -> id table: base characters (sorted) first, then
+    merged tokens in merge order -- the id layout real BPE vocabs use,
+    deterministic given the same training inputs."""
+    chars = sorted({ch for w, _ in word_freqs for ch in w})
+    vocab = {ch: i for i, ch in enumerate(chars)}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_tokenizer_factory(merges: list[tuple[str, str]],
+                          vocab: dict[str, int], *,
+                          lowercase: bool = True):
+    """Factory for operators/ai.py `tokenize(tokenizer_factory=...)`:
+    returns a zero-arg callable producing text -> list[int] encoders --
+    the same per-partition contract an external tokenizers library
+    satisfies, fulfilled by the in-repo trainer. Out-of-vocabulary
+    tokens map to stable negative ids (hash-derived) rather than
+    failing, so encoding is total."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def factory():
+        memo: dict[str, list[int]] = {}
+
+        def encode(text: str) -> list[int]:
+            ids: list[int] = []
+            t = text.lower() if lowercase else text
+            for w in t.split():
+                got = memo.get(w)
+                if got is None:
+                    import hashlib
+                    got = memo[w] = [
+                        vocab.get(tok, -1 - int.from_bytes(
+                            hashlib.md5(tok.encode()).digest()[:4],
+                            "big") % (1 << 30))
+                        for tok in _encode_word(w, ranks)]
+                ids.extend(got)
+            return ids
+
+        return encode
+
+    return factory

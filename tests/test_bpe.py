@@ -65,3 +65,38 @@ def test_word_frequencies_cap_and_order(spark):
         [("b b b a a c",)], "text string")
     wf = B.word_frequencies(df, "text", max_words=2)
     assert wf == [("b", 3), ("a", 2)]
+
+
+def test_bpe_factory_plugs_into_ai_tokenize(spark):
+    """The in-repo BPE fulfills ai.tokenize's tokenizer_factory contract
+    (the seam an external tokenizers library would use)."""
+    from bodo_spark.operators.ai import tokenize
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the the the")], "doc_id bigint, text string")
+    wf = B.word_frequencies(df, "text")
+    merges = B.train_bpe(wf, num_merges=8)
+    vocab = B.bpe_vocab(wf, merges)
+    out = {r.doc_id: r.tokens for r in
+           tokenize(df, tokenizer_factory=B.bpe_tokenizer_factory(
+               merges, vocab)).collect()}
+    # 'the' is frequent -> fully merged -> one in-vocab id, repeated
+    assert out[1] == [vocab["the"]] * 3
+    # every id is deterministic and in-vocab for trained words
+    assert all(i >= 0 for i in out[0])
+    out2 = {r.doc_id: r.tokens for r in
+            tokenize(df, tokenizer_factory=B.bpe_tokenizer_factory(
+                merges, vocab)).collect()}
+    assert out == out2
+
+
+def test_bpe_vocab_layout_and_oov():
+    wf = [("ab", 2)]
+    merges = B.train_bpe(wf, num_merges=1)
+    vocab = B.bpe_vocab(wf, merges)
+    assert vocab == {"a": 0, "b": 1, "ab": 2}
+    enc = B.bpe_tokenizer_factory(merges, vocab)()
+    assert enc("ab ab") == [2, 2]
+    # OOV chars get stable negative ids, never raise
+    oov = enc("zz")
+    assert oov == enc("zz") and all(i < 0 for i in oov)
