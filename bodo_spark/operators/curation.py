@@ -38,7 +38,8 @@ from .dedup import word_shingles
 
 __all__ = [
     "contaminated_ids", "decontaminate", "global_offsets", "pack_chunks",
-    "domain_mix_sample", "redact_pii", "shuffle_shards", "u01_hash",
+    "domain_mix_sample", "leakage_free_split", "redact_pii",
+    "shuffle_shards", "u01_hash",
 ]
 
 
@@ -184,6 +185,38 @@ def domain_mix_sample(df: DataFrame, weights: dict[str, float], *,
     return (df.join(F.broadcast(frac), domain_col)
             .where(u01_hash(id_col) < F.col("_keep_frac"))
             .drop("_keep_frac"))
+
+
+def leakage_free_split(df: DataFrame, pairs: DataFrame, *,
+                       id_col: str = "doc_id",
+                       splits: list[tuple[str, float]] | None = None,
+                       out_col: str = "split") -> DataFrame:
+    """Train/val/test split that near-duplicates cannot straddle.
+
+    Splitting by a per-document hash leaks training data into eval sets
+    whenever near-dups exist (the classic benchmark-contamination-by-
+    split bug); here the split key is the document's near-dup CLUSTER
+    (connected components over the pair list, min-id label; singletons
+    key on their own id), so an entire duplicate cluster lands in one
+    split. The assignment hash is the deterministic id hash -- stable
+    across runs, retries, and engines.
+    """
+    from .dedup import connected_components
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    out = df.join(comp, id_col, "left")
+    grp = F.coalesce(F.col("comp"), F.col(id_col))
+    u = u01_hash(grp)
+    total = sum(w for _, w in splits)
+    expr, acc = None, 0.0
+    for name, w in splits[:-1]:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    expr = (expr.otherwise(splits[-1][0]) if expr is not None
+            else F.lit(splits[-1][0]))
+    return out.withColumn(out_col, expr).drop("comp")
 
 
 def shuffle_shards(df: DataFrame, shard_size: int, *,

@@ -204,6 +204,57 @@ GROUP BY source ORDER BY source
 
 
 
+def dedup_leakage_free_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free train/val/test split: near-dup CLUSTERS (connected
+    components over the MinHash pair list) are the split unit, so no
+    near-duplicate pair can straddle train and eval. Counts + id-sum
+    checksums per split; the oracle re-derives components with the
+    recursive CTE and applies the identical cluster-hash thresholds, so
+    a hash match proves exact membership of every doc in every split."""
+    from ..operators import curation as C
+    d = tbl(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(d, num_perm=16, bands=8, threshold=0.5)
+    out = C.leakage_free_split(d, pairs)
+    return (out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"))
+        .orderBy("split"))
+
+
+def _leakage_split_sql() -> str:
+    # thresholds computed with the SAME Python float arithmetic the
+    # operator uses, embedded at full repr so both engines compare
+    # identical doubles
+    acc, cuts = 0.0, []
+    for w in (0.8, 0.1):
+        acc += w / 1.0
+        cuts.append(repr(acc))
+    u = ("CAST(((grp % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)"
+         " / 4294967296.0")
+    return f"""
+WITH RECURSIVE {_PAIRS_CTE.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u),
+lbl AS (SELECT u, MIN(comp) AS comp FROM reach GROUP BY u),
+base AS (
+  SELECT doc_id, COALESCE(l.comp, doc_id) AS grp
+  FROM documents LEFT JOIN lbl l ON doc_id = l.u),
+assigned AS (
+  SELECT doc_id,
+         CASE WHEN {u} < {cuts[0]} THEN 'train'
+              WHEN {u} < {cuts[1]} THEN 'val'
+              ELSE 'test' END AS split
+  FROM base)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 def dedup_cc_star_chains(spark: SparkSession, sf: str) -> DataFrame:
     """connected_components_star on DEEP CHAINS -- the graph shape the
     O(log n) large-star/small-star algorithm exists for (min-label
@@ -412,6 +463,8 @@ QUERIES: dict[str, QueryDef] = {
                                       _DEDUP_INCR_SQL),
     "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, _sql_simhash_pairs(16)),
     "dedup_resolve_survivors": QueryDef(dedup_resolve_survivors, _DEDUP_RESOLVE_SQL),
+    "dedup_leakage_free_split": QueryDef(dedup_leakage_free_split,
+                                         _leakage_split_sql()),
     "dedup_cc_star_chains": QueryDef(dedup_cc_star_chains, _DEDUP_CC_STAR_SQL),
     "dedup_exact_subset": QueryDef(dedup_exact_subset, _DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, _DEDUP_MINHASH_SQL),

@@ -152,3 +152,30 @@ def test_pack_chunks_every_chunk_nonempty_on_corpus(spark):
               .select("chunk_id").distinct())
     mx, n = chunks.agg(F.max("chunk_id"), F.count("*")).collect()[0]
     assert n == mx + 1
+
+
+def test_leakage_free_split_clusters_never_straddle(spark):
+    # pairs chain 1-2-3 into one cluster; 4,5 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 6)], "doc_id bigint")
+    out = C.leakage_free_split(docs, pairs)
+    splits = {r.doc_id: r.split for r in out.collect()}
+    assert splits[1] == splits[2] == splits[3]
+    assert set(splits.values()) <= {"train", "val", "test"}
+    # deterministic across runs and input partitioning
+    again = {r.doc_id: r.split for r in
+             C.leakage_free_split(docs.repartition(3), pairs).collect()}
+    assert splits == again
+
+
+def test_leakage_free_split_respects_weights(spark):
+    docs = spark.range(1, 5001).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = C.leakage_free_split(docs, pairs)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] - 4000) < 200
+    assert abs(counts.get("val", 0) - 500) < 120
+    assert abs(counts.get("test", 0) - 500) < 120
