@@ -319,11 +319,19 @@ def minhash_lsh_pairs_between(
     corpus contributes a band-keyed join against its stored signatures,
     and the candidate set is new x corpus band collisions only -- never
     corpus x corpus. The band join's corpus side prunes to colliding
-    band values; a small batch broadcast-joins under AQE."""
-    new_sig = minhash_signatures(new_df, id_col, text_col, k, num_perm)
+    band values; a small batch broadcast-joins under AQE.
+
+    Plan order (adopted from the streaming twin after a 3-scale A/B):
+    the batch signs itself per-row (minhash_signature_cols -- no
+    groupBy), its verify set rides the band explode (cheap: batch-side
+    only), the corpus sets join onto raw band collisions, and the
+    Jaccard filter runs BEFORE dropDuplicates -- so the pair-dedup
+    shuffle carries only true near-dups, never the full collision set.
+    On replica-heavy corpora collisions >> verified pairs and the old
+    dedup-candidates-first order paid for it: 10.6 -> 3.4 s at 100x,
+    28.2 -> 7.6 s at 1000x, tie at sf0.1, identical pairs at all
+    three."""
     from pyspark.storagelevel import StorageLevel
-    new_sig = new_sig.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(new_sig)
     # corpus_sig feeds TWO plan branches (band explode + verify join);
     # an unpersisted in-memory signature frame would recompute the full
     # corpus shingle-hash groupBy twice -- the exact blowup this function
@@ -334,26 +342,24 @@ def minhash_lsh_pairs_between(
     if not (sl.useMemory or sl.useDisk):
         corpus_sig = corpus_sig.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSISTED.append(corpus_sig)
+    new_sig = minhash_signature_cols(new_df, id_col, text_col, k, num_perm)
     band_cols = _band_sig_cols(num_perm, bands)
-    nb = (new_sig.select("id", F.explode(F.array(*band_cols))
-                 .alias("band_sig"))
-          .select(F.col("id").alias("new_id"), "band_sig"))
+    nb = (new_sig.select("id", "sh",
+                         F.explode(F.array(*band_cols)).alias("band_sig"))
+          .select(F.col("id").alias("new_id"),
+                  F.col("sh").alias("sh_a"), "band_sig"))
     cb = (corpus_sig.select("id", F.explode(F.array(*band_cols))
                     .alias("band_sig"))
           .select(F.col("id").alias("corpus_id"), "band_sig"))
-    cand = (nb.join(cb, "band_sig")
-            .select("new_id", "corpus_id")
-            .dropDuplicates(["new_id", "corpus_id"]))
-    cand = (cand
-            .join(new_sig.select(F.col("id").alias("new_id"),
-                                 F.col("sh").alias("sh_a")), "new_id")
-            .join(corpus_sig.select(F.col("id").alias("corpus_id"),
-                                    F.col("sh").alias("sh_b")), "corpus_id"))
+    sets_b = corpus_sig.select(F.col("id").alias("corpus_id"),
+                               F.col("sh").alias("sh_b"))
+    cand = nb.join(cb, "band_sig").join(sets_b, "corpus_id")
     jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
            / F.size(F.array_union("sh_a", "sh_b")))
     return (cand.select("new_id", "corpus_id",
                         F.round(jac, 6).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+            .where(F.col("jaccard") >= threshold)
+            .dropDuplicates(["new_id", "corpus_id"]))
 
 
 def _union_find_labels(rows) -> "pd.DataFrame":
