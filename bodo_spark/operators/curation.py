@@ -161,21 +161,29 @@ def u01_hash(id_col: Column | str) -> Column:
 
 def domain_mix_sample(df: DataFrame, weights: dict[str, float], *,
                       domain_col: str = "source",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      size_col: str | None = None) -> DataFrame:
     """Deterministic sample hitting target domain proportions.
 
     Given target mix ``weights`` (relative, need not sum to 1), the
-    achievable budget is ``B = min_d(count_d / w_d)`` -- the largest
+    achievable budget is ``B = min_d(mass_d / w_d)`` -- the largest
     total for which no domain runs out -- and each domain keeps
-    ``B * w_d / count_d`` of its docs, chosen by the id hash (so the
+    ``B * w_d / mass_d`` of its docs, chosen by the id hash (so the
     same corpus always yields the same sample). Domains absent from
     ``weights`` are dropped. Counts are one small aggregate
     (one row per domain), broadcast back onto the corpus scan.
+
+    ``size_col=None`` mixes by document count; naming a column (e.g. a
+    token count) mixes by that mass instead -- the production recipe
+    weighs domains in TOKENS, and uniform id-hash sampling inside a
+    domain hits the token budget in expectation.
     """
+    mass = F.count(F.lit(1)) if size_col is None \
+        else F.sum(size_col).cast("double")
     wdf = df.sparkSession.createDataFrame(
         [(d, float(w)) for d, w in sorted(weights.items())],
         f"{domain_col} string, _w double")
-    counts = (df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = (df.groupBy(domain_col).agg(mass.alias("_n"))
               .join(F.broadcast(wdf), domain_col))
     budget = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_budget"))
     frac = (counts.crossJoin(F.broadcast(budget))

@@ -158,6 +158,47 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def cur_domain_mix_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-weighted domain mixing (the production recipe: budgets in
+    TOKENS, not documents): 4:2:1:1 over four sources with per-domain
+    mass = whitespace token count. Per-source kept counts, kept-token
+    totals and id checksums."""
+    from ..operators import text as T
+    d = (tbl(spark, sf, "documents")
+         .withColumn("n_tokens", T.token_count("text")))
+    out = C.domain_mix_sample(d, _MIX, domain_col="source",
+                              id_col="doc_id", size_col="n_tokens")
+    return (out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"))
+        .orderBy("source"))
+
+
+def _mix_tokens_sql() -> str:
+    wvals = ", ".join(f"('{d}', {w})" for d, w in sorted(_MIX.items()))
+    ntok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    return f"""
+WITH t AS (SELECT doc_id, source, {ntok} AS n_tokens FROM documents),
+w(source, wt) AS (VALUES {wvals}),
+counts AS (
+  SELECT t.source, CAST(SUM(n_tokens) AS DOUBLE) AS n,
+         ANY_VALUE(wt) AS wt
+  FROM t JOIN w ON t.source = w.source GROUP BY t.source),
+budget AS (SELECT MIN(n / wt) AS b FROM counts),
+frac AS (
+  SELECT source, LEAST(b * wt / n, 1.0) AS keep_frac
+  FROM counts CROSS JOIN budget)
+SELECT t.source, COUNT(*) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM t JOIN frac f ON t.source = f.source
+WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)
+      / 4294967296.0 < keep_frac
+GROUP BY t.source ORDER BY t.source
+"""
+
+
 # --------------------------------------------------------------------------
 # PII redaction: synthesize deterministic PII around the real text, then
 # verify the redaction kernel end-to-end (counts AND redacted-text hash)
@@ -358,6 +399,8 @@ FROM assign
 
 QUERIES: dict[str, QueryDef] = {
     "cur_pipeline_e2e": QueryDef(cur_pipeline_e2e, _pipeline_sql()),
+    "cur_domain_mix_tokens": QueryDef(cur_domain_mix_tokens,
+                                      _mix_tokens_sql()),
     "cur_shuffle_shards": QueryDef(cur_shuffle_shards, _SHARDS_SQL),
     "cur_decontaminate": QueryDef(cur_decontaminate, _DECON_SQL),
     "cur_pack_chunks": QueryDef(cur_pack_chunks, _PACK_SQL),

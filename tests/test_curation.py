@@ -179,3 +179,19 @@ def test_leakage_free_split_respects_weights(spark):
     assert abs(counts["train"] - 4000) < 200
     assert abs(counts.get("val", 0) - 500) < 120
     assert abs(counts.get("test", 0) - 500) < 120
+
+
+def test_domain_mix_token_weighted_budget(spark):
+    # domain a: 100 docs x 10 tokens = 1000; b: 100 docs x 30 = 3000.
+    # equal weights -> budget 1000 tokens/domain: keep all of a,
+    # ~1/3 of b (by expectation)
+    rows = ([(i, "a", 10) for i in range(100)]
+            + [(1000 + i, "b", 30) for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n bigint")
+    out = C.domain_mix_sample(df, {"a": 1.0, "b": 1.0},
+                              domain_col="source", id_col="doc_id",
+                              size_col="n")
+    kept = {r.source: r.cnt for r in
+            out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert kept["a"] == 100
+    assert 15 <= kept["b"] <= 50  # ~33 expected, hash-sampler slack
