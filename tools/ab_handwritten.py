@@ -69,6 +69,38 @@ def hand_q3(spark, sf):
             .limit(10))
 
 
+def hand_q5(spark, sf):
+    region = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = _t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(nation, supp.s_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(disc).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+def hand_q13(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
 def hand_q9(spark, sf):
     part = _t(spark, sf, "part").where(F.col("p_name").contains("widget"))
     supp = _t(spark, sf, "supplier")
@@ -133,6 +165,8 @@ def hand_q21(spark, sf):
 
 
 HAND = {"q1_pricing_summary": hand_q1, "q3_shipping_priority": hand_q3,
+        "q5_local_supplier_volume": hand_q5,
+        "q13_customer_distribution": hand_q13,
         "q9_profit_by_nation_year": hand_q9,
         "q18_large_volume_customer": hand_q18,
         "q21_suppliers_kept_waiting": hand_q21}
