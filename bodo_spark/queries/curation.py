@@ -158,6 +158,73 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def cur_decontaminate_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training docs near-duplicate
+    (MinHash Jaccard >= 0.5) to any held-out benchmark doc -- catches
+    paraphrased/lightly-edited leaks that exact n-gram overlap misses
+    (the second decontamination tier of Llama-style protocols).
+    Composition of existing machinery at the right asymmetry: the
+    BENCHMARK is the small 'batch' side of minhash_lsh_pairs_between, so
+    work ∝ benchmark + band collisions, and the training corpus is only
+    band-joined, never self-paired."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators import dedup as D
+    d = tbl(spark, sf, "documents")
+    train = d.where(F.col("doc_id") % 19 != 0)
+    bench = d.where(F.col("doc_id") % 19 == 0)
+    train_sig = (D.minhash_signatures(train)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    D._PERSISTED.append(train_sig)
+    pairs = D.minhash_lsh_pairs_between(bench, train_sig, threshold=0.5)
+    flagged = pairs.select(F.col("corpus_id").alias("doc_id")).distinct()
+    tot = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
+    hit = (train.join(flagged, "doc_id")
+           .groupBy("source").agg(F.count(F.lit(1)).alias("n_flagged"),
+                                  F.sum("doc_id").cast("bigint")
+                                  .alias("flagged_id_sum")))
+    return (tot.join(hit, "source", "left")
+            .select("source", "n_train",
+                    F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+                    F.coalesce("flagged_id_sum", F.lit(0))
+                    .alias("flagged_id_sum"))
+            .orderBy("source"))
+
+
+def _decon_fuzzy_sql() -> str:
+    from .dedup import _SQL_SHINGLES, _sql_bands, _sql_h60, _sql_minhash
+    h0 = _sql_h60("concat('0|', s)")
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, source, {_SQL_SHINGLES} AS sh FROM documents),
+hs AS (
+  SELECT id, list_distinct(list_transform(sh, s -> {h0})) AS hs FROM docs),
+sigs AS (SELECT id, {_sql_minhash(16)} AS sig FROM docs),
+bands AS (SELECT id, unnest({_sql_bands(8, 2)}) AS band_sig FROM sigs),
+cand AS (
+  SELECT DISTINCT b.id AS bench_id, t.id AS train_id
+  FROM bands b JOIN bands t ON b.band_sig = t.band_sig
+  WHERE b.id % 19 = 0 AND t.id % 19 <> 0),
+verified AS (
+  SELECT DISTINCT train_id FROM cand
+  JOIN hs ha ON cand.bench_id = ha.id
+  JOIN hs hb ON cand.train_id = hb.id
+  WHERE round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+        / len(list_distinct(list_concat(ha.hs, hb.hs))), 6) >= 0.5),
+tot AS (
+  SELECT source, COUNT(*) AS n_train FROM documents
+  WHERE doc_id % 19 <> 0 GROUP BY source),
+hit AS (
+  SELECT source, COUNT(*) AS n_flagged,
+         CAST(SUM(doc_id) AS BIGINT) AS flagged_id_sum
+  FROM documents JOIN verified ON doc_id = train_id GROUP BY source)
+SELECT t.source, t.n_train, COALESCE(h.n_flagged, 0) AS n_flagged,
+       COALESCE(h.flagged_id_sum, 0) AS flagged_id_sum
+FROM tot t LEFT JOIN hit h ON t.source = h.source
+ORDER BY t.source
+"""
+
+
 def cur_domain_mix_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Token-weighted domain mixing (the production recipe: budgets in
     TOKENS, not documents): 4:2:1:1 over four sources with per-domain
@@ -401,6 +468,8 @@ QUERIES: dict[str, QueryDef] = {
     "cur_pipeline_e2e": QueryDef(cur_pipeline_e2e, _pipeline_sql()),
     "cur_domain_mix_tokens": QueryDef(cur_domain_mix_tokens,
                                       _mix_tokens_sql()),
+    "cur_decontaminate_fuzzy": QueryDef(cur_decontaminate_fuzzy,
+                                        _decon_fuzzy_sql()),
     "cur_shuffle_shards": QueryDef(cur_shuffle_shards, _SHARDS_SQL),
     "cur_decontaminate": QueryDef(cur_decontaminate, _DECON_SQL),
     "cur_pack_chunks": QueryDef(cur_pack_chunks, _PACK_SQL),
