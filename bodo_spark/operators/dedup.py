@@ -468,6 +468,7 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
               .select("u", F.col("u").alias("comp"))
               .persist(StorageLevel.MEMORY_AND_DISK))
     cached = labels  # the live persisted/checkpointed handle
+    changed = 0
     for it in range(max_iter):
         # candidate label per node: min over own label and neighbors'.
         # The change flag rides the SAME persisted frame, so the
@@ -493,6 +494,32 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
             cached.unpersist()
             cached = chk
             labels = chk
+    if changed != 0:
+        # max_iter rounds without a fixpoint: the graph's diameter
+        # exceeds the round budget (min-label needs diameter rounds; a
+        # deep chain needs thousands). Returning the partial labels
+        # would be SILENTLY WRONG -- a 495k-node 64-chain probe returned
+        # 109k components instead of 7.8k before this guard. Finish on
+        # the CONTRACTED graph (one node per current label, far smaller
+        # and shallower) with the O(log n) star rounds; composing the
+        # meta-labels preserves min-label semantics because current
+        # labels are already per-subtree minima.
+        meta_edges = (edges
+                      .join(labels.withColumnRenamed("comp", "cu"), "u")
+                      .join(labels.select(F.col("u").alias("v"),
+                                          F.col("comp").alias("cv")), "v")
+                      .where(F.col("cu") != F.col("cv"))
+                      .select("cu", "cv").distinct())
+        meta = connected_components_star(meta_edges, "cu", "cv")
+        labels = (labels
+                  .join(meta.select(F.col("id").alias("comp"),
+                                    F.col("comp").alias("meta_comp")),
+                        "comp", "left")
+                  .select("u", F.coalesce("meta_comp", "comp")
+                          .alias("comp")))
+        cached2 = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(cached2)
+        labels = cached2
     edges.unpersist()
     # hand the LIVE cache handle to the release hook (the returned
     # projection reads through it); callers free via unpersist_cached()

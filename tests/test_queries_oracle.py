@@ -245,3 +245,22 @@ def test_connected_components_star_matches_propagation(spark):
            connected_components_star(chain, max_iter=10).collect()}
     assert all(stc[i] == 1 for i in range(1, n + 1))
     unpersist_cached()
+
+
+def test_connected_components_deep_chain_beyond_round_budget(spark):
+    """Diameter > max_iter must still converge (regression: a 64-chain
+    graph at 495k nodes returned 109k components instead of 7.8k when
+    the min-label loop hit its round cap and silently stopped; the
+    unconverged loop now finishes via star rounds on the contracted
+    graph)."""
+    import pandas as pd
+
+    from bodo_spark.operators.dedup import (connected_components,
+                                            unpersist_cached)
+    n = 120  # one chain, diameter 119
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": list(range(1, n)), "id_b": list(range(2, n + 1))}))
+    out = connected_components(pairs, max_iter=8, small_graph_edges=0)
+    comp = {r.id: r.comp for r in out.collect()}
+    assert all(comp[i] == 1 for i in range(1, n + 1))
+    unpersist_cached()
