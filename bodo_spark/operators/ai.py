@@ -47,7 +47,9 @@ def tokenize(df: DataFrame, text_col: str = "text",
     """
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema.fields)
-    schema += f", {out_col} array<int>"
+    # bigint ids: external tokenizers (and the BPE factory's 2^62 OOV
+    # space) may exceed int32; the fallback's 31-bit ids fit either way
+    schema += f", {out_col} array<bigint>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if tokenizer_factory is not None:
@@ -62,8 +64,12 @@ def tokenize(df: DataFrame, text_col: str = "text",
             pdf[out_col] = pdf[text_col].map(encode)
             yield pdf
 
-    # row-proportional Python stage: don't inherit a 1-file scan's width
-    return ensure_scan_width(df).mapInPandas(run, schema)
+    # row-proportional Python stage: don't inherit a 1-file scan's width.
+    # External tokenizer_factory may be latency-bound (a remote service):
+    # skip the byte cap so width = concurrency, as in embed/llm_generate.
+    return ensure_scan_width(
+        df, bytes_per_partition=None if tokenizer_factory else 1 << 20
+    ).mapInPandas(run, schema)
 
 
 def embed(df: DataFrame, text_col: str = "text", dim: int = 32,
@@ -97,8 +103,13 @@ def embed(df: DataFrame, text_col: str = "text", dim: int = 32,
             pdf[out_col] = embed_batch(pdf[text_col].tolist())
             yield pdf
 
-    # row-proportional Python stage: don't inherit a 1-file scan's width
-    return ensure_scan_width(df).mapInPandas(run, schema)
+    # row-proportional Python stage: don't inherit a 1-file scan's width.
+    # With an external embed_factory the per-row cost is request latency,
+    # not bytes -- width IS the API concurrency, so skip the byte cap
+    # (mirrors llm_generate); the cap only applies to the local fallback.
+    return ensure_scan_width(
+        df, bytes_per_partition=None if embed_factory else 1 << 20
+    ).mapInPandas(run, schema)
 
 
 def openai_client_factory(base_url: str, model: str = "default",

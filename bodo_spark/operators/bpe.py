@@ -180,6 +180,7 @@ def bpe_tokenizer_factory(merges: list[tuple[str, str]],
     tokens map to stable negative ids (hash-derived) rather than
     failing, so encoding is total."""
     ranks = {p: i for i, p in enumerate(merges)}
+    _MEMO_CAP = 1 << 20  # bound per-encoder word cache on hot partitions
 
     def factory():
         memo: dict[str, list[int]] = {}
@@ -191,11 +192,18 @@ def bpe_tokenizer_factory(merges: list[tuple[str, str]],
                 got = memo.get(w)
                 if got is None:
                     import hashlib
-                    got = memo[w] = [
+                    # 8 hash bytes into a 2^62 id space: OOV collisions
+                    # negligible past millions of distinct OOVs (a 2^30
+                    # space collided noticeably beyond ~30k); ids ride
+                    # tokenize()'s array<bigint> schema
+                    got = [
                         vocab.get(tok, -1 - int.from_bytes(
-                            hashlib.md5(tok.encode()).digest()[:4],
-                            "big") % (1 << 30))
+                            hashlib.md5(tok.encode()).digest()[:8],
+                            "big") % (1 << 62))
                         for tok in _encode_word(w, ranks)]
+                    if len(memo) >= _MEMO_CAP:  # high-cardinality corpus:
+                        memo.clear()            # drop, don't grow unbounded
+                    memo[w] = got
                 ids.extend(got)
             return ids
 

@@ -31,9 +31,11 @@ here is designed Spark-first:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import dedup as _dedup
 from .dedup import word_shingles
 
 __all__ = [
@@ -102,8 +104,19 @@ def global_offsets(df: DataFrame, *, order_col: str | list[str],
     """
     order_cols = [order_col] if isinstance(order_col, str) else order_col
     npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # The window branch and the totals branch both read `part`; without a
+    # persist, column pruning can make their exchange subtrees canonically
+    # different (whenever df carries columns beyond order+val), defeating
+    # ReuseExchange -- and each repartitionByRange would re-sample range
+    # boundaries independently, so the SAME row could land in different
+    # _pid values across branches: silently wrong offsets. Persisting pins
+    # one materialization of the partitioning for both branches (the same
+    # discipline as dedup's signature frames; released by
+    # dedup.unpersist_cached()).
     part = (df.repartitionByRange(npart, *order_cols)
-            .withColumn("_pid", F.spark_partition_id()))
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    _dedup._PERSISTED.append(part)
     w_local = (Window.partitionBy("_pid").orderBy(*order_cols)
                .rowsBetween(Window.unboundedPreceding, -1))
     val = F.lit(1) if val_col is None else F.col(val_col)
@@ -260,7 +273,11 @@ def shuffle_shards(df: DataFrame, shard_size: int, *,
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d \-]{7,}\d", "<PHONE>"),
+    # at least 8 digits with at most ONE separator between consecutive
+    # digits -- bounding separator repetition keeps benign numeric text
+    # (year ranges '2010 - 2020', spaced ISBNs) out of the redaction,
+    # unlike a raw 9+-char [\d \-] span which destroyed them
+    (r"\+?\d([ \-]?\d){7,}", "<PHONE>"),
 ]
 
 

@@ -712,6 +712,107 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             .dropDuplicates(["id_a", "id_b"]))
 
 
+def _positional_gram_hashes(c: Column, span: int) -> Column:
+    """Positional ``span``-token gram hashes -> array<bigint>, entry i =
+    hash of tokens [i, i+span) (0-based). NO short-text fallback: a doc
+    under ``span`` tokens yields an empty array -- substring dedup only
+    concerns spans of at least ``span`` tokens (unlike doc-level
+    shingling, where short docs must still produce a signature).
+
+    Exact mode hashes the joined gram string with h60 (the DuckDB
+    oracle rebuilds it verbatim); fast mode chains xxhash64 over the
+    PER-TOKEN hash array -- no L-x gram-string blowup, just span-1
+    integer-hash passes, which is what you want when span=50 over a
+    100-TB corpus."""
+    words = F.split(F.trim(c), "\\s+")
+    n = F.greatest(F.size(words) - (span - 1), F.lit(0))
+    if exact_mode():
+        grams = F.slice(words, 1, n)
+        for j in range(1, span):
+            grams = F.zip_with(grams, F.slice(words, j + 1, n),
+                               lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.transform(grams, h60)
+    th = F.transform(words, lambda w: F.xxhash64(w))
+    gh = F.slice(th, 1, n)
+    for j in range(1, span):
+        gh = F.zip_with(gh, F.slice(th, j + 1, n),
+                        lambda a, b: F.xxhash64(a, b))
+    return gh
+
+
+def duplicate_span_positions(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             span: int = 50) -> DataFrame:
+    """Non-canonical occurrences of duplicated ``span``-token grams:
+    (id, pos) rows where the gram starting at token ``pos`` appears at
+    least twice in the corpus and this occurrence is not the first by
+    (id, pos) order -- the first occurrence keeps its text, every other
+    one gets excised (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", the ExactSubstr operator; their
+    suffix-array scan is replaced by positional gram hashing, the
+    shuffle-friendly formulation).
+
+    Scale: ONE corpus-wide shuffle on the gram hash (rows carry only
+    (gh, id, pos) -- ~20 bytes/token); rn>=2 already implies the gram
+    is duplicated, so a single ordered window suffices. Output is
+    sparse -- proportional to duplicated text, not corpus size."""
+    from pyspark.sql import Window
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(_positional_gram_hashes(F.col(text_col), span))
+        .alias("pos", "gh"))
+    w = Window.partitionBy("gh").orderBy(id_col, "pos")
+    return (occ.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") >= 2).select(id_col, "pos"))
+
+
+def excise_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", span: int = 50,
+                           out_col: str | None = None) -> DataFrame:
+    """Substring-level exact dedup: remove every token covered by a
+    non-canonical duplicated ``span``-token gram, keeping the first
+    occurrence corpus-wide. Whitespace is normalized to single spaces
+    (the tokenization is the unit of excision, as in Lee et al. 2022).
+
+    Plan: the sparse (id, pos) dup stream groups per doc (small
+    shuffle), joins back to the corpus (AQE broadcasts it when sparse),
+    and the excision itself is doc-local expressions: merge sorted
+    positions into disjoint [s, e) intervals (one O(|P|) fold), then
+    filter tokens by interval membership -- O(tokens x intervals) with
+    intervals already coalesced, so contiguous boilerplate costs one
+    interval, not one test per duplicated gram."""
+    out_col = out_col or text_col
+    dup = duplicate_span_positions(df, id_col, text_col, span)
+    plists = dup.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_dp"))
+    joined = df.join(plists, id_col, "left")
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    L = F.lit(span)
+    ivs = F.aggregate(
+        F.coalesce(F.col("_dp"), F.array().cast("array<int>")),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1).getField("e") >= p),
+            # overlap/adjacency: extend the last interval to p+span
+            # (positions are sorted, so p+span >= last.e always)
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.struct(
+                         F.element_at(acc, -1).getField("s").alias("s"),
+                         (p + L).alias("e"))))
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"),
+                                           (p + L).alias("e"))))))
+    kept = F.filter(words, lambda t, i: ~F.exists(
+        ivs, lambda iv: (iv.getField("s") <= i) & (i < iv.getField("e"))))
+    new_text = F.array_join(kept, " ")
+    cols = [new_text.alias(out_col) if c == out_col else F.col(c)
+            for c in df.columns]
+    if out_col not in df.columns:
+        cols.append(new_text.alias(out_col))
+    return joined.select(*cols)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -311,7 +311,7 @@ red AS (
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                '<EMAIL>', 'g'),
              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-           '\\+?\\d[\\d \\-]{7,}\\d', '<PHONE>', 'g') AS r
+           '\\+?\\d([ \\-]?\\d){7,}', '<PHONE>', 'g') AS r
   FROM injected)
 SELECT source,
        CAST(SUM(len(r) - len(replace(r, '<EMAIL>', '')) ) / 7 AS BIGINT)

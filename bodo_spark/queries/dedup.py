@@ -454,7 +454,69 @@ WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """
 
 
+_SPAN = 20  # gate span; production default is 50 (docs here avg ~54 tokens)
+
+
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022 ExactSubstr): excise
+    every duplicated 20-token span except its first occurrence, keep
+    docs. Gate pins per-lang changed-doc counts, surviving char mass,
+    and an order-insensitive md5 over the cleaned texts -- WHICH tokens
+    survive, not just how many. span=20 (not the production 50) because
+    the synthetic docs average ~54 tokens; the operator is
+    span-parametric."""
+    d = tbl(spark, sf, "documents").select("doc_id", "lang", "text")
+    out = D.excise_duplicate_spans(d, span=_SPAN, out_col="clean")
+    norm = F.array_join(F.split(F.trim(F.col("text")), r"\s+"), " ")
+    return (out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("clean") != norm).cast("int")).cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.length("clean")).cast("bigint").alias("sum_chars"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(F.md5("clean"))),
+                           "")).alias("text_hash"))
+        .orderBy("lang"))
+
+
+_DEDUP_SPANS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_sql_h60(f"array_to_string(ts[i:i+{_SPAN - 1}], ' ')")} AS gh
+  FROM docs, UNNEST(range(1, len(ts) - {_SPAN} + 2)) AS t(i)),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM grams) WHERE rn >= 2),
+covered AS (
+  SELECT DISTINCT doc_id, pos + d AS idx
+  FROM dup, UNNEST(range(0, {_SPAN})) AS t(d)),
+toks AS (
+  SELECT doc_id, ts[CAST(i AS INTEGER)] AS tok, CAST(i AS INTEGER) - 1 AS idx
+  FROM docs, UNNEST(range(1, len(ts) + 1)) AS t(i)),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.idx) AS clean
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.idx IS NULL GROUP BY t.doc_id),
+cleaned AS (
+  SELECT d.doc_id, d.lang, array_to_string(d.ts, ' ') AS norm,
+         COALESCE(k.clean, '') AS clean
+  FROM docs d LEFT JOIN kept k USING (doc_id))
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN clean <> norm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(len(clean)) AS BIGINT) AS sum_chars,
+       md5(string_agg(md5(clean), '' ORDER BY md5(clean))) AS text_hash
+FROM cleaned GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dedup_substring_spans": QueryDef(dedup_substring_spans,
+                                      _DEDUP_SPANS_SQL),
     "dedup_ngram_capped": QueryDef(dedup_ngram_capped,
                                    _DEDUP_NGRAM_CAP_SQL),
     "dedup_incremental_minhash": QueryDef(dedup_incremental_minhash,

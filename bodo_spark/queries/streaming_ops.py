@@ -279,13 +279,15 @@ def stream_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
            .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
            .select("doc_id", "text"))
     stage = f"/tmp/bodo_spark_stream_{uuid.uuid4().hex[:8]}"
-    new.repartition(2).write.mode("overwrite").parquet(stage)
-    stream = read_stream_parquet(spark, stage, new.schema,
-                                 max_files_per_trigger=1)
-    res = run_available_now(
-        stream_minhash_flags(stream, corpus_sig, threshold=0.5),
-        f"t_sdedup_{uuid.uuid4().hex[:8]}", output_mode="append")
-    shutil.rmtree(stage, ignore_errors=True)
+    try:
+        new.repartition(2).write.mode("overwrite").parquet(stage)
+        stream = read_stream_parquet(spark, stage, new.schema,
+                                     max_files_per_trigger=1)
+        res = run_available_now(
+            stream_minhash_flags(stream, corpus_sig, threshold=0.5),
+            f"t_sdedup_{uuid.uuid4().hex[:8]}", output_mode="append")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return res.orderBy("new_id", "corpus_id")
 
 

@@ -1,0 +1,87 @@
+"""Substring/span-level exact dedup (Lee et al. 2022 ExactSubstr):
+hand-constructed corpora pin the excision semantics -- first occurrence
+keeps its text, later occurrences lose exactly the covered tokens,
+short docs are untouched, and fast mode (xxhash chain) agrees with
+exact mode (md5 gram strings) on which tokens survive."""
+
+from __future__ import annotations
+
+import pytest
+
+from bodo_spark.operators import dedup as D
+
+
+def _clean_map(spark, rows, span):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = D.excise_duplicate_spans(df, span=span, out_col="clean")
+    return {r["doc_id"]: r["clean"]
+            for r in out.select("doc_id", "clean").collect()}
+
+
+BOILER = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+
+
+def test_cross_doc_span_excised_first_kept(spark):
+    rows = [
+        (1, f"alpha beta {BOILER} gamma delta"),
+        (2, f"epsilon zeta {BOILER} eta theta"),
+    ]
+    got = _clean_map(spark, rows, span=10)
+    # doc 1 holds the canonical occurrence: normalized but intact
+    assert got[1] == f"alpha beta {BOILER} gamma delta"
+    # doc 2 loses every token covered by a duplicated 10-gram.  The
+    # shared run is 10 tokens; its single 10-gram in doc 2 is the
+    # non-canonical occurrence, so exactly those 10 tokens go.
+    assert got[2] == "epsilon zeta eta theta"
+
+
+def test_short_docs_untouched(spark):
+    rows = [(1, "same tiny text"), (2, "same tiny text")]
+    got = _clean_map(spark, rows, span=10)
+    assert got[1] == "same tiny text"
+    assert got[2] == "same tiny text"
+
+
+def test_within_doc_repeat_second_occurrence_cut(spark):
+    rows = [(7, f"{BOILER} middle words here {BOILER}")]
+    got = _clean_map(spark, rows, span=10)
+    assert got[7] == f"{BOILER} middle words here"
+
+
+def test_overlapping_spans_merge_into_one_interval(spark):
+    # 12 shared tokens -> three duplicated 10-grams in doc 2 at
+    # positions 1,2,3; they merge to one [1,13) interval
+    shared = BOILER + " extra more"
+    rows = [(1, f"x {shared} y"), (2, f"z {shared} w")]
+    got = _clean_map(spark, rows, span=10)
+    assert got[1] == f"x {shared} y"
+    assert got[2] == "z w"
+
+
+def test_whitespace_normalized_everywhere(spark):
+    rows = [(1, "  a   b\tc  ")]
+    got = _clean_map(spark, rows, span=3)
+    assert got[1] == "a b c"
+
+
+def test_fast_mode_matches_exact_mode(spark, monkeypatch):
+    rows = [
+        (1, f"alpha beta {BOILER} gamma delta"),
+        (2, f"epsilon zeta {BOILER} eta theta"),
+        (3, "unrelated text with nothing shared across documents at all"),
+    ]
+    monkeypatch.setenv("BODO_SPARK_EXACT", "1")
+    exact = _clean_map(spark, rows, span=10)
+    monkeypatch.setenv("BODO_SPARK_EXACT", "0")
+    fast = _clean_map(spark, rows, span=10)
+    assert exact == fast
+
+
+def test_positions_are_sparse_not_corpus_sized(spark):
+    """duplicate_span_positions returns only duplicated occurrences --
+    a corpus with no duplication yields zero rows."""
+    rows = [(i, f"totally unique document number {i} "
+                f"with words {i*3} {i*5} {i*7} {i*11} {i*13} {i*17}")
+            for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert D.duplicate_span_positions(df, span=5).count() == 0
