@@ -41,7 +41,8 @@ from .dedup import word_shingles
 __all__ = [
     "contaminated_ids", "decontaminate", "global_offsets", "pack_chunks",
     "domain_mix_sample", "leakage_free_split", "redact_pii",
-    "shuffle_shards", "u01_hash",
+    "shuffle_shards", "u01_hash", "remove_boilerplate_lines",
+    "hashed_quality_score",
 ]
 
 
@@ -263,6 +264,143 @@ def shuffle_shards(df: DataFrame, shard_size: int, *,
                            F.floor(F.col("_ridx") / shard_size)
                            .cast("bigint"))
             .drop("_hkey", "_ridx"))
+
+
+# --------------------------------------------------------------------------
+# line-level boilerplate removal (RefinedWeb/CCNet-style line dedup)
+
+def remove_boilerplate_lines(df: DataFrame, *, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             max_doc_freq: int = 1,
+                             delim: str = "\n",
+                             normalize: bool = True,
+                             out_col: str | None = None) -> DataFrame:
+    """Drop lines whose normalized form appears in MORE than
+    ``max_doc_freq`` distinct documents -- the header/footer/nav killer
+    every web-corpus pipeline runs (RefinedWeb line-dedup; CCNet
+    paragraph hashing). Keeps every other line in original order;
+    a doc whose every line is boilerplate comes back as ''.
+
+    Scale shape: explode once to (id, pos, line); frequency is ONE
+    shuffle keyed on an 8/16-byte line hash (never the line string --
+    exact mode md5 for the oracle, fast mode the xxhash64 intrinsic);
+    the surviving-lines anti-join broadcasts the bad-hash side (bounded
+    by DISTINCT boilerplate lines, tiny next to the corpus); rebuild is
+    one shuffle on doc id. The exploded frame feeds the frequency and
+    rebuild branches -- persisted once, same discipline as the dedup
+    signature frames (pruning would otherwise differentiate the
+    exchanges and re-evaluate the explode per branch).
+
+    doc_freq counts DISTINCT docs (a line repeated inside one doc is
+    not boilerplate); the in-doc repeat case belongs to the Gopher
+    repetition filters (operators/text.py).
+    """
+    from ..modes import exact_mode
+    out_col = out_col or text_col
+    line = F.col("_line")
+    norm = F.lower(F.trim(line)) if normalize else line
+    key = F.md5(norm) if exact_mode() else F.xxhash64(norm)
+    import re as _re
+    ex = (df.select(F.col(id_col).alias("_id"),
+                    F.posexplode(F.split(F.col(text_col),
+                                         _re.escape(delim)))
+                    .alias("_pos", "_line"))
+          .withColumn("_key", key)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    _dedup._PERSISTED.append(ex)
+    bad = (ex.groupBy("_key")
+           .agg(F.count_distinct("_id").alias("_df"))
+           .where(F.col("_df") > max_doc_freq)
+           .select("_key"))
+    kept = ex.join(bad, "_key", "left_anti")
+    rebuilt = (kept.groupBy("_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("_pos"), F.col("_line")))),
+                       lambda s: s.getField("_line")),
+                   delim).alias("_clean")))
+    new_text = F.coalesce(F.col("_clean"), F.lit(""))
+    cols = [new_text.alias(out_col) if c == out_col else F.col(c)
+            for c in df.columns]
+    if out_col not in df.columns:
+        cols.append(new_text.alias(out_col))
+    return (df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+            .select(*cols))
+
+
+# --------------------------------------------------------------------------
+# hashing-trick quality scorer (the fastText-shaped classifier seam)
+
+def hashed_quality_score(col: Column | str, weights: list[float],
+                         bias: float = 0.0) -> Column:
+    """Linear quality-classifier score via the hashing trick:
+    token -> bucket = hash(token) mod len(weights);
+    score = sigmoid(bias + mean_t weights[bucket(t)]).
+
+    This is the compute shape of the fastText-style quality filter
+    (CCNet/Llama pipelines) run between heuristics and dedup: the model
+    itself is trained offline; at corpus scale only this scoring pass
+    runs, and it is pure JVM expressions -- whole-stage codegen, no
+    Python, no shuffle. The weight vector inlines as an array literal
+    (fine to ~10^4 buckets; a 2^20-bucket production model instead
+    joins an exploded (id, bucket) frame against a broadcast weight
+    table -- `hashed_quality_score_df`).
+
+    Exact mode buckets via the md5-derived h60 (non-negative, so plain
+    `%` agrees across engines and the DuckDB oracle reproduces every
+    score bit-for-bit when weights are dyadic rationals -- their sums
+    are exact in binary floating point regardless of fold order); fast
+    mode uses the xxhash64 intrinsic with pmod."""
+    from ..modes import exact_mode
+    from .dedup import h60
+    c = F.col(col) if isinstance(col, str) else col
+    n = len(weights)
+    toks = F.split(F.lower(F.trim(c)), "\\s+")
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+
+    def _bucket(t: Column) -> Column:
+        return (h60(t) % n if exact_mode()
+                else F.pmod(F.xxhash64(t), F.lit(n)))
+
+    wsum = F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, t: acc + F.element_at(warr,
+                                          _bucket(t).cast("int") + 1))
+    z = F.lit(float(bias)) + wsum / F.greatest(F.size(toks), F.lit(1))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def hashed_quality_score_df(df: DataFrame, weights_df: DataFrame, *,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            bias: float = 0.0,
+                            out_col: str = "quality") -> DataFrame:
+    """Join-path twin of `hashed_quality_score` for production-sized
+    weight tables (2^20 buckets won't inline as a literal): explode to
+    (id, bucket), broadcast-join ``weights_df`` (columns: bucket bigint,
+    weight double), mean per doc, sigmoid. One shuffle on doc id; the
+    weight table broadcasts (8 MB at 2^20 doubles).
+
+    Buckets must be produced by the same hash family as the expression
+    path (h60 % n exact / pmod(xxhash64, n) fast) -- the scores are
+    asserted equal across both paths in tests/test_curation_ops.py."""
+    from ..modes import exact_mode
+    from .dedup import h60
+    n = weights_df.count()
+    tok = F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                            "\\s+")).alias("t")
+    ex = df.select(F.col(id_col), tok)
+    bucket = (h60(F.col("t")) % n if exact_mode()
+              else F.pmod(F.xxhash64(F.col("t")), F.lit(n)))
+    scored = (ex.select(id_col, bucket.alias("bucket"))
+              .join(F.broadcast(weights_df), "bucket", "left")
+              .groupBy(id_col)
+              .agg(F.avg(F.coalesce("weight", F.lit(0.0))).alias("_m")))
+    sig = (F.lit(1.0)
+           / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + F.col("_m")))))
+    return (df.join(scored, id_col, "left")
+            .withColumn(out_col, sig).drop("_m"))
 
 
 # --------------------------------------------------------------------------

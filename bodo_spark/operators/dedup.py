@@ -247,6 +247,47 @@ def _band_sig_cols(num_perm: int, bands: int) -> list:
         for b in range(bands)]
 
 
+def _cap_band_occupancy(banded: DataFrame, keys: list[str],
+                        cap: int) -> DataFrame:
+    """Drop band buckets holding more than ``cap`` members BEFORE the
+    band self-join. A bucket of size c contributes O(c^2) candidate
+    rows; on a web-scale corpus a single boilerplate mega-cluster
+    (10^5..10^6 near-identical docs sharing every band signature) makes
+    that the dominant -- and quadratic -- cost of the whole operator.
+    The cap bounds per-bucket join work at cap^2; recall loss is
+    confined to pairs INSIDE oversized buckets (by construction, members
+    of a mega-cluster -- exactly the docs `collapse_exact_texts`
+    should have collapsed first when they are byte-identical).
+
+    groupBy + left_anti (not a window count): oversized buckets are few,
+    so the bad-bucket side broadcasts under AQE and no sort is paid."""
+    big = (banded.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("_occ"))
+           .where(F.col("_occ") > cap)
+           .select(*keys))
+    return banded.join(big, keys, "left_anti")
+
+
+def collapse_exact_texts(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Collapse byte-identical texts to one representative row (the
+    min-id member): the standard pre-LSH step that removes the most
+    common mega-cluster shape (identical boilerplate replicated 10^5x)
+    BEFORE banding, where it would otherwise create O(c^2) candidate
+    pairs inside every band bucket. One shuffle on the text fingerprint;
+    rows carry (fingerprint, id) only until the surviving ids join back.
+
+    Representative choice (min id) composes exactly with
+    `dedup_survivors`' min-id-per-component rule: the survivor set of
+    collapse+LSH equals the survivor set of LSH over the full corpus
+    (identical texts have Jaccard 1 and always pair)."""
+    fp = F.md5(F.col(text_col))
+    reps = (df.select(F.col(id_col), fp.alias("_fp"))
+            .groupBy("_fp").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return df.join(reps, id_col, "left_semi")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -255,10 +296,17 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    max_band_occupancy: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified with the
     true Jaccard over shingle sets. Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold.
+
+    ``max_band_occupancy`` (default off -- exact output) drops band
+    buckets larger than the cap before the self-join: the duplicate-skew
+    guard for corpora with near-identical mega-clusters. Run
+    `collapse_exact_texts` first when duplicates are byte-identical --
+    that path loses NO recall (see SCALE.md round-9 skew probe).
     """
     sig = minhash_signatures(df, id_col, text_col, k, num_perm)
     # sig feeds three plan branches (banding explode + both verify-join
@@ -279,6 +327,9 @@ def minhash_lsh_pairs(
     # the hash sets joined back by id (two cheap narrow-ish joins on the
     # much smaller candidate set).
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band_sig"))
+    if max_band_occupancy is not None:
+        banded = _cap_band_occupancy(banded, ["band_sig"],
+                                     max_band_occupancy)
     a = banded.select(F.col("id").alias("id_a"), "band_sig")
     b = banded.select(F.col("id").alias("id_b"), "band_sig")
     cand = (a.join(b, "band_sig")
@@ -600,13 +651,49 @@ def dedup_survivors(df: DataFrame, pairs: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """Resolve near-dup PAIRS into a deduplicated corpus: group pairs
     into connected components, keep the lowest id per component, drop
-    the other members. Rows never appearing in a pair survive as-is."""
+    the other members. Rows never appearing in a pair survive as-is.
+
+    Pipeline order at scale (the duplicate-skew lesson, SCALE.md r9):
+    run `collapse_exact_texts` FIRST, generate pairs over the collapsed
+    corpus, then resolve here -- byte-identical mega-clusters never
+    reach the band join, and because both steps keep the min id the
+    survivor set is IDENTICAL to LSH over the raw corpus.
+    `near_dup_survivors` packages that order."""
     comp = connected_components(pairs)
     keep = comp.groupBy("comp").agg(F.min("id").alias("keep_id"))
     drop = (comp.join(keep, "comp")
             .where(F.col("id") != F.col("keep_id"))
             .select(F.col("id").alias(id_col)))
     return df.join(drop, id_col, "left_anti")
+
+
+def near_dup_survivors(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", *, k: int = 3,
+                       num_perm: int = 16, bands: int = 8,
+                       threshold: float = 0.5,
+                       collapse_exact: bool = True,
+                       max_band_occupancy: int | None = None) -> DataFrame:
+    """End-to-end near-dup dedup, mega-cluster-safe: collapse
+    byte-identical texts to their min-id representative, MinHash+LSH
+    pairs over the collapsed corpus only, connected components, keep the
+    min id per component.
+
+    Equivalence: identical texts always pair (Jaccard 1), so in the
+    uncollapsed run every exact-dup group is one component (or part of
+    a bigger one) whose min id survives -- the same row this pipeline
+    keeps. The collapse only removes rows that were guaranteed to be
+    dropped, while turning the O(c^2) intra-cluster candidate blowup
+    into c rows through one fingerprint shuffle (measured on the
+    planted-mega-cluster probe, SCALE.md r9). ``max_band_occupancy``
+    additionally bounds NON-identical mega-clusters at a recall cost
+    confined to oversized buckets; default off."""
+    base = (collapse_exact_texts(df, id_col, text_col)
+            if collapse_exact else df)
+    pairs = minhash_lsh_pairs(base, id_col, text_col, k=k,
+                              num_perm=num_perm, bands=bands,
+                              threshold=threshold,
+                              max_band_occupancy=max_band_occupancy)
+    return dedup_survivors(base, pairs, id_col)
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
@@ -653,7 +740,8 @@ def auto_simhash_bits(n: int, bands: int = 4, target_per_slice: int = 128,
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", bits: int | str = 16, k: int = 3,
-                  bands: int = 4, max_hamming: int = 3) -> DataFrame:
+                  bands: int = 4, max_hamming: int = 3,
+                  max_band_occupancy: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
     Candidate generation uses the pigeonhole principle: split the
@@ -674,7 +762,12 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     rescaled to the wider fingerprint. Pass ``bits="auto"`` to apply
     that rule from a corpus count (auto_simhash_bits) instead of
     trusting the caller got it right -- the explicit-width form stays
-    the oracle-deterministic default."""
+    the oracle-deterministic default.
+
+    ``max_band_occupancy``: duplicate-skew guard; see
+    `minhash_lsh_pairs` (auto-sizing bounds RANDOM slice occupancy,
+    not the correlated occupancy a near-identical mega-cluster
+    creates)."""
     if max_hamming >= bands:
         raise ValueError("pigeonhole guarantee needs max_hamming < bands")
     if bits == "auto":
@@ -691,6 +784,13 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                         F.explode(slices).alias("s"))
               .select("id", "simhash", F.col("s.band").alias("band"),
                       F.col("s.val").alias("val")))
+    if max_band_occupancy is not None:
+        # same duplicate-skew guard as minhash_lsh_pairs: a mega-cluster
+        # shares every slice value, so its buckets grow with the cluster
+        # and candidates quadratically; auto-sizing (bits="auto") keeps
+        # RANDOM occupancy bounded but cannot help correlated occupancy
+        banded = _cap_band_occupancy(banded, ["band", "val"],
+                                     max_band_occupancy)
     a = banded.select(F.col("id").alias("id_a"),
                       F.col("simhash").alias("fp_a"), "band", "val")
     b = banded.select(F.col("id").alias("id_b"),
@@ -710,6 +810,42 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", ham.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .dropDuplicates(["id_a", "id_b"]))
+
+
+def write_signature_index(df: DataFrame, index_dir: str,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          k: int = 3, num_perm: int = 16) -> None:
+    """Materialize a corpus' MinHash signature index as parquet --
+    the stored artifact `minhash_lsh_pairs_between` dedups future
+    batches against. Schema: (id, m0..m{n-1}, sh) -- pinned by the
+    dedup_index_roundtrip gate to survive the round-trip byte-exactly."""
+    (minhash_signatures(df, id_col, text_col, k, num_perm)
+     .write.mode("overwrite").parquet(index_dir))
+
+
+def append_signature_index(df: DataFrame, index_dir: str,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           k: int = 3, num_perm: int = 16,
+                           compact_after: bool = False,
+                           target_file_bytes: int = 128 * 1024 * 1024) -> None:
+    """Ingest-loop maintenance of a stored signature index: sign ONLY
+    the new batch (per-row `minhash_signature_cols` -- no groupBy, work
+    strictly proportional to the batch) and parquet-append it under the
+    index directory. ``compact_after`` rewrites the directory to
+    target-sized files (sources.io.compact_parquet's staged-write+swap),
+    countering trickle-append small-file degradation -- at one batch
+    per hour a year of ingest is 8,760 files of scan overhead.
+
+    Two-batch ingest is provably equivalent to one-shot indexing: both
+    signature builders produce identical (id, m*, sh-set) values per
+    doc and the index is keyed by id with disjoint batches, so the
+    stored relation is row-identical (the dedup_index_append gate pins
+    downstream pairs; tests pin the relation itself)."""
+    sig = minhash_signature_cols(df, id_col, text_col, k, num_perm)
+    sig.write.mode("append").parquet(index_dir)
+    if compact_after:
+        from ..sources.io import compact_parquet
+        compact_parquet(df.sparkSession, index_dir, target_file_bytes)
 
 
 def _positional_gram_hashes(c: Column, span: int) -> Column:

@@ -464,7 +464,125 @@ FROM assign
 """
 
 
+# --------------------------------------------------------------------------
+# line-level boilerplate removal: synthetic nav headers (per-source) and a
+# global footer are woven around each doc's (unique) body; the operator
+# must strip exactly the repeated lines. doc_id % 3 == 0 docs get no
+# header and % 2 == 0 no footer, so some pages survive unchanged
+# (non-vacuous n_changed) and some lines are genuinely rare.
+
+_FOOTER = "COPYRIGHT FOOTER ALL RIGHTS RESERVED"
+
+
+def cur_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb-style line dedup: drop lines repeating across >1 docs
+    (operators/curation.remove_boilerplate_lines). Verifies per-lang
+    changed-doc counts, surviving char mass, and an md5 over every
+    cleaned page -- exact line membership AND order."""
+    d = tbl(spark, sf, "documents")
+    header = F.when(F.col("doc_id") % 3 > 0,
+                    F.concat(F.lit("NAV "), F.col("source"),
+                             F.lit(" HOME")))
+    footer = F.when(F.col("doc_id") % 2 > 0, F.lit(_FOOTER))
+    paged = d.select(
+        "doc_id", "lang",
+        F.concat_ws("\n", header, F.col("text"), footer).alias("page"))
+    out = C.remove_boilerplate_lines(paged, id_col="doc_id",
+                                     text_col="page", max_doc_freq=1,
+                                     out_col="clean")
+    return (out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("clean") != F.col("page")).cast("long"))
+        .alias("n_changed"),
+        F.sum(F.length("clean")).cast("bigint").alias("sum_chars"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(F.md5("clean"))),
+                           "")).alias("text_hash"))
+        .orderBy("lang"))
+
+
+_LINE_DEDUP_SQL = f"""
+WITH paged AS (
+  SELECT doc_id, lang,
+         concat_ws(chr(10),
+           CASE WHEN doc_id % 3 > 0 THEN 'NAV ' || source || ' HOME' END,
+           text,
+           CASE WHEN doc_id % 2 > 0 THEN '{_FOOTER}' END) AS page
+  FROM documents),
+ex AS (
+  SELECT doc_id, lang, i AS pos, ls[i] AS line
+  FROM (SELECT doc_id, lang, str_split(page, chr(10)) AS ls FROM paged) t,
+       unnest(range(1, len(ls) + 1)) AS r(i)),
+freq AS (
+  SELECT lower(trim(line)) AS nl, COUNT(DISTINCT doc_id) AS dfreq
+  FROM ex GROUP BY 1),
+kept AS (
+  SELECT e.doc_id, e.pos, e.line FROM ex e
+  JOIN freq f ON lower(trim(e.line)) = f.nl WHERE f.dfreq <= 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+  FROM kept GROUP BY doc_id),
+final AS (
+  SELECT p.lang, p.page, COALESCE(r.clean, '') AS clean
+  FROM paged p LEFT JOIN rebuilt r USING (doc_id))
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN clean <> page THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(len(clean)) AS BIGINT) AS sum_chars,
+       md5(string_agg(md5(clean), '' ORDER BY md5(clean))) AS text_hash
+FROM final GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# hashing-trick quality scorer: 32 pinned dyadic weights (multiples of
+# 1/64 -- their double sums are EXACT in any fold order, so both engines
+# produce bit-identical scores before the final exp/round)
+
+_QW = [((i * 37) % 41 - 20) / 64.0 for i in range(32)]
+_QBIAS = 0.25
+
+
+def cur_quality_model(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-shaped hashed linear quality scorer with pinned weights
+    (operators/curation.hashed_quality_score): per-lang doc counts,
+    pass counts at the 0.5 cutoff, and a decimal-exact sum of the
+    per-doc scores (rounded to 6dp before the exact decimal sum, so a
+    single score drifting one ulp flips the hash)."""
+    d = tbl(spark, sf, "documents")
+    score = C.hashed_quality_score(F.col("text"), _QW, bias=_QBIAS)
+    s = d.select("lang", F.round(score, 6).alias("q"))
+    return (s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("q") >= 0.5).cast("long")).alias("n_pass"),
+        F.sum(F.col("q").cast("decimal(12,6)")).cast("double")
+        .alias("q_sum"))
+        .orderBy("lang"))
+
+
+def _quality_sql() -> str:
+    wlist = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in _QW)
+    h60 = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents),
+scored AS (
+  SELECT lang,
+         round(1.0 / (1.0 + exp(-({_QBIAS!r} +
+           list_sum(list_transform(tk, t ->
+             ([{wlist}])[CAST({h60} % 32 AS INT) + 1]))
+           / greatest(len(tk), 1)))), 6) AS q
+  FROM toks)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CAST(q AS DECIMAL(12,6))) AS DOUBLE) AS q_sum
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_line_dedup": QueryDef(cur_line_dedup, _LINE_DEDUP_SQL),
+    "cur_quality_model": QueryDef(cur_quality_model, _quality_sql()),
     "cur_pipeline_e2e": QueryDef(cur_pipeline_e2e, _pipeline_sql()),
     "cur_domain_mix_tokens": QueryDef(cur_domain_mix_tokens,
                                       _mix_tokens_sql()),

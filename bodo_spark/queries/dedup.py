@@ -514,7 +514,86 @@ FROM cleaned GROUP BY lang ORDER BY lang
 """
 
 
+def dedup_collapse_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Mega-cluster-safe end-to-end dedup (collapse_exact_texts ->
+    LSH pairs over representatives only -> connected components ->
+    min-id survivors; operators/dedup.py near_dup_survivors). The
+    corpus is adversarially doubled with byte-identical re-keyed
+    copies (doc_id + 1,000,000): without the collapse every doc would
+    band-collide with its clone AND its clone's near-dups. Survivor
+    equivalence is the oracle: collapse keeps exactly the original
+    min-id rows, so surviving (source, count, id-sum) must equal plain
+    LSH survivors over the UN-doubled corpus -- proving both the skew
+    guard's work bound and its zero-recall-loss claim in one gate."""
+    d = tbl(spark, sf, "documents")
+    doubled = d.union(d.withColumn("doc_id",
+                                   F.col("doc_id") + F.lit(1_000_000)))
+    surv = D.near_dup_survivors(doubled, num_perm=16, bands=8,
+                                threshold=0.5, collapse_exact=True)
+    return (surv.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").cast("bigint").alias("id_sum"))
+            .orderBy("source"))
+
+
+# The doubled corpus collapses back to `documents` exactly (each clone
+# shares its original's text; min id = the original), so the oracle is
+# the resolve-survivors pipeline over the base table -- the recursive
+# CTE does CC, min-id-per-component survives.
+_DEDUP_COLLAPSE_SQL = f"""
+WITH RECURSIVE {_PAIRS_CTE.strip()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u),
+lbl AS (SELECT u, MIN(comp) AS comp FROM reach GROUP BY u),
+keep AS (SELECT comp, MIN(u) AS keep_id FROM lbl GROUP BY comp),
+drops AS (SELECT u FROM lbl JOIN keep USING (comp) WHERE u <> keep_id)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE doc_id NOT IN (SELECT u FROM drops)
+GROUP BY source ORDER BY source
+"""
+
+
+def dedup_index_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Index MAINTENANCE loop: build the signature index from half the
+    corpus, parquet-append the other half's signatures (work ∝ batch,
+    per-row signer), compact the small files, reload, and dedup the
+    standard probe batch against it. Pairs must equal the one-shot
+    full-corpus index (same oracle as dedup_incremental_minhash) --
+    proving two-batch incremental ingest ≡ one-shot indexing through
+    a real storage round-trip plus compaction."""
+    import shutil
+    import uuid
+
+    from .io_formats import _materialize
+
+    d = tbl(spark, sf, "documents")
+    stage = f"/tmp/bodo_spark_sigidx_app_{uuid.uuid4().hex[:8]}"
+    try:
+        # parity split, non-empty at every sf
+        D.write_signature_index(d.where(F.col("doc_id") % 2 == 0), stage)
+        D.append_signature_index(d.where(F.col("doc_id") % 2 == 1), stage,
+                                 compact_after=True)
+        corpus_sig = spark.read.parquet(stage)
+        new = (d.where(F.col("doc_id") < 5)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
+        out = (D.minhash_lsh_pairs_between(new, corpus_sig, threshold=0.5)
+               .orderBy("new_id", "corpus_id"))
+        return _materialize(
+            out, "new_id long, corpus_id long, jaccard double")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dedup_collapse_survivors": QueryDef(dedup_collapse_survivors,
+                                         _DEDUP_COLLAPSE_SQL),
+    "dedup_index_append": QueryDef(dedup_index_append, _DEDUP_INCR_SQL),
     "dedup_substring_spans": QueryDef(dedup_substring_spans,
                                       _DEDUP_SPANS_SQL),
     "dedup_ngram_capped": QueryDef(dedup_ngram_capped,

@@ -1,0 +1,194 @@
+"""Round-9 curation/dedup operator tests: line-level boilerplate
+removal, the hashing-trick quality scorer (expression vs join path),
+mega-cluster-safe near-dup survivors (collapse + band-occupancy cap),
+and signature-index append/compact maintenance."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from bodo_spark.operators import curation as C
+from bodo_spark.operators import dedup as D
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --------------------------------------------------------------------------
+# remove_boilerplate_lines
+
+
+def test_line_dedup_strips_repeated_keeps_unique(spark):
+    df = _docs(spark, [
+        (1, "NAV HOME\nunique body one\nFOOTER"),
+        (2, "NAV HOME\nunique body two\nFOOTER"),
+        (3, "solo page no boilerplate"),
+    ])
+    out = {r["doc_id"]: r["text"] for r in
+           C.remove_boilerplate_lines(df, max_doc_freq=1).collect()}
+    assert out[1] == "unique body one"
+    assert out[2] == "unique body two"
+    assert out[3] == "solo page no boilerplate"
+
+
+def test_line_dedup_all_lines_removed_yields_empty(spark):
+    df = _docs(spark, [(1, "SAME\nSAME2"), (2, "SAME\nSAME2")])
+    out = {r["doc_id"]: r["text"] for r in
+           C.remove_boilerplate_lines(df, max_doc_freq=1).collect()}
+    assert out == {1: "", 2: ""}
+
+
+def test_line_dedup_normalization_and_threshold(spark):
+    # 'Nav' and ' nav ' normalize together -> doc_freq 2; threshold 2
+    # keeps them, threshold 1 removes them
+    df = _docs(spark, [(1, "Nav\nbody a"), (2, " nav \nbody b")])
+    keep2 = {r["doc_id"]: r["text"] for r in
+             C.remove_boilerplate_lines(df, max_doc_freq=2).collect()}
+    assert keep2[1] == "Nav\nbody a"
+    drop1 = {r["doc_id"]: r["text"] for r in
+             C.remove_boilerplate_lines(df, max_doc_freq=1).collect()}
+    assert drop1 == {1: "body a", 2: "body b"}
+    # in-doc repetition alone is NOT boilerplate (distinct-doc freq)
+    df2 = _docs(spark, [(1, "dup\ndup\nbody")])
+    only = C.remove_boilerplate_lines(df2, max_doc_freq=1).collect()
+    assert only[0]["text"] == "dup\ndup\nbody"
+
+
+def test_line_dedup_preserves_order_and_out_col(spark):
+    df = _docs(spark, [(1, "z last\nBOIL\na first"),
+                       (2, "BOIL\nmiddle")])
+    out = {r["doc_id"]: r["clean"] for r in
+           C.remove_boilerplate_lines(df, max_doc_freq=1,
+                                      out_col="clean").collect()}
+    assert out[1] == "z last\na first"  # original order, not sorted
+    assert out[2] == "middle"
+
+
+# --------------------------------------------------------------------------
+# hashed quality scorer
+
+
+_W = [((i * 7) % 9 - 4) / 32.0 for i in range(16)]  # dyadic
+
+
+def test_quality_score_expression_vs_join_path(spark):
+    d = _docs(spark, [(i, f"tok{i} tok{(i * 3) % 7} common word")
+                      for i in range(20)])
+    expr = d.select("doc_id",
+                    C.hashed_quality_score("text", _W, bias=0.125)
+                    .alias("q"))
+    from bodo_spark.modes import exact_mode
+    n = len(_W)
+    wdf = spark.createDataFrame(list(enumerate(_W)),
+                                "bucket long, weight double")
+    joined = C.hashed_quality_score_df(d, wdf, bias=0.125, out_col="q")
+    e = {r["doc_id"]: r["q"] for r in expr.collect()}
+    j = {r["doc_id"]: r["q"] for r in joined.select("doc_id", "q").collect()}
+    assert exact_mode() in (True, False)  # both paths honor the mode
+    for k in e:
+        assert abs(e[k] - j[k]) < 1e-12, (k, e[k], j[k])
+
+
+def test_quality_score_monotone_in_weights(spark):
+    d = _docs(spark, [(1, "alpha beta gamma")])
+    lo = d.select(C.hashed_quality_score(
+        "text", [-0.5] * 8).alias("q")).first()["q"]
+    hi = d.select(C.hashed_quality_score(
+        "text", [0.5] * 8).alias("q")).first()["q"]
+    mid = d.select(C.hashed_quality_score(
+        "text", [0.0] * 8).alias("q")).first()["q"]
+    assert lo < mid < hi and abs(mid - 0.5) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# mega-cluster-safe survivors
+
+
+def _near_dup_corpus(spark):
+    base = [(i, f"alpha beta gamma delta epsilon zeta doc{i} "
+                f"unique{i} filler{i % 3}") for i in range(12)]
+    # a genuine near-dup pair: 101 shares almost all shingles with 100
+    base += [(100, "red orange yellow green blue indigo violet end"),
+             (101, "red orange yellow green blue indigo violet stop")]
+    return _docs(spark, base)
+
+
+def test_collapse_exact_texts_keeps_min_id(spark):
+    d = _docs(spark, [(5, "same text here"), (2, "same text here"),
+                      (9, "other text entirely")])
+    ids = sorted(r["doc_id"] for r in
+                 D.collapse_exact_texts(d).collect())
+    assert ids == [2, 9]
+
+
+def test_near_dup_survivors_collapse_equivalence(spark):
+    d = _near_dup_corpus(spark)
+    doubled = d.union(d.withColumn("doc_id",
+                                   F.col("doc_id") + F.lit(10_000)))
+    plain = sorted(r["doc_id"] for r in
+                   D.dedup_survivors(
+                       d, D.minhash_lsh_pairs(d, threshold=0.5)).collect())
+    collapsed = sorted(r["doc_id"] for r in
+                       D.near_dup_survivors(doubled,
+                                            threshold=0.5).collect())
+    assert collapsed == plain  # clones AND near-dups resolved identically
+
+
+def test_band_occupancy_cap_bounds_mega_cluster(spark):
+    # 30 byte-identical docs (one mega-bucket) + the near-dup pair
+    mega = [(1000 + i, "boiler plate mega cluster text body") for i in
+            range(30)]
+    d = _near_dup_corpus(spark).union(_docs(spark, mega))
+    capped = D.minhash_lsh_pairs(d, threshold=0.5, max_band_occupancy=8)
+    ids = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the real near-dup pair survives; no intra-mega-cluster pair does
+    assert (100, 101) in ids
+    assert not any(a >= 1000 and b >= 1000 for a, b in ids)
+    # uncapped finds the full 30*29/2 intra-cluster pairs on top
+    full = D.minhash_lsh_pairs(d, threshold=0.5).count()
+    assert full == len(ids) + 30 * 29 // 2
+
+
+def test_simhash_band_occupancy_cap(spark):
+    mega = [(2000 + i, "boiler plate mega cluster text body") for i in
+            range(30)]
+    d = _near_dup_corpus(spark).union(_docs(spark, mega))
+    capped = D.simhash_pairs(d, max_hamming=3, bands=4,
+                             max_band_occupancy=8)
+    assert not any(r["id_a"] >= 2000 and r["id_b"] >= 2000
+                   for r in capped.collect())
+
+
+# --------------------------------------------------------------------------
+# signature-index maintenance
+
+
+def test_append_index_equals_one_shot(spark):
+    d = _near_dup_corpus(spark)
+    stage = f"/tmp/bodo_spark_test_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        D.write_signature_index(d.where(F.col("doc_id") < 100), stage)
+        n_before = len(glob.glob(os.path.join(stage, "*.parquet")))
+        D.append_signature_index(d.where(F.col("doc_id") >= 100), stage,
+                                 compact_after=True)
+        n_after = len(glob.glob(os.path.join(stage, "*.parquet")))
+        assert n_after <= n_before  # compaction collapsed the append
+        stored = spark.read.parquet(stage)
+        oneshot = D.minhash_signatures(d)
+        # identical relation: (id, m0..m15) row sets match; sh compared
+        # as sorted sets (collect_set order is nondeterministic)
+        cols = ["id"] + [f"m{i}" for i in range(16)]
+        a = sorted(map(tuple, stored.select(
+            *cols, F.array_sort("sh").alias("sh")).collect()))
+        b = sorted(map(tuple, oneshot.select(
+            *cols, F.array_sort("sh").alias("sh")).collect()))
+        assert a == b
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

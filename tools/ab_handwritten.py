@@ -34,6 +34,19 @@ def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
 
 
+def _events(spark, sf):
+    # the events parquet stores TIMESTAMP(NANOS); any Spark 4 user has
+    # to do this dance (nanosAsLong + micros conversion), engine and
+    # hand twin alike
+    from pyspark.sql import types as T
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = _t(spark, sf, "events")
+    if isinstance(e.schema["ts"].dataType, T.LongType):
+        e = e.withColumn("ts", F.timestamp_micros(
+            (F.col("ts") / F.lit(1000)).cast("long")))
+    return e
+
+
 # ---- hand-written twins: plain reads, double arithmetic, classic shapes
 
 def hand_q1(spark, sf):
@@ -164,7 +177,63 @@ def hand_q21(spark, sf):
             .limit(20))
 
 
+def hand_win_running_sum(spark, sf):
+    from pyspark.sql import Window as W
+    e = _events(spark, sf)
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return e.select("event_id", "user_id",
+                    F.sum("value").over(w).alias("running_value"),
+                    F.count(F.lit(1)).over(w).alias("running_n"))
+
+
+def hand_dt_sessionize(spark, sf):
+    from pyspark.sql import Window as W
+    e = _events(spark, sf)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    new_sess = F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = e.withColumn("session_id", F.sum(new_sess).over(wcum))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.max("n_events").alias("max_session_events"))
+            .orderBy("user_id"))
+
+
+def hand_join_asof(spark, sf):
+    # the naive hand as-of: range join (click.ts <= buy.ts per user) +
+    # keep-latest via row_number -- O(matches) intermediate, vs the
+    # engine's union+window merge_asof (O(n) single sort)
+    from pyspark.sql import Window as W
+    e = _events(spark, sf)
+    buys = (e.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    clicks = (e.where(F.col("event_type") == "click")
+              .groupBy("user_id", F.col("ts").alias("cts"))
+              .agg(F.max("event_id").alias("click_id"),
+                   F.max("value").alias("click_value")))
+    j = buys.join(clicks, (buys.user_id == clicks.user_id)
+                  & (clicks.cts <= buys.ts), "left").drop(clicks.user_id)
+    w = (W.partitionBy("event_id")
+         .orderBy(F.col("cts").desc_nulls_last()))
+    best = (j.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    return (best.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_id").alias("n_matched"),
+        F.max("click_id").alias("max_click_id"),
+        F.sum("click_value").alias("sum_click_value"))
+        .orderBy("user_id"))
+
+
 HAND = {"q1_pricing_summary": hand_q1, "q3_shipping_priority": hand_q3,
+        "win_running_sum": hand_win_running_sum,
+        "dt_sessionize": hand_dt_sessionize,
+        "join_asof_events": hand_join_asof,
         "q5_local_supplier_volume": hand_q5,
         "q13_customer_distribution": hand_q13,
         "q9_profit_by_nation_year": hand_q9,
