@@ -1,0 +1,180 @@
+"""Bloom-filter-accelerated exact-dedup ingest.
+
+The production problem: a 100-TB corpus is already deduplicated; every
+day a (much smaller) batch arrives and only the rows whose key (e.g.
+md5 of normalized text) is NOT already in the corpus may be appended.
+The naive plan is ``batch LEFT ANTI JOIN corpus`` -- at minimum a full
+corpus scan per ingest, and a corpus-sized shuffle if the batch out-
+grows the broadcast threshold.  The classic fix (same idea LSM stores
+use in front of their SSTables) is a Bloom filter over the corpus keys:
+
+  - the filter is built ONCE with one corpus scan (a groupBy over
+    m/64 bit-words -- map-side combined, the exchange carries at most
+    m/64 rows), persisted as a tiny parquet table, and maintained
+    incrementally on every append with batch-sized work (bit_or merge);
+  - at ingest, each batch key probes k bit positions against the
+    broadcast word table: "no" answers are EXACT (definitely new), so
+    those rows never touch the corpus at all;
+  - only the "maybe" rows (true duplicates + false positives, a set
+    sized ~|dups| + fpp*|batch|) are confirmed with a semi join whose
+    broadcast side is that tiny candidate set -- the corpus is scanned
+    narrowly (key column only) and NEVER shuffled.
+
+The result is bit-for-bit equal to the plain anti join (false
+positives are cleared by the confirm join; false negatives are
+impossible in a Bloom filter), which is exactly what the oracle gate
+checks -- including under an artificially tiny filter where most
+probes collide (tests/test_bloom.py forces fpp ~ 1).
+
+Spark-first notes: Spark's internal runtime-filter bloom
+(``bloom_filter_agg`` / ``might_contain``) is not exposed as a public
+function, so the filter is its own DataFrame: ``(word_idx: long,
+word: long)`` rows, built and probed with pure JVM expressions
+(xxhash64 double-hashing, shiftleft/bitwise-or aggregation) -- no
+Python in any path, whole-stage codegen throughout.  The reference has
+no bloom surface; this extends its dedup family (SURVEY §2.11) the
+same way operators/dedup.py does.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bloom_params", "bloom_word_table", "write_bloom_index",
+    "append_bloom_index", "read_bloom_index", "bloom_candidates",
+    "exact_new_rows",
+]
+
+
+def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: (m_bits, k_hashes) for ``n_keys`` at the
+    target false-positive rate. m is rounded up to a multiple of 64 so
+    the word table packs cleanly."""
+    n = max(n_keys, 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _positions(key: Column, m_bits: int, k: int) -> Column:
+    """The k probe positions of ``key``: double hashing h1 + i*h2 (mod m)
+    per Kirsch-Mitzenmacher, both lanes from xxhash64 with distinct
+    seed literals -- pure JVM, no per-i rehash of the full key."""
+    h1 = F.xxhash64(F.lit(1), key)
+    h2 = F.xxhash64(F.lit(2), key)
+    return F.array(*[
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+
+
+def bloom_word_table(df: DataFrame, key: Column | str, *, m_bits: int,
+                     k: int = 5) -> DataFrame:
+    """Build the filter as (word_idx, word) rows: explode each key's k
+    positions, OR the bits per 64-bit word. ONE exchange carrying at
+    most m/64 rows (map-side partial bit_or collapses everything
+    upstream); only set words are stored, so a sparse filter is even
+    smaller than m/64."""
+    key = F.col(key) if isinstance(key, str) else key
+    pos = df.select(F.explode(_positions(key, m_bits, k)).alias("p"))
+    return (pos.select((F.col("p") / 64).cast("long").alias("word_idx"),
+                       F.expr("shiftleft(1L, cast(pmod(p, 64) as int))")
+                       .alias("bit"))
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(bit)").alias("word")))
+
+
+def write_bloom_index(df: DataFrame, index_dir: str, key: Column | str,
+                      *, m_bits: int, k: int = 5) -> None:
+    """Materialize the corpus filter once; ingest then probes this tiny
+    parquet table instead of the corpus."""
+    bloom_word_table(df, key, m_bits=m_bits, k=k).coalesce(1) \
+        .write.mode("overwrite").parquet(index_dir)
+
+
+def append_bloom_index(batch: DataFrame, index_dir: str,
+                       key: Column | str, *, m_bits: int, k: int = 5,
+                       compact_after: bool = False) -> None:
+    """Fold a new batch into the stored filter with batch-sized work:
+    parquet-APPEND the batch's own word rows as a new segment (the
+    LSM discipline -- never read-modify-write the whole index on the
+    ingest path); ``read_bloom_index`` bit_or-folds segments on read.
+    ``compact_after`` rewrites the directory down to one folded segment
+    (staged write + swap, no in-place truncation window) for
+    trickle-append hygiene. Deletions are not supported, as in any
+    plain Bloom filter -- rebuild for that."""
+    bloom_word_table(batch, key, m_bits=m_bits, k=k).coalesce(1) \
+        .write.mode("append").parquet(index_dir)
+    if compact_after:
+        import shutil
+        import uuid
+
+        spark = batch.sparkSession
+        folded = read_bloom_index(spark, index_dir).coalesce(1)
+        stage = f"{index_dir}__compact_{uuid.uuid4().hex}"
+        try:
+            folded.write.mode("overwrite").parquet(stage)
+            shutil.rmtree(index_dir)
+            shutil.move(stage, index_dir)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+def read_bloom_index(spark, index_dir: str) -> DataFrame:
+    """Load the filter, folding any appended segments (bit_or per
+    word -- at most segments * m/64 rows, trivially small)."""
+    return (spark.read.parquet(index_dir)
+            .groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word")))
+
+
+def bloom_candidates(batch: DataFrame, words: DataFrame,
+                     key: Column | str, *, m_bits: int, k: int = 5,
+                     flag_col: str = "_maybe_dup") -> DataFrame:
+    """Tag each batch row: ``flag_col`` = false means DEFINITELY new
+    (exact, the Bloom no-answer); true means maybe-duplicate (confirm
+    against the corpus). The word table broadcasts (<= m/64 rows); the
+    probe is explode(k) -> broadcast LEFT join -> all-k AND, so the
+    batch is shuffled only on its own row key (its narrowest column)
+    and the corpus not at all."""
+    key = F.col(key) if isinstance(key, str) else key
+    kb = batch.withColumn("_bkey", key)
+    probe = (kb.select("_bkey").distinct()
+             .select("_bkey", F.explode(_positions(F.col("_bkey"), m_bits, k))
+                     .alias("p"))
+             .select("_bkey", (F.col("p") / 64).cast("long").alias("word_idx"),
+                     F.pmod(F.col("p"), F.lit(64)).cast("int").alias("bit")))
+    hit = (probe.join(F.broadcast(words), "word_idx", "left")
+           .select("_bkey",
+                   F.when(F.col("word").isNull(), F.lit(0))
+                   .otherwise(F.expr("cast(shiftright(word, bit) & 1L "
+                                     "as int)")).alias("h"))
+           .groupBy("_bkey").agg((F.min("h") == 1).alias(flag_col)))
+    return kb.join(F.broadcast(hit), "_bkey").drop("_bkey")
+
+
+def exact_new_rows(batch: DataFrame, corpus: DataFrame,
+                   batch_key: Column | str, corpus_key: Column | str,
+                   *, words: DataFrame, m_bits: int,
+                   k: int = 5) -> DataFrame:
+    """Rows of ``batch`` whose key is NOT in ``corpus`` -- bit-for-bit
+    the plain LEFT ANTI join, computed the Bloom way: definite-new rows
+    pass straight through from the filter probe; the maybe set is
+    confirmed with a semi join whose BROADCAST side is the (tiny)
+    candidate key set, so the corpus is scanned on one column and never
+    shuffled. With no duplicates in the batch, the corpus is not
+    scanned at all beyond that narrow confirm pass."""
+    bkey = F.col(batch_key) if isinstance(batch_key, str) else batch_key
+    ckey = F.col(corpus_key) if isinstance(corpus_key, str) else corpus_key
+    flagged = bloom_candidates(batch, words, bkey, m_bits=m_bits, k=k)
+    definite = flagged.where(~F.col("_maybe_dup")).drop("_maybe_dup")
+    maybe = flagged.where(F.col("_maybe_dup")).drop("_maybe_dup")
+    cand_keys = maybe.select(bkey.alias("_k")).distinct()
+    confirmed = (corpus.select(ckey.alias("_k"))
+                 .join(F.broadcast(cand_keys), "_k", "left_semi")
+                 .distinct())
+    cleared = (maybe.withColumn("_k", bkey)
+               .join(F.broadcast(confirmed), "_k", "left_anti").drop("_k"))
+    return definite.unionByName(cleared)

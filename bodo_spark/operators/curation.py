@@ -42,7 +42,7 @@ __all__ = [
     "contaminated_ids", "decontaminate", "global_offsets", "pack_chunks",
     "domain_mix_sample", "leakage_free_split", "redact_pii",
     "shuffle_shards", "u01_hash", "remove_boilerplate_lines",
-    "hashed_quality_score",
+    "hashed_quality_score", "chunk_with_overlap",
 ]
 
 
@@ -151,6 +151,38 @@ def pack_chunks(df: DataFrame, capacity: int, *, id_col: str = "doc_id",
     return (out.withColumn("chunk_id",
                            F.explode(F.sequence(first, last)))
             .drop("offset"))
+
+
+def chunk_with_overlap(df: DataFrame, *, chunk: int, stride: int,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       out_col: str = "chunk_text") -> DataFrame:
+    """RAG-style sliding-window chunker: split each doc's whitespace
+    tokens into windows of ``chunk`` tokens starting every ``stride``
+    tokens (stride < chunk = overlapping context windows; the retrieval
+    indexing norm). Emits (id_col, chunk_no, out_col, n_tokens) -- one
+    row per window, the tail window shorter when the doc doesn't divide
+    evenly. Windows that would start at/after the last token are not
+    emitted; every doc emits at least the chunk starting at 0 (empty
+    text -> one empty chunk), so no document silently disappears.
+
+    Purely narrow JVM work (split/sequence/slice/posexplode -- no
+    shuffle at all, no Python): output rows ~ n_tokens/stride per doc,
+    so the operator streams at scan speed on any corpus size. Unlike
+    pack_chunks (which needs a global offset), chunk boundaries here
+    are per-document, hence embarrassingly parallel."""
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk_with_overlap: chunk and stride must be >= 1")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (df.withColumn("_toks", toks)
+            .select(id_col, F.posexplode(starts).alias("chunk_no", "_start"),
+                    "_toks")
+            .withColumn("_piece", F.slice(F.col("_toks"),
+                                          F.col("_start") + 1, chunk))
+            .select(id_col, F.col("chunk_no").cast("bigint").alias("chunk_no"),
+                    F.array_join("_piece", " ").alias(out_col),
+                    F.size("_piece").cast("bigint").alias("n_tokens")))
 
 
 # --------------------------------------------------------------------------

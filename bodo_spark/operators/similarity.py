@@ -176,6 +176,102 @@ def train_ivf_centroids(
     return [c.astype(np.float32) for c in C]
 
 
+def _centroid_table(vectors: DataFrame, centroids: list | None,
+                    n_centroids: int, coarse_dim: int, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """The tiny (_cid, _cvec, _cn) centroid frame both IVF and SemDeDup
+    broadcast: explicit centroid list if given (train_ivf_centroids),
+    else the n lowest-id vectors -- deterministic, so a SQL oracle can
+    re-derive the identical cells."""
+    if centroids is not None:
+        rows = [(i, [float(x) for x in list(c)[:coarse_dim]])
+                for i, c in enumerate(centroids)]
+        return (vectors.sparkSession.createDataFrame(
+            rows, "_cid bigint, _cvec array<float>")
+            .withColumn("_cn", F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
+    trunc = F.slice(F.col("_cvec"), 1, coarse_dim)
+    return (vectors.select(F.col(id_col).alias("_cid"),
+                           F.col(vec_col).alias("_cvec"))
+            .orderBy("_cid").limit(n_centroids)
+            .withColumn("_cvec", trunc)
+            .withColumn("_cn",
+                        F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
+
+
+def assign_nearest_cell(df: DataFrame, cents: DataFrame, *, vec_col: str,
+                        key_col: str, coarse_dim: int = 16,
+                        out_col: str = "_cell") -> DataFrame:
+    """Nearest-centroid id per row: broadcast cross join against the
+    tiny centroid table, max_by reduction keyed on (cosine, -cid) --
+    the map-side partial combine collapses the n_centroids candidate
+    rows per key BEFORE the exchange, so the shuffle carries one row
+    per input row and no sort happens (same reduction ivf_topk uses on
+    its corpus side). Ties are impossible: _cid is unique."""
+    tv = F.slice(F.col(vec_col), 1, coarse_dim)
+    tn = F.sqrt(dot(tv, tv))
+    scored = (df.crossJoin(F.broadcast(cents))
+              .withColumn("_ccos", F.round(dot(tv, F.col("_cvec"))
+                                           / (tn * F.col("_cn")), 9)))
+    val = F.struct(*[F.col(c) for c in df.columns],
+                   F.col("_cid").alias(out_col))
+    ordkey = F.struct(F.col("_ccos").alias("c"), (-F.col("_cid")).alias("nc"))
+    return (scored.groupBy(key_col)
+            .agg(F.max_by(val, ordkey).alias("_m"))
+            .select("_m.*"))
+
+
+def semantic_dedup(vectors: DataFrame, *, n_cells: int = 8,
+                   eps: float = 0.9, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: list | None = None,
+                   coarse_dim: int = 16) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding-indexed corpus. Cluster the embedding
+    space with k-means; WITHIN each cluster, any vector whose cosine to
+    a lower-id cluster-mate is >= ``eps`` is a semantic duplicate and
+    is dropped (keep-first -- deterministic, so the DuckDB oracle
+    reproduces the survivor set exactly). Returns the surviving rows.
+
+    Scale design: centroids broadcast; assignment is the same
+    map-side-combined max_by pass IVF uses (one narrow shuffle, on the
+    row key); the duplicate test is a self-join ON the cell id -- the
+    one hash shuffle, partitioned by cell. The intra-cell pair cost is
+    the algorithm's intrinsic O(sum c_i^2); SemDeDup's published
+    mitigation is k proportional to corpus size (50k clusters for
+    LAION-440M, keeping cells at ~10^4 rows), which this shape inherits
+    directly: more cells = smaller c_i with an unchanged plan. Pass
+    ``centroids=train_ivf_centroids(...)`` for real k-means cells; the
+    default lowest-id seeding is the oracle-deterministic gate mode.
+    Duplicate decision uses full-dimension cosine rounded to 6 dp
+    (routing uses the truncated coarse subspace, as in IVF)."""
+    from pyspark import StorageLevel
+
+    from .dedup import _PERSISTED
+
+    cents = _centroid_table(vectors, centroids, n_cells, coarse_dim,
+                            id_col, vec_col)
+    # persist: the assignment subtree feeds BOTH sides of the cell
+    # self-join AND the final anti join -- without this the corpus-wide
+    # max_by pass runs three times (released by dedup.unpersist_cached)
+    v = (assign_nearest_cell(_ensure_scan_width(vectors), cents,
+                             vec_col=vec_col, key_col=id_col,
+                             coarse_dim=coarse_dim)
+         .withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(v)
+    right = v.select(F.col(id_col).alias("_rid"),
+                     F.col(vec_col).alias("_rvec"),
+                     F.col("_vn").alias("_rn"), "_cell")
+    cos = F.round(dot(F.col(vec_col), F.col("_rvec"))
+                  / (F.col("_vn") * F.col("_rn")), 6)
+    dropped = (v.join(right, "_cell")
+               .where(F.col("_rid") < F.col(id_col))
+               .where(cos >= F.lit(eps))
+               .select(F.col(id_col)).distinct())
+    return (v.join(dropped, id_col, "left_anti")
+            .drop("_cell", "_vn"))
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -214,20 +310,8 @@ def ivf_topk(
     # fold-based dot is interpreted per element) by dim/coarse_dim while
     # candidate scoring below stays full-precision.
     coarse_dim = 16
-    if centroids is not None:
-        rows = [(i, [float(x) for x in list(c)[:coarse_dim]])
-                for i, c in enumerate(centroids)]
-        cents = (vectors.sparkSession.createDataFrame(
-            rows, "_cid bigint, _cvec array<float>")
-            .withColumn("_cn", F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
-    else:
-        trunc = F.slice(F.col("_cvec"), 1, coarse_dim)
-        cents = (vectors.select(F.col(id_col).alias("_cid"),
-                                F.col(vec_col).alias("_cvec"))
-                 .orderBy("_cid").limit(n_centroids)
-                 .withColumn("_cvec", trunc)
-                 .withColumn("_cn",
-                             F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
+    cents = _centroid_table(vectors, centroids, n_centroids, coarse_dim,
+                            id_col, vec_col)
 
     def assign(df: DataFrame, vec: str, norm: str, key: str,
                n: int) -> DataFrame:

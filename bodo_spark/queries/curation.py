@@ -580,7 +580,43 @@ FROM scored GROUP BY lang ORDER BY lang
 """
 
 
+def cur_chunk_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style sliding-window chunker (operators/curation.py
+    chunk_with_overlap): 16-token windows every 8 tokens. The gate pins,
+    per window index, the chunk count, total token mass, and an
+    order-insensitive md5 over the chunk texts -- WHICH tokens land in
+    which window, not just how many."""
+    d = tbl(spark, sf, "documents").select("doc_id", "text")
+    out = C.chunk_with_overlap(d, chunk=16, stride=8)
+    return (out.groupBy("chunk_no").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.md5(F.array_join(
+            F.array_sort(F.collect_list(F.md5("chunk_text"))), ""))
+        .alias("text_hash"))
+        .orderBy("chunk_no"))
+
+
+_CHUNK_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_SQL_WORDS} AS ts FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(s / 8 AS BIGINT) AS chunk_no,
+         array_to_string(ts[CAST(s + 1 AS INTEGER):CAST(s + 16 AS INTEGER)], ' ')
+           AS chunk_text,
+         CAST(len(ts[CAST(s + 1 AS INTEGER):CAST(s + 16 AS INTEGER)]) AS BIGINT)
+           AS n_tokens
+  FROM docs, UNNEST(range(0, greatest(len(ts) - 1, 0) + 1, 8)) AS t(s))
+SELECT chunk_no, COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       md5(string_agg(md5(chunk_text), '' ORDER BY md5(chunk_text)))
+         AS text_hash
+FROM chunks GROUP BY chunk_no ORDER BY chunk_no
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_chunk_overlap": QueryDef(cur_chunk_overlap, _CHUNK_SQL),
     "cur_line_dedup": QueryDef(cur_line_dedup, _LINE_DEDUP_SQL),
     "cur_quality_model": QueryDef(cur_quality_model, _quality_sql()),
     "cur_pipeline_e2e": QueryDef(cur_pipeline_e2e, _pipeline_sql()),

@@ -590,7 +590,65 @@ def dedup_index_append(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def dedup_bloom_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered exact-dedup ingest (operators/bloom.py): build
+    the corpus key filter from half the corpus, LSM-append the other
+    half (+compact), then admit only batch rows whose md5(text) key is
+    NOT in the corpus. The batch replays every 7th corpus doc under new
+    ids (guaranteed true duplicates) alongside the held-out tenth, so
+    both the definite-new fast path and the confirm join carry rows.
+    The result is pinned against the plain anti join -- the Bloom path
+    must be bit-for-bit exact (false positives cleared by the confirm
+    join; false negatives impossible)."""
+    import shutil
+    import uuid
+
+    from ..operators import bloom as B
+
+    d = tbl(spark, sf, "documents").select("doc_id", "lang", "text")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    replay = (corpus.where(F.col("doc_id") % 7 == 1)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    batch = d.where(F.col("doc_id") % 10 == 0).unionByName(replay)
+    key = F.md5("text")
+    m_bits, k = 1 << 17, 5  # sizing never affects the (exact) result
+    stage = f"/tmp/bodo_spark_bloom_{uuid.uuid4().hex[:8]}"
+    try:
+        B.write_bloom_index(corpus.where(F.col("doc_id") % 2 == 0), stage,
+                            key, m_bits=m_bits, k=k)
+        B.append_bloom_index(corpus.where(F.col("doc_id") % 2 == 1), stage,
+                             key, m_bits=m_bits, k=k, compact_after=True)
+        words = B.read_bloom_index(spark, stage)
+        new = B.exact_new_rows(batch, corpus, key, key,
+                               words=words, m_bits=m_bits, k=k)
+        out = (new.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.bit_xor("doc_id").alias("id_xor"))
+            .orderBy("lang"))
+        from .io_formats import _materialize
+        return _materialize(out, "lang string, n_new bigint, id_xor bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_DEDUP_BLOOM_SQL = """
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0),
+batch AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, text
+  FROM corpus WHERE doc_id % 7 = 1),
+new AS (
+  SELECT b.* FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = md5(b.text)))
+SELECT lang, COUNT(*) AS n_new, bit_xor(doc_id) AS id_xor
+FROM new GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dedup_bloom_ingest": QueryDef(dedup_bloom_ingest, _DEDUP_BLOOM_SQL),
     "dedup_collapse_survivors": QueryDef(dedup_collapse_survivors,
                                          _DEDUP_COLLAPSE_SQL),
     "dedup_index_append": QueryDef(dedup_index_append, _DEDUP_INCR_SQL),

@@ -320,7 +320,58 @@ FROM dims, n GROUP BY n.n
 """
 
 
+def emb_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semantic_dedup): k-means cells
+    + within-cell cosine keep-first. Salted with exact copies of
+    vec_id < 3 at +10000 (the synthetic corpus' natural max cosine is
+    ~0.51) and run at eps=0.5, so BOTH planted exact duplicates AND
+    real same-cell semantic neighbours are dropped -- the gate pins the
+    surviving id set per label (count + bit_xor), not just counts."""
+    emb = tbl(spark, sf, "embeddings")
+    planted = (emb.where(F.col("vec_id") < 3)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(10000)))
+    keep = S.semantic_dedup(emb.unionByName(planted), n_cells=8, eps=0.5)
+    return (keep.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.bit_xor("vec_id").alias("id_xor"))
+        .orderBy("label"))
+
+
+_SEMDEDUP_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id < 3),
+cents AS (
+  SELECT vec_id AS cid, embedding[1:16] AS cvec
+  FROM base ORDER BY vec_id LIMIT 8),
+asg AS (
+  SELECT b.vec_id, b.embedding, b.label, c.cid,
+         row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round(-(list_dot_product(CAST(b.embedding[1:16] AS DOUBLE[]),
+                                               CAST(c.cvec AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(b.embedding[1:16] AS DOUBLE[]),
+                                        CAST(b.embedding[1:16] AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]),
+                                          CAST(c.cvec AS DOUBLE[]))))), 9),
+                      c.cid) AS crn
+  FROM base b CROSS JOIN cents c),
+cells AS (SELECT vec_id, embedding, label, cid AS cell
+          FROM asg WHERE crn = 1),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE {_SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.5)
+SELECT label, COUNT(*) AS n_kept, bit_xor(vec_id) AS id_xor
+FROM cells WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+GROUP BY label ORDER BY label
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "emb_semantic_dedup": QueryDef(emb_semantic_dedup, _SEMDEDUP_SQL),
     "emb_gram_slice": QueryDef(emb_gram_slice, _EMB_GRAM_SQL),
     "emb_pca_trace": QueryDef(emb_pca_trace, _EMB_TRACE_SQL),
     "emb_pipeline_e2e": QueryDef(emb_pipeline_e2e, _EMB_PIPELINE_SQL),

@@ -296,7 +296,58 @@ def _incr_oracle() -> str:
     return _DEDUP_INCR_SQL
 
 
+def stream_bloom_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact-dedup ingest under the gate: corpus indexed once
+    into a Bloom word table (persisted parquet), batch = the SAME
+    held-out-tenth + replayed-sevenths construction as the batch
+    dedup_bloom_ingest gate, streamed as a 2-file source with
+    max_files_per_trigger=1. The stateless probe (k broadcast
+    stream-static bit joins + NULL-keyed corpus confirm) must admit the
+    exact same new rows across micro-batches as the batch operator --
+    the two gates share the anti-join oracle verbatim."""
+    from ..operators import bloom as B
+    from ..streaming import (read_stream_parquet, run_available_now,
+                             stream_bloom_new_rows)
+
+    d = tbl(spark, sf, "documents").select("doc_id", "lang", "text")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    replay = (corpus.where(F.col("doc_id") % 7 == 1)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    batch = (d.where(F.col("doc_id") % 10 == 0).unionByName(replay)
+             .withColumn("_key", F.md5("text")))
+    m_bits, k = 1 << 17, 5
+    stage = f"/tmp/bodo_spark_sbloom_{uuid.uuid4().hex[:8]}"
+    try:
+        B.write_bloom_index(corpus, f"{stage}/idx", F.md5("text"),
+                            m_bits=m_bits, k=k)
+        corpus.select(F.md5("text").alias("_key")).write \
+            .mode("overwrite").parquet(f"{stage}/keys")
+        batch.repartition(2).write.mode("overwrite") \
+            .parquet(f"{stage}/batch")
+        words = B.read_bloom_index(spark, f"{stage}/idx")
+        keys = spark.read.parquet(f"{stage}/keys")
+        stream = read_stream_parquet(spark, f"{stage}/batch",
+                                     batch.schema,
+                                     max_files_per_trigger=1)
+        new = stream_bloom_new_rows(stream, words, keys,
+                                    key_col="_key", m_bits=m_bits, k=k)
+        res = run_available_now(new, f"t_sbloom_{uuid.uuid4().hex[:8]}",
+                                output_mode="append")
+        return (res.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.bit_xor("doc_id").alias("id_xor"))
+            .orderBy("lang"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _bloom_oracle() -> str:
+    from .dedup import _DEDUP_BLOOM_SQL
+    return _DEDUP_BLOOM_SQL
+
+
 QUERIES: dict[str, QueryDef] = {
+    "stream_bloom_ingest": QueryDef(stream_bloom_ingest, _bloom_oracle()),
     "stream_incremental_dedup": QueryDef(stream_incremental_dedup,
                                          _incr_oracle()),
     "stream_stateful_totals": QueryDef(stream_stateful_totals,

@@ -11,6 +11,7 @@ workloads run on the same engine.
 """
 
 from .dedup import (  # noqa: F401
+    stream_bloom_new_rows,
     stream_minhash_flags,
 )
 from .joins import (  # noqa: F401

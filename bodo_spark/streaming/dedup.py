@@ -20,7 +20,66 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 
-__all__ = ["stream_minhash_flags"]
+__all__ = ["stream_minhash_flags", "stream_bloom_new_rows"]
+
+
+def stream_bloom_new_rows(
+    stream_docs: DataFrame,
+    words: DataFrame,
+    corpus_keys: DataFrame,
+    *,
+    key_col: str = "_key",
+    m_bits: int,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming twin of operators/bloom.exact_new_rows: emit only the
+    stream rows whose ``key_col`` is NOT in the indexed corpus.
+    ``words`` is the stored Bloom word table (read_bloom_index);
+    ``corpus_keys`` is a one-column (``key_col``) frame of corpus keys
+    -- persist it (or point it at a key-only parquet) so micro-batches
+    don't re-derive it.
+
+    Everything is stateless and stream-legal: the k bit probes are k
+    broadcast stream-static joins against the (tiny, <= m/64 rows)
+    word table -- no explode-then-aggregate, so no streaming-state
+    machinery; the corpus confirm is ONE stream-static left join whose
+    join key is NULLed for rows the filter already cleared (SQL
+    equi-joins never match NULL), so definitely-new rows pass through
+    without probing the corpus at all. False positives come back
+    matched = null cleared or matched -> filtered exactly; false
+    negatives are impossible. At corpus scale the confirm join is the
+    rare path by construction (fpp * batch + true dups); keep
+    ``corpus_keys`` persisted/bucketed so its per-batch cost is a hash
+    lookup, not a rebuild."""
+    key = F.col(key_col)
+    out = stream_docs
+    # h1 + i*h2 double hashing -- MUST stay in lockstep with
+    # operators/bloom._positions (tests pin batch/stream agreement)
+    h1 = F.xxhash64(F.lit(1), key)
+    h2 = F.xxhash64(F.lit(2), key)
+    hit_all = F.lit(True)
+    for i in range(k):
+        p = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+        w = (words.select(F.col("word_idx").alias(f"_wi{i}"),
+                          F.col("word").alias(f"_w{i}")))
+        out = out.withColumn(f"_p{i}", (p / 64).cast("long")) \
+                 .withColumn(f"_b{i}", F.pmod(p, F.lit(64)).cast("int"))
+        out = out.join(F.broadcast(w),
+                       out[f"_p{i}"] == w[f"_wi{i}"], "left")
+        hit_all = hit_all & F.coalesce(
+            F.expr(f"cast(shiftright(_w{i}, _b{i}) & 1L as boolean)"),
+            F.lit(False))
+    out = out.withColumn("_maybe", hit_all)
+    probe_key = F.when(F.col("_maybe"), key).otherwise(F.lit(None))
+    ck = (corpus_keys.select(F.col(key_col).alias("_ck"))
+          .dropDuplicates(["_ck"]))  # repeated corpus keys must not fan out
+    out = (out.withColumn("_pk", probe_key)
+           .join(ck, F.col("_pk") == F.col("_ck"), "left")
+           .where(F.col("_ck").isNull()))
+    helper = ([f"_p{i}" for i in range(k)] + [f"_b{i}" for i in range(k)]
+              + [f"_wi{i}" for i in range(k)] + [f"_w{i}" for i in range(k)]
+              + ["_maybe", "_pk", "_ck"])
+    return out.drop(*helper)
 
 
 def stream_minhash_flags(

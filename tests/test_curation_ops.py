@@ -192,3 +192,47 @@ def test_append_index_equals_one_shot(spark):
         assert a == b
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# chunk_with_overlap
+
+
+def test_chunk_overlap_windows_and_tail(spark):
+    df = _docs(spark, [(1, "a b c d e f g h i j")])  # 10 tokens
+    out = sorted((r["chunk_no"], r["chunk_text"], r["n_tokens"])
+                 for r in C.chunk_with_overlap(
+                     df, chunk=4, stride=3).collect())
+    assert out == [
+        (0, "a b c d", 4),
+        (1, "d e f g", 4),
+        (2, "g h i j", 4),
+        (3, "j", 1),  # tail window, shorter
+    ]
+
+
+def test_chunk_overlap_short_doc_single_chunk(spark):
+    df = _docs(spark, [(1, "only three tokens")])
+    out = C.chunk_with_overlap(df, chunk=16, stride=8).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_text"] == "only three tokens"
+    assert out[0]["n_tokens"] == 3
+
+
+def test_chunk_overlap_no_overlap_partitions_exactly(spark):
+    """stride == chunk is plain fixed-size chunking: every token appears
+    exactly once across the chunks."""
+    df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(10)))])
+    rows = C.chunk_with_overlap(df, chunk=4, stride=4).collect()
+    toks = [t for r in sorted(rows, key=lambda r: r["chunk_no"])
+            for t in r["chunk_text"].split()]
+    assert toks == [f"t{i}" for i in range(10)]
+
+
+def test_chunk_overlap_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "x")])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        C.chunk_with_overlap(df, chunk=0, stride=1)
+    with _pytest.raises(ValueError):
+        C.chunk_with_overlap(df, chunk=4, stride=0)

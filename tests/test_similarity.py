@@ -160,3 +160,61 @@ def test_auto_scorer_cutover():
     assert S.auto_scorer(2_000_000, S.auto_block_bits(2_000_000)) == "blas"
     # same 200k corpus under coarse 4-bit blocking: 1.25B pairs -> blas
     assert S.auto_scorer(200_000, 4) == "blas"
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    """Exact duplicate vectors land in the same cell and the higher id
+    is dropped (keep-first); unrelated vectors survive."""
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 1.0]), (10, [1.0, 0.0, 0.0])]
+    out = sorted(r["vec_id"] for r in S.semantic_dedup(
+        _vecs(spark, rows), n_cells=3, eps=0.99, coarse_dim=3).collect())
+    assert out == [0, 1, 2]
+
+
+def test_semantic_dedup_eps_controls_aggressiveness(spark):
+    """cos(v3, v0) ~ 0.894: dropped at eps=0.8, kept at eps=0.95."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (3, [2.0, 1.0])]
+    loose = sorted(r["vec_id"] for r in S.semantic_dedup(
+        _vecs(spark, rows), n_cells=2, eps=0.8, coarse_dim=2).collect())
+    strict = sorted(r["vec_id"] for r in S.semantic_dedup(
+        _vecs(spark, rows), n_cells=2, eps=0.95, coarse_dim=2).collect())
+    assert loose == [0, 1]
+    assert strict == [0, 1, 3]
+
+
+def test_semantic_dedup_cross_cell_pairs_ignored(spark):
+    """SemDeDup only compares within a cell: with centroids pinned to
+    two orthogonal seeds, near-dups split across cells both survive --
+    the documented approximation that makes the operator linear-ish."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(0, [1.0, 0.05]), (1, [0.05, 1.0]),
+            # cos(2,0)=0.99+ but vec 2 routes to cell 1? no: [0.7,0.72]
+            # routes to cell 1 while its near-twin 0 sits in cell 0
+            (2, [0.70, 0.72])]
+    out = sorted(r["vec_id"] for r in S.semantic_dedup(
+        _vecs(spark, rows), eps=0.9, centroids=cents,
+        coarse_dim=2).collect())
+    assert out == [0, 1, 2]
+
+
+def test_semantic_dedup_trained_centroids_path(spark):
+    """The train_ivf_centroids seam plugs in unchanged: same survivors
+    as the planted-duplicate case demands, with k-means cells."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows += [(100 + i, list(rows[i][1])) for i in range(3)]  # exact twins
+    df = _vecs(spark, rows)
+    cents = S.train_ivf_centroids(df, n_centroids=4, coarse_dim=8, seed=1)
+    kept = sorted(r["vec_id"] for r in S.semantic_dedup(
+        df, eps=0.999, centroids=cents, coarse_dim=8).collect())
+    assert kept == list(range(40))  # twins dropped, originals kept

@@ -256,3 +256,43 @@ def test_stream_minhash_flags_matches_batch_between(spark, tmp_path_factory):
     stream_pairs = {(r.new_id, r.corpus_id) for r in got.collect()}
     assert stream_pairs == batch_pairs and batch_pairs
     corpus_sig.unpersist()
+
+
+def test_stream_bloom_new_rows_matches_batch(spark, tmp_path_factory):
+    """The streaming Bloom ingest admits exactly the batch
+    exact_new_rows set (== plain anti join) across micro-batches,
+    including under a saturated filter (m=64: every probe collides,
+    the confirm join must clear every false positive)."""
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators import bloom as B
+    from bodo_spark.queries._util import tbl
+    from bodo_spark.streaming import (read_stream_parquet,
+                                      run_available_now,
+                                      stream_bloom_new_rows)
+
+    d = tbl(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 3 != 0)
+    batch = (d.where(F.col("doc_id") % 3 == 0)
+             .unionByName(corpus.where(F.col("doc_id") % 5 == 1)
+                          .withColumn("doc_id",
+                                      F.col("doc_id") + F.lit(70000)))
+             .withColumn("_key", F.md5("text")))
+    keys = corpus.select(F.md5("text").alias("_key")).persist()
+    for m_bits, k in [(1 << 14, 5), (64, 2)]:
+        words = B.bloom_word_table(corpus, F.md5("text"),
+                                   m_bits=m_bits, k=k).persist()
+        expect = {r.doc_id for r in B.exact_new_rows(
+            batch, corpus, F.col("_key"), F.md5("text"),
+            words=words, m_bits=m_bits, k=k).collect()}
+        stage = str(tmp_path_factory.mktemp(f"sbloom{m_bits}"))
+        batch.repartition(3).write.mode("overwrite").parquet(stage)
+        stream = read_stream_parquet(spark, stage, batch.schema,
+                                     max_files_per_trigger=1)
+        got = run_available_now(
+            stream_bloom_new_rows(stream, words, keys, key_col="_key",
+                                  m_bits=m_bits, k=k),
+            f"t_sbloom_test_{m_bits}", output_mode="append")
+        assert {r.doc_id for r in got.collect()} == expect and expect
+        words.unpersist()
+    keys.unpersist()
