@@ -135,24 +135,33 @@ def bloom_candidates(batch: DataFrame, words: DataFrame,
                      flag_col: str = "_maybe_dup") -> DataFrame:
     """Tag each batch row: ``flag_col`` = false means DEFINITELY new
     (exact, the Bloom no-answer); true means maybe-duplicate (confirm
-    against the corpus). The word table broadcasts (<= m/64 rows); the
-    probe is explode(k) -> broadcast LEFT join -> all-k AND, so the
-    batch is shuffled only on its own row key (its narrowest column)
-    and the corpus not at all."""
+    against the corpus). The probe is k broadcast LEFT joins against
+    the (tiny, <= m/64 rows) word table, one per bit position, folded
+    with AND -- NO explode, NO aggregation, NO batch-sized shuffle or
+    broadcast: the batch streams through map-side only. (Same shape as
+    the streaming twin, streaming/dedup.stream_bloom_new_rows -- it was
+    adopted here after replacing an explode->groupBy->re-join layout
+    that re-shuffled the batch on its own key.)"""
     key = F.col(key) if isinstance(key, str) else key
-    kb = batch.withColumn("_bkey", key)
-    probe = (kb.select("_bkey").distinct()
-             .select("_bkey", F.explode(_positions(F.col("_bkey"), m_bits, k))
-                     .alias("p"))
-             .select("_bkey", (F.col("p") / 64).cast("long").alias("word_idx"),
-                     F.pmod(F.col("p"), F.lit(64)).cast("int").alias("bit")))
-    hit = (probe.join(F.broadcast(words), "word_idx", "left")
-           .select("_bkey",
-                   F.when(F.col("word").isNull(), F.lit(0))
-                   .otherwise(F.expr("cast(shiftright(word, bit) & 1L "
-                                     "as int)")).alias("h"))
-           .groupBy("_bkey").agg((F.min("h") == 1).alias(flag_col)))
-    return kb.join(F.broadcast(hit), "_bkey").drop("_bkey")
+    out = batch.withColumn("_bkey", key)
+    h1 = F.xxhash64(F.lit(1), F.col("_bkey"))
+    h2 = F.xxhash64(F.lit(2), F.col("_bkey"))
+    hit_all = F.lit(True)
+    for i in range(k):
+        p = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+        w = words.select(F.col("word_idx").alias(f"_wi{i}"),
+                         F.col("word").alias(f"_w{i}"))
+        out = out.withColumn(f"_p{i}", (p / 64).cast("long")) \
+                 .withColumn(f"_b{i}", F.pmod(p, F.lit(64)).cast("int"))
+        out = out.join(F.broadcast(w),
+                       out[f"_p{i}"] == w[f"_wi{i}"], "left")
+        hit_all = hit_all & F.coalesce(
+            F.expr(f"cast(shiftright(_w{i}, _b{i}) & 1L as boolean)"),
+            F.lit(False))
+    helper = [c for i in range(k)
+              for c in (f"_p{i}", f"_b{i}", f"_wi{i}", f"_w{i}")]
+    return (out.withColumn(flag_col, hit_all)
+            .drop(*helper).drop("_bkey"))
 
 
 def exact_new_rows(batch: DataFrame, corpus: DataFrame,
@@ -166,11 +175,30 @@ def exact_new_rows(batch: DataFrame, corpus: DataFrame,
     candidate key set, so the corpus is scanned on one column and never
     shuffled. With no duplicates in the batch, the corpus is not
     scanned at all beyond that narrow confirm pass."""
+    from pyspark import StorageLevel
+
+    from .dedup import _PERSISTED
+
     bkey = F.col(batch_key) if isinstance(batch_key, str) else batch_key
     ckey = F.col(corpus_key) if isinstance(corpus_key, str) else corpus_key
     flagged = bloom_candidates(batch, words, bkey, m_bits=m_bits, k=k)
+    # the flagged frame feeds the definite branch, the maybe branch AND
+    # the candidate-key extraction -- persist (batch-sized) so the
+    # k-join probe runs once, not three times (released by
+    # dedup.unpersist_cached)
+    flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(flagged)
     definite = flagged.where(~F.col("_maybe_dup")).drop("_maybe_dup")
     maybe = flagged.where(F.col("_maybe_dup")).drop("_maybe_dup")
+    # Driver-side gate on a bounded scalar: AQE materializes leaf
+    # stages CONCURRENTLY, so an empty candidate broadcast does NOT
+    # stop the corpus-scan stage from being submitted (measured: the
+    # scan ran on an all-fresh batch). One isEmpty() on the persisted
+    # batch-sized frame decides whether the confirm join -- and with it
+    # ANY corpus access -- exists in the plan at all. An all-new ingest
+    # batch therefore touches only the m/64-row word table.
+    if maybe.isEmpty():
+        return definite
     cand_keys = maybe.select(bkey.alias("_k")).distinct()
     confirmed = (corpus.select(ckey.alias("_k"))
                  .join(F.broadcast(cand_keys), "_k", "left_semi")

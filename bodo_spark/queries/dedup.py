@@ -519,15 +519,24 @@ def dedup_collapse_survivors(spark: SparkSession, sf: str) -> DataFrame:
     LSH pairs over representatives only -> connected components ->
     min-id survivors; operators/dedup.py near_dup_survivors). The
     corpus is adversarially doubled with byte-identical re-keyed
-    copies (doc_id + 1,000,000): without the collapse every doc would
+    copies (doc_id + 10^9): without the collapse every doc would
     band-collide with its clone AND its clone's near-dups. Survivor
     equivalence is the oracle: collapse keeps exactly the original
     min-id rows, so surviving (source, count, id-sum) must equal plain
     LSH survivors over the UN-doubled corpus -- proving both the skew
-    guard's work bound and its zero-recall-loss claim in one gate."""
+    guard's work bound and its zero-recall-loss claim in one gate.
+
+    The clone offset must clear the REAL id range at every probe scale:
+    the original +1,000,000 collided with genuine doc_ids on the 1000x
+    ladder corpus (4.95M docs), aliasing clones onto originals -- the
+    collapse then kept 8.99M of 9.9M rows and LSH ran over millions of
+    uncollapsed exact duplicates (24 -> 933 s at 100x -> 1000x, a gate
+    construction defect the ladder itself caught; the operator was
+    sound). 10^9 clears any ladder scale; the oracle (un-doubled
+    corpus) is offset-independent."""
     d = tbl(spark, sf, "documents")
     doubled = d.union(d.withColumn("doc_id",
-                                   F.col("doc_id") + F.lit(1_000_000)))
+                                   F.col("doc_id") + F.lit(1_000_000_000)))
     surv = D.near_dup_survivors(doubled, num_perm=16, bands=8,
                                 threshold=0.5, collapse_exact=True)
     return (surv.groupBy("source")

@@ -216,8 +216,15 @@ def hand_join_asof(spark, sf):
               .groupBy("user_id", F.col("ts").alias("cts"))
               .agg(F.max("event_id").alias("click_id"),
                    F.max("value").alias("click_value")))
-    j = buys.join(clicks, (buys.user_id == clicks.user_id)
-                  & (clicks.cts <= buys.ts), "left").drop(clicks.user_id)
+    # explicit aliases: buys/clicks share lineage (both from `e`), so
+    # buys.user_id == clicks.user_id resolves trivially-true and
+    # .drop(clicks.user_id) can remove the LEFT's column (unmatched
+    # purchases then fell into a NULL group -- the r9 A/B found this)
+    b, c = buys.alias("b"), clicks.alias("c")
+    j = (b.join(c, (F.col("b.user_id") == F.col("c.user_id"))
+                & (F.col("c.cts") <= F.col("b.ts")), "left")
+         .select("b.event_id", "b.user_id", "b.ts",
+                 "c.cts", "c.click_id", "c.click_value"))
     w = (W.partitionBy("event_id")
          .orderBy(F.col("cts").desc_nulls_last()))
     best = (j.withColumn("_rn", F.row_number().over(w))
@@ -269,8 +276,13 @@ def main() -> None:
     out = {}
     for name in names:
         if check:
-            eng = sorted(map(tuple, qs[name].fn(spark, sf).collect()))
-            hnd = sorted(map(tuple, HAND[name](spark, sf).collect()))
+            def _nskey(t):  # None-safe row sort (as-of misses)
+                return tuple((v is None, 0 if v is None else v)
+                             for v in t)
+            eng = sorted(map(tuple, qs[name].fn(spark, sf).collect()),
+                         key=_nskey)
+            hnd = sorted(map(tuple, HAND[name](spark, sf).collect()),
+                         key=_nskey)
             same = len(eng) == len(hnd) and all(
                 all((a == b) or (isinstance(a, float)
                                  and abs(a - b) <= 1e-6 * max(1, abs(a)))

@@ -60,7 +60,9 @@ def main() -> None:
                      F.lit(" "), F.col("text")).alias("text"))
         halfdup = base.select(
             (F.col("doc_id") + 20_000_000).alias("doc_id"),
-            F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+            # base ids are all multiples of 100 -- split on the
+            # hundreds digit, not id parity (id % 2 is always 0 here)
+            F.when((F.col("doc_id") / 100) % 2 == 0, F.col("text"))
             .otherwise(F.concat(F.lit("new "),
                                 F.col("doc_id").cast("string"))).alias("text"))
 
@@ -71,11 +73,13 @@ def main() -> None:
 
         out = {"sf_dir": sf, "corpus": n, "m_bits": m_bits, "k": k,
                "index_sec": t_index, "batches": {}}
+        from bodo_spark.operators.dedup import unpersist_cached
         for name, batch in [("fresh", fresh), ("half_dup", halfdup)]:
             batch = batch.cache()
             nb = batch.count()
             bloom_n, bloom_sec = timed_count(B.exact_new_rows(
                 batch, d, key, key, words=words, m_bits=m_bits, k=k))
+            unpersist_cached()
             anti = (batch.withColumn("_k", key)
                     .join(d.select(key.alias("_k")), "_k", "left_anti"))
             anti_n, anti_sec = timed_count(anti)

@@ -45,19 +45,25 @@ def main() -> None:
     emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
     n = emb.count()
 
-    def run(n_cells: int, label: str) -> dict:
+    def run(n_cells: int, label: str, scorer: str = "blas") -> dict:
         cents = S.train_ivf_centroids(emb, n_centroids=n_cells, seed=1)
         t0 = time.time()
-        kept = S.semantic_dedup(emb, eps=0.5, centroids=cents).count()
+        kept = S.semantic_dedup(emb, eps=0.5, centroids=cents,
+                                scorer=scorer).count()
         sec = round(time.time() - t0, 2)
         unpersist_cached()
         spark.catalog.clearCache()
-        out = {"mode": label, "n": n, "cells": n_cells,
+        out = {"mode": label, "scorer": scorer, "n": n, "cells": n_cells,
                "kept": kept, "dropped": n - kept, "sec": sec}
         print(json.dumps(out), flush=True)
         return out
 
-    results = [run(max(8, n // target), "scaled_cells")]
+    k_scaled = max(8, n // target)
+    results = [run(k_scaled, "scaled_cells", "blas")]
+    if n <= 500_000:  # expr/blas A-B: identical survivors, wall compared
+        r_expr = run(k_scaled, "scaled_cells", "expr")
+        assert r_expr["kept"] == results[0]["kept"], \
+            (r_expr["kept"], results[0]["kept"])
     # fixed-8-cells blowup demonstration, bounded: est pairs ~ n^2/(2*8)
     if n * n / 16 <= 2e9:
         results.append(run(8, "fixed_8_cells"))
