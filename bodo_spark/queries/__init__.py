@@ -78,6 +78,7 @@ def all_queries() -> dict[str, "QueryDef"]:
         scalars,
         setops,
         similarity,
+        sketches,
         snowflake,
         streaming_ops,
         strings,
@@ -91,7 +92,7 @@ def all_queries() -> dict[str, "QueryDef"]:
     # contiguous block at the end.
     mods = (tpch, aggregates, windows, joins, merge_ops, setops, strings,
             datetimes, scalars, snowflake, text, curation, dedup, similarity,
-            multimodal, ai_ops, streaming_ops, frontend, io_formats)
+            sketches, multimodal, ai_ops, streaming_ops, frontend, io_formats)
     merged: dict[str, QueryDef] = {}
     iters = [iter(mod.QUERIES.items()) for mod in mods]
     while iters:

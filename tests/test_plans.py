@@ -138,3 +138,46 @@ def test_plan_summary_and_guardrails(spark):
         assert n == 4096
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_chunker_has_no_exchange(spark):
+    """chunk_with_overlap is embarrassingly parallel: split/sequence/
+    slice/posexplode only -- ANY exchange in its plan is a regression
+    (the operator's 100-TB contract is scan-speed streaming)."""
+    from bodo_spark.operators.curation import chunk_with_overlap
+    d = tbl(spark, SF_DIR, "documents").select("doc_id", "text")
+    p = plan_str(chunk_with_overlap(d, chunk=16, stride=8))
+    assert "Exchange" not in p, p
+
+
+def test_bloom_probe_no_batch_shuffle_and_broadcast_words(spark):
+    """The Bloom probe must stream the batch map-side: word-table joins
+    are BroadcastHashJoins and no Exchange repartitions the batch (the
+    pre-r9 explode->groupBy layout shuffled the batch on its own key)."""
+    from pyspark.sql import functions as F
+    from bodo_spark.operators import bloom as B
+    d = tbl(spark, SF_DIR, "documents").select("doc_id", "text")
+    words = B.bloom_word_table(d, F.md5("text"), m_bits=1 << 12, k=4)
+    flagged = B.bloom_candidates(d, words, F.md5("text"),
+                                 m_bits=1 << 12, k=4)
+    p = plan_str(flagged)
+    # formatted mode lists each node in tree + details: >=4 BHJs, 0 SMJs
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "SortMergeJoin" not in p, p
+    # the only exchanges allowed are broadcast ones (word table) and the
+    # word-table build's own aggregation exchange -- none on the batch
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
+    assert all("word_idx" in s for s in shuffles), shuffles
+
+
+def test_semantic_dedup_single_cell_shuffle(spark):
+    """semantic_dedup's only hash shuffles key on the cell id (the
+    documented single-shuffle contract); centroids broadcast."""
+    from bodo_spark.operators.similarity import semantic_dedup
+    from bodo_spark.operators.dedup import unpersist_cached
+    emb = tbl(spark, SF_DIR, "embeddings")
+    out = semantic_dedup(emb, n_cells=4, eps=0.9)
+    p = plan_str(out)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    unpersist_cached()

@@ -1,0 +1,62 @@
+"""Sketch-profiling operators (operators/sketches.py): exact-regime
+equality with groupBy ground truth, shard-sketch-then-merge equivalence,
+and partitioning-invariance of the mergeable states."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bodo_spark.operators import sketches as SK
+
+
+def _df(spark):
+    rows = [(i % 13, i % 4, float(i % 97)) for i in range(5000)]
+    return spark.createDataFrame(rows, "tok long, shard int, v double")
+
+
+def _exact_freq(df):
+    return {(r["tok"], r["n"]) for r in
+            df.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+
+def test_top_k_exact_regime_matches_groupby(spark):
+    df = _df(spark)
+    got = {(r["item"], r["cnt"]) for r in
+           SK.top_k_items(df, "tok", k=100, max_tracked=100).collect()}
+    assert got == _exact_freq(df)
+
+
+def test_shard_sketches_merge_equals_one_shot(spark):
+    """Sketch each shard independently, combine -- identical table to
+    sketching the whole frame (the mergeability contract)."""
+    df = _df(spark)
+    one = {(r["item"], r["cnt"]) for r in
+           SK.top_k_items(df, "tok", k=100, max_tracked=100).collect()}
+    sh = SK.top_k_shard_sketches(df, "tok", "shard", max_tracked=100)
+    merged = {(r["item"], r["cnt"]) for r in
+              SK.top_k_merge(sh, k=100, max_tracked=100).collect()}
+    assert merged == one
+
+
+def test_theta_union_equals_exact_distinct(spark):
+    df = _df(spark)
+    exact = df.select("tok").distinct().count()
+    assert SK.theta_ndv(df, "tok").collect()[0]["ndv"] == exact
+    assert SK.theta_union_ndv(df, "tok", "shard").collect()[0]["ndv"] == exact
+
+
+def test_hll_deterministic_across_partitionings(spark):
+    df = _df(spark)
+    a = SK.hll_ndv(df.repartition(2), "tok").collect()[0]["ndv_est"]
+    b = SK.hll_ndv(df.repartition(17), "tok").collect()[0]["ndv_est"]
+    assert a == b  # slot merges commute; fixed data -> fixed estimate
+
+
+def test_kll_quantiles_within_rank_envelope(spark):
+    df = _df(spark)
+    n = df.count()
+    for r in SK.kll_quantiles(df, "v", [0.25, 0.5, 0.9], k=200).collect():
+        rank = df.where(F.col("v") <= r["value"]).count() / n
+        # k=200 -> ~1.65% rank error; +value-mass granularity of the
+        # 97-value domain
+        assert abs(rank - r["prob"]) <= 0.05, (r, rank)
