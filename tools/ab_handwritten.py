@@ -237,10 +237,55 @@ def hand_join_asof(spark, sf):
         .orderBy("user_id"))
 
 
+def hand_dedup_minhash(spark, sf):
+    # The textbook MinHash+LSH job a user ports from the datasketch
+    # recipe: build signatures, explode bands CARRYING the shingle set,
+    # self-join on the band key, verify Jaccard inline on the joined
+    # rows, dedup at the end. Hash family identical to the engine's
+    # fast mode (xxhash64 double hashing) so --check can assert the
+    # exact same verified pairs; what differs is the PLAN -- no persist
+    # (the signature build recomputes per reference) and the corpus'
+    # widest column rides the band shuffle 8x, where the engine bands
+    # bare (id, band_sig) rows, dedups candidates, and joins the sets
+    # back onto the (small) candidate list.
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.when(
+        F.size(w) >= 3,
+        F.transform(F.sequence(F.lit(0), F.size(w) - 3),
+                    lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]))
+    ).otherwise(F.array(F.trim(F.col("text"))))
+    ex = (d.select(F.col("doc_id").alias("id"),
+                   F.explode(shingles).alias("s"))
+          .select("id", F.xxhash64("s").alias("_h1"),
+                  F.xxhash64(F.lit(-1), F.col("s")).alias("_h2"))
+          .select("id", *[(F.col("_h1") + F.lit(i) * F.col("_h2"))
+                          .alias(f"h{i}") for i in range(16)]))
+    sig = ex.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(16)],
+        F.collect_set("h0").alias("sh"))
+    bands = [F.xxhash64(F.lit(b), F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+             for b in range(8)]
+    banded = sig.select("id", "sh", F.explode(F.array(*bands)).alias("bs"))
+    a = banded.select(F.col("id").alias("id_a"),
+                      F.col("sh").alias("sh_a"), "bs")
+    b = banded.select(F.col("id").alias("id_b"),
+                      F.col("sh").alias("sh_b"), "bs")
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.size(F.array_union("sh_a", "sh_b")))
+    return (a.join(b, "bs")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= 0.5)
+            .dropDuplicates(["id_a", "id_b"])
+            .orderBy("id_a", "id_b"))
+
+
 HAND = {"q1_pricing_summary": hand_q1, "q3_shipping_priority": hand_q3,
         "win_running_sum": hand_win_running_sum,
         "dt_sessionize": hand_dt_sessionize,
         "join_asof_events": hand_join_asof,
+        "dedup_minhash_lsh": hand_dedup_minhash,
         "q5_local_supplier_volume": hand_q5,
         "q13_customer_distribution": hand_q13,
         "q9_profit_by_nation_year": hand_q9,
@@ -254,6 +299,14 @@ def _run(fn, spark, sf, n=3):
         t0 = time.time()
         fn(spark, sf).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
+        # engine dedup ops persist their signature frames; without a
+        # release, reps 2..n of the ENGINE variant re-read the cache
+        # while the hand twin recomputes -- an unfair best-of-3. Cold
+        # every rep for both sides (the warm-index case is measured
+        # separately, SCALE.md r9 minhash A/B).
+        from bodo_spark.operators.dedup import unpersist_cached
+        unpersist_cached()
+        spark.catalog.clearCache()
     return round(best, 3)
 
 
