@@ -346,7 +346,47 @@ def _bloom_oracle() -> str:
     return _DEDUP_BLOOM_SQL
 
 
+def stream_sketch_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed heavy hitters ON the stream: per 6-hour tumbling window,
+    the approx_top_k sketch aggregates event types across micro-batches
+    (the sketch state lives in the streaming state store and merges as
+    batches arrive). Run in the exact regime (maxItemsTracked >> NDV),
+    so the emitted (window, item, count) table hash-matches the plain
+    batch groupBy -- proving the sketch's merge path under the
+    streaming engine, not just in batch shuffles."""
+    from ..streaming import read_stream_parquet, run_available_now
+
+    batch = tbl(spark, sf, "events").select("ts", "event_type")
+    stage = f"/tmp/bodo_spark_ssk_{uuid.uuid4().hex[:8]}"
+    try:
+        batch.coalesce(4).write.mode("overwrite").parquet(stage)
+        stream = read_stream_parquet(spark, stage, batch.schema,
+                                     max_files_per_trigger=2)
+        agg = (stream.groupBy(F.window("ts", "6 hours").alias("w"))
+               .agg(F.expr("approx_top_k(event_type, 64, 64)").alias("tk")))
+        res = run_available_now(agg, f"t_ssk_{uuid.uuid4().hex[:8]}",
+                                output_mode="complete")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return (res.select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                       .alias("win_start"), F.explode("tk").alias("e"))
+            .select("win_start", F.col("e.item").alias("event_type"),
+                    F.col("e.count").cast("bigint").alias("n"))
+            .orderBy("win_start", "event_type"))
+
+
+_STREAM_SKETCH_SQL = """
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600
+                               AS BIGINT) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, COUNT(*) AS n
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "stream_sketch_topk": QueryDef(stream_sketch_topk, _STREAM_SKETCH_SQL),
     "stream_bloom_ingest": QueryDef(stream_bloom_ingest, _bloom_oracle()),
     "stream_incremental_dedup": QueryDef(stream_incremental_dedup,
                                          _incr_oracle()),

@@ -60,3 +60,24 @@ def test_kll_quantiles_within_rank_envelope(spark):
         # k=200 -> ~1.65% rank error; +value-mass granularity of the
         # 97-value domain
         assert abs(rank - r["prob"]) <= 0.05, (r, rank)
+
+
+def test_shard_sketch_parquet_roundtrip_merge(spark, tmp_path_factory):
+    """The shard sketch is a durable artifact: binary states written to
+    parquet, appended with a new shard's sketch (work ∝ shard), reloaded
+    and merged -- identical table to one-shot sketching (the same
+    ingest-loop contract as the MinHash and Bloom indexes)."""
+    df = _df(spark)
+    old = df.where(F.col("shard") != 3)
+    new = df.where(F.col("shard") == 3)
+    stage = str(tmp_path_factory.mktemp("sk_idx"))
+    SK.top_k_shard_sketches(old, "tok", "shard", max_tracked=100) \
+        .write.mode("overwrite").parquet(stage)
+    SK.top_k_shard_sketches(new, "tok", "shard", max_tracked=100) \
+        .write.mode("append").parquet(stage)
+    merged = {(r["item"], r["cnt"]) for r in
+              SK.top_k_merge(spark.read.parquet(stage), k=100,
+                             max_tracked=100).collect()}
+    one = {(r["item"], r["cnt"]) for r in
+           SK.top_k_items(df, "tok", k=100, max_tracked=100).collect()}
+    assert merged == one
