@@ -259,6 +259,13 @@ def semantic_dedup(vectors: DataFrame, *, n_cells: int = 8,
 
     from .dedup import _PERSISTED
 
+    if scorer == "blas" and centroids is None:
+        # the deterministic lowest-id seeds are a bounded driver
+        # collect (n_cells rows of coarse_dim floats) -- fetching them
+        # makes the gemm assignment available without trained centroids
+        rows = (vectors.select(id_col, vec_col).orderBy(id_col)
+                .limit(n_cells).collect())
+        centroids = [list(r[vec_col])[:coarse_dim] for r in rows]
     if scorer == "blas" and centroids is not None:
         # vectorized assignment: the centroid matrix is driver-side
         # already, so a scalar pandas_udf does one (batch x k) gemm per

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "top_k_items", "top_k_shard_sketches", "top_k_merge",
-    "theta_ndv", "theta_union_ndv", "kll_quantiles", "hll_ndv",
+    "theta_ndv", "theta_union_ndv", "kll_quantiles",
+    "kll_shard_sketches", "kll_merge_quantiles", "hll_ndv",
 ]
 
 
@@ -116,6 +117,38 @@ def kll_quantiles(df: DataFrame, col: str, probs: list[float], *,
                  .cast("double").alias("value"))
         for p in probs])
     return (df.agg(sk.alias("_sk"))
+            .select(F.explode(qs).alias("_q"))
+            .select("_q.prob", "_q.value")
+            .orderBy("prob"))
+
+
+def kll_shard_sketches(df: DataFrame, col: str, shard_col: str, *,
+                       k: int = 200, dtype: str = "double") -> DataFrame:
+    """Per-shard KLL quantile sketch (binary, ~k values of state): the
+    durable artifact for incremental quantile profiling -- sketch each
+    ingest batch, store, merge later without re-reading rows."""
+    sk = F.expr(f"kll_sketch_agg_{dtype}(CAST({col} AS {dtype}), {int(k)})")
+    return df.groupBy(shard_col).agg(sk.alias("sketch"))
+
+
+def kll_merge_quantiles(sketches: DataFrame, probs: list[float], *,
+                        dtype: str = "double",
+                        sketch_col: str = "sketch") -> DataFrame:
+    """Merge shard KLL sketches and read quantiles from the combined
+    state. ``kll_sketch_merge_*`` is a BINARY scalar (pairwise merge),
+    so the shard states are collect_list-ed (n_shards rows -- tiny) and
+    folded with the `aggregate` higher-order function; KLL merges are
+    associative, so the fold order is immaterial to the guarantee."""
+    qs = F.array(*[
+        F.struct(F.lit(float(p)).alias("prob"),
+                 F.expr(f"kll_sketch_get_quantile_{dtype}(_sk, "
+                        f"CAST({float(p)} AS {dtype}))")
+                 .cast("double").alias("value"))
+        for p in probs])
+    fold = (f"aggregate(slice(_l, 2, greatest(size(_l) - 1, 0)), "
+            f"element_at(_l, 1), (a, x) -> kll_sketch_merge_{dtype}(a, x))")
+    return (sketches.agg(F.expr(f"collect_list({sketch_col})").alias("_l"))
+            .select(F.expr(fold).alias("_sk"))
             .select(F.explode(qs).alias("_q"))
             .select("_q.prob", "_q.value")
             .orderBy("prob"))

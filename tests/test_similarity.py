@@ -218,3 +218,19 @@ def test_semantic_dedup_trained_centroids_path(spark):
     kept = sorted(r["vec_id"] for r in S.semantic_dedup(
         df, eps=0.999, centroids=cents, coarse_dim=8).collect())
     assert kept == list(range(40))  # twins dropped, originals kept
+
+
+def test_semantic_dedup_blas_matches_expr_default_centroids(spark):
+    """scorer='blas' without trained centroids derives the same
+    deterministic lowest-id seeds (bounded driver collect) -- survivor
+    set must equal the expr path's exactly."""
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows += [(200 + i, list(rows[i][1])) for i in range(4)]
+    df = _vecs(spark, rows)
+    e = sorted(r["vec_id"] for r in S.semantic_dedup(
+        df, n_cells=6, eps=0.8, coarse_dim=8, scorer="expr").collect())
+    b = sorted(r["vec_id"] for r in S.semantic_dedup(
+        df, n_cells=6, eps=0.8, coarse_dim=8, scorer="blas").collect())
+    assert e == b and len(e) < 64

@@ -81,3 +81,18 @@ def test_shard_sketch_parquet_roundtrip_merge(spark, tmp_path_factory):
     one = {(r["item"], r["cnt"]) for r in
            SK.top_k_items(df, "tok", k=100, max_tracked=100).collect()}
     assert merged == one
+
+
+def test_kll_shard_merge_within_envelope(spark, tmp_path_factory):
+    """Shard KLL sketches survive a parquet roundtrip and merge into
+    quantiles within the one-shot sketch's rank envelope."""
+    df = _df(spark)
+    n = df.count()
+    stage = str(tmp_path_factory.mktemp("kll_idx"))
+    SK.kll_shard_sketches(df, "v", "shard", k=200) \
+        .write.mode("overwrite").parquet(stage)
+    merged = SK.kll_merge_quantiles(spark.read.parquet(stage),
+                                    [0.25, 0.5, 0.9])
+    for r in merged.collect():
+        rank = df.where(F.col("v") <= r["value"]).count() / n
+        assert abs(rank - r["prob"]) <= 0.05, (r, rank)
