@@ -109,18 +109,31 @@ def append_bloom_index(batch: DataFrame, index_dir: str,
     bloom_word_table(batch, key, m_bits=m_bits, k=k).coalesce(1) \
         .write.mode("append").parquet(index_dir)
     if compact_after:
+        # staged-write + backup-swap, the same protocol as
+        # sources/io.compact_parquet: the live index is never the only
+        # copy -- a failure between the moves restores the original.
+        # (The first version rmtree'd the index before the move with a
+        # finally deleting the staged replacement: one crash window
+        # away from losing the filter entirely.)
+        import os
         import shutil
         import uuid
 
         spark = batch.sparkSession
-        folded = read_bloom_index(spark, index_dir).coalesce(1)
-        stage = f"{index_dir}__compact_{uuid.uuid4().hex}"
+        norm = index_dir.rstrip("/")
+        staging = f"{norm}.__compact_staging_{uuid.uuid4().hex[:8]}"
+        backup = f"{norm}.__compact_backup_{uuid.uuid4().hex[:8]}"
+        read_bloom_index(spark, norm).coalesce(1) \
+            .write.mode("errorifexists").parquet(staging)
         try:
-            folded.write.mode("overwrite").parquet(stage)
-            shutil.rmtree(index_dir)
-            shutil.move(stage, index_dir)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
+            shutil.move(norm, backup)
+            shutil.move(staging, norm)
+        except Exception:
+            if not os.path.isdir(norm) and os.path.isdir(backup):
+                shutil.move(backup, norm)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
 
 
 def read_bloom_index(spark, index_dir: str) -> DataFrame:
@@ -130,22 +143,20 @@ def read_bloom_index(spark, index_dir: str) -> DataFrame:
             .groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word")))
 
 
-def bloom_candidates(batch: DataFrame, words: DataFrame,
-                     key: Column | str, *, m_bits: int, k: int = 5,
-                     flag_col: str = "_maybe_dup") -> DataFrame:
-    """Tag each batch row: ``flag_col`` = false means DEFINITELY new
-    (exact, the Bloom no-answer); true means maybe-duplicate (confirm
-    against the corpus). The probe is k broadcast LEFT joins against
-    the (tiny, <= m/64 rows) word table, one per bit position, folded
-    with AND -- NO explode, NO aggregation, NO batch-sized shuffle or
-    broadcast: the batch streams through map-side only. (Same shape as
-    the streaming twin, streaming/dedup.stream_bloom_new_rows -- it was
-    adopted here after replacing an explode->groupBy->re-join layout
-    that re-shuffled the batch on its own key.)"""
-    key = F.col(key) if isinstance(key, str) else key
-    out = batch.withColumn("_bkey", key)
-    h1 = F.xxhash64(F.lit(1), F.col("_bkey"))
-    h2 = F.xxhash64(F.lit(2), F.col("_bkey"))
+def probe_hit_flag(df: DataFrame, words: DataFrame, key: Column, *,
+                   m_bits: int, k: int,
+                   flag_col: str) -> tuple[DataFrame, list[str]]:
+    """The shared probe kernel: k broadcast LEFT joins against the
+    (tiny, <= m/64 rows) word table, one per bit position, folded with
+    AND into ``flag_col`` -- NO explode, NO aggregation, NO input-sized
+    shuffle or broadcast, so it is both batch- and streaming-legal (the
+    streaming twin, streaming/dedup.stream_bloom_new_rows, calls this
+    exact function -- one implementation, no lockstep-by-comment).
+    Position layout matches _positions/bloom_word_table bit for bit.
+    Returns (frame-with-flag, helper column names to drop)."""
+    out = df
+    h1 = F.xxhash64(F.lit(1), key)
+    h2 = F.xxhash64(F.lit(2), key)
     hit_all = F.lit(True)
     for i in range(k):
         p = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
@@ -160,8 +171,22 @@ def bloom_candidates(batch: DataFrame, words: DataFrame,
             F.lit(False))
     helper = [c for i in range(k)
               for c in (f"_p{i}", f"_b{i}", f"_wi{i}", f"_w{i}")]
-    return (out.withColumn(flag_col, hit_all)
-            .drop(*helper).drop("_bkey"))
+    return out.withColumn(flag_col, hit_all), helper
+
+
+def bloom_candidates(batch: DataFrame, words: DataFrame,
+                     key: Column | str, *, m_bits: int, k: int = 5,
+                     flag_col: str = "_maybe_dup") -> DataFrame:
+    """Tag each batch row: ``flag_col`` = false means DEFINITELY new
+    (exact, the Bloom no-answer); true means maybe-duplicate (confirm
+    against the corpus). Probe shape: see probe_hit_flag (adopted after
+    replacing an explode->groupBy->re-join layout that re-shuffled the
+    batch on its own key)."""
+    key = F.col(key) if isinstance(key, str) else key
+    out, helper = probe_hit_flag(batch.withColumn("_bkey", key), words,
+                                 F.col("_bkey"), m_bits=m_bits, k=k,
+                                 flag_col=flag_col)
+    return out.drop(*helper).drop("_bkey")
 
 
 def exact_new_rows(batch: DataFrame, corpus: DataFrame,

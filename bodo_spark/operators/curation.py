@@ -161,9 +161,12 @@ def chunk_with_overlap(df: DataFrame, *, chunk: int, stride: int,
     tokens (stride < chunk = overlapping context windows; the retrieval
     indexing norm). Emits (id_col, chunk_no, out_col, n_tokens) -- one
     row per window, the tail window shorter when the doc doesn't divide
-    evenly. Windows that would start at/after the last token are not
-    emitted; every doc emits at least the chunk starting at 0 (empty
-    text -> one empty chunk), so no document silently disappears.
+    evenly. Window starts run 0, stride, ... up to and INCLUDING the
+    last token's index (so a 1-token tail chunk is emitted whenever
+    (n_tokens-1) divides by stride); starts past the end are never
+    emitted, and every doc emits at least the chunk starting at 0
+    (empty text -> one empty chunk), so no document silently
+    disappears.
 
     Purely narrow JVM work (split/sequence/slice/posexplode -- no
     shuffle at all, no Python): output rows ~ n_tokens/stride per doc,
@@ -306,6 +309,7 @@ def remove_boilerplate_lines(df: DataFrame, *, id_col: str = "doc_id",
                              max_doc_freq: int = 1,
                              delim: str = "\n",
                              normalize: bool = True,
+                             min_chars: int = 1,
                              out_col: str | None = None) -> DataFrame:
     """Drop lines whose normalized form appears in MORE than
     ``max_doc_freq`` distinct documents -- the header/footer/nav killer
@@ -326,6 +330,14 @@ def remove_boilerplate_lines(df: DataFrame, *, id_col: str = "doc_id",
     doc_freq counts DISTINCT docs (a line repeated inside one doc is
     not boilerplate); the in-doc repeat case belongs to the Gopher
     repetition filters (operators/text.py).
+
+    Lines whose normalized form is shorter than ``min_chars`` are
+    EXEMPT from dedup (never counted, never dropped): blank separator
+    lines normalize to the same '' key in virtually every document, so
+    without the exemption paragraph structure would be destroyed
+    corpus-wide the moment two docs contain an empty line (the standard
+    RefinedWeb/CCNet short-line exemption; raise it to skip bullets or
+    one-word lines too).
     """
     from ..modes import exact_mode
     out_col = out_col or text_col
@@ -340,11 +352,16 @@ def remove_boilerplate_lines(df: DataFrame, *, id_col: str = "doc_id",
           .withColumn("_key", key)
           .persist(StorageLevel.MEMORY_AND_DISK))
     _dedup._PERSISTED.append(ex)
-    bad = (ex.groupBy("_key")
+    eligible = ex.where(F.length(norm) >= min_chars)
+    bad = (eligible.groupBy("_key")
            .agg(F.count_distinct("_id").alias("_df"))
            .where(F.col("_df") > max_doc_freq)
            .select("_key"))
-    kept = ex.join(bad, "_key", "left_anti")
+    # exempt (short/blank) lines dodge the anti join by a NULLed key --
+    # SQL equi-joins never match NULL, so they always survive
+    kept = (ex.withColumn("_key", F.when(F.length(norm) >= min_chars,
+                                         F.col("_key")))
+            .join(bad, "_key", "left_anti"))
     rebuilt = (kept.groupBy("_id")
                .agg(F.array_join(
                    F.transform(

@@ -281,11 +281,20 @@ def collapse_exact_texts(df: DataFrame, id_col: str = "doc_id",
     `dedup_survivors`' min-id-per-component rule: the survivor set of
     collapse+LSH equals the survivor set of LSH over the full corpus
     (identical texts have Jaccard 1 and always pair)."""
+    # NULL texts are exempt: groupBy would put every NULL into one
+    # md5(NULL) group and keep only the min id, but the uncollapsed LSH
+    # pipeline never pairs null texts (null signatures -> null jaccard),
+    # so collapsing them would break the survivor-set equivalence this
+    # function guarantees. NULL-keyed rows dodge the semi join check by
+    # never matching and are unioned back untouched.
     fp = F.md5(F.col(text_col))
-    reps = (df.select(F.col(id_col), fp.alias("_fp"))
+    reps = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), fp.alias("_fp"))
             .groupBy("_fp").agg(F.min(id_col).alias(id_col))
             .select(id_col))
-    return df.join(reps, id_col, "left_semi")
+    return (df.where(F.col(text_col).isNull())
+            .unionByName(df.where(F.col(text_col).isNotNull())
+                         .join(reps, id_col, "left_semi")))
 
 
 def minhash_lsh_pairs(

@@ -220,6 +220,17 @@ def assign_nearest_cell(df: DataFrame, cents: DataFrame, *, vec_col: str,
             .select("_m.*"))
 
 
+
+def _round_half_up(x, ndigits: int):
+    """numpy twin of Spark's F.round (HALF_UP, away from zero):
+    np.round is banker's rounding (HALF_EVEN), which can disagree with
+    the JVM on exactly-representable .5 boundaries -- the expr<->blas
+    survivor-identity claims require the same tie rule on both paths."""
+    import numpy as np
+    f = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def semantic_dedup(vectors: DataFrame, *, n_cells: int = 8,
                    eps: float = 0.9, id_col: str = "vec_id",
                    vec_col: str = "embedding",
@@ -287,7 +298,7 @@ def semantic_dedup(vectors: DataFrame, *, n_cells: int = 8,
             X = np.array(vs.tolist(), dtype=np.float64)[:, :coarse_dim]
             nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
                              1e-300)
-            sim = np.round((X / nrm) @ Cn.T, 9)
+            sim = _round_half_up((X / nrm) @ Cn.T, 9)
             return pd.Series(np.argmax(sim, axis=1).astype("int64"))
 
         assigned = (_ensure_scan_width(vectors)
@@ -316,7 +327,7 @@ def semantic_dedup(vectors: DataFrame, *, n_cells: int = 8,
             X = np.array(pdf["_vec"].tolist(), dtype=np.float64)
             nrm = np.linalg.norm(X, axis=1, keepdims=True)
             nrm[nrm == 0] = 1.0
-            G = np.round((X / nrm) @ (X / nrm).T, 6)
+            G = _round_half_up((X / nrm) @ (X / nrm).T, 6)
             # row i is dropped iff some EARLIER (lower-id) row matches
             hit = (np.tril(G, -1) >= eps).any(axis=1)
             return pd.DataFrame({"_did": pdf["_id"][hit].to_numpy()})

@@ -51,35 +51,21 @@ def stream_bloom_new_rows(
     rare path by construction (fpp * batch + true dups); keep
     ``corpus_keys`` persisted/bucketed so its per-batch cost is a hash
     lookup, not a rebuild."""
+    from ..operators.bloom import probe_hit_flag
+
     key = F.col(key_col)
-    out = stream_docs
-    # h1 + i*h2 double hashing -- MUST stay in lockstep with
-    # operators/bloom._positions (tests pin batch/stream agreement)
-    h1 = F.xxhash64(F.lit(1), key)
-    h2 = F.xxhash64(F.lit(2), key)
-    hit_all = F.lit(True)
-    for i in range(k):
-        p = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
-        w = (words.select(F.col("word_idx").alias(f"_wi{i}"),
-                          F.col("word").alias(f"_w{i}")))
-        out = out.withColumn(f"_p{i}", (p / 64).cast("long")) \
-                 .withColumn(f"_b{i}", F.pmod(p, F.lit(64)).cast("int"))
-        out = out.join(F.broadcast(w),
-                       out[f"_p{i}"] == w[f"_wi{i}"], "left")
-        hit_all = hit_all & F.coalesce(
-            F.expr(f"cast(shiftright(_w{i}, _b{i}) & 1L as boolean)"),
-            F.lit(False))
-    out = out.withColumn("_maybe", hit_all)
+    # the probe kernel is SHARED with the batch operator (one
+    # implementation, bit-identical by construction) and is
+    # streaming-legal: broadcast joins + narrow expressions only
+    out, helper = probe_hit_flag(stream_docs, words, key,
+                                 m_bits=m_bits, k=k, flag_col="_maybe")
     probe_key = F.when(F.col("_maybe"), key).otherwise(F.lit(None))
     ck = (corpus_keys.select(F.col(key_col).alias("_ck"))
           .dropDuplicates(["_ck"]))  # repeated corpus keys must not fan out
     out = (out.withColumn("_pk", probe_key)
            .join(ck, F.col("_pk") == F.col("_ck"), "left")
            .where(F.col("_ck").isNull()))
-    helper = ([f"_p{i}" for i in range(k)] + [f"_b{i}" for i in range(k)]
-              + [f"_wi{i}" for i in range(k)] + [f"_w{i}" for i in range(k)]
-              + ["_maybe", "_pk", "_ck"])
-    return out.drop(*helper)
+    return out.drop(*helper, "_maybe", "_pk", "_ck")
 
 
 def stream_minhash_flags(

@@ -236,3 +236,30 @@ def test_chunk_overlap_rejects_bad_params(spark):
         C.chunk_with_overlap(df, chunk=0, stride=1)
     with _pytest.raises(ValueError):
         C.chunk_with_overlap(df, chunk=4, stride=0)
+
+
+def test_line_dedup_blank_lines_exempt(spark):
+    """Blank separator lines normalize to the same '' key in every doc;
+    they must be EXEMPT from dedup or paragraph structure collapses
+    corpus-wide (r9 review finding)."""
+    df = _docs(spark, [
+        (1, "NAV\npara one\n\npara two"),
+        (2, "NAV\nintro\n\nbody"),
+    ])
+    out = {r["doc_id"]: r["text"] for r in
+           C.remove_boilerplate_lines(df, max_doc_freq=1).collect()}
+    assert out[1] == "para one\n\npara two"
+    assert out[2] == "intro\n\nbody"
+
+
+def test_collapse_exact_texts_null_texts_survive(spark):
+    """NULL texts are exempt from collapse: the uncollapsed LSH pipeline
+    never pairs them (null jaccard), so collapsing them would break the
+    survivor-set equivalence (r9 review finding)."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  D.collapse_exact_texts(df).collect())
+    assert kept == [1, 3, 4]
