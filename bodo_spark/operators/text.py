@@ -181,3 +181,77 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality", quality_score(text_col))
             .withColumn("pred_lang", lang_id(text_col))
             .withColumn("fingerprint", fingerprint(text_col)))
+
+
+# --------------------------------------------------------------------------
+# n-gram LM perplexity filter (the CCNet-style quality pass)
+
+
+def bigram_lm_counts(df: DataFrame, text_col: str = "text"
+                     ) -> tuple[DataFrame, DataFrame, int]:
+    """Train a bigram language model on a corpus: returns
+    (bigram_counts(w1,w2,c12), unigram_counts(w1,c1), vocab_size).
+    One explode + two aggregations -- the distributed equivalent of a
+    KenLM count pass; counts are the durable artifact (write them to
+    parquet next to the corpus and score future batches without
+    re-reading the training text).
+
+    The CCNet protocol (Wenzek et al. 2020) filters web text by the
+    perplexity of a clean-corpus LM; the reference has no LM surface --
+    this extends its text/quality family the same way lang_id does."""
+    big = (df.select(tokenize_ws(text_col).alias("_t"))
+           .select(F.explode(F.when(
+               F.size("_t") >= 2,
+               F.transform(F.sequence(F.lit(0), F.size("_t") - 2),
+                           lambda i: F.struct(
+                               F.col("_t")[i].alias("w1"),
+                               F.col("_t")[i + 1].alias("w2"))))
+               .otherwise(F.array())).alias("_b"))
+           .select("_b.w1", "_b.w2"))
+    bigrams = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"))
+    unigrams = (df.select(F.explode(tokenize_ws(text_col)).alias("w1"))
+                .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    vocab = unigrams.count()
+    return bigrams, unigrams, vocab
+
+
+def lm_doc_logprob(df: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
+                   vocab: int, *, id_col: str = "doc_id",
+                   text_col: str = "text", k: float = 0.5,
+                   out_col: str = "avg_logprob") -> DataFrame:
+    """Score each doc by its average per-bigram log-probability under
+    the add-k-smoothed bigram LM: sum(ln((c12+k)/(c1+k*V)))/n_bigrams.
+    Lower = less like the training corpus (CCNet drops the worst
+    percentiles). Docs with <2 tokens score NULL.
+
+    Plan shape: explode doc bigrams, LEFT join the count tables (small
+    vocabularies broadcast; web-scale count tables hash-join on the
+    bigram key -- either way the DOC text rides only the explode),
+    one groupBy on doc id. Per-term logs are rounded to 9 dp so the
+    score is reproducible bit-for-bit across engines (libm log agrees
+    to 1 ulp; the rounding absorbs it)."""
+    toks = tokenize_ws(text_col)
+    big = (df.select(F.col(id_col), toks.alias("_t"))
+           .select(id_col, F.explode(F.when(
+               F.size("_t") >= 2,
+               F.transform(F.sequence(F.lit(0), F.size("_t") - 2),
+                           lambda i: F.struct(
+                               F.col("_t")[i].alias("w1"),
+                               F.col("_t")[i + 1].alias("w2"))))
+               .otherwise(F.array())).alias("_b"))
+           .select(id_col, "_b.w1", "_b.w2"))
+    joined = (big.join(bigrams, ["w1", "w2"], "left")
+              .join(unigrams, ["w1"], "left"))
+    p = ((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(k)))
+         / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(k * vocab))))
+    term = F.round(F.log(p), 9)
+    # decimal-sum-then-one-double-division (the repo's avg policy):
+    # per-term values are exact 9dp decimals, so the sum is exact and
+    # order-independent; the single division is then bit-identical
+    # across engines
+    n = F.count(F.lit(1))
+    return (joined.groupBy(id_col)
+            .agg(F.round(F.sum(term.cast("decimal(28,9)")).cast("double")
+                         / n, 6).alias(out_col),
+                 n.cast("bigint").alias("n_bigrams")))

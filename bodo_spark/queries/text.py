@@ -292,7 +292,67 @@ FROM deduped GROUP BY pred ORDER BY pred
 
 
 
+def text_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality pass (operators/text.py bigram_lm_counts /
+    lm_doc_logprob): train an add-0.5-smoothed bigram LM on the even
+    half of the corpus, score the odd half, report per-lang doc counts,
+    bigram mass, and the decimal-exact sum of per-doc average
+    log-probabilities. Per-term ln is rounded to 9 dp (absorbs libm's
+    1-ulp engine differences); per-doc averages are rounded to 6 dp and
+    summed as DECIMAL so the aggregate is order-independent."""
+    d = tbl(spark, sf, "documents")
+    train = d.where(F.col("doc_id") % 2 == 0)
+    score = d.where(F.col("doc_id") % 2 == 1)
+    bigrams, unigrams, vocab = T.bigram_lm_counts(train)
+    scored = T.lm_doc_logprob(score, bigrams, unigrams, vocab, k=0.5)
+    return (score.select("doc_id", "lang").join(scored, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
+                 F.sum(F.col("avg_logprob").cast("decimal(18,6)"))
+                 .cast("double").alias("sum_avg_lp"))
+            .orderBy("lang"))
+
+
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_TEXT_LM_SQL = f"""
+WITH train AS (SELECT {_SQL_TOKS} AS t FROM documents WHERE doc_id % 2 = 0),
+test AS (SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
+         WHERE doc_id % 2 = 1),
+tbig AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM train, UNNEST(range(1, len(t))) AS r(i)),
+bigc AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbig GROUP BY w1, w2),
+unic AS (SELECT w1, COUNT(*) AS c1
+         FROM (SELECT unnest(t) AS w1 FROM train) GROUP BY w1),
+v AS (SELECT COUNT(*) AS vocab FROM unic),
+sbig AS (
+  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+  FROM test, UNNEST(range(1, len(t))) AS r(i)),
+terms AS (
+  SELECT s.doc_id, s.lang,
+         round(ln((COALESCE(b.c12, 0) + 0.5)
+                  / (COALESCE(u.c1, 0) + 0.5 * (SELECT vocab FROM v))), 9)
+           AS lp
+  FROM sbig s
+  LEFT JOIN bigc b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN unic u ON s.w1 = u.w1),
+docs AS (
+  SELECT doc_id, lang,
+         round(CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_lp,
+         COUNT(*) AS nb
+  FROM terms GROUP BY doc_id, lang)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS sum_bigrams,
+       CAST(SUM(CAST(avg_lp AS DECIMAL(18,6))) AS DOUBLE) AS sum_avg_lp
+FROM docs GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "text_lm_perplexity": QueryDef(text_lm_perplexity, _TEXT_LM_SQL),
     "text_pipeline_e2e": QueryDef(text_pipeline_e2e, _pipeline_sql()),
     "text_token_stats": QueryDef(text_token_stats, _TEXT_TOK_SQL),
     "text_quality_stats": QueryDef(text_quality_stats, _TEXT_QUALITY_SQL),

@@ -263,3 +263,33 @@ def test_collapse_exact_texts_null_texts_survive(spark):
     kept = sorted(r["doc_id"] for r in
                   D.collapse_exact_texts(df).collect())
     assert kept == [1, 3, 4]
+
+
+# --------------------------------------------------------------------------
+# bigram LM perplexity (CCNet filter)
+
+
+def test_lm_scores_favor_in_distribution_text(spark):
+    from bodo_spark.operators import text as T
+    train = _docs(spark, [(i, "the cat sat on the mat") for i in range(5)])
+    big, uni, v = T.bigram_lm_counts(train)
+    test = _docs(spark, [
+        (100, "the cat sat on the mat"),   # in-distribution
+        (101, "zebra quantum flux torus"), # OOV everything
+    ])
+    out = {r["doc_id"]: r["avg_logprob"] for r in
+           T.lm_doc_logprob(test, big, uni, v).collect()}
+    assert out[100] > out[101]
+
+
+def test_lm_short_docs_excluded_and_counts(spark):
+    from bodo_spark.operators import text as T
+    train = _docs(spark, [(1, "a b a b")])
+    big, uni, v = T.bigram_lm_counts(train)
+    assert v == 2  # vocab {a, b}
+    bc = {(r["w1"], r["w2"]): r["c12"] for r in big.collect()}
+    assert bc == {("a", "b"): 2, ("b", "a"): 1}
+    test = _docs(spark, [(10, "a b"), (11, "solo")])
+    rows = T.lm_doc_logprob(test, big, uni, v).collect()
+    assert {r["doc_id"] for r in rows} == {10}  # <2 tokens -> no score
+    assert rows[0]["n_bigrams"] == 1
