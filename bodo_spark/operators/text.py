@@ -255,3 +255,33 @@ def lm_doc_logprob(df: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
             .agg(F.round(F.sum(term.cast("decimal(28,9)")).cast("double")
                          / n, 6).alias(out_col),
                  n.cast("bigint").alias("n_bigrams")))
+
+
+def tf_idf_terms(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text", top_n: int = 5) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document (the classic keyword
+    extraction / relevance weighting pass; smooth idf =
+    ln((N+1)/(df+1)) + 1, sklearn's formulation). Returns
+    (id_col, term, tf, score, rn) with rn 1..top_n ordered by
+    (score desc, term) -- the alphabetic tiebreak makes the output
+    deterministic and SQL-reproducible.
+
+    Plan shape: one explode, a (doc, term) count, a term-level document
+    frequency reduced FROM the tf frame (already one row per (doc,
+    term), so df(term) is a plain count -- no second corpus pass), a
+    broadcast-able term join, and a per-doc window. Scores are rounded
+    to 9 dp (absorbs libm ln's 1-ulp engine differences)."""
+    from pyspark.sql import Window as W
+    n_docs = df.count()
+    tf = (df.select(F.col(id_col), F.explode(tokenize_ws(text_col))
+                    .alias("term"))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score", F.round(F.col("tf") * idf, 9)))
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top_n)
+            .select(id_col, "term", F.col("tf").cast("bigint").alias("tf"),
+                    "score", F.col("rn").cast("bigint").alias("rn")))

@@ -351,7 +351,58 @@ FROM docs GROUP BY lang ORDER BY lang
 """
 
 
+def text_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF keyword extraction (operators/text.py tf_idf_terms): the
+    gate pins, per language, the (doc, term) row count, the decimal
+    sum of rounded scores, and an order-insensitive md5 over
+    "doc:term:rn" triples -- WHICH terms rank where, not just how
+    many."""
+    d = tbl(spark, sf, "documents")
+    top = T.tf_idf_terms(d, top_n=3)
+    j = d.select("doc_id", "lang").join(top, "doc_id")
+    trip = F.concat_ws(":", F.col("doc_id").cast("string"),
+                       F.col("term"), F.col("rn").cast("string"))
+    return (j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("score").cast("decimal(28,9)")).cast("double")
+        .alias("sum_score"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(F.md5(trip))), ""))
+        .alias("trip_hash"))
+        .orderBy("lang"))
+
+
+_TEXT_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS dfr FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln(((SELECT nd FROM n) + 1.0) / (dfr + 1)) + 1), 9)
+           AS score
+  FROM tf JOIN dfreq USING (term)),
+top AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rn
+  FROM scored QUALIFY rn <= 3)
+SELECT d.lang, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(t.score AS DECIMAL(28,9))) AS DOUBLE) AS sum_score,
+       md5(string_agg(md5(concat_ws(':', CAST(t.doc_id AS VARCHAR), t.term,
+                                    CAST(t.rn AS VARCHAR))), ''
+                      ORDER BY md5(concat_ws(':', CAST(t.doc_id AS VARCHAR),
+                                             t.term,
+                                             CAST(t.rn AS VARCHAR)))))
+         AS trip_hash
+FROM top t JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "text_tfidf_terms": QueryDef(text_tfidf_terms, _TEXT_TFIDF_SQL),
     "text_lm_perplexity": QueryDef(text_lm_perplexity, _TEXT_LM_SQL),
     "text_pipeline_e2e": QueryDef(text_pipeline_e2e, _pipeline_sql()),
     "text_token_stats": QueryDef(text_token_stats, _TEXT_TOK_SQL),

@@ -293,3 +293,19 @@ def test_lm_short_docs_excluded_and_counts(spark):
     rows = T.lm_doc_logprob(test, big, uni, v).collect()
     assert {r["doc_id"] for r in rows} == {10}  # <2 tokens -> no score
     assert rows[0]["n_bigrams"] == 1
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    from bodo_spark.operators import text as T
+    df = _docs(spark, [
+        (1, "common zebra"),
+        (2, "common yak"),
+        (3, "common"),
+    ])
+    top = {(r["doc_id"], r["rn"]): r["term"] for r in
+           T.tf_idf_terms(df, top_n=2).collect()}
+    # at equal tf the doc-unique term outranks the everywhere-term
+    # (idf: ln(4/2)+1 = 1.693 vs ln(4/4)+1 = 1.0)
+    assert top[(1, 1)] == "zebra" and top[(2, 1)] == "yak"
+    assert top[(1, 2)] == "common"
+    assert top[(3, 1)] == "common"  # only term in doc 3
