@@ -153,7 +153,16 @@ def probe_hit_flag(df: DataFrame, words: DataFrame, key: Column, *,
     streaming twin, streaming/dedup.stream_bloom_new_rows, calls this
     exact function -- one implementation, no lockstep-by-comment).
     Position layout matches _positions/bloom_word_table bit for bit.
-    Returns (frame-with-flag, helper column names to drop)."""
+    Returns (frame-with-flag, helper column names to drop).
+
+    ``words`` is folded defensively (groupBy word_idx + bit_or -- a
+    no-op on already-folded input, <= m/64 rows either way): a caller
+    handing us a raw multi-segment appended index (plain
+    spark.read.parquet instead of read_bloom_index) would otherwise
+    multiply batch rows through the k equi-joins and break the
+    bit-for-bit anti-join contract."""
+    words = (words.groupBy("word_idx")
+             .agg(F.expr("bit_or(word)").alias("word")))
     out = df
     h1 = F.xxhash64(F.lit(1), key)
     h2 = F.xxhash64(F.lit(2), key)

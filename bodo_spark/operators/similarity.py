@@ -341,8 +341,14 @@ def semantic_dedup(vectors: DataFrame, *, n_cells: int = 8,
         right = v.select(F.col(id_col).alias("_rid"),
                          F.col(vec_col).alias("_rvec"),
                          F.col("_vn").alias("_rn"), "_cell")
-        cos = F.round(dot(F.col(vec_col), F.col("_rvec"))
-                      / (F.col("_vn") * F.col("_rn")), 6)
+        # zero-norm guard: dot/(0*x) is NaN, and NaN >= eps is TRUE in
+        # Spark SQL (NaN sorts above every double) -- the blas path
+        # clamps zero norms to 1 giving cos 0, so mirror that exactly
+        # or the two scorers diverge on zero vectors
+        cos = F.when(F.col("_vn") * F.col("_rn") > 0,
+                     F.round(dot(F.col(vec_col), F.col("_rvec"))
+                             / (F.col("_vn") * F.col("_rn")), 6)) \
+               .otherwise(F.lit(0.0))
         dropped = (v.join(right, "_cell")
                    .where(F.col("_rid") < F.col(id_col))
                    .where(cos >= F.lit(eps))

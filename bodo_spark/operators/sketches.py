@@ -138,15 +138,22 @@ def kll_merge_quantiles(sketches: DataFrame, probs: list[float], *,
     state. ``kll_sketch_merge_*`` is a BINARY scalar (pairwise merge),
     so the shard states are collect_list-ed (n_shards rows -- tiny) and
     folded with the `aggregate` higher-order function; KLL merges are
-    associative, so the fold order is immaterial to the guarantee."""
+    associative, so the fold order is immaterial to the guarantee.
+
+    Zero shards (an empty ``sketches`` frame) yields one row per prob
+    with NULL value -- without the size guard, element_at(_l, 1) on the
+    empty collect_list array throws INVALID_ARRAY_INDEX under ANSI mode
+    (the driver-parity verify mode) instead of degrading gracefully."""
     qs = F.array(*[
         F.struct(F.lit(float(p)).alias("prob"),
                  F.expr(f"kll_sketch_get_quantile_{dtype}(_sk, "
                         f"CAST({float(p)} AS {dtype}))")
                  .cast("double").alias("value"))
         for p in probs])
-    fold = (f"aggregate(slice(_l, 2, greatest(size(_l) - 1, 0)), "
-            f"element_at(_l, 1), (a, x) -> kll_sketch_merge_{dtype}(a, x))")
+    fold = (f"CASE WHEN size(_l) = 0 THEN NULL ELSE "
+            f"aggregate(slice(_l, 2, greatest(size(_l) - 1, 0)), "
+            f"element_at(_l, 1), (a, x) -> kll_sketch_merge_{dtype}(a, x)) "
+            f"END")
     return (sketches.agg(F.expr(f"collect_list({sketch_col})").alias("_l"))
             .select(F.expr(fold).alias("_sk"))
             .select(F.explode(qs).alias("_q"))

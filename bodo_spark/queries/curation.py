@@ -469,7 +469,11 @@ FROM assign
 # global footer are woven around each doc's (unique) body; the operator
 # must strip exactly the repeated lines. doc_id % 3 == 0 docs get no
 # header and % 2 == 0 no footer, so some pages survive unchanged
-# (non-vacuous n_changed) and some lines are genuinely rare.
+# (non-vacuous n_changed) and some lines are genuinely rare. A blank
+# line and a whitespace-only line are woven into EVERY page so the
+# min_chars short-line exemption (blank separators are never counted
+# and never dropped, no matter how many docs share them) is pinned by
+# the oracle, not just by the unit test.
 
 _FOOTER = "COPYRIGHT FOOTER ALL RIGHTS RESERVED"
 
@@ -486,7 +490,8 @@ def cur_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     footer = F.when(F.col("doc_id") % 2 > 0, F.lit(_FOOTER))
     paged = d.select(
         "doc_id", "lang",
-        F.concat_ws("\n", header, F.col("text"), footer).alias("page"))
+        F.concat_ws("\n", header, F.lit(""), F.col("text"), F.lit("  "),
+                    footer).alias("page"))
     out = C.remove_boilerplate_lines(paged, id_col="doc_id",
                                      text_col="page", max_doc_freq=1,
                                      out_col="clean")
@@ -505,7 +510,7 @@ WITH paged AS (
   SELECT doc_id, lang,
          concat_ws(chr(10),
            CASE WHEN doc_id % 3 > 0 THEN 'NAV ' || source || ' HOME' END,
-           text,
+           '', text, '  ',
            CASE WHEN doc_id % 2 > 0 THEN '{_FOOTER}' END) AS page
   FROM documents),
 ex AS (
@@ -514,10 +519,11 @@ ex AS (
        unnest(range(1, len(ls) + 1)) AS r(i)),
 freq AS (
   SELECT lower(trim(line)) AS nl, COUNT(DISTINCT doc_id) AS dfreq
-  FROM ex GROUP BY 1),
+  FROM ex WHERE len(lower(trim(line))) >= 1 GROUP BY 1),
 kept AS (
   SELECT e.doc_id, e.pos, e.line FROM ex e
-  JOIN freq f ON lower(trim(e.line)) = f.nl WHERE f.dfreq <= 1),
+  LEFT JOIN freq f ON lower(trim(e.line)) = f.nl
+  WHERE len(lower(trim(e.line))) < 1 OR f.dfreq <= 1),
 rebuilt AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
   FROM kept GROUP BY doc_id),

@@ -117,3 +117,27 @@ def test_batch_internal_duplicates_preserved(spark):
     got = B.exact_new_rows(batch, corpus, F.md5("text"), F.md5("text"),
                            words=words, m_bits=m, k=k)
     assert _ids(got) == [300, 301]
+
+
+def test_probe_tolerates_raw_multisegment_index(spark):
+    """A caller handing the probe a RAW multi-segment appended index
+    (plain spark.read.parquet instead of read_bloom_index) must still
+    get bit-for-bit anti-join results: probe_hit_flag folds the word
+    table defensively, so duplicate word_idx rows can't multiply batch
+    rows through the k equi-joins."""
+    corpus, batch = _frame(spark, CORPUS), _frame(spark, BATCH)
+    a = corpus.where(F.col("id") % 2 == 0)
+    b = corpus.where(F.col("id") % 2 == 1)
+    m, k = 1 << 12, 4
+    stage = f"/tmp/bodo_spark_test_bloom_{uuid.uuid4().hex[:8]}"
+    try:
+        B.write_bloom_index(a, stage, F.md5("text"), m_bits=m, k=k)
+        B.append_bloom_index(b, stage, F.md5("text"), m_bits=m, k=k)
+        raw = spark.read.parquet(stage)  # unfolded: duplicate word_idx
+        assert raw.count() > raw.select("word_idx").distinct().count()
+        got = B.exact_new_rows(batch, corpus, F.md5("text"),
+                               F.md5("text"), words=raw, m_bits=m, k=k)
+        assert _ids(got) == _ids(_anti(batch, corpus))
+        assert got.count() == len(_ids(got))  # no row multiplication
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

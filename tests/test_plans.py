@@ -165,19 +165,35 @@ def test_bloom_probe_no_batch_shuffle_and_broadcast_words(spark):
     assert p.count("BroadcastHashJoin") >= 4, p
     assert "SortMergeJoin" not in p, p
     # the only exchanges allowed are broadcast ones (word table) and the
-    # word-table build's own aggregation exchange -- none on the batch
+    # word-table build's own aggregation exchange -- none on the batch.
+    # NOTE: formatted mode puts hashpartitioning on its own Arguments
+    # line, never adjacent to the word "Exchange" -- the original
+    # `Exchange hashpartitioning\(` regex matched NOTHING and the
+    # assertion was vacuous (r9 advice).
     import re
-    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", p)
+    shuffles = re.findall(r"hashpartitioning\(([^,]+)", p)
+    assert shuffles, p  # the word-table aggregation exchange must exist
     assert all("word_idx" in s for s in shuffles), shuffles
 
 
 def test_semantic_dedup_single_cell_shuffle(spark):
-    """semantic_dedup's only hash shuffles key on the cell id (the
-    documented single-shuffle contract); centroids broadcast."""
+    """semantic_dedup's hash shuffles key ONLY on the cell id (the
+    pair-test self-join) or the row id (the assignment max_by combine
+    and final anti join) -- never on the corpus at large; centroids
+    broadcast. Keyed like the bloom plan test: a regression that
+    reintroduces a corpus-keyed shuffle (e.g. repartitioning on the
+    vector column) fails the key assertion, not just node counting."""
+    import re
     from bodo_spark.operators.similarity import semantic_dedup
     from bodo_spark.operators.dedup import unpersist_cached
     emb = tbl(spark, SF_DIR, "embeddings")
     out = semantic_dedup(emb, n_cells=4, eps=0.9)
     p = plan_str(out)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    shuffles = re.findall(r"hashpartitioning\(([^)]+)\)", p)
+    assert shuffles, p  # the contract is FEW shuffles, not zero
+    for keys in shuffles:
+        first = keys.split(",")[0].strip()
+        assert first.startswith("_cell") or first.startswith("vec_id"), \
+            (first, shuffles)
     unpersist_cached()

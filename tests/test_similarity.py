@@ -234,3 +234,25 @@ def test_semantic_dedup_blas_matches_expr_default_centroids(spark):
     b = sorted(r["vec_id"] for r in S.semantic_dedup(
         df, n_cells=6, eps=0.8, coarse_dim=8, scorer="blas").collect())
     assert e == b and len(e) < 64
+
+
+def test_semantic_dedup_zero_norm_survivor_identity(spark):
+    """Zero-norm vectors must survive identically on both scorers: the
+    expr cosine dot/(0*x) is NaN and NaN >= eps is TRUE in Spark SQL
+    (NaN sorts above every double), which silently dropped zero vectors
+    on the expr path while the blas path's norm clamp kept them. Both
+    paths now score a zero-vector pair cos 0 (kept)."""
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    rows += [(100, [0.0] * 8), (101, [0.0] * 8), (102, list(rows[3][1]))]
+    df = _vecs(spark, rows)
+    e = sorted(r["vec_id"] for r in S.semantic_dedup(
+        df, n_cells=3, eps=0.8, coarse_dim=8, scorer="expr").collect())
+    b = sorted(r["vec_id"] for r in S.semantic_dedup(
+        df, n_cells=3, eps=0.8, coarse_dim=8, scorer="blas").collect())
+    assert e == b
+    # the zero vectors are cos-0 to everything (both clamps agree): kept
+    assert 100 in e and 101 in e
+    # while the planted exact twin of row 3 is dropped -- non-vacuous
+    assert 102 not in e

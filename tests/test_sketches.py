@@ -96,3 +96,21 @@ def test_kll_shard_merge_within_envelope(spark, tmp_path_factory):
     for r in merged.collect():
         rank = df.where(F.col("v") <= r["value"]).count() / n
         assert abs(rank - r["prob"]) <= 0.05, (r, rank)
+
+
+def test_kll_merge_quantiles_empty_shards(spark):
+    """Zero shards degrade to NULL quantile values -- under ANSI mode
+    (the driver-parity verify mode) the unguarded element_at(_l, 1) on
+    the empty collect_list array threw INVALID_ARRAY_INDEX."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        empty = _df(spark).where(F.lit(False)) \
+            .groupBy("shard").agg(F.expr(
+                "kll_sketch_agg_double(CAST(v AS double), 200)")
+                .alias("sketch"))
+        rows = SK.kll_merge_quantiles(empty, [0.25, 0.5]).collect()
+        assert [r["prob"] for r in rows] == [0.25, 0.5]
+        assert all(r["value"] is None for r in rows)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
