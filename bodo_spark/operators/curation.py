@@ -479,3 +479,46 @@ def redact_pii(col: Column | str) -> Column:
     for pat, tag in PII_PATTERNS:
         c = F.regexp_replace(c, pat, tag)
     return c
+
+
+# --------------------------------------------------------------------------
+# sketch-percentile filtering (the CCNet tail-drop at scale)
+
+def filter_by_score_percentile(df: DataFrame, score_col: str, *,
+                               p: float, keep: str = "above",
+                               k: int = 200,
+                               sketches: DataFrame | None = None,
+                               sketch_col: str = "sketch") -> DataFrame:
+    """Drop the worst score percentiles without an exact-percentile
+    shuffle -- CCNet's actual protocol (Wenzek et al. 2020 partition
+    docs by LM perplexity and drop/downsample the tail; the same shape
+    serves any quality score). The threshold is the KLL-sketched P-th
+    percentile: one pass accumulates ~k doubles of mergeable state per
+    partition (map-side combined -- row data never reshuffles), the
+    single threshold row broadcasts, and a second scan filters. An
+    EXACT percentile of a 100-TB score column would instead sort or
+    multi-pass the full corpus.
+
+    ``sketches``: optionally a stored per-shard sketch frame (from
+    sketches.kll_shard_sketches' parquet index) -- then the threshold
+    comes from merging KB-sized states and the corpus is scanned ONCE,
+    the ingest-loop composition.
+
+    Rank semantics (pinned by the gate's DuckDB oracle): in the exact
+    regime (n <= sketch capacity) the threshold is the value at
+    1-indexed rank max(1, ceil(p*n)) of the sorted scores, and the
+    survivor set equals the exact-percentile filter's; beyond capacity
+    the value is within the KLL rank envelope (~1.65%/sqrt(k/200)).
+    ``keep='above'`` keeps score >= threshold (higher-is-better
+    scores); ``keep='below'`` keeps score <= threshold. Rows with NULL
+    scores are dropped either way (SQL comparison semantics)."""
+    from .sketches import kll_merge_quantiles, kll_quantiles
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    thr = (kll_merge_quantiles(sketches, [p], sketch_col=sketch_col)
+           if sketches is not None
+           else kll_quantiles(df, score_col, [p], k=k))
+    thr = thr.select(F.col("value").alias("_thr"))
+    cond = (F.col(score_col) >= F.col("_thr") if keep == "above"
+            else F.col(score_col) <= F.col("_thr"))
+    return df.crossJoin(F.broadcast(thr)).where(cond).drop("_thr")

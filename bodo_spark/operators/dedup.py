@@ -897,18 +897,39 @@ def duplicate_span_positions(df: DataFrame, id_col: str = "doc_id",
     suffix-array scan is replaced by positional gram hashing, the
     shuffle-friendly formulation).
 
-    Scale: ONE corpus-wide shuffle on the gram hash (rows carry only
-    (gh, id, pos) -- ~20 bytes/token); rn>=2 already implies the gram
-    is duplicated, so a single ordered window suffices. Output is
-    sparse -- proportional to duplicated text, not corpus size."""
-    from pyspark.sql import Window
-    occ = df.select(
+    Scale: the occurrence stream carries only (gh, id, pos) -- ~20
+    bytes/token. "Not the first occurrence" is computed WITHOUT a
+    per-gram ordered window: the canonical occurrence per gram is
+    `groupBy(gh).agg(min(struct(id, pos)))` -- a hash aggregate whose
+    MAP-SIDE partial combine collapses every task's occurrences of a
+    gram to one row before the exchange, so a boilerplate span repeated
+    in 10^6 docs ships 10^6 pre-combined partials, never lands 10^6
+    rows in one partition -- anti-joined back on the FULL (gh, id, pos)
+    key, which hash-distributes a hot gram's occurrences across all
+    partitions (each (id, pos) differs). The previous formulation
+    (`row_number` over `Window.partitionBy(gh)`) sorted a gram's entire
+    occurrence cluster in ONE task -- the same skew class the LSH band
+    family is guarded against (probed flat-wall in
+    tools/probe_lsh_skew.py --mega-span). Output is sparse --
+    proportional to duplicated text, not corpus size."""
+    from pyspark.storagelevel import StorageLevel
+    occ = (df.select(
         F.col(id_col),
         F.posexplode(_positional_gram_hashes(F.col(text_col), span))
         .alias("pos", "gh"))
-    w = Window.partitionBy("gh").orderBy(id_col, "pos")
-    return (occ.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") >= 2).select(id_col, "pos"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(occ)
+    # (id, pos) is globally unique per occurrence, so the canonical SET
+    # alone identifies first occurrences -- the anti join keys on it
+    # directly (name-based keys: canon derives from occ, and qualified
+    # column predicates on a self-derived frame resolve ambiguously)
+    canon = (occ.groupBy("gh")
+             .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                 F.col("pos").alias("p"))).alias("_m"))
+             .select(F.col("_m.i").alias(id_col),
+                     F.col("_m.p").alias("pos")))
+    return (occ.select(id_col, "pos")
+            .join(canon, [id_col, "pos"], "left_anti"))
 
 
 def excise_duplicate_spans(df: DataFrame, id_col: str = "doc_id",

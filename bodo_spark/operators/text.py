@@ -11,6 +11,7 @@ no shuffle at all until an aggregation is requested.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -285,3 +286,160 @@ def tf_idf_terms(df: DataFrame, *, id_col: str = "doc_id",
             .where(F.col("rn") <= top_n)
             .select(id_col, "term", F.col("tf").cast("bigint").alias("tf"),
                     "score", F.col("rn").cast("bigint").alias("rn")))
+
+
+# --------------------------------------------------------------------------
+# unicode / text normalization (the pre-tokenization step every corpus
+# pipeline runs before fingerprint/line/span dedup: RefinedWeb "trafilatura
+# + fixes", CCNet's pre-hash lowercase/accent pass, Gopher's control strip)
+
+def _nfc_lite_pairs() -> list[tuple[str, str]]:
+    """(decomposed, precomposed) pairs for the frequent Latin combining
+    sequences -- base letters a e i o u n c y with grave/acute/
+    circumflex/tilde/diaeresis/cedilla, both cases, kept only where NFC
+    actually composes to ONE codepoint. Derived from unicodedata at
+    import (driver-side, deterministic); the full-NFC path handles
+    everything else."""
+    import unicodedata
+    out = []
+    for base in "aeiouncyAEIOUNCY":
+        for comb in ("̀", "́", "̂", "̃",
+                     "̈", "̧"):
+            comp = unicodedata.normalize("NFC", base + comb)
+            if len(comp) == 1:
+                out.append((base + comb, comp))
+    return out
+
+
+def _mojibake_pairs() -> list[tuple[str, str]]:
+    """(garbled, intended) pairs for the classic UTF-8-bytes-decoded-as-
+    cp1252/latin-1 mojibake over the common Latin punctuation/accents
+    (e.g. '\u00e2\u20ac\u2122' for a right single quote U+2019,
+    '\u00c3\u00a9' for '\u00e9'). Three decodings are generated where
+    they differ and decode at all: cp1252 (leaves five bytes unmapped),
+    latin-1 (maps them to C1 controls), and the mixed per-byte form
+    real decoders emit (cp1252 where mapped, raw codepoint for the five
+    holes -- the '\u00e2\u20ac' + U+009D right-quote seen in the wild).
+    Sorted longest-first then lexicographic so the replace chain is
+    deterministic and no shorter source shadows a longer one."""
+    chars = ("\u2018\u2019\u201c\u201d\u2013\u2014\u2026\u00ab\u00bb"
+             "\u00b0\u00e9\u00e8\u00ea\u00eb\u00e1\u00e0\u00e2\u00e4"
+             "\u00e3\u00ed\u00ec\u00ee\u00ef\u00f3\u00f2\u00f4\u00f6"
+             "\u00f5\u00fa\u00f9\u00fb\u00fc\u00f1\u00e7\u00fd\u00c9"
+             "\u00c8\u00c1\u00c0\u00cd\u00d3\u00da\u00d1\u00c7\u00dc"
+             "\u00c4\u00d6\u00a0")
+
+    def _mixed(b: bytes) -> str:
+        out = []
+        for x in b:
+            try:
+                out.append(bytes([x]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(x))
+        return "".join(out)
+
+    pairs = set()
+    for ch in chars:
+        b = ch.encode("utf-8")
+        variants = {_mixed(b)}
+        for enc in ("cp1252", "latin-1"):
+            try:
+                variants.add(b.decode(enc))
+            except UnicodeDecodeError:
+                pass
+        for m in variants:
+            if m != ch:
+                # the intended NBSP repairs to a plain space directly
+                pairs.add((m, " " if ch == "\u00a0" else ch))
+    return sorted(pairs, key=lambda p: (-len(p[0]), p[0]))
+
+
+NORMALIZE_REPLACEMENTS: list[tuple[str, str]] = (
+    _mojibake_pairs() + _nfc_lite_pairs())
+
+# class patterns shared with the SQL oracle (Java regex and DuckDB RE2
+# both accept \x{...} codepoint escapes and byte-range classes)
+_CTRL_PAT = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
+_ZW_PAT = r"[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]"
+_USPACE_PAT = r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+
+
+def normalize_text(col: Column | str, *, nfc: str = "lite") -> Column:
+    """Normalization kernel: mojibake repair -> NFC -> zero-width strip
+    -> unicode-space fold -> control strip. ``nfc='lite'`` composes the
+    frequent Latin combining sequences with a chain of LITERAL
+    ``replace`` calls -- pure JVM, whole-stage codegen, zero Python,
+    the 100-TB path (full NFC is not expressible in Spark SQL
+    built-ins); ``nfc='full'`` routes the composition step through an
+    Arrow-batched pandas_udf over Python's unicodedata -- exact NFC,
+    for corpora with scripts beyond the lite table (the honest ICU
+    seam: unicodedata IS the ICU-grade implementation available here).
+    The two agree wherever the input's combining sequences are in the
+    lite table (asserted in tests/test_curation_ops.py).
+
+    Order matters: mojibake repair first (latin-1-garbled sequences
+    contain C1 control codepoints the control strip would otherwise
+    destroy), composition before the space fold (NBSP is both a moji
+    target and a foldable space), controls last. Newlines and tabs
+    survive (line structure feeds line-level dedup downstream)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for src, dst in _mojibake_pairs():
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    if nfc == "full":
+        @F.pandas_udf("string")
+        def _nfc(s: pd.Series) -> pd.Series:
+            import unicodedata
+            return s.map(lambda v: None if v is None
+                         else unicodedata.normalize("NFC", v))
+        c = _nfc(c)
+    else:
+        for src, dst in _nfc_lite_pairs():
+            c = F.replace(c, F.lit(src), F.lit(dst))
+    c = F.regexp_replace(c, _ZW_PAT, "")
+    c = F.regexp_replace(c, _USPACE_PAT, " ")
+    c = F.regexp_replace(c, _CTRL_PAT, "")
+    return c
+
+
+def sql_string_lit(s: str) -> str:
+    """Render a Python string as a (DuckDB-safe) SQL string expression:
+    printable runs as quoted literals, control/C1 codepoints as chr()
+    calls -- raw control bytes in SQL text are a parser hazard."""
+    parts, run = [], ""
+    for ch in s:
+        if ord(ch) < 0x20 or 0x7F <= ord(ch) <= 0xA0:
+            if run:
+                parts.append("'" + run.replace("'", "''") + "'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            run += ch
+    if run:
+        parts.append("'" + run.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def normalize_text_sql_stages(expr: str, chunk: int = 60) -> list[str]:
+    """The DuckDB-oracle twin of ``normalize_text(nfc='lite')``: the
+    IDENTICAL replacement table and class patterns rendered as nested
+    replace()/regexp_replace() calls (generated from one shared table,
+    so the two engines cannot drift). Returned as a LIST of stage
+    expressions -- DuckDB's binder caps expression recursion at 128, so
+    the ~140-replace chain is split into <=``chunk``-deep stages the
+    caller threads through CTE columns; each stage after the first
+    references the previous stage's output as ``_nrm``. Control/C1
+    codepoints inside literals are emitted as chr() calls -- raw
+    control bytes in SQL text are a parser hazard."""
+    lit = sql_string_lit
+    stages, out, depth = [], expr, 0
+    for src, dst in NORMALIZE_REPLACEMENTS:
+        out = f"replace({out}, {lit(src)}, {lit(dst)})"
+        depth += 1
+        if depth >= chunk:
+            stages.append(out)
+            out, depth = "_nrm", 0
+    out = f"regexp_replace({out}, '{_ZW_PAT}', '', 'g')"
+    out = f"regexp_replace({out}, '{_USPACE_PAT}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_CTRL_PAT}', '', 'g')"
+    stages.append(out)
+    return stages

@@ -621,7 +621,81 @@ FROM chunks GROUP BY chunk_no ORDER BY chunk_no
 """
 
 
+# --------------------------------------------------------------------------
+# sketch-percentile tail drop (CCNet): train the bigram LM on the even
+# half, score the odd half, drop docs below the sketched 20th percentile
+# of avg log-prob. At gate size the KLL sketch is in its exact regime, so
+# the survivor set must EQUAL the exact-percentile filter's -- the oracle
+# computes the threshold as the value at 1-indexed rank max(1, ceil(p*n))
+# (the sketch's pinned rank convention) and filters exactly.
+
+_PPLX_P = 0.2
+
+
+def cur_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet tail-drop (operators/curation.filter_by_score_percentile
+    over operators/text.lm_doc_logprob): per-lang kept-doc counts, the
+    decimal-exact sum of kept scores, and an md5 over kept doc ids --
+    WHICH docs survive, not just how many."""
+    d = tbl(spark, sf, "documents")
+    train = d.where(F.col("doc_id") % 2 == 0)
+    test = d.where(F.col("doc_id") % 2 == 1)
+    bigrams, unigrams, vocab = T.bigram_lm_counts(train)
+    scored = T.lm_doc_logprob(test, bigrams, unigrams, vocab, k=0.5)
+    kept = C.filter_by_score_percentile(scored, "avg_logprob",
+                                        p=_PPLX_P, keep="above")
+    j = test.select("doc_id", "lang").join(kept, "doc_id")
+    return (j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("avg_logprob").cast("decimal(18,6)")).cast("double")
+        .alias("sum_lp"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(
+            F.col("doc_id").cast("string"))), ",")).alias("id_hash"))
+        .orderBy("lang"))
+
+
+_PPLX_SQL = f"""
+WITH train AS (SELECT {{toks}} AS t FROM documents WHERE doc_id % 2 = 0),
+test AS (SELECT doc_id, lang, {{toks}} AS t FROM documents
+         WHERE doc_id % 2 = 1),
+tbig AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM train, UNNEST(range(1, len(t))) AS r(i)),
+bigc AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbig GROUP BY w1, w2),
+unic AS (SELECT w1, COUNT(*) AS c1
+         FROM (SELECT unnest(t) AS w1 FROM train) GROUP BY w1),
+v AS (SELECT COUNT(*) AS vocab FROM unic),
+sbig AS (
+  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+  FROM test, UNNEST(range(1, len(t))) AS r(i)),
+terms AS (
+  SELECT s.doc_id, s.lang,
+         round(ln((COALESCE(b.c12, 0) + 0.5)
+                  / (COALESCE(u.c1, 0) + 0.5 * (SELECT vocab FROM v))), 9)
+           AS lp
+  FROM sbig s
+  LEFT JOIN bigc b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN unic u ON s.w1 = u.w1),
+docs AS (
+  SELECT doc_id, lang,
+         round(CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_lp
+  FROM terms GROUP BY doc_id, lang),
+thr AS (
+  SELECT avg_lp AS t FROM docs ORDER BY avg_lp
+  LIMIT 1 OFFSET greatest(CAST(ceil({_PPLX_P} * (SELECT COUNT(*) FROM docs))
+                               AS BIGINT), 1) - 1),
+kept AS (SELECT * FROM docs WHERE avg_lp >= (SELECT t FROM thr))
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(CAST(avg_lp AS DECIMAL(18,6))) AS DOUBLE) AS sum_lp,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR))) AS id_hash
+FROM kept GROUP BY lang ORDER BY lang
+""".format(toks="regexp_split_to_array(trim(text), '\\s+')")
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_perplexity_filter": QueryDef(cur_perplexity_filter, _PPLX_SQL),
     "cur_chunk_overlap": QueryDef(cur_chunk_overlap, _CHUNK_SQL),
     "cur_line_dedup": QueryDef(cur_line_dedup, _LINE_DEDUP_SQL),
     "cur_quality_model": QueryDef(cur_quality_model, _quality_sql()),

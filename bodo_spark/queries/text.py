@@ -401,7 +401,60 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+# --------------------------------------------------------------------------
+# unicode/text normalization: a dirt string exercising every kernel stage
+# (decomposed accent, cp1252 AND latin-1 mojibake, a bell control, a
+# zero-width space, an NBSP) is planted into odd-id docs; the oracle
+# rebuilds the identical dirty page from chr() codepoints and runs the
+# generated replace-chain twin, pinning every cleaned page's md5.
+
+_DIRT = ("cafe\u0301 na\u00c3\u00afve \u00e2\u20ac\u0153q"
+         "\u00e2\u20ac\u009d \u0007\u200bz\u00a0w .")
+
+
+def text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization kernel gate (operators/text.normalize_text, the
+    pre-tokenization pass): per-lang doc counts, changed-doc counts,
+    surviving char mass, and an order-insensitive md5 over every
+    cleaned page -- exact output text, not just counts."""
+    d = tbl(spark, sf, "documents")
+    dirt = F.when(F.col("doc_id") % 2 > 0, F.lit(_DIRT))
+    dirty = F.concat_ws(" ", F.col("text"), dirt)
+    s = d.select("lang", dirty.alias("page"),
+                 T.normalize_text(dirty).alias("clean"))
+    return (s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("clean") != F.col("page")).cast("long"))
+        .alias("n_changed"),
+        F.sum(F.length("clean")).cast("bigint").alias("sum_chars"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(F.md5("clean"))),
+                           "")).alias("text_hash"))
+        .orderBy("lang"))
+
+
+def _normalize_sql() -> str:
+    stages = T.normalize_text_sql_stages("page")
+    ctes = ["paged AS (SELECT lang, concat_ws(' ', text, CASE WHEN "
+            f"doc_id % 2 > 0 THEN {T.sql_string_lit(_DIRT)} END) AS page "
+            "FROM documents)"]
+    prev = "paged"
+    for i, st in enumerate(stages):
+        ctes.append(f"n{i} AS (SELECT lang, page, {st} AS _nrm "
+                    f"FROM {prev})")
+        prev = f"n{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN _nrm <> page THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(len(_nrm)) AS BIGINT) AS sum_chars,
+       md5(string_agg(md5(_nrm), '' ORDER BY md5(_nrm))) AS text_hash
+FROM {prev} GROUP BY lang ORDER BY lang
+""")
+
+
 QUERIES: dict[str, QueryDef] = {
+    "text_normalize": QueryDef(text_normalize, _normalize_sql()),
     "text_tfidf_terms": QueryDef(text_tfidf_terms, _TEXT_TFIDF_SQL),
     "text_lm_perplexity": QueryDef(text_lm_perplexity, _TEXT_LM_SQL),
     "text_pipeline_e2e": QueryDef(text_pipeline_e2e, _pipeline_sql()),

@@ -309,3 +309,92 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
     assert top[(1, 1)] == "zebra" and top[(2, 1)] == "yak"
     assert top[(1, 2)] == "common"
     assert top[(3, 1)] == "common"  # only term in doc 3
+
+
+def test_normalize_text_lite_matches_full_nfc(spark):
+    """The JVM replace-chain kernel (nfc='lite') must agree with the
+    Arrow-batched unicodedata path (nfc='full') wherever the combining
+    sequences are in the lite table; the full path must BE true NFC
+    plus the shared cleanup stages."""
+    from bodo_spark.operators import text as T
+    cases = [
+        "cafe\u0301 latte",                    # decomposed acute
+        "u\u0308ber a\u0300 c\u0327a",       # diaeresis/grave/cedilla
+        "na\u00c3\u00afve",                   # cp1252 mojibake
+        "\u00e2\u20ac\u0153q\u00e2\u20ac\u009d",  # both quote garbles
+        "a\u200bb\u00a0c\u0007d",            # zw / nbsp / control
+        "plain ascii stays",
+        "",
+    ]
+    df = _docs(spark, list(enumerate(cases)))
+    got = (df.select("doc_id",
+                     T.normalize_text("text").alias("lite"),
+                     T.normalize_text("text", nfc="full").alias("full"))
+           .orderBy("doc_id").collect())
+    for r, raw in zip(got, cases):
+        assert r["lite"] == r["full"], (raw, r["lite"], r["full"])
+    # spot-pin the actual outputs
+    assert got[0]["lite"] == "caf\u00e9 latte"
+    assert got[2]["lite"] == "na\u00efve"
+    assert got[3]["lite"] == "\u201cq\u201d"
+    assert got[4]["lite"] == "ab cd"
+
+
+def test_normalize_text_full_handles_uncovered_scripts(spark):
+    """Beyond the lite table (Greek/combining sequences not in the
+    replace chain) the full path still produces exact NFC."""
+    import unicodedata
+    from bodo_spark.operators import text as T
+    raw = "\u03b1\u0301 s\u030c e\u0304"  # Greek alpha+acute, s-caron, e-macron
+    df = _docs(spark, [(0, raw)])
+    full = df.select(T.normalize_text("text", nfc="full")
+                     .alias("t")).collect()[0]["t"]
+    assert full == unicodedata.normalize("NFC", raw)
+
+
+def test_percentile_filter_exact_regime_and_modes(spark):
+    """In the KLL exact regime the survivor set equals the exact
+    rank-based filter; keep='below' mirrors it; NULL scores drop."""
+    rows = [(i, float(v)) for i, v in enumerate(
+        [50, 10, 40, 30, 20, 90, 60, 80, 70, 100])]
+    df = spark.createDataFrame(rows + [(99, None)], "id long, v double")
+    above = {r["id"] for r in C.filter_by_score_percentile(
+        df, "v", p=0.2, keep="above").collect()}
+    # threshold = rank ceil(0.2*10)=2 -> 20.0; kept: v >= 20
+    assert above == {i for i, v in rows if v >= 20}
+    below = {r["id"] for r in C.filter_by_score_percentile(
+        df, "v", p=0.2, keep="below").collect()}
+    assert below == {i for i, v in rows if v <= 20}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        C.filter_by_score_percentile(df, "v", p=0.2, keep="sideways")
+
+
+def test_percentile_filter_from_stored_sketches(spark, tmp_path_factory):
+    """The corpus-scanned-once composition: threshold from a stored
+    per-shard KLL sketch index instead of re-sketching the frame."""
+    from bodo_spark.operators import sketches as SK
+    # n <= k keeps BOTH paths in the exact regime, where merge order
+    # cannot matter; past it the two are only envelope-equivalent
+    df = spark.range(300).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v"),
+        (F.col("id") % 4).alias("shard"))
+    stage = str(tmp_path_factory.mktemp("kll_flt"))
+    SK.kll_shard_sketches(df, "v", "shard", k=400) \
+        .write.mode("overwrite").parquet(stage)
+    got = C.filter_by_score_percentile(
+        df, "v", p=0.5, sketches=spark.read.parquet(stage))
+    direct = C.filter_by_score_percentile(df, "v", p=0.5, k=400)
+    assert ({r["id"] for r in got.collect()}
+            == {r["id"] for r in direct.collect()})
+
+
+def test_percentile_filter_rank_envelope_beyond_exact(spark):
+    """Past the sketch's exact regime the kept fraction stays within
+    the KLL rank envelope of the target percentile."""
+    n = 200_000
+    df = spark.range(n).select(
+        F.col("id"), F.col("id").cast("double").alias("v"))
+    kept = C.filter_by_score_percentile(df, "v", p=0.2, k=200).count()
+    frac = kept / n
+    assert abs(frac - 0.8) < 0.05, frac

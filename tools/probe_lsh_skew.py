@@ -22,7 +22,17 @@ This probe plants a mega-cluster into a (scaled) corpus and measures:
       bounded, pairs OUTSIDE the cluster identical to the uncapped
       run on the unplanted corpus.
 
+`--mega-span` probes the analogous axis of the SUBSTRING dedup
+(VERDICT r9 "What's wrong #1"): a boilerplate ``span``-token block
+repeated in 10^5+ docs makes each of its positional grams a corpus-wide
+hot key. The pre-r10 formulation (`row_number` over
+`Window.partitionBy(gh)`) sorted each hot gram's entire occurrence
+cluster in ONE task; the map-side-combined min(struct)+anti-join
+formulation must hold wall time ~flat in c, with excision content
+pinned (every non-canonical copy loses exactly the planted block).
+
 Usage: python tools/probe_lsh_skew.py <sf_dir> [c1 c2 ...]
+       python tools/probe_lsh_skew.py <sf_dir> --mega-span [c1 c2 ...]
 """
 
 from __future__ import annotations
@@ -77,9 +87,57 @@ def _timed(fn):
     return out, round(time.time() - t0, 2)
 
 
+def main_mega_span(sf: str, sizes: list[int]) -> None:
+    """Hot-gram probe for duplicate_span_positions: plant a fixed
+    60-token boilerplate block into c docs (unique pre/suffix tokens so
+    doc-level collapse can't absorb it); every positional 50-gram of the
+    block occurs c times corpus-wide."""
+    from bodo_spark.operators import dedup as D
+    from bodo_spark.session import get_spark
+    spark = get_spark(app_name="probe_span_skew")
+    base = _corpus(spark, sf).persist()
+    n_base = base.count()
+    block = " ".join(f"boiler{i}" for i in range(60))
+    print(json.dumps({"corpus": n_base, "mode": "mega-span"}), flush=True)
+    for c in sizes:
+        start = 10_000_000
+        mega = (spark.range(start, start + c)
+                .select(F.col("id").alias("doc_id"),
+                        F.concat(F.lit("pre"), F.col("id").cast("string"),
+                                 F.lit(" " + block + " post"),
+                                 F.col("id").cast("string"))
+                        .alias("text")))
+        planted = base.union(mega).persist()
+        planted.count()
+        out, sec = _timed(lambda: D.excise_duplicate_spans(
+            planted, span=50).write.format("noop")
+            .mode("overwrite").save())
+        # content pin: the canonical (lowest-id) copy keeps the block,
+        # every other planted doc is reduced to its unique pre/post
+        # tokens -- checked on a 3-doc sample, not a second full pass
+        sample = (D.excise_duplicate_spans(planted, span=50)
+                  .where(F.col("doc_id").isin(start, start + 1,
+                                              start + c - 1))
+                  .collect())
+        D.unpersist_cached()
+        by_id = {r["doc_id"]: r["text"] for r in sample}
+        ok = (block in by_id[start]
+              and all(block not in by_id[i] and f"pre{i}" in by_id[i]
+                      for i in (start + 1, start + c - 1)))
+        planted.unpersist()
+        print(json.dumps({"c": c, "excise_sec": sec,
+                          "content_pinned": ok}), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     sf = sys.argv[1]
-    sizes = [int(a) for a in sys.argv[2:]] or [2_000, 8_000, 32_000]
+    args = sys.argv[2:]
+    if args and args[0] == "--mega-span":
+        sizes = [int(a) for a in args[1:]] or [2_000, 20_000, 100_000]
+        main_mega_span(sf, sizes)
+        return
+    sizes = [int(a) for a in args] or [2_000, 8_000, 32_000]
     # naive candidates = 8 * c(c-1)/2; at c=10k that is already 4e8
     # joined rows through dropDuplicates -- beyond this the naive run
     # is reported analytically, not executed
