@@ -382,7 +382,8 @@ def remove_boilerplate_lines(df: DataFrame, *, id_col: str = "doc_id",
 # hashing-trick quality scorer (the fastText-shaped classifier seam)
 
 def hashed_quality_score(col: Column | str, weights: list[float],
-                         bias: float = 0.0) -> Column:
+                         bias: float = 0.0, *,
+                         as_logit: bool = False) -> Column:
     """Linear quality-classifier score via the hashing trick:
     token -> bucket = hash(token) mod len(weights);
     score = sigmoid(bias + mean_t weights[bucket(t)]).
@@ -417,6 +418,12 @@ def hashed_quality_score(col: Column | str, weights: list[float],
         lambda acc, t: acc + F.element_at(warr,
                                           _bucket(t).cast("int") + 1))
     z = F.lit(float(bias)) + wsum / F.greatest(F.size(toks), F.lit(1))
+    # as_logit returns z itself: with dyadic weights z is EXACT (exact
+    # sum + one IEEE division), so thresholding on z never straddles a
+    # cross-engine ulp the way sigmoid(z) >= cutoff can -- pipeline
+    # filters compare z >= logit(cutoff)
+    if as_logit:
+        return z
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
@@ -522,3 +529,126 @@ def filter_by_score_percentile(df: DataFrame, score_col: str, *,
     cond = (F.col(score_col) >= F.col("_thr") if keep == "above"
             else F.col(score_col) <= F.col("_thr"))
     return df.crossJoin(F.broadcast(thr)).where(cond).drop("_thr")
+
+
+# --------------------------------------------------------------------------
+# the full pretraining pipeline, composed as one staged plan
+
+def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      normalize: bool = True,
+                      line_max_doc_freq: int = 1,
+                      span: int = 20,
+                      num_perm: int = 16, bands: int = 8,
+                      threshold: float = 0.5,
+                      pplx_p: float = 0.2, lm_k: float = 0.5,
+                      quality_weights: list[float] | None = None,
+                      quality_bias: float = 0.0,
+                      quality_cutoff: float = 0.5,
+                      mix_weights: dict[str, float] | None = None,
+                      domain_col: str = "source",
+                      capacity: int = 256,
+                      checkpoint_dir: str | None = None) -> DataFrame:
+    """The composed pretraining-data pipeline, each tier in its
+    web-corpus order (RefinedWeb/CCNet/Llama protocols):
+
+      normalize -> line dedup -> span excision -> near-dup survivors
+      (collapse-first) -> perplexity tail-drop -> quality cutoff ->
+      fuzzy decontaminate -> domain mix -> pack
+
+    Returns one row per (chunk_id, doc) assignment with the surviving
+    cleaned text. Every stage is an existing gated operator; what this
+    function adds -- and what breaks first in an integrated 100-TB run
+    -- is the TIER-BOUNDARY materialization discipline:
+
+    * Each boundary whose output feeds more than one downstream subtree
+      (line dedup's rebuild, span excision's join-back, the survivor
+      frame that is LM-trained on, LM-scored, quality-scored AND
+      band-joined against the benchmark) is materialized ONCE: default
+      `persist(MEMORY_AND_DISK)` registered in dedup._PERSISTED
+      (release with dedup.unpersist_cached() after consuming the
+      result), or parquet staging when ``checkpoint_dir`` is given.
+      Without this, Catalyst column-prunes each consumer's subtree into
+      a canonically different plan and re-executes the WHOLE upstream
+      pipeline per consumer -- the recompute blows up multiplicatively
+      with pipeline depth, not additively.
+    * ``checkpoint_dir`` is the 100-TB mode: persisted lineage chains
+      this deep make every task failure replay the full pipeline (and
+      the memory footprint is the SUM of live boundaries, ~3x corpus);
+      parquet staging truncates lineage so peak footprint is one
+      boundary + shuffle, and each stage restarts from durable state.
+      SCALE.md records the measured footprint of both modes.
+
+    Stage parameters are the individual operators' (see their
+    docstrings); ``quality_weights=None`` / ``mix_weights=None`` /
+    ``bench=None`` skip those stages."""
+    from . import dedup as D
+    from .text import bigram_lm_counts, lm_doc_logprob, normalize_text
+    from .text import token_count
+
+    spark = df.sparkSession
+
+    def _stage(frame: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir:
+            path = f"{checkpoint_dir.rstrip('/')}/{name}"
+            frame.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        # localCheckpoint, not plain persist: persist alone keeps the
+        # ENTIRE upstream pipeline in every downstream logical plan, and
+        # at this composition depth Catalyst's plan strings grow past
+        # the JVM's 1 GB string ceiling (measured: count() after the
+        # pack stage died with 'UTF16 String size is 1122980456').
+        # localCheckpoint stores the same MEMORY_AND_DISK blocks AND
+        # truncates lineage, so each stage's plan starts from a scan of
+        # the previous boundary -- the same bounded-plans discipline the
+        # CC iteration uses (operators/dedup.py). Lazy: materializes on
+        # the first downstream action, like persist.
+        p = frame.localCheckpoint(eager=False)
+        _dedup._PERSISTED.append(p)
+        return p
+
+    cur = df
+    if normalize:
+        cur = cur.withColumn(text_col, normalize_text(text_col))
+    # line dedup's exploded frame is persisted internally; its OUTPUT
+    # feeds the span stage's two subtrees -> boundary
+    cur = _stage(remove_boilerplate_lines(
+        cur, id_col=id_col, text_col=text_col,
+        max_doc_freq=line_max_doc_freq), "lines")
+    cur = _stage(D.excise_duplicate_spans(cur, id_col, text_col,
+                                          span=span), "spans")
+    # survivors feed FOUR consumers: LM train counts, LM scoring,
+    # quality expression, and the decontamination band join
+    cur = _stage(D.near_dup_survivors(cur, id_col, text_col,
+                                      num_perm=num_perm, bands=bands,
+                                      threshold=threshold,
+                                      collapse_exact=True), "survivors")
+    # CCNet tail-drop: the LM trains on the surviving corpus itself
+    # (the gate mode; production passes a held-out LM's count tables)
+    bigrams, unigrams, vocab = bigram_lm_counts(cur, text_col=text_col)
+    scored = lm_doc_logprob(cur, bigrams, unigrams, vocab,
+                            id_col=id_col, text_col=text_col, k=lm_k)
+    kept_ids = filter_by_score_percentile(
+        scored, "avg_logprob", p=pplx_p, keep="above").select(id_col)
+    # inner join doubles as the <2-token guard: unscoreable docs
+    # (emptied by excision) carry no score row and drop here
+    cur = cur.join(kept_ids, id_col)
+    if quality_weights is not None:
+        import math
+        z = hashed_quality_score(F.col(text_col), quality_weights,
+                                 bias=quality_bias, as_logit=True)
+        zcut = math.log(quality_cutoff / (1.0 - quality_cutoff))
+        cur = cur.where(z >= F.lit(zcut))
+    if bench is not None:
+        sig = D.minhash_signatures(cur, id_col, text_col)
+        pairs = D.minhash_lsh_pairs_between(bench, sig,
+                                            threshold=threshold)
+        flagged = pairs.select(F.col("corpus_id").alias(id_col)).distinct()
+        cur = cur.join(F.broadcast(flagged), id_col, "left_anti")
+    cur = _stage(cur, "filtered")
+    if mix_weights is not None:
+        cur = domain_mix_sample(cur, mix_weights, domain_col=domain_col,
+                                id_col=id_col)
+    cur = cur.withColumn("_n_tokens", token_count(text_col))
+    return pack_chunks(cur, capacity, id_col=id_col,
+                       tokens_col="_n_tokens")

@@ -463,6 +463,24 @@ SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
 FROM assign
 """
 
+# DuckDB inlines CTEs referenced once and re-executes multi-referenced
+# ones per consumer unless MATERIALIZED -- the oracle-side twin of the
+# recompute hazard the Spark pipeline solves with stage persists. Without
+# these hints the probe measured the normalize chain and span explode
+# re-running per consumer (minutes instead of seconds at sf0.01).
+_PT_MATERIALIZE = (
+    "norm", "lex", "sdocs", "spanned", "corpus", "cdocs", "chs",
+    "cbanded", "edges", "lbl", "surv", "ttoks", "unic", "ldocs",
+    "qual", "qdocs", "bdocs", "decon",
+)
+
+
+def _pretrain_sql_materialized() -> str:
+    sql = _pretrain_sql()
+    for name in _PT_MATERIALIZE:
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    return sql
+
 
 # --------------------------------------------------------------------------
 # line-level boilerplate removal: synthetic nav headers (per-source) and a
@@ -694,7 +712,284 @@ FROM kept GROUP BY lang ORDER BY lang
 """.format(toks="regexp_split_to_array(trim(text), '\\s+')")
 
 
+
+
+# --------------------------------------------------------------------------
+# THE CAPSTONE: the full pretraining pipeline composed as ONE plan.
+# Pages get the line-dedup fodder (nav headers / global footer), the
+# normalization fodder (_DIRT mojibake/controls on odd ids), and the raw
+# corpus's organic near-dups; the pipeline then runs normalize -> line
+# dedup -> span excision -> collapse+LSH survivors -> CCNet tail-drop ->
+# quality cutoff -> fuzzy decontamination vs a bench split -> 4:2:1:1
+# domain mix -> 256-token packing. The oracle re-derives EVERY stage in
+# DuckDB from the shared fragment builders and pins the final
+# (doc, chunk) assignment hash -- one value check over the whole
+# composition.
+
+_PT_CAP = 256
+
+
+def cur_pretrain_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed pretraining pipeline (operators/curation.py
+    pretrain_pipeline): single-row gate pinning chunk counts,
+    assignment counts, kept-doc counts, token mass, and an
+    order-insensitive md5 over every (doc, chunk) assignment."""
+    from .text import _DIRT
+    d = tbl(spark, sf, "documents")
+    header = F.when(F.col("doc_id") % 3 > 0,
+                    F.concat(F.lit("NAV "), F.col("source"),
+                             F.lit(" HOME")))
+    footer = F.when(F.col("doc_id") % 2 > 0, F.lit(_FOOTER))
+    dirt = F.when(F.col("doc_id") % 2 > 0,
+                  F.lit(" " + _DIRT)).otherwise(F.lit(""))
+    paged = d.select(
+        "doc_id", "lang", "source",
+        F.concat_ws("\n", header, F.lit(""),
+                    F.concat(F.col("text"), dirt), footer).alias("text"))
+    bench = d.where(F.col("doc_id") % 19 == 0).select("doc_id", "text")
+    packed = C.pretrain_pipeline(
+        paged, bench=bench, span=20, pplx_p=_PPLX_P,
+        quality_weights=_QW, quality_bias=_QBIAS, quality_cutoff=0.5,
+        mix_weights=_MIX, capacity=_PT_CAP)
+    pair = F.concat_ws(":", F.col("doc_id").cast("string"),
+                       F.col("chunk_id").cast("string"))
+    return packed.agg(
+        F.countDistinct("chunk_id").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_assignments"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("_n_tokens").cast("bigint").alias("tok_mass"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(F.md5(pair))), ""))
+        .alias("assign_hash"))
+
+
+def _pretrain_sql() -> str:
+    from ..operators.text import normalize_text_sql_stages, sql_string_lit
+    from .dedup import _sql_bands, _sql_h60, _sql_minhash
+    from .text import _DIRT
+
+    def shingles(col: str) -> str:
+        w = f"regexp_split_to_array(trim({col}), '\\s+')"
+        return (f"CASE WHEN len({w}) >= 3 THEN "
+                f"list_distinct(list_transform(range(1, len({w}) - 1), "
+                f"i -> array_to_string(({w})[i:i+2], ' '))) "
+                f"ELSE [trim({col})] END")
+
+    h0 = _sql_h60("concat('0|', s)")
+    wlist = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in _QW)
+    qh60 = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+    span = 20
+    norm_stages = normalize_text_sql_stages("page")
+    norm_ctes = []
+    prev = "paged"
+    for i, st in enumerate(norm_stages):
+        norm_ctes.append(f"n{i} AS (SELECT doc_id, lang, source, {st} "
+                         f"AS _nrm FROM {prev})")
+        prev = f"n{i}"
+    norm_block = ",\n".join(norm_ctes)
+
+    return f"""
+WITH RECURSIVE paged AS (
+  SELECT doc_id, lang, source,
+         concat_ws(chr(10),
+           CASE WHEN doc_id % 3 > 0 THEN 'NAV ' || source || ' HOME' END,
+           '',
+           text || CASE WHEN doc_id % 2 > 0
+                        THEN ' ' || {sql_string_lit(_DIRT)} ELSE '' END,
+           CASE WHEN doc_id % 2 > 0 THEN '{_FOOTER}' END) AS page
+  FROM documents),
+{norm_block},
+norm AS (SELECT doc_id, lang, source, _nrm AS t0 FROM {prev}),
+-- line dedup (min_chars exemption, doc-freq > 1 dropped)
+lex AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM (SELECT doc_id, str_split(t0, chr(10)) AS ls FROM norm) t,
+       unnest(range(1, len(ls) + 1)) AS r(i)),
+lfreq AS (
+  SELECT lower(trim(line)) AS nl, COUNT(DISTINCT doc_id) AS dfreq
+  FROM lex WHERE len(lower(trim(line))) >= 1 GROUP BY 1),
+lkept AS (
+  SELECT e.doc_id, e.pos, e.line FROM lex e
+  LEFT JOIN lfreq f ON lower(trim(e.line)) = f.nl
+  WHERE len(lower(trim(e.line))) < 1 OR f.dfreq <= 1),
+lreb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t1
+  FROM lkept GROUP BY doc_id),
+lined AS (
+  SELECT n.doc_id, n.lang, n.source, COALESCE(r.t1, '') AS t1
+  FROM norm n LEFT JOIN lreb r USING (doc_id)),
+-- span excision (ExactSubstr, span={span})
+sdocs AS (
+  SELECT doc_id, lang, source,
+         regexp_split_to_array(trim(t1), '\\s+') AS ts
+  FROM lined),
+sgrams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_sql_h60(f"array_to_string(ts[i:i+{span - 1}], ' ')")} AS gh
+  FROM sdocs, UNNEST(range(1, len(ts) - {span} + 2)) AS t(i)),
+sdup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+    FROM sgrams) WHERE rn >= 2),
+scov AS (
+  SELECT DISTINCT doc_id, pos + d AS idx
+  FROM sdup, UNNEST(range(0, {span})) AS t(d)),
+stoks AS (
+  SELECT doc_id, ts[CAST(i AS INTEGER)] AS tok, CAST(i AS INTEGER) - 1 AS idx
+  FROM sdocs, UNNEST(range(1, len(ts) + 1)) AS t(i)),
+skept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.idx) AS clean
+  FROM stoks t LEFT JOIN scov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.idx IS NULL GROUP BY t.doc_id),
+spanned AS (
+  SELECT d.doc_id, d.lang, d.source, COALESCE(k.clean, '') AS t2
+  FROM sdocs d LEFT JOIN skept k USING (doc_id)),
+-- collapse byte-identical texts to min-id reps
+reps AS (SELECT MIN(doc_id) AS doc_id FROM spanned GROUP BY md5(t2)),
+corpus AS (SELECT s.* FROM spanned s JOIN reps USING (doc_id)),
+-- MinHash+LSH pairs over reps, CC, min-id survivors
+cdocs AS (SELECT doc_id AS id, {shingles('t2')} AS sh FROM corpus),
+chs AS (
+  SELECT id, list_distinct(list_transform(sh, s -> {h0})) AS hs
+  FROM cdocs),
+csigs AS (SELECT id, {_sql_minhash(16)} AS sig FROM cdocs),
+cbanded AS (SELECT id, unnest({_sql_bands(8, 2)}) AS band_sig FROM csigs),
+ccand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM cbanded a JOIN cbanded b
+    ON a.band_sig = b.band_sig AND a.id < b.id),
+cpairs AS (
+  SELECT id_a, id_b
+  FROM ccand JOIN chs da ON ccand.id_a = da.id
+             JOIN chs db ON ccand.id_b = db.id
+  WHERE round(CAST(len(list_intersect(da.hs, db.hs)) AS DOUBLE)
+        / len(list_distinct(list_concat(da.hs, db.hs))), 6) >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cpairs
+  UNION SELECT id_b, id_a FROM cpairs),
+reach(u, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u),
+lbl AS (SELECT u, MIN(comp) AS comp FROM reach GROUP BY u),
+keepc AS (SELECT comp, MIN(u) AS keep_id FROM lbl GROUP BY comp),
+dropsc AS (SELECT u FROM lbl JOIN keepc USING (comp) WHERE u <> keep_id),
+surv AS (
+  SELECT c.* FROM corpus c
+  WHERE doc_id NOT IN (SELECT u FROM dropsc)),
+-- bigram LM trained on the surviving corpus, scored on itself
+ttoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(t2), '\\s+') AS t FROM surv),
+tbig AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM ttoks, UNNEST(range(1, len(t))) AS r(i)),
+bigc AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbig GROUP BY w1, w2),
+unic AS (SELECT w1, COUNT(*) AS c1
+         FROM (SELECT unnest(t) AS w1 FROM ttoks) GROUP BY w1),
+v AS (SELECT COUNT(*) AS vocab FROM unic),
+sbig AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM ttoks, UNNEST(range(1, len(t))) AS r(i)),
+terms AS (
+  SELECT s.doc_id,
+         round(ln((COALESCE(b.c12, 0) + 0.5)
+                  / (COALESCE(u.c1, 0) + 0.5 * (SELECT vocab FROM v))), 9)
+           AS lp
+  FROM sbig s
+  LEFT JOIN bigc b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN unic u ON s.w1 = u.w1),
+ldocs AS (
+  SELECT doc_id,
+         round(CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_lp
+  FROM terms GROUP BY doc_id),
+thr AS (
+  SELECT avg_lp AS t FROM ldocs ORDER BY avg_lp
+  LIMIT 1 OFFSET greatest(CAST(ceil({_PPLX_P} *
+    (SELECT COUNT(*) FROM ldocs)) AS BIGINT), 1) - 1),
+pplx AS (
+  SELECT s.* FROM surv s JOIN ldocs l USING (doc_id)
+  WHERE l.avg_lp >= (SELECT t FROM thr)),
+-- quality cutoff (z >= 0, exact dyadic arithmetic)
+qual AS (
+  SELECT * FROM pplx
+  WHERE ({_QBIAS!r} +
+         list_sum(list_transform(
+           regexp_split_to_array(lower(trim(t2)), '\\s+'), t ->
+           ([{wlist}])[CAST({qh60} % 32 AS INT) + 1]))
+         / greatest(len(regexp_split_to_array(lower(trim(t2)),
+                                              '\\s+')), 1)) >= 0.0),
+-- fuzzy decontamination vs the raw bench split (doc_id % 19 = 0)
+bdocs AS (SELECT doc_id AS id, {shingles('text')} AS sh
+          FROM documents WHERE doc_id % 19 = 0),
+qdocs AS (SELECT doc_id AS id, {shingles('t2')} AS sh FROM qual),
+bhs AS (SELECT id, list_distinct(list_transform(sh, s -> {h0})) AS hs
+        FROM bdocs),
+qhs AS (SELECT id, list_distinct(list_transform(sh, s -> {h0})) AS hs
+        FROM qdocs),
+bsigs AS (SELECT id, {_sql_minhash(16)} AS sig FROM bdocs),
+qsigs AS (SELECT id, {_sql_minhash(16)} AS sig FROM qdocs),
+bbands AS (SELECT id, unnest({_sql_bands(8, 2)}) AS band_sig FROM bsigs),
+qbands AS (SELECT id, unnest({_sql_bands(8, 2)}) AS band_sig FROM qsigs),
+dcand AS (
+  SELECT DISTINCT b.id AS bench_id, q.id AS train_id
+  FROM bbands b JOIN qbands q ON b.band_sig = q.band_sig),
+dver AS (
+  SELECT DISTINCT train_id FROM dcand
+  JOIN bhs ON dcand.bench_id = bhs.id
+  JOIN qhs ON dcand.train_id = qhs.id
+  WHERE round(CAST(len(list_intersect(bhs.hs, qhs.hs)) AS DOUBLE)
+        / len(list_distinct(list_concat(bhs.hs, qhs.hs))), 6) >= 0.5),
+decon AS (
+  SELECT * FROM qual
+  WHERE doc_id NOT IN (SELECT train_id FROM dver)),
+-- 4:2:1:1 domain mix (deterministic id-hash sampler)
+w(source, wt) AS (VALUES {", ".join(f"('{d}', {w})"
+                                    for d, w in sorted(_MIX.items()))}),
+counts AS (
+  SELECT d.source, COUNT(*) AS n, ANY_VALUE(wt) AS wt
+  FROM decon d JOIN w ON d.source = w.source GROUP BY d.source),
+budget AS (SELECT MIN(n / wt) AS b FROM counts),
+frac AS (
+  SELECT source, LEAST(b * wt / n, 1.0) AS keep_frac
+  FROM counts CROSS JOIN budget),
+mixed AS (
+  SELECT d.* FROM decon d JOIN frac f ON d.source = f.source
+  WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)
+        / 4294967296.0 < f.keep_frac),
+-- pack into {_PT_CAP}-token chunks in doc_id order
+ptoks AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(t2), '\\s+')) AS n_tokens
+  FROM mixed),
+offs AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM ptoks),
+spans2 AS (
+  SELECT doc_id, n_tokens, CAST(off // {_PT_CAP} AS BIGINT) AS first_c,
+         CAST((off + greatest(n_tokens, 1) - 1) // {_PT_CAP} AS BIGINT)
+           AS last_c
+  FROM offs),
+assign AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(first_c, last_c)) AS chunk_id
+  FROM spans2)
+SELECT COUNT(DISTINCT chunk_id) AS n_chunks,
+       COUNT(*) AS n_assignments,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tok_mass,
+       md5(string_agg(
+         md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                       CAST(chunk_id AS VARCHAR))), ''
+         ORDER BY md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                                CAST(chunk_id AS VARCHAR))))) AS assign_hash
+FROM assign
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_pretrain_e2e": QueryDef(cur_pretrain_e2e, _pretrain_sql_materialized()),
     "cur_perplexity_filter": QueryDef(cur_perplexity_filter, _PPLX_SQL),
     "cur_chunk_overlap": QueryDef(cur_chunk_overlap, _CHUNK_SQL),
     "cur_line_dedup": QueryDef(cur_line_dedup, _LINE_DEDUP_SQL),

@@ -398,3 +398,38 @@ def test_percentile_filter_rank_envelope_beyond_exact(spark):
     kept = C.filter_by_score_percentile(df, "v", p=0.2, k=200).count()
     frac = kept / n
     assert abs(frac - 0.8) < 0.05, frac
+
+
+def test_pretrain_pipeline_modes_agree(spark, tmp_path_factory):
+    """The composed pipeline's two boundary-materialization modes
+    (localCheckpoint vs parquet staging) must produce the identical
+    chunk map; every stage must be exercised (planted boilerplate
+    lines, duplicated spans, exact near-dup, bench contamination)."""
+    base = "tok" + " tok".join(str(i) for i in range(30))
+    rows = []
+    for i in range(12):
+        body = f"doc{i} unique words " + " ".join(
+            f"w{i}_{j}" for j in range(25))
+        page = f"SHARED NAV LINE\n{body}\n{base}"
+        rows.append((i, "src" + str(i % 2), page))
+    rows.append((100, "src0", rows[3][2]))     # exact dup of doc 3
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # the bench doc matches doc 5's DISTINCTIVE body -- the shared
+    # nav/footer lines are line-deduped away before decontamination, so
+    # a raw-page bench would no longer clear the Jaccard threshold
+    body5 = rows[5][2].split("\n")[1]
+    bench = spark.createDataFrame([(0, body5)], "doc_id long, text string")
+    kw = dict(bench=bench, span=20, pplx_p=0.2, mix_weights=None,
+              quality_weights=None, capacity=64)
+    a = C.pretrain_pipeline(df, **kw)
+    got_a = sorted((r["doc_id"], r["chunk_id"]) for r in a.collect())
+    stage = str(tmp_path_factory.mktemp("pt_stage"))
+    b = C.pretrain_pipeline(df, checkpoint_dir=stage, **kw)
+    got_b = sorted((r["doc_id"], r["chunk_id"]) for r in b.collect())
+    D.unpersist_cached()
+    assert got_a == got_b and got_a
+    kept = {d for d, _ in got_a}
+    assert 100 not in kept          # exact dup collapsed
+    assert 5 not in kept            # bench-contaminated doc dropped
+    import glob
+    assert glob.glob(f"{stage}/survivors/*.parquet")  # staged boundaries
