@@ -777,11 +777,33 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     `minhash_lsh_pairs` (auto-sizing bounds RANDOM slice occupancy,
     not the correlated occupancy a near-identical mega-cluster
     creates)."""
-    if max_hamming >= bands:
-        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
     if bits == "auto":
         bits = auto_simhash_bits(df.count(), bands=bands)
     fp = simhash64(df, id_col, text_col, bits=bits, k=k)
+    return hamming_fp_pairs(fp, bits=bits, bands=bands,
+                            max_hamming=max_hamming,
+                            max_band_occupancy=max_band_occupancy)
+
+
+def hamming_fp_pairs(fp: DataFrame, *, bits: int, bands: int = 4,
+                     max_hamming: int = 3,
+                     max_band_occupancy: int | None = None,
+                     id_col: str = "id",
+                     fp_col: str = "simhash") -> DataFrame:
+    """Pairs of rows whose ``bits``-bit fingerprints are within
+    ``max_hamming`` -- the banding/verification half of simhash_pairs,
+    decoupled from HOW the fingerprint was computed so any
+    Hamming-space near-dup keying reuses it (SimHash over text,
+    dHash/pHash over images: operators/multimodal.py). Pigeonhole
+    candidate generation + map-side bit_count verification; see
+    simhash_pairs for the sizing and skew notes. Returns
+    (id_a, id_b, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    if id_col != "id":
+        fp = fp.withColumnRenamed(id_col, "id")
+    if fp_col != "simhash":
+        fp = fp.withColumnRenamed(fp_col, "simhash")
     width = bits // bands
     mask = (1 << width) - 1
     slices = F.array(*[

@@ -221,9 +221,11 @@ def attach_bmp_media(df: DataFrame, key_col: str,
         for pdf in batches:
             blobs, metas = [], []
             for k in pdf[key_col]:
+                need = width * height * 3
+                reps = -(-need // 32)  # ceil over the 32-byte digest
                 rng = np.frombuffer(
-                    hashlib.sha256(str(k).encode()).digest() * 6,
-                    dtype=np.uint8)[:width * height * 3]
+                    hashlib.sha256(str(k).encode()).digest() * reps,
+                    dtype=np.uint8)[:need]
                 px = rng.reshape(height, width, 3)
                 b = encode_bmp(px)
                 blobs.append(b)
@@ -432,3 +434,160 @@ def frame_sample(df: DataFrame, media_col: str = "media",
                 id_col, "frame_no", "mean_intensity", "std_intensity"])
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+# --------------------------------------------------------------------------
+# perceptual image hashing + Hamming-banded near-dup (the multimodal
+# dedup story: every image/frame corpus pipeline dedups perceptually --
+# re-encodes, crops, brightness shifts survive where sha256 does not)
+
+def _gray(px: "np.ndarray") -> "np.ndarray":
+    """(h, w, 3) uint8 -> float64 channel mean. Exact arithmetic: the
+    integer channel sum is exact and the single /3.0 is one IEEE
+    division, so the DuckDB oracle reproduces every value bit-for-bit
+    (no luma weights -- 0.299R+0.587G+0.114B would be three roundings
+    whose order engines disagree on)."""
+    return px.sum(axis=2, dtype=np.float64) / 3.0
+
+
+def _box_resize(gray: "np.ndarray", th: int, tw: int) -> "np.ndarray":
+    """Integer-boundary box-mean downscale (area averaging): cell (i,j)
+    averages source rows [i*h//th, (i+1)*h//th) x cols alike. The
+    identity when (th, tw) == gray.shape -- the gate runs at identity
+    so the oracle needs no mean-fold parity."""
+    h, w = gray.shape
+    ys = (np.arange(th + 1) * h) // th
+    xs = (np.arange(tw + 1) * w) // tw
+    out = np.empty((th, tw), dtype=np.float64)
+    for i in range(th):
+        # upscale cells can get an empty [ys[i], ys[i+1]) range --
+        # clamp to one source pixel (nearest-replicate)
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(tw):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = gray[y0:y1, x0:x1].mean()
+    return out
+
+
+def _bits_to_i64(bits: "np.ndarray") -> int:
+    """Flat boolean array (<= 64) -> signed int64, bit i = bits[i]
+    (two's complement wraparound for bit 63)."""
+    v = np.uint64(0)
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(v))
+
+
+def image_dhash(df: DataFrame, media_col: str = "media",
+                id_col: str = "doc_id", out_col: str = "dhash",
+                hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """dHash (difference hash): grayscale, box-resize to
+    (hash_h, hash_w + 1), bit (y, x) = gray[y][x] > gray[y][x+1] --
+    ``hash_w * hash_h`` bits packed into an int64. Robust to uniform
+    brightness/contrast shifts (comparisons are relative); pair it with
+    dedup.hamming_fp_pairs for banded near-dup candidate generation.
+    One Arrow-batched mapInPandas stage; everything after is JVM."""
+    if hash_w * hash_h > 64:
+        raise ValueError("dhash must fit in 64 bits")
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out_col, T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            vals = []
+            for data in pdf[media_col]:
+                g = _gray(decode_bmp(bytes(data)))
+                g = _box_resize(g, hash_h, hash_w + 1)
+                vals.append(_bits_to_i64(g[:, :-1] > g[:, 1:]))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                out_col: np.asarray(vals, dtype=np.int64)})
+
+    return ensure_scan_width(df.select(id_col, media_col)) \
+        .mapInPandas(batches, out_schema)
+
+
+def image_phash(df: DataFrame, media_col: str = "media",
+                id_col: str = "doc_id", out_col: str = "phash",
+                grid: int = 32, keep: int = 8) -> DataFrame:
+    """pHash (DCT hash): grayscale, box-resize to grid x grid,
+    orthonormal 2-D DCT-II, keep the low-frequency keep x keep block,
+    bit i = coefficient > median (DC excluded from the median, as in
+    the original pHash). More robust than dHash to blur/resampling.
+
+    NOT oracle-gated: the DCT is a float matmul whose summation order
+    differs between BLAS and any SQL re-derivation, and bits exactly at
+    the median are ulp-sensitive -- cross-engine bit stability cannot
+    be guaranteed. Engine-internal determinism (same bytes -> same
+    hash, perturbation-invariance) is pinned by unit tests instead;
+    near-dup pairing reuses the same hamming_fp_pairs machinery."""
+    n = grid
+    k = np.arange(n)
+    # orthonormal DCT-II basis: B[u, x] = c(u) cos(pi (2x+1) u / 2n)
+    B = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    B[0, :] *= np.sqrt(1.0 / n)
+    B[1:, :] *= np.sqrt(2.0 / n)
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out_col, T.LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            vals = []
+            for data in pdf[media_col]:
+                g = _box_resize(_gray(decode_bmp(bytes(data))), n, n)
+                d = (B @ g @ B.T)[:keep, :keep].ravel()
+                # round before thresholding: structurally-zero AC
+                # coefficients (flat or axis-periodic images) carry
+                # ~1e-15 matmul noise, and thresholding raw noise
+                # against the median makes their bits random
+                d = np.round(d, 6)
+                med = np.median(d[1:])
+                vals.append(_bits_to_i64(d > med))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                out_col: np.asarray(vals, dtype=np.int64)})
+
+    return ensure_scan_width(df.select(id_col, media_col)) \
+        .mapInPandas(batches, out_schema)
+
+
+def perturb_pixels(df: DataFrame, media_col: str = "media",
+                   delta: int = 17, px: int = 0) -> DataFrame:
+    """Decode -> saturating-add ``delta`` to channel 0 of flat pixel
+    ``px`` -> re-encode: the minimal deterministic 'augmented twin'
+    (a one-pixel brightness nudge). Exercises the full BMP
+    decode->modify->encode round trip; used to plant perceptual
+    near-dups the sha256 fingerprint can NOT match."""
+    meta_col = f"{media_col}_meta"
+    cols = df.columns
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            blobs = []
+            for data in pdf[media_col]:
+                img = decode_bmp(bytes(data))
+                h, w, _ = img.shape
+                y, x = divmod(px, w)
+                img = img.copy()
+                img[y, x, 0] = min(255, int(img[y, x, 0]) + delta)
+                blobs.append(encode_bmp(img))
+            pdf = pdf.copy()
+            pdf[media_col] = blobs
+            if meta_col in pdf.columns:
+                pdf[meta_col] = [
+                    {**(m if isinstance(m, dict) else m.asDict()),
+                     "n_bytes": len(b),
+                     "sha": hashlib.sha256(b).hexdigest()}
+                    for m, b in zip(pdf[meta_col], blobs)]
+            yield pdf
+
+    return df.mapInPandas(batches, df.schema)

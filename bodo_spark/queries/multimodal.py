@@ -200,3 +200,62 @@ QUERIES: dict[str, QueryDef] = {
     "mm_media_metadata": QueryDef(mm_media_metadata, _MM_META_SQL),
     "mm_decode_features": QueryDef(mm_decode_features, _MM_DECODE_SQL),
 }
+
+
+def mm_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image near-dup (operators/multimodal.image_dhash +
+    dedup.hamming_fp_pairs): the corpus gets one 9x8 BMP per doc plus a
+    perturbed twin (one-pixel brightness nudge through a full BMP
+    decode->modify->encode round trip) for every 5th doc -- twins the
+    sha256 fingerprint can NOT match. The oracle re-derives every
+    grayscale value in hex-string space and brute-forces ALL pairwise
+    Hamming distances, so a hash match simultaneously proves the
+    dhash bits, the codec round trip, AND that the pigeonhole banding
+    lost no pair (banded candidates == ground truth)."""
+    from ..operators import dedup as D
+    base = (tbl(spark, sf, "documents")
+            .where(F.col("doc_id") < 500).select("doc_id"))
+    imgs = M.attach_bmp_media(base, "doc_id", width=9, height=8)
+    clones = (M.perturb_pixels(imgs.where(F.col("doc_id") % 5 == 0),
+                               delta=17)
+              .withColumn("doc_id", F.col("doc_id") + 100000))
+    corpus = imgs.unionByName(clones)
+    fp = M.image_dhash(corpus, id_col="doc_id")
+    pairs = D.hamming_fp_pairs(fp, bits=64, bands=4, max_hamming=3,
+                               id_col="doc_id", fp_col="dhash")
+    return (pairs.select(F.col("id_a"), F.col("id_b"),
+                         F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("id_a", "id_b"))
+
+
+# dhash twin in hex-string space: 9x8 BMP pixels are the first 216
+# bytes of sha256(str(doc_id)) repeated; gray = exact channel-sum / 3;
+# bit (y, x) = g[y*9+x] > g[y*9+x+1]. The clone nudges channel 0 of
+# flat pixel 0 by +17 (saturating). Ground truth = ALL-pairs Hamming.
+_MM_DHASH_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+s AS (SELECT doc_id, repeat(sha256(CAST(doc_id AS VARCHAR)), 7) AS h
+      FROM d),
+b AS (SELECT doc_id, list_transform(range(0, 216), j ->
+        CAST(concat('0x', substr(h, j*2+1, 2)) AS INT)) AS bs FROM s),
+orig AS (SELECT doc_id, list_transform(range(0, 72), p ->
+        (bs[p*3+1] + bs[p*3+2] + bs[p*3+3]) / 3.0) AS g FROM b),
+clone AS (SELECT doc_id + 100000 AS doc_id,
+        list_transform(range(0, 72), p -> CASE WHEN p = 0
+          THEN (least(bs[1] + 17, 255) + bs[2] + bs[3]) / 3.0
+          ELSE (bs[p*3+1] + bs[p*3+2] + bs[p*3+3]) / 3.0 END) AS g
+        FROM b WHERE doc_id % 5 = 0),
+gall AS (SELECT * FROM orig UNION ALL SELECT * FROM clone),
+bits AS (SELECT doc_id, list_transform(range(0, 64), i ->
+           g[(i // 8) * 9 + (i % 8) + 1] > g[(i // 8) * 9 + (i % 8) + 2])
+           AS bt FROM gall),
+pairs AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         CAST(len(list_filter(range(0, 64), i -> a.bt[i+1] <> c.bt[i+1]))
+              AS INT) AS hamming
+  FROM bits a JOIN bits c ON a.doc_id < c.doc_id)
+SELECT id_a, id_b, hamming FROM pairs
+WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+QUERIES["mm_phash_neardup"] = QueryDef(mm_phash_neardup, _MM_DHASH_SQL)

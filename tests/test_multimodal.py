@@ -107,3 +107,75 @@ def test_resize_images_real(spark):
         assert got.shape == (3, 4, 3)
         assert (got == big[yi][:, xi]).all()
         assert s["media_meta"]["width"] == 4 and s["media_meta"]["height"] == 3
+
+
+def test_dhash_brightness_invariance_and_perturb(spark):
+    from pyspark.sql import functions as F
+    """dHash of a one-pixel-perturbed image stays within a few bits of
+    the original (near-dup) while unrelated images differ widely; a
+    UNIFORM brightness shift changes nothing (relative comparisons)."""
+    import numpy as np
+    from bodo_spark.operators import multimodal as M
+    base = spark.range(6).select(F.col("id").alias("doc_id"))
+    imgs = M.attach_bmp_media(base, "doc_id", width=9, height=8)
+    pert = M.perturb_pixels(imgs, delta=17)
+    h0 = {r["doc_id"]: r["dhash"] for r in
+          M.image_dhash(imgs, id_col="doc_id").collect()}
+    h1 = {r["doc_id"]: r["dhash"] for r in
+          M.image_dhash(pert, id_col="doc_id").collect()}
+    for k in h0:
+        assert bin(h0[k] ^ h1[k]).count("1") <= 2, k
+    vals = list(h0.values())
+    assert all(bin(a ^ b).count("1") > 10
+               for i, a in enumerate(vals) for b in vals[i+1:])
+    # uniform brightness shift: identical hash
+    px = np.full((8, 9, 3), 100, dtype=np.uint8)
+    px[2, 3] = 250  # structure so bits aren't all zero
+    bright = np.clip(px.astype(int) + 40, 0, 255).astype(np.uint8)
+    two = spark.createDataFrame(
+        [(1, bytearray(M.encode_bmp(px))), (2, bytearray(M.encode_bmp(bright)))],
+        "doc_id long, media binary")
+    hh = {r["doc_id"]: r["dhash"] for r in
+          M.image_dhash(two, id_col="doc_id").collect()}
+    assert hh[1] == hh[2]
+
+
+def test_phash_deterministic_and_perturbation_tolerant(spark):
+    """pHash: same bytes -> same hash; a one-pixel nudge moves few
+    bits; unrelated noise images are far apart. (Engine-internal
+    determinism only -- the DCT is not oracle-gated, see docstring.)"""
+    from bodo_spark.operators import multimodal as M
+    import numpy as np
+    # genuinely 2-D random images (the sha-seeded synthetic media is
+    # axis-periodic -- its AC spectrum is structurally zero, which is
+    # exactly the degenerate case the operator's rounding stabilizes);
+    # 32x32 source = DCT grid identity, so a one-pixel nudge is
+    # 1/1024 of the energy -- few bits move
+    rng = np.random.default_rng(7)
+    imgs = spark.createDataFrame(
+        [(i, bytearray(M.encode_bmp(
+            rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8))))
+         for i in range(5)], "doc_id long, media binary")
+    a = {r["doc_id"]: r["phash"] for r in
+         M.image_phash(imgs, id_col="doc_id").collect()}
+    b = {r["doc_id"]: r["phash"] for r in
+         M.image_phash(imgs, id_col="doc_id").collect()}
+    assert a == b
+    pert = M.perturb_pixels(imgs, delta=5)
+    c = {r["doc_id"]: r["phash"] for r in
+         M.image_phash(pert, id_col="doc_id").collect()}
+    for k in a:
+        assert bin(a[k] ^ c[k]).count("1") <= 8, k
+    vals = list(a.values())
+    assert all(bin(x ^ y).count("1") > 12
+               for i, x in enumerate(vals) for y in vals[i+1:])
+
+
+def test_box_resize_identity_and_downscale(spark):
+    import numpy as np
+    from bodo_spark.operators.multimodal import _box_resize
+    g = np.arange(72, dtype=np.float64).reshape(8, 9)
+    assert (_box_resize(g, 8, 9) == g).all()
+    half = _box_resize(g, 4, 3)
+    assert half.shape == (4, 3)
+    assert abs(half[0, 0] - g[0:2, 0:3].mean()) < 1e-12
