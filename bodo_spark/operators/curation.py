@@ -652,3 +652,31 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
     cur = cur.withColumn("_n_tokens", token_count(text_col))
     return pack_chunks(cur, capacity, id_col=id_col,
                        tokens_col="_n_tokens")
+
+
+def boilerplate_line_index(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           max_doc_freq: int = 1,
+                           delim: str = "\n",
+                           min_chars: int = 1) -> DataFrame:
+    """The stored artifact streaming line dedup probes
+    (streaming/dedup.stream_drop_boilerplate_lines): one ``_key``
+    column of normalized-line hashes whose corpus doc-freq exceeds
+    ``max_doc_freq`` (short/blank lines exempt). Uses the SAME
+    mode-switched hash family as remove_boilerplate_lines and the
+    streaming probe -- building the index with one family and probing
+    with the other silently matches nothing."""
+    import re as _re
+
+    from ..modes import exact_mode
+    norm = F.lower(F.trim(F.col("_line")))
+    key = F.md5(norm) if exact_mode() else F.xxhash64(norm).cast("string")
+    ex = (df.select(F.col(id_col).alias("_id"),
+                    F.explode(F.split(F.col(text_col),
+                                      _re.escape(delim))).alias("_line"))
+          .where(F.length(norm) >= min_chars)
+          .select("_id", key.alias("_key")))
+    return (ex.groupBy("_key")
+            .agg(F.count_distinct("_id").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("_key"))

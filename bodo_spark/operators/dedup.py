@@ -1071,3 +1071,16 @@ def ngram_jaccard_pairs(
     return (common.join(sa, "id_a").join(sb, "id_b")
             .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def gram_hash_index(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", span: int = 50) -> DataFrame:
+    """The corpus' distinct positional gram hashes -- the stored
+    artifact streaming span excision cleans micro-batches against
+    (streaming/dedup.stream_excise_spans), ~8 bytes per distinct
+    span-gram. Append new batches' grams with mode('append') like the
+    signature/Bloom indexes; duplicate gh rows across segments are
+    harmless (the probe distincts on read)."""
+    return (df.select(F.explode(
+        _positional_gram_hashes(F.col(text_col), span)).alias("gh"))
+        .distinct())

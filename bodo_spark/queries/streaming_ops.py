@@ -399,3 +399,184 @@ QUERIES: dict[str, QueryDef] = {
     "stream_session_windows": QueryDef(stream_session_windows,
                                        _STREAM_SESSION_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# streaming span excision + line dedup against stored indexes (the r9
+# index-once-clean-every-batch pattern extended from row-level Bloom
+# dedup to SUBSTRING- and LINE-level cleaning)
+
+def stream_span_excise(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ExactSubstr (streaming/dedup.stream_excise_spans):
+    the corpus' distinct 20-token gram hashes are indexed once to
+    parquet; held-out docs stream through as a 2-file source and every
+    gram hitting the index is excised. The oracle recomputes the
+    excision in DuckDB (gram hashes in md5 hex space), pinning each
+    cleaned page's md5 -- exact surviving tokens AND order, through
+    the posexplode -> stream-static join -> stateful-rebuild plan."""
+    from ..operators import dedup as D
+    from ..streaming import (read_stream_parquet, run_available_now,
+                             stream_excise_spans)
+
+    d = tbl(spark, sf, "documents").select("doc_id", "lang", "text")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    stage = f"/tmp/bodo_spark_sspan_{uuid.uuid4().hex[:8]}"
+    try:
+        D.gram_hash_index(corpus, span=20).write \
+            .mode("overwrite").parquet(f"{stage}/idx")
+        batch.repartition(2).write.mode("overwrite") \
+            .parquet(f"{stage}/batch")
+        idx = spark.read.parquet(f"{stage}/idx")
+        stream = read_stream_parquet(spark, f"{stage}/batch",
+                                     batch.schema,
+                                     max_files_per_trigger=1)
+        cleaned = stream_excise_spans(stream, idx, span=20)
+        res = run_available_now(cleaned,
+                                f"t_sspan_{uuid.uuid4().hex[:8]}",
+                                output_mode="update")
+        return (res.join(batch.select("doc_id", "lang"), "doc_id")
+                .groupBy("lang").agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.length("clean")).cast("bigint")
+                    .alias("sum_chars"),
+                    F.md5(F.array_join(
+                        F.array_sort(F.collect_list(F.md5("clean"))), ""))
+                    .alias("text_hash"))
+                .orderBy("lang"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stream_span_sql() -> str:
+    from .dedup import _sql_h60
+    span = 20
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents),
+cidx AS (
+  SELECT DISTINCT {_sql_h60(f"array_to_string(ts[i:i+{span - 1}], ' ')")}
+         AS gh
+  FROM docs, UNNEST(range(1, len(ts) - {span} + 2)) AS t(i)
+  WHERE doc_id % 10 <> 0),
+sgrams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_sql_h60(f"array_to_string(ts[i:i+{span - 1}], ' ')")} AS gh
+  FROM docs, UNNEST(range(1, len(ts) - {span} + 2)) AS t(i)
+  WHERE doc_id % 10 = 0),
+hits AS (SELECT doc_id, pos FROM sgrams WHERE gh IN (SELECT gh FROM cidx)),
+covered AS (
+  SELECT DISTINCT doc_id, pos + d AS idx
+  FROM hits, UNNEST(range(0, {span})) AS t(d)),
+toks AS (
+  SELECT doc_id, ts[CAST(i AS INTEGER)] AS tok, CAST(i AS INTEGER) - 1 AS idx
+  FROM docs, UNNEST(range(1, len(ts) + 1)) AS t(i)
+  WHERE doc_id % 10 = 0),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.idx) AS clean
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.idx IS NULL GROUP BY t.doc_id),
+cleaned AS (
+  SELECT d.doc_id, d.lang, COALESCE(k.clean, '') AS clean
+  FROM docs d LEFT JOIN kept k USING (doc_id) WHERE d.doc_id % 10 = 0)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(clean)) AS BIGINT) AS sum_chars,
+       md5(string_agg(md5(clean), '' ORDER BY md5(clean))) AS text_hash
+FROM cleaned GROUP BY lang ORDER BY lang
+"""
+
+
+def stream_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming RefinedWeb line dedup (streaming/dedup.
+    stream_drop_boilerplate_lines): the corpus' boilerplate-line-hash
+    set (doc-freq > 1, short-line exemption) is indexed once; held-out
+    pages stream through and indexed lines are dropped. Page
+    construction mirrors cur_line_dedup (nav headers / global footer /
+    blank separators); the oracle pins every cleaned page's md5."""
+    from ..operators.curation import boilerplate_line_index
+    from ..streaming import (read_stream_parquet, run_available_now,
+                             stream_drop_boilerplate_lines)
+    from .curation import _FOOTER
+
+    d = tbl(spark, sf, "documents")
+    header = F.when(F.col("doc_id") % 3 > 0,
+                    F.concat(F.lit("NAV "), F.col("source"),
+                             F.lit(" HOME")))
+    footer = F.when(F.col("doc_id") % 2 > 0, F.lit(_FOOTER))
+    paged = d.select(
+        "doc_id", "lang",
+        F.concat_ws("\n", header, F.lit(""), F.col("text"), footer)
+        .alias("text"))
+    corpus = paged.where(F.col("doc_id") % 10 != 0)
+    batch = paged.where(F.col("doc_id") % 10 == 0)
+    # the stored index: normalized-line hashes with corpus doc-freq > 1
+    # (blank/short lines exempt; mode-switched hash family, so the
+    # index matches the probe in BOTH exact and fast mode)
+    bad = boilerplate_line_index(corpus)
+    stage = f"/tmp/bodo_spark_sline_{uuid.uuid4().hex[:8]}"
+    try:
+        bad.write.mode("overwrite").parquet(f"{stage}/idx")
+        batch.repartition(2).write.mode("overwrite") \
+            .parquet(f"{stage}/batch")
+        idx = spark.read.parquet(f"{stage}/idx")
+        stream = read_stream_parquet(spark, f"{stage}/batch",
+                                     batch.schema,
+                                     max_files_per_trigger=1)
+        cleaned = stream_drop_boilerplate_lines(stream, idx)
+        res = run_available_now(cleaned,
+                                f"t_sline_{uuid.uuid4().hex[:8]}",
+                                output_mode="update")
+        return (res.join(batch.select("doc_id", "lang"), "doc_id")
+                .groupBy("lang").agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.length("clean")).cast("bigint")
+                    .alias("sum_chars"),
+                    F.md5(F.array_join(
+                        F.array_sort(F.collect_list(F.md5("clean"))), ""))
+                    .alias("text_hash"))
+                .orderBy("lang"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stream_line_sql() -> str:
+    from .curation import _FOOTER
+    return f"""
+WITH paged AS (
+  SELECT doc_id, lang,
+         concat_ws(chr(10),
+           CASE WHEN doc_id % 3 > 0 THEN 'NAV ' || source || ' HOME' END,
+           '', text,
+           CASE WHEN doc_id % 2 > 0 THEN '{_FOOTER}' END) AS page
+  FROM documents),
+ex AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM (SELECT doc_id, str_split(page, chr(10)) AS ls FROM paged) t,
+       unnest(range(1, len(ls) + 1)) AS r(i)),
+bad AS (
+  SELECT lower(trim(line)) AS nl
+  FROM ex WHERE len(lower(trim(line))) >= 1 AND doc_id % 10 <> 0
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1),
+kept AS (
+  SELECT e.doc_id, e.pos, e.line FROM ex e
+  WHERE e.doc_id % 10 = 0
+    AND lower(trim(e.line)) NOT IN (SELECT nl FROM bad)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+  FROM kept GROUP BY doc_id),
+final AS (
+  SELECT p.doc_id, p.lang, COALESCE(r.clean, '') AS clean
+  FROM paged p LEFT JOIN rebuilt r USING (doc_id)
+  WHERE p.doc_id % 10 = 0)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(clean)) AS BIGINT) AS sum_chars,
+       md5(string_agg(md5(clean), '' ORDER BY md5(clean))) AS text_hash
+FROM final GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES["stream_span_excise"] = QueryDef(stream_span_excise,
+                                         _stream_span_sql())
+QUERIES["stream_line_dedup"] = QueryDef(stream_line_dedup,
+                                        _stream_line_sql())

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 
-__all__ = ["stream_minhash_flags", "stream_bloom_new_rows"]
+__all__ = ["stream_minhash_flags", "stream_bloom_new_rows",
+           "stream_excise_spans", "stream_drop_boilerplate_lines"]
 
 
 def stream_bloom_new_rows(
@@ -119,3 +120,135 @@ def stream_minhash_flags(
     return (cand.select("new_id", "corpus_id", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
             .dropDuplicates(["new_id", "corpus_id"]))
+
+
+def _rebuild_excised(id_col: str, text_col: str, span: int):
+    """Grouped rebuild fn for stream_excise_spans: positions flagged as
+    index hits are merged into [p, p+span) intervals and the covered
+    tokens dropped -- the same interval-merge excision the batch
+    operator does in Column space (operators/dedup.py
+    excise_duplicate_spans), here in plain python over one doc's rows.
+    State is unused (a source row's exploded grams land in one
+    micro-batch together); applyInPandasWithState is the grouping
+    vehicle -- streaming groupBy without watermarked aggregation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def fn(key, pdfs, state: GroupState):
+        text, hits = None, []
+        for pdf in pdfs:
+            for t in pdf[text_col]:
+                if t is not None:
+                    text = t
+                    break
+            hits.extend(int(p) for p, h in
+                        zip(pdf["pos"], pdf["_hit"])
+                        if pd.notna(p) and h)
+        toks = (text or "").split()
+        ivs: list[list[int]] = []
+        for p in sorted(hits):
+            if ivs and ivs[-1][1] >= p:
+                ivs[-1][1] = p + span
+            else:
+                ivs.append([p, p + span])
+        kept = [t for i, t in enumerate(toks)
+                if not any(s <= i < e for s, e in ivs)]
+        state.update((0,))  # stateless pass-through; required API
+        yield pd.DataFrame({id_col: [key[0]],
+                            "clean": [" ".join(kept)]})
+
+    return fn
+
+
+def stream_excise_spans(
+    stream_docs: DataFrame,
+    gram_index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 50,
+) -> DataFrame:
+    """Streaming twin of operators/dedup.excise_duplicate_spans against
+    an INDEXED corpus: every ``span``-token gram of an incoming doc
+    whose hash is in ``gram_index`` is excised -- the corpus already
+    holds the canonical occurrence, so every stream occurrence is
+    non-canonical by construction (the r9 ingest pattern: index once,
+    clean every micro-batch; intra-batch first-occurrence resolution
+    remains the batch operator's job, run at index-append time).
+
+    Plan: stateless positional-gram explode (posexplode_outer keeps
+    gram-less short docs alive) -> stream-static LEFT join against the
+    stored gram-hash frame (the only index access; hash-join per
+    micro-batch, corpus text never read) -> per-doc rebuild in
+    applyInPandasWithState (grouping only -- no watermark, state
+    unused). Returns (id, clean)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import _positional_gram_hashes
+
+    occ = stream_docs.select(
+        F.col(id_col), F.col(text_col),
+        F.posexplode_outer(
+            _positional_gram_hashes(F.col(text_col), span))
+        .alias("pos", "gh"))
+    idx = gram_index.select(F.col("gh").alias("_igh")).distinct() \
+        .withColumn("_in", F.lit(1))
+    flagged = (occ.join(idx, occ["gh"] == F.col("_igh"), "left")
+               .withColumn("_hit", F.col("_in").isNotNull())
+               .select(id_col, text_col, "pos", "_hit"))
+    fn = _rebuild_excised(id_col, text_col, span)
+    return (flagged.groupBy(id_col)
+            .applyInPandasWithState(
+                fn, f"{id_col} long, clean string", "dummy int",
+                "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_drop_boilerplate_lines(
+    stream_docs: DataFrame,
+    line_index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Streaming twin of operators/curation.remove_boilerplate_lines
+    against a stored boilerplate-line-hash index (`line_index`: one
+    ``_key`` column of normalized-line hashes -- the `bad` frame the
+    batch operator derives). Lines hashing into the index are dropped,
+    everything else survives in order. Same plan shape as
+    stream_excise_spans: stateless posexplode, one stream-static LEFT
+    join, grouped rebuild."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..modes import exact_mode
+
+    line = F.col("_line")
+    norm = F.lower(F.trim(line))
+    key = F.md5(norm) if exact_mode() else F.xxhash64(norm).cast("string")
+    ex = (stream_docs.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), _re.escape(delim)))
+        .alias("_pos", "_line"))
+        .withColumn("_key", key))
+    idx = line_index.select(F.col("_key").alias("_ik")).distinct() \
+        .withColumn("_in", F.lit(1))
+    flagged = (ex.join(idx, ex["_key"] == F.col("_ik"), "left")
+               .withColumn("_bad", F.col("_in").isNotNull())
+               .select(id_col, "_pos", "_line", "_bad"))
+
+    def fn(k, pdfs, state: GroupState):
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["_pos"], pdf["_line"], pdf["_bad"]))
+        kept = [ln for p, ln, bad in sorted(rows, key=lambda r: r[0])
+                if pd.notna(p) and not bad and ln is not None]
+        state.update((0,))
+        yield pd.DataFrame({id_col: [k[0]], "clean": [delim.join(kept)]})
+
+    return (flagged.groupBy(id_col)
+            .applyInPandasWithState(
+                fn, f"{id_col} long, clean string", "dummy int",
+                "update", GroupStateTimeout.NoTimeout))
