@@ -512,10 +512,13 @@ def filter_by_score_percentile(df: DataFrame, score_col: str, *,
     the ingest-loop composition.
 
     Rank semantics (pinned by the gate's DuckDB oracle): in the exact
-    regime (n <= sketch capacity) the threshold is the value at
-    1-indexed rank max(1, ceil(p*n)) of the sorted scores, and the
-    survivor set equals the exact-percentile filter's; beyond capacity
-    the value is within the KLL rank envelope (~1.65%/sqrt(k/200)).
+    regime (n <= k: no compaction has occurred) the threshold is the
+    value at 1-indexed rank max(1, ceil(p*n)) of the sorted scores, and
+    the survivor set equals the exact-percentile filter's; beyond k the
+    value is within the KLL rank envelope (~1.65%/sqrt(k/200)) but is
+    RANDOMIZED per run (KLL compaction flips a coin per level), so a
+    deterministic gate must size k >= n -- measured: k=200 at n=250
+    already scatters across runs (tests pin both regimes).
     ``keep='above'`` keeps score >= threshold (higher-is-better
     scores); ``keep='below'`` keeps score <= threshold. Rows with NULL
     scores are dropped either way (SQL comparison semantics)."""
@@ -542,6 +545,7 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
                       num_perm: int = 16, bands: int = 8,
                       threshold: float = 0.5,
                       pplx_p: float = 0.2, lm_k: float = 0.5,
+                      pplx_sketch_k: int = 200,
                       quality_weights: list[float] | None = None,
                       quality_bias: float = 0.0,
                       quality_cutoff: float = 0.5,
@@ -628,8 +632,14 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
     bigrams, unigrams, vocab = bigram_lm_counts(cur, text_col=text_col)
     scored = lm_doc_logprob(cur, bigrams, unigrams, vocab,
                             id_col=id_col, text_col=text_col, k=lm_k)
+    # pplx_sketch_k: the oracle gate sizes this >= corpus so the KLL
+    # threshold is exact-rank deterministic (see
+    # filter_by_score_percentile -- beyond k the compaction coin makes
+    # the tail-drop nondeterministic, fine in production, fatal to a
+    # hash-pinned gate)
     kept_ids = filter_by_score_percentile(
-        scored, "avg_logprob", p=pplx_p, keep="above").select(id_col)
+        scored, "avg_logprob", p=pplx_p, keep="above",
+        k=pplx_sketch_k).select(id_col)
     # inner join doubles as the <2-token guard: unscoreable docs
     # (emptied by excision) carry no score row and drop here
     cur = cur.join(kept_ids, id_col)

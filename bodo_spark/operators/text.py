@@ -189,13 +189,16 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bigram_lm_counts(df: DataFrame, text_col: str = "text"
-                     ) -> tuple[DataFrame, DataFrame, int]:
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train a bigram language model on a corpus: returns
-    (bigram_counts(w1,w2,c12), unigram_counts(w1,c1), vocab_size).
-    One explode + two aggregations -- the distributed equivalent of a
-    KenLM count pass; counts are the durable artifact (write them to
-    parquet next to the corpus and score future batches without
-    re-reading the training text).
+    (bigram_counts(w1,w2,c12), unigram_counts(w1,c1), vocab) where
+    ``vocab`` is a LAZY one-row (vocab bigint) frame -- no eager
+    count job fires at train time; lm_doc_logprob broadcast-joins the
+    scalar into the scoring plan (an int is also accepted there for
+    stored-artifact callers). One explode + two aggregations -- the
+    distributed equivalent of a KenLM count pass; counts are the
+    durable artifact (write them to parquet next to the corpus and
+    score future batches without re-reading the training text).
 
     The CCNet protocol (Wenzek et al. 2020) filters web text by the
     perplexity of a clean-corpus LM; the reference has no LM surface --
@@ -213,18 +216,21 @@ def bigram_lm_counts(df: DataFrame, text_col: str = "text"
         F.count(F.lit(1)).alias("c12"))
     unigrams = (df.select(F.explode(tokenize_ws(text_col)).alias("w1"))
                 .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
-    vocab = unigrams.count()
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("vocab"))
     return bigrams, unigrams, vocab
 
 
 def lm_doc_logprob(df: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
-                   vocab: int, *, id_col: str = "doc_id",
+                   vocab, *, id_col: str = "doc_id",
                    text_col: str = "text", k: float = 0.5,
                    out_col: str = "avg_logprob") -> DataFrame:
     """Score each doc by its average per-bigram log-probability under
     the add-k-smoothed bigram LM: sum(ln((c12+k)/(c1+k*V)))/n_bigrams.
     Lower = less like the training corpus (CCNet drops the worst
-    percentiles). Docs with <2 tokens score NULL.
+    percentiles). Docs with <2 tokens score NULL. ``vocab`` is either
+    the lazy one-row frame bigram_lm_counts returns (broadcast-joined
+    -- the whole train+score composition stays one job) or a plain int
+    (for counts reloaded from a stored artifact).
 
     Plan shape: explode doc bigrams, LEFT join the count tables (small
     vocabularies broadcast; web-scale count tables hash-join on the
@@ -244,8 +250,14 @@ def lm_doc_logprob(df: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
            .select(id_col, "_b.w1", "_b.w2"))
     joined = (big.join(bigrams, ["w1", "w2"], "left")
               .join(unigrams, ["w1"], "left"))
+    if isinstance(vocab, DataFrame):
+        joined = joined.crossJoin(
+            F.broadcast(vocab.select(F.col("vocab").alias("_vocab"))))
+        kv = F.lit(float(k)) * F.col("_vocab").cast("double")
+    else:
+        kv = F.lit(float(k * vocab))
     p = ((F.coalesce(F.col("c12"), F.lit(0)) + F.lit(float(k)))
-         / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(k * vocab))))
+         / (F.coalesce(F.col("c1"), F.lit(0)) + kv))
     term = F.round(F.log(p), 9)
     # decimal-sum-then-one-double-division (the repo's avg policy):
     # per-term values are exact 9dp decimals, so the sum is exact and
@@ -271,14 +283,18 @@ def tf_idf_terms(df: DataFrame, *, id_col: str = "doc_id",
     frequency reduced FROM the tf frame (already one row per (doc,
     term), so df(term) is a plain count -- no second corpus pass), a
     broadcast-able term join, and a per-doc window. Scores are rounded
-    to 9 dp (absorbs libm ln's 1-ulp engine differences)."""
+    to 9 dp (absorbs libm ln's 1-ulp engine differences). The doc
+    count N rides as a broadcast one-row aggregate, not a driver-side
+    .count() -- the whole extraction is ONE lazy job."""
     from pyspark.sql import Window as W
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     tf = (df.select(F.col(id_col), F.explode(tokenize_ws(text_col))
                     .alias("term"))
           .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1
+    dfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+             .crossJoin(F.broadcast(n_docs)))
+    idf = F.log((F.col("_n") + F.lit(1)).cast("double")
+                / (F.col("_df") + 1)) + 1
     scored = (tf.join(dfreq, "term")
               .withColumn("score", F.round(F.col("tf") * idf, 9)))
     w = W.partitionBy(id_col).orderBy(F.col("score").desc(), "term")

@@ -660,8 +660,13 @@ def cur_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
     test = d.where(F.col("doc_id") % 2 == 1)
     bigrams, unigrams, vocab = T.bigram_lm_counts(train)
     scored = T.lm_doc_logprob(test, bigrams, unigrams, vocab, k=0.5)
+    # k sized past the gate corpus (250 test docs at sf0.01, 2.5k at
+    # sf0.1): KLL is exact-rank AND deterministic only while n <= k --
+    # beyond that the compaction coin scatters the threshold across
+    # runs, which a hash-pinned oracle cannot tolerate (production
+    # keeps the default k=200 and the rank envelope)
     kept = C.filter_by_score_percentile(scored, "avg_logprob",
-                                        p=_PPLX_P, keep="above")
+                                        p=_PPLX_P, keep="above", k=4096)
     j = test.select("doc_id", "lang").join(kept, "doc_id")
     return (j.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -748,7 +753,7 @@ def cur_pretrain_e2e(spark: SparkSession, sf: str) -> DataFrame:
                     F.concat(F.col("text"), dirt), footer).alias("text"))
     bench = d.where(F.col("doc_id") % 19 == 0).select("doc_id", "text")
     packed = C.pretrain_pipeline(
-        paged, bench=bench, span=20, pplx_p=_PPLX_P,
+        paged, bench=bench, span=20, pplx_p=_PPLX_P, pplx_sketch_k=4096,
         quality_weights=_QW, quality_bias=_QBIAS, quality_cutoff=0.5,
         mix_weights=_MIX, capacity=_PT_CAP)
     pair = F.concat_ws(":", F.col("doc_id").cast("string"),

@@ -286,7 +286,8 @@ def test_lm_short_docs_excluded_and_counts(spark):
     from bodo_spark.operators import text as T
     train = _docs(spark, [(1, "a b a b")])
     big, uni, v = T.bigram_lm_counts(train)
-    assert v == 2  # vocab {a, b}
+    # vocab is a LAZY one-row frame (no eager count job at train time)
+    assert v.collect()[0]["vocab"] == 2  # vocab {a, b}
     bc = {(r["w1"], r["w2"]): r["c12"] for r in big.collect()}
     assert bc == {("a", "b"): 2, ("b", "a"): 1}
     test = _docs(spark, [(10, "a b"), (11, "solo")])

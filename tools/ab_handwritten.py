@@ -281,11 +281,62 @@ def hand_dedup_minhash(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+def hand_semdedup(spark, sf):
+    from pyspark.sql import Window
+    # The natural SemDeDup translation a user writes from the paper's
+    # pseudocode (Abbas et al. 2023): assign every vector to its
+    # nearest cell with a crossJoin + window-rank (the obvious
+    # formulation -- EVERY (row x centroid) candidate rides the
+    # exchange and gets sorted, where the engine's max_by reduction
+    # collapses them map-side); score within-cell pairs on a plain
+    # self-join; keep = anti join against the dropped set. No persist
+    # anywhere, so Catalyst re-executes the corpus-wide assignment pass
+    # for BOTH self-join sides AND the final anti join. Identical math
+    # to the engine gate (same lowest-id centroids, 16-dim truncated
+    # routing rounded 9dp, full-dim cosine rounded 6dp, keep-first), so
+    # --check asserts the exact same survivor set; only the PLAN
+    # differs.
+    from bodo_spark.operators.similarity import dot
+    emb = _t(spark, sf, "embeddings")
+    planted = (emb.where(F.col("vec_id") < 3)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(10000)))
+    base = emb.unionByName(planted)
+    cents = (base.select(F.col("vec_id").alias("_cid"),
+                         F.slice("embedding", 1, 16).alias("_cvec"))
+             .orderBy("_cid").limit(8)
+             .withColumn("_cn", F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
+    tv = F.slice(F.col("embedding"), 1, 16)
+    tn = F.sqrt(dot(tv, tv))
+    scored = (base.crossJoin(F.broadcast(cents))
+              .withColumn("_ccos", F.round(dot(tv, F.col("_cvec"))
+                                           / (tn * F.col("_cn")), 9)))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_ccos").desc(), "_cid")
+    cells = (scored.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1)
+             .select("vec_id", "embedding", "label",
+                     F.col("_cid").alias("_cell")))
+    right = cells.select(F.col("vec_id").alias("_rid"),
+                         F.col("embedding").alias("_rvec"), "_cell")
+    cos = F.round(dot(F.col("embedding"), F.col("_rvec"))
+                  / (F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                     * F.sqrt(dot(F.col("_rvec"), F.col("_rvec")))), 6)
+    dropped = (cells.join(right, "_cell")
+               .where(F.col("_rid") < F.col("vec_id"))
+               .where(cos >= F.lit(0.5))
+               .select("vec_id").distinct())
+    keep = cells.join(dropped, "vec_id", "left_anti")
+    return (keep.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.bit_xor("vec_id").alias("id_xor"))
+        .orderBy("label"))
+
+
 HAND = {"q1_pricing_summary": hand_q1, "q3_shipping_priority": hand_q3,
         "win_running_sum": hand_win_running_sum,
         "dt_sessionize": hand_dt_sessionize,
         "join_asof_events": hand_join_asof,
         "dedup_minhash_lsh": hand_dedup_minhash,
+        "emb_semantic_dedup": hand_semdedup,
         "q5_local_supplier_volume": hand_q5,
         "q13_customer_distribution": hand_q13,
         "q9_profit_by_nation_year": hand_q9,
