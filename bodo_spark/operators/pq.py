@@ -1,0 +1,252 @@
+"""Product-quantization ANN: the compression tier under IVF.
+
+PQ (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+Search"): split each d-dim vector into ``m`` subvectors, quantize each
+subvector against its own ``k``-codeword codebook, and store only the
+m small code ids. ADC (asymmetric distance computation) then scores a
+query against the CODES: per query, an m x k lookup table of exact
+subspace distances is built once, and every corpus row costs m table
+lookups instead of d multiplies.
+
+Scale design (the reason PQ exists): the encoded corpus is m ints per
+vector instead of d floats -- 16-64x smaller, which is the lever that
+keeps a 100-TB embedding corpus's search structure inside cluster
+memory. The codes frame is the durable artifact (write it to parquet
+next to the raw vectors; scans of the raw corpus happen once, at
+encode time). Scoring shuffles NOTHING: the per-query LUTs are a tiny
+broadcast and the top-k window partitions by query id.
+
+Distance bookkeeping: for a fixed query, argmin over l2(q, x) is
+unchanged by dropping the ||q||^2 term, so both the encoder and the
+ADC scorer rank by the two-dot form ``dot(c, c) - 2 * dot(v, c)``
+(rounded to 9 dp; ties to the lowest code id / corpus id). This keeps
+every floating-point term a sequential-fold dot product -- the exact
+shape the DuckDB oracles already reproduce bit-for-bit -- and never
+forms the cancellation-prone three-term difference.
+
+Reference parity: the reference delegates vector search to a managed
+external index (bodo/pandas/frame.py:721 S3 Vectors); here the engine
+provides the index structure itself, like ivf_topk and the IVF
+centroid trainer (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .similarity import _ensure_scan_width, _round_half_up, dot
+
+__all__ = ["lowest_id_pq_codebooks", "train_pq_codebooks", "pq_encode",
+           "pq_topk"]
+
+
+def lowest_id_pq_codebooks(vectors: DataFrame, *, m: int = 4, k: int = 16,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> list:
+    """Deterministic codebooks: the ``k`` lowest-id vectors, each split
+    into ``m`` subvectors -- codeword ``c`` of subspace ``j`` is the
+    j-th slice of the (c+1)-th lowest-id vector. A bounded k-row
+    collect (like the IVF centroid table); deterministic, so a SQL
+    oracle re-derives the identical codebooks. Returns
+    ``cbs[j][c] = list[float]`` of length d/m."""
+    rows = (vectors.select(id_col, vec_col).orderBy(id_col)
+            .limit(k).collect())
+    if len(rows) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(rows)}")
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [[[float(x) for x in r[vec_col][j * d:(j + 1) * d]]
+             for r in rows] for j in range(m)]
+
+
+def train_pq_codebooks(vectors: DataFrame, *, m: int = 8, k: int = 256,
+                       sample_size: int = 4096, iters: int = 10,
+                       seed: int = 0, vec_col: str = "embedding") -> list:
+    """Production codebooks: per-subspace k-means over ONE bounded
+    seeded driver sample (the train_ivf_centroids recipe -- collecting
+    it is O(sample_size * d) regardless of corpus size). Lloyd
+    iterations per subspace are a few numpy matmuls on the sample."""
+    import numpy as np
+
+    n = vectors.count()
+    frac = min(1.0, (sample_size * 1.3) / max(n, 1))
+    sample = (vectors.select(vec_col)
+              .sample(withReplacement=False, fraction=frac, seed=seed)
+              .limit(sample_size).collect())
+    X = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"sample {len(X)} smaller than k={k}")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    rng = np.random.default_rng(seed)
+    cbs = []
+    for j in range(m):
+        S = X[:, j * d:(j + 1) * d]
+        C = S[rng.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(iters):
+            # argmin l2 via the same two-dot form the engine ranks by
+            dist = (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+            a = dist.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        cbs.append([[float(x) for x in row] for row in C])
+    return cbs
+
+
+def _codebook_frame(spark, cbs: list) -> DataFrame:
+    """(_j, _cid, _cw, _cc) rows -- the tiny broadcast table both the
+    encoder and the LUT builder cross-join against (m*k rows; literal
+    expression trees at m*k*d floats cost seconds of codegen, the same
+    trap the IVF centroid table avoids)."""
+    rows = [(j, c, cw) for j, book in enumerate(cbs)
+            for c, cw in enumerate(book)]
+    return (spark.createDataFrame(
+        rows, "_j int, _cid int, _cw array<double>")
+        .withColumn("_cc", dot(F.col("_cw"), F.col("_cw"))))
+
+
+def pq_encode(vectors: DataFrame, codebooks: list, *,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              out_col: str = "code",
+              scorer: str = "expr") -> DataFrame:
+    """Encode every vector as its m nearest-codeword ids:
+    ``(id_col, out_col array<int>)`` -- the compressed search artifact.
+
+    Plan ('expr'): ONE cross join against the broadcast m*k codebook
+    frame, distance as the rounded two-dot form, then a single
+    map-side-combined groupBy(id) whose m min_by aggregates pick each
+    subspace's winner -- the exchange carries one row per vector, the
+    same reduction shape assign_nearest_cell uses. 'blas' vectorizes
+    the argmin as one (batch x k) gemm per subspace per Arrow batch
+    (mapInPandas; no join at all) -- code-identical by construction
+    (same rounding, same ties) and the path for wide m*k."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    if scorer == "blas":
+        import numpy as np
+        import pandas as pd
+
+        CW = [np.array(b, dtype=np.float64) for b in codebooks]
+        CC = [(c * c).sum(axis=1) for c in CW]
+
+        def enc(it):
+            for pdf in it:
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                codes = np.empty((len(pdf), m), dtype=np.int32)
+                for j in range(m):
+                    S = X[:, j * d:(j + 1) * d]
+                    dist = _round_half_up(
+                        CC[j][None, :] - 2.0 * (S @ CW[j].T), 9)
+                    codes[:, j] = dist.argmin(axis=1)  # first-min tie
+                yield pd.DataFrame({id_col: pdf[id_col],
+                                    out_col: list(map(list, codes))})
+
+        return _ensure_scan_width(vectors).select(id_col, vec_col) \
+            .mapInPandas(enc, f"{id_col} long, {out_col} array<int>")
+
+    cb = _codebook_frame(vectors.sparkSession, codebooks)
+    sub = F.slice(F.col(vec_col), F.col("_j") * d + 1, d)
+    dist = F.round(F.col("_cc") - 2 * dot(sub, F.col("_cw")), 9)
+    scored = (_ensure_scan_width(vectors).select(id_col, vec_col)
+              .crossJoin(F.broadcast(cb))
+              .withColumn("_d", dist))
+    inf = F.lit(float("inf"))
+    aggs = [F.min_by(
+        "_cid",
+        F.struct(F.when(F.col("_j") == j, F.col("_d")).otherwise(inf)
+                 .alias("d"), F.col("_cid").alias("c"))).alias(f"_c{j}")
+        for j in range(m)]
+    return (scored.groupBy(id_col).agg(*aggs)
+            .select(id_col, F.array(*[f"_c{j}" for j in range(m)])
+                    .alias(out_col)))
+
+
+def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
+            k: int = 5, id_col: str = "vec_id", code_col: str = "code",
+            q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+            refine: DataFrame | None = None,
+            shortlist: int = 0) -> DataFrame:
+    """ADC top-k over the encoded corpus: returns
+    ``(q_id, vec_id, adist, rn)`` with rn 1..k by ascending approximate
+    distance (ties to the lowest corpus id). ``adist`` is the two-dot
+    form summed over subspaces -- query-constant terms dropped, so it
+    ranks exactly like approximate l2.
+
+    Plan: the m x k LUT per query is built by cross-joining the (tiny)
+    query frame against the broadcast codebook frame and folding back
+    to one array<array<double>> row per query -- all narrow; the scored
+    pass is corpus x broadcast(LUTs) with the score a pure array-fold
+    expression (m element_at lookups per row, zero Python); the only
+    exchange is the per-query top-k window.
+
+    ``refine``: the standard shortlist-then-rerank protocol (IVF-PQ
+    "refine"): ADC picks a ``shortlist`` (default 4*k) of candidates
+    per query from the CODES, then only those rows' raw vectors are
+    fetched from ``refine`` (a frame carrying id_col + q_vec_col-typed
+    raw vectors under ``id_col``/the corpus vector column) and
+    re-ranked by exact l2. At scale the refine join touches
+    queries*shortlist rows of the raw corpus -- the 99%+ of raw-vector
+    IO the codes pass avoided stays avoided. ``adist`` is then the
+    EXACT two-dot distance."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cb = _codebook_frame(queries.sparkSession, codebooks)
+    qsub = F.slice(F.col(q_vec_col), F.col("_j") * d + 1, d)
+    lut_cell = (queries.select(q_id_col, q_vec_col)
+                .crossJoin(F.broadcast(cb))
+                .withColumn("_lv", F.round(
+                    F.col("_cc") - 2 * dot(qsub, F.col("_cw")), 9)))
+    # (q, j, cid, lv) -> per-(q, j) codeword arrays ordered by cid ->
+    # per-q subspace arrays ordered by j (rows ~ queries * m -- tiny)
+    per_j = (lut_cell.groupBy(q_id_col, "_j")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col("_cid"), F.col("_lv")))),
+                 lambda s: s["_lv"]).alias("_row")))
+    luts = (per_j.groupBy(q_id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_j"), F.col("_row")))),
+                lambda s: s["_row"]).alias("_lut")))
+    # decimal-sum policy (queries/_util.py): the m looked-up terms are
+    # exact 9dp decimals, so a decimal fold is order-independent and
+    # bit-identical to the oracle's SUM(DECIMAL) -- a double fold could
+    # straddle a 6dp rounding boundary under reordering
+    score = F.round(F.aggregate(
+        F.zip_with(F.col(code_col), F.col("_lut"),
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, x: (acc + x.cast("decimal(28,9)"))
+        .cast("decimal(28,9)")).cast("double"), 6)
+    scored = (codes.crossJoin(F.broadcast(luts))
+              .select(q_id_col, id_col, score.alias("adist")))
+    w = W.partitionBy(q_id_col).orderBy("adist", id_col)
+    if refine is None:
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k)
+                .select(q_id_col, id_col, "adist",
+                        F.col("rn").cast("bigint").alias("rn")))
+    short = shortlist or 4 * k
+    cand = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= short).drop("rn", "adist"))
+    vec_col = [c for c in refine.columns if c != id_col][0]
+    raw = refine.select(id_col, vec_col)
+    qv = queries.select(F.col(q_id_col).alias("_qid"),
+                        F.col(q_vec_col).alias("_qv"))
+    exact = F.round(dot(F.col(vec_col), F.col(vec_col))
+                    - 2 * dot(F.col(vec_col), F.col("_qv")), 6)
+    rescored = (cand.join(raw, id_col)
+                .join(F.broadcast(qv), F.col(q_id_col) == F.col("_qid"))
+                .select(q_id_col, id_col, exact.alias("adist")))
+    return (rescored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select(q_id_col, id_col, "adist",
+                    F.col("rn").cast("bigint").alias("rn")))

@@ -370,7 +370,118 @@ GROUP BY label ORDER BY label
 """
 
 
+def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-5 (operators/pq.py): deterministic
+    m=4 x k=16 lowest-id codebooks, every vector encoded to 4 code
+    ids (64 floats -> 4 ints, the compression artifact), queries
+    scored via the per-query LUT against the CODES only. The oracle
+    re-derives the identical codebooks, codes, LUTs and ranking."""
+    from ..operators import pq as PQ
+    emb = tbl(spark, sf, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    codes = PQ.pq_encode(emb, cbs)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (PQ.pq_topk(codes, queries, cbs, k=5)
+            .where(F.col("vec_id") != F.col("q_id"))
+            .orderBy("q_id", "rn"))
+
+
+# two-dot distance key: round(dot(cw,cw) - 2*dot(sub, cw), 9) -- the
+# identical fold shape the engine uses (pq.py module docstring)
+_PQ_SQL = """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+cwn AS (
+  SELECT j.j, s.cid,
+         CAST(s.embedding[j.j*16+1 : j.j*16+16] AS DOUBLE[]) AS cw,
+         list_dot_product(CAST(s.embedding[j.j*16+1 : j.j*16+16] AS DOUBLE[]),
+                          CAST(s.embedding[j.j*16+1 : j.j*16+16] AS DOUBLE[]))
+           AS cc
+  FROM seeds s CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+enc AS (
+  SELECT e.vec_id, c.j, c.cid,
+         round(c.cc - 2 * list_dot_product(
+             CAST(e.embedding[c.j*16+1 : c.j*16+16] AS DOUBLE[]), c.cw), 9)
+           AS d
+  FROM embeddings e CROSS JOIN cwn c),
+code AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM enc) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < 3),
+lut AS (
+  SELECT q.q_id, c.j, c.cid,
+         round(c.cc - 2 * list_dot_product(
+             CAST(q.q_vec[c.j*16+1 : c.j*16+16] AS DOUBLE[]), c.cw), 9)
+           AS lv
+  FROM q CROSS JOIN cwn c),
+scored AS (
+  SELECT l.q_id, co.vec_id,
+         round(CAST(SUM(CAST(l.lv AS DECIMAL(28,9))) AS DOUBLE), 6)
+           AS adist
+  FROM code co JOIN lut l ON co.j = l.j AND co.cid = l.cid
+  GROUP BY l.q_id, co.vec_id)
+SELECT q_id, vec_id, adist,
+       row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+FROM scored
+QUALIFY rn <= 5 AND vec_id <> q_id
+ORDER BY q_id, rn
+"""
+
+
+def ann_pq_refine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ shortlist -> exact re-rank (operators/pq.py pq_topk refine
+    mode): ADC picks 20 candidates per query from the codes, only
+    those rows' raw vectors are re-scored exactly. The oracle
+    re-derives shortlist AND re-rank."""
+    from ..operators import pq as PQ
+    emb = tbl(spark, sf, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    codes = PQ.pq_encode(emb, cbs)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (PQ.pq_topk(codes, queries, cbs, k=5, shortlist=20,
+                       refine=emb.select("vec_id", "embedding"))
+            .where(F.col("vec_id") != F.col("q_id"))
+            .orderBy("q_id", "rn"))
+
+
+_PQ_BODY = _PQ_SQL[:_PQ_SQL.index("SELECT q_id, vec_id, adist")]
+
+_PQ_REFINE_SQL = _PQ_BODY + """,
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adist, vec_id) AS srn
+    FROM scored) WHERE srn <= 20),
+rescored AS (
+  SELECT s.q_id, s.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[]))
+               - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.q_vec AS DOUBLE[])), 6)
+           AS adist
+  FROM short s
+  JOIN embeddings e ON s.vec_id = e.vec_id
+  JOIN q ON s.q_id = q.q_id)
+SELECT q_id, vec_id, adist,
+       row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+FROM rescored
+QUALIFY rn <= 5 AND vec_id <> q_id
+ORDER BY q_id, rn
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "ann_pq_topk": QueryDef(ann_pq_topk, _PQ_SQL),
+    "ann_pq_refine_topk": QueryDef(ann_pq_refine_topk, _PQ_REFINE_SQL),
     "emb_semantic_dedup": QueryDef(emb_semantic_dedup, _SEMDEDUP_SQL),
     "emb_gram_slice": QueryDef(emb_gram_slice, _EMB_GRAM_SQL),
     "emb_pca_trace": QueryDef(emb_pca_trace, _EMB_TRACE_SQL),
