@@ -357,6 +357,79 @@ def semantic_dedup(vectors: DataFrame, *, n_cells: int = 8,
             .drop("_cell", "_vn"))
 
 
+def cell_assigner_udf(centroids: list, coarse_dim: int = 16):
+    """Shuffle-free nearest-cell assignment as a scalar pandas_udf
+    (one (batch x k) gemm per Arrow batch): the streaming-legal twin
+    of assign_nearest_cell -- no crossJoin, no aggregation, so it runs
+    identically inside a micro-batch plan. Rounding and tie rule
+    mirror assign_nearest_cell exactly (round(cos, 9), ties to the
+    lowest cid via first-argmax)."""
+    import numpy as np
+
+    C = np.array([list(c)[:coarse_dim] for c in centroids],
+                 dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    @F.pandas_udf("long")
+    def _cell_of(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)[:, :coarse_dim]
+        nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        sim = _round_half_up((X / nrm) @ Cn.T, 9)
+        return pd.Series(np.argmax(sim, axis=1).astype("int64"))
+
+    return _cell_of
+
+
+def semantic_cell_index(vectors: DataFrame, centroids: list, *,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        coarse_dim: int = 16) -> DataFrame:
+    """The durable SemDeDup ingest artifact: the corpus with its cell
+    assignment, ``(id_col, vec_col, cell)`` -- write it to parquet once
+    and every future batch dedups against it without re-assigning the
+    corpus (the r9 index-once pattern: MinHash signature index, Bloom
+    word table, gram/line indexes -- now for the semantic tier)."""
+    return (_ensure_scan_width(vectors)
+            .select(id_col, vec_col)
+            .withColumn("cell",
+                        cell_assigner_udf(centroids, coarse_dim)(
+                            F.col(vec_col))))
+
+
+def semantic_dedup_between(batch: DataFrame, index: DataFrame,
+                           centroids: list, *, eps: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           coarse_dim: int = 16) -> DataFrame:
+    """Incremental SemDeDup: keep only the batch rows that are NOT a
+    semantic duplicate of the INDEXED corpus (cosine >= eps to any
+    same-cell index member). The corpus already holds the canonical
+    copy of everything it contains, so every batch hit is
+    non-canonical by construction -- work is proportional to
+    batch x cell-occupancy, never corpus x corpus (intra-batch
+    first-occurrence resolution stays semantic_dedup's job, run at
+    index-append time).
+
+    Streaming-legal by construction (this IS the streaming twin's
+    kernel, streaming/dedup.stream_semantic_new_rows): assignment is
+    the shuffle-free gemm pandas_udf, and the duplicate test is ONE
+    stream-static LEFT ANTI join on (cell, cosine >= eps) -- no
+    aggregation, no state. Zero-norm vectors score cosine 0 against
+    everything (the semantic_dedup guard, mirrored)."""
+    a = (batch.withColumn(
+        "_cell", cell_assigner_udf(centroids, coarse_dim)(F.col(vec_col)))
+        .withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))))
+    idx = index.select(F.col("cell").alias("_icell"),
+                       F.col(vec_col).alias("_ivec"))
+    idx = idx.withColumn("_in", F.sqrt(dot(F.col("_ivec"), F.col("_ivec"))))
+    cos = F.when(F.col("_vn") * F.col("_in") > 0,
+                 F.round(dot(F.col(vec_col), F.col("_ivec"))
+                         / (F.col("_vn") * F.col("_in")), 6)) \
+           .otherwise(F.lit(0.0))
+    cond = (F.col("_cell") == F.col("_icell")) & (cos >= F.lit(eps))
+    return a.join(idx, cond, "left_anti").drop("_cell", "_vn")
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

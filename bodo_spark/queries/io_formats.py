@@ -225,7 +225,47 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def io_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """orders -> ORC (hive-partitioned by o_orderpriority) -> read back
+    -> aggregate. Binary-columnar round-trip: decimals, dates (as
+    formatted strings) and partition-column recovery all survive; the
+    oracle aggregates the same rows straight from parquet, so any ORC
+    writer/reader drift surfaces as a value mismatch."""
+    from ..sources.io import read_orc, to_orc
+
+    o = tbl(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        dec("o_totalprice", 12, 2).alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"))
+    stage = f"/tmp/bodo_spark_orc_{uuid.uuid4().hex[:8]}"
+    try:
+        to_orc(o, stage, partition_by=["o_orderpriority"])
+        back = read_orc(stage, spark=spark)
+        agg = (back.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("price").cast("double").alias("sum_price"),
+                    F.min("od").alias("min_date"),
+                    F.max("od").alias("max_date"))
+               .orderBy("o_orderpriority"))
+        return _materialize(
+            agg, "o_orderpriority string, n bigint, sum_price double, "
+                 "min_date string, max_date string")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_IO_ORC_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "io_orc_roundtrip": QueryDef(io_orc_roundtrip, _IO_ORC_SQL),
     "io_csv_roundtrip": QueryDef(io_csv_roundtrip, _IO_CSV_SQL),
     "io_json_roundtrip": QueryDef(io_json_roundtrip, _IO_JSON_SQL),
     "io_jdbc_roundtrip": QueryDef(io_jdbc_roundtrip, _IO_JDBC_SQL),

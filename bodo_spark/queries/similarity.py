@@ -20,6 +20,14 @@ _SQL_COS = (
     " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
 )
 
+# unrounded variant for call sites that apply their own rounding
+# (cell-assignment ranking rounds at 9dp, round(-cos, 9))
+_SQL_COS9 = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)  # parens: a/(sqrt(ldp(a,a)) * sqrt(ldp(b,b)))
+
 
 def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force exact cosine top-5 for 5 query vectors (vec_id < 5).
@@ -434,6 +442,80 @@ ORDER BY q_id, rn
 """
 
 
+def _semdedup_corpus_batch(spark, sf):
+    """Shared construction for the incremental-SemDeDup gates: corpus =
+    nine tenths of embeddings (the index side), batch = the held-out
+    tenth PLUS exact replays of three corpus vectors at +20000 (must
+    drop at any eps), centroids = the 8 lowest-id CORPUS vectors."""
+    emb = tbl(spark, sf, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    planted = (corpus.where(F.col("vec_id") < 4)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(20000)))
+    batch = emb.where(F.col("vec_id") % 10 == 0).unionByName(planted)
+    cents = [list(r["embedding"])[:16] for r in
+             corpus.select("vec_id", "embedding")
+             .orderBy("vec_id").limit(8).collect()]
+    return corpus, batch, cents
+
+
+def emb_semdedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SemDeDup (operators/similarity.py
+    semantic_cell_index + semantic_dedup_between): the corpus is
+    assigned to cells ONCE (the durable index artifact); the batch
+    keeps only rows with no same-cell corpus member at cosine >=
+    0.5. Work ∝ batch x cell occupancy -- the corpus is never
+    self-joined. Pins WHICH batch rows survive (per-label count +
+    id_xor)."""
+    corpus, batch, cents = _semdedup_corpus_batch(spark, sf)
+    idx = S.semantic_cell_index(corpus, cents)
+    kept = S.semantic_dedup_between(batch, idx, cents, eps=0.5)
+    return (kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.bit_xor("vec_id").alias("id_xor"))
+        .orderBy("label"))
+
+
+_SEMDEDUP_BETWEEN_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 <> 0),
+batchq AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 20000 AS vec_id, embedding, label
+  FROM corpus WHERE vec_id < 4),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding[1:16] AS cvec
+  FROM corpus ORDER BY vec_id LIMIT 8),
+asg_c AS (
+  SELECT b.vec_id, b.embedding, c.cid,
+         row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round(-({_SQL_COS9.format(a='b.embedding[1:16]',
+                                                b='c.cvec')}), 9),
+                      c.cid) AS crn
+  FROM corpus b CROSS JOIN cents c),
+icells AS (SELECT vec_id, embedding, cid AS cell
+           FROM asg_c WHERE crn = 1),
+asg_b AS (
+  SELECT b.vec_id, b.embedding, b.label, c.cid,
+         row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round(-({_SQL_COS9.format(a='b.embedding[1:16]',
+                                                b='c.cvec')}), 9),
+                      c.cid) AS crn
+  FROM batchq b CROSS JOIN cents c),
+bcells AS (SELECT vec_id, embedding, label, cid AS cell
+           FROM asg_b WHERE crn = 1),
+kept AS (
+  SELECT b.* FROM bcells b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM icells i
+    WHERE i.cell = b.cell
+      AND {_SQL_COS.format(a='i.embedding', b='b.embedding')} >= 0.5))
+SELECT label, COUNT(*) AS n_kept, bit_xor(vec_id) AS id_xor
+FROM kept GROUP BY label ORDER BY label
+"""
+
+
 def ann_pq_refine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ shortlist -> exact re-rank (operators/pq.py pq_topk refine
     mode): ADC picks 20 candidates per query from the codes, only
@@ -482,6 +564,8 @@ ORDER BY q_id, rn
 QUERIES: dict[str, QueryDef] = {
     "ann_pq_topk": QueryDef(ann_pq_topk, _PQ_SQL),
     "ann_pq_refine_topk": QueryDef(ann_pq_refine_topk, _PQ_REFINE_SQL),
+    "emb_semdedup_ingest": QueryDef(emb_semdedup_ingest,
+                                    _SEMDEDUP_BETWEEN_SQL),
     "emb_semantic_dedup": QueryDef(emb_semantic_dedup, _SEMDEDUP_SQL),
     "emb_gram_slice": QueryDef(emb_gram_slice, _EMB_GRAM_SQL),
     "emb_pca_trace": QueryDef(emb_pca_trace, _EMB_TRACE_SQL),

@@ -580,3 +580,47 @@ QUERIES["stream_span_excise"] = QueryDef(stream_span_excise,
                                          _stream_span_sql())
 QUERIES["stream_line_dedup"] = QueryDef(stream_line_dedup,
                                         _stream_line_sql())
+
+
+def stream_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming incremental SemDeDup (streaming/dedup.py
+    stream_semantic_new_rows): the corpus' cell index is staged to
+    parquet once; the batch (held-out tenth + planted exact replays)
+    streams through as a 2-file source and only rows with no same-cell
+    index member at cosine >= 0.5 survive. Shares the batch gate's
+    construction and oracle verbatim (queries/similarity.py
+    emb_semdedup_ingest) -- streaming must admit the identical rows."""
+    from ..operators import similarity as S
+    from ..streaming import (read_stream_parquet, run_available_now,
+                             stream_semantic_new_rows)
+    from .similarity import _semdedup_corpus_batch
+
+    corpus, batch, cents = _semdedup_corpus_batch(spark, sf)
+    stage = f"/tmp/bodo_spark_ssem_{uuid.uuid4().hex[:8]}"
+    try:
+        S.semantic_cell_index(corpus, cents).write \
+            .mode("overwrite").parquet(f"{stage}/idx")
+        batch.repartition(2).write.mode("overwrite") \
+            .parquet(f"{stage}/batch")
+        idx = spark.read.parquet(f"{stage}/idx")
+        stream = read_stream_parquet(spark, f"{stage}/batch",
+                                     batch.schema,
+                                     max_files_per_trigger=1)
+        kept = stream_semantic_new_rows(stream, idx, cents, eps=0.5)
+        res = run_available_now(kept, f"t_ssem_{uuid.uuid4().hex[:8]}",
+                                output_mode="append")
+        return (res.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.bit_xor("vec_id").alias("id_xor"))
+            .orderBy("label"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stream_semdedup_sql() -> str:
+    from .similarity import _SEMDEDUP_BETWEEN_SQL
+    return _SEMDEDUP_BETWEEN_SQL
+
+
+QUERIES["stream_semantic_dedup"] = QueryDef(stream_semantic_dedup,
+                                            _stream_semdedup_sql())

@@ -144,6 +144,28 @@ def to_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(path: str, spark: SparkSession | None = None,
+             **options: Any) -> DataFrame:
+    """ORC scan (columnar, predicate-pushdown + column-pruning capable
+    like parquet -- Spark's reader applies PushedFilters and ReadSchema
+    pruning to ORC natively). The reference's lakehouse surface is
+    parquet/Iceberg-first; ORC is the other columnar warehouse
+    interchange format a Spark-native engine gets for free."""
+    spark = spark or get_spark()
+    return spark.read.options(**options).orc(path)
+
+
+def to_orc(df: DataFrame, path: str, mode: str = "overwrite",
+           partition_by: list[str] | None = None,
+           **options: Any) -> None:
+    """ORC sink (+ optional hive-style partitioning, same layout
+    contract as to_parquet)."""
+    w = df.write.mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_sql(query_or_table: str, url: str, spark: SparkSession | None = None,
              partition_column: str | None = None, lower_bound: Any = None,
              upper_bound: Any = None, num_partitions: int | None = None,

@@ -15,6 +15,7 @@ from .dedup import (  # noqa: F401
     stream_drop_boilerplate_lines,
     stream_excise_spans,
     stream_minhash_flags,
+    stream_semantic_new_rows,
 )
 from .joins import (  # noqa: F401
     stream_stream_interval_join,

@@ -252,3 +252,29 @@ def stream_drop_boilerplate_lines(
             .applyInPandasWithState(
                 fn, f"{id_col} long, clean string", "dummy int",
                 "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_semantic_new_rows(
+    stream_vecs: DataFrame,
+    index: DataFrame,
+    centroids: list,
+    *,
+    eps: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_dim: int = 16,
+) -> DataFrame:
+    """Streaming incremental SemDeDup against a stored cell index
+    (operators/similarity.semantic_cell_index): emit only the arriving
+    vectors that are NOT a semantic duplicate of the indexed corpus.
+
+    This is deliberately just the shared kernel
+    (similarity.semantic_dedup_between) applied to a streaming frame --
+    the kernel is streaming-legal by construction: the gemm pandas_udf
+    assignment is per-row (no shuffle), and the duplicate test is one
+    stream-static LEFT ANTI join (no aggregation, no state), so batch
+    and stream cannot drift."""
+    from ..operators.similarity import semantic_dedup_between
+    return semantic_dedup_between(stream_vecs, index, centroids,
+                                  eps=eps, id_col=id_col,
+                                  vec_col=vec_col, coarse_dim=coarse_dim)

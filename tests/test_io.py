@@ -309,3 +309,30 @@ def test_read_sql_table_routes(spark):
 
     with _pytest.raises(Exception):
         read_sql_table("t", "iceberg:///tmp/wh", schema="s", spark=spark)
+
+
+def test_orc_roundtrip_and_pushdown(spark, orders, tmp_path_factory):
+    """ORC round-trip preserves values; filters reach the ORC scan
+    (PushedFilters) and hive partition pruning works on read-back."""
+    path = str(tmp_path_factory.mktemp("orc") / "orders_orc")
+    bio.to_orc(orders, path, partition_by=["o_orderstatus"])
+    back = bio.read_orc(path, spark=spark)
+    assert back.count() == orders.count()
+    got = back.where(F.col("o_orderkey") < 100)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_orderkey" in \
+        plan.split("PushedFilters")[1][:200]
+    part = back.where(F.col("o_orderstatus") == "F")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        part.explain("formatted")
+    plan = buf.getvalue()
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    a = {tuple(r) for r in
+         orders.select("o_orderkey", "o_totalprice").collect()}
+    b = {tuple(r) for r in
+         back.select("o_orderkey", "o_totalprice").collect()}
+    assert a == b

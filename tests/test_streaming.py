@@ -296,3 +296,47 @@ def test_stream_bloom_new_rows_matches_batch(spark, tmp_path_factory):
         assert {r.doc_id for r in got.collect()} == expect and expect
         words.unpersist()
     keys.unpersist()
+
+
+def test_stream_semantic_new_rows_matches_batch(spark, tmp_path_factory):
+    """Streaming incremental SemDeDup admits exactly the batch
+    kernel's rows (shared-kernel twin), drops planted exact replays,
+    and keeps zero-norm vectors (cosine-0 guard)."""
+    import numpy as np
+
+    from bodo_spark.operators import similarity as S
+    from bodo_spark.streaming import (read_stream_parquet,
+                                      run_available_now,
+                                      stream_semantic_new_rows)
+
+    rng = np.random.default_rng(5)
+    corpus_rows = [(i, [float(x) for x in rng.normal(size=32)])
+                   for i in range(40)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<float>")
+    batch_rows = (
+        [(100, corpus_rows[7][1]),          # exact replay -> dropped
+         (101, [0.0] * 32)] +               # zero norm -> kept
+        [(110 + i, [float(x) for x in rng.normal(size=32)])
+         for i in range(5)])
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<float>")
+    cents = [r[1][:16] for r in corpus_rows[:4]]
+
+    idx = S.semantic_cell_index(corpus, cents)
+    b_kept = sorted(r.vec_id for r in
+                    S.semantic_dedup_between(batch, idx, cents,
+                                             eps=0.9).collect())
+    assert 100 not in b_kept and 101 in b_kept
+
+    stage = tmp_path_factory.mktemp("ssem")
+    idx.write.mode("overwrite").parquet(str(stage / "idx"))
+    batch.repartition(2).write.mode("overwrite").parquet(
+        str(stage / "batch"))
+    stream = read_stream_parquet(spark, str(stage / "batch"),
+                                 batch.schema, max_files_per_trigger=1)
+    kept = stream_semantic_new_rows(
+        stream, spark.read.parquet(str(stage / "idx")), cents, eps=0.9)
+    res = run_available_now(kept, "t_ssem_unit", output_mode="append")
+    s_kept = sorted(r.vec_id for r in res.select("vec_id").collect())
+    assert s_kept == b_kept
