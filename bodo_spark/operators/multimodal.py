@@ -558,6 +558,104 @@ def image_phash(df: DataFrame, media_col: str = "media",
         .mapInPandas(batches, out_schema)
 
 
+def audio_fingerprint(df: DataFrame, media_col: str = "media",
+                      id_col: str = "doc_id", out_col: str = "afp",
+                      n_bits: int = 64, mode: str = "energy") -> DataFrame:
+    """Perceptual audio fingerprint -> int64, for Hamming-banded
+    near-dup pairing (dedup.hamming_fp_pairs) -- the audio twin of
+    image_dhash.
+
+    ``mode='energy'``: the Haitsma-Kalker (2002, "A Highly Robust
+    Audio Fingerprint System") sign-of-difference bit rule applied to
+    consecutive TIME-segment energies: the clip is cut into
+    ``n_bits + 1`` equal segments, E(m) = sum(x^2) over segment m
+    (EXACT int64 arithmetic on int16 PCM -- no float, no rounding
+    discipline needed, so a SQL oracle reproduces every bit), and
+    bit m = E(m) > E(m+1). Robust to uniform gain (comparisons are
+    relative) and to few-sample perturbations (only the touched
+    segment's bits can flip).
+
+    ``mode='spectral'``: the same bit rule over an 8-band rfft
+    filterbank per segment (bit (s, b) = band energy difference sign
+    across both band and time, the paper's actual 2-D rule) --
+    float-DSP, so no SQL oracle; pinned by unit invariants
+    (determinism, gain invariance, perturbation tolerance).
+
+    One Arrow-batched mapInPandas stage; everything downstream
+    (banding, pairing, verification) is JVM."""
+    if not 2 <= n_bits <= 64:
+        raise ValueError("n_bits must be in [2, 64]")
+    segs = n_bits + 1
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out_col, T.LongType()),
+    ])
+
+    def energy_bits(x: "np.ndarray") -> "np.ndarray":
+        L = len(x) // segs
+        if L < 1:
+            raise ValueError(f"clip too short: {len(x)} samples for "
+                             f"{segs} segments")
+        seg = x[:L * segs].astype(np.int64).reshape(segs, L)
+        e = (seg * seg).sum(axis=1)
+        return e[:-1] > e[1:]
+
+    def spectral_bits(x: "np.ndarray") -> "np.ndarray":
+        # 2-D sign rule: EB(s,b) = band energy; bit = (EB(s,b)-EB(s,b+1))
+        #               - (EB(s-1,b)-EB(s-1,b+1)) > 0
+        n_seg = n_bits // 8 + 1
+        L = len(x) // n_seg
+        seg = x[:L * n_seg].astype(np.float64).reshape(n_seg, L)
+        spec = np.abs(np.fft.rfft(seg, axis=1)) ** 2
+        # 9 bands -> 8 differences per segment row
+        edges = np.linspace(0, spec.shape[1], 10).astype(int)
+        eb = np.stack([spec[:, a:b].sum(axis=1)
+                       for a, b in zip(edges[:-1], edges[1:])], axis=1)
+        d = eb[:, :-1] - eb[:, 1:]
+        return (d[1:] - d[:-1] > 0).ravel()[:n_bits]
+
+    bit_fn = energy_bits if mode == "energy" else spectral_bits
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            vals = []
+            for data in pdf[media_col]:
+                x, _rate = decode_wav(bytes(data))
+                vals.append(_bits_to_i64(bit_fn(x)))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                out_col: np.asarray(vals, dtype=np.int64)})
+
+    return ensure_scan_width(df.select(id_col, media_col)) \
+        .mapInPandas(batches, out_schema)
+
+
+def perturb_samples(df: DataFrame, media_col: str = "media",
+                    delta: int = 17, idx: int = 0) -> DataFrame:
+    """Decode WAV -> saturating-add ``delta`` to sample ``idx`` ->
+    re-encode: the audio 'augmented twin' (perturb_pixels' WAV
+    counterpart). Only the touched segment's fingerprint bits can
+    flip, so a planted twin lands at small Hamming distance."""
+    cols = list(df.columns)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            blobs = []
+            for data in pdf[media_col]:
+                x, rate = decode_wav(bytes(data))
+                x = x.copy()
+                x[idx] = np.int16(min(32767, int(x[idx]) + delta))
+                blobs.append(encode_wav(x, rate))
+            pdf = pdf.copy()
+            pdf[media_col] = blobs
+            yield pdf
+
+    return df.mapInPandas(batches, df.schema)
+
+
 def perturb_pixels(df: DataFrame, media_col: str = "media",
                    delta: int = 17, px: int = 0) -> DataFrame:
     """Decode -> saturating-add ``delta`` to channel 0 of flat pixel

@@ -259,3 +259,67 @@ WHERE hamming <= 3 ORDER BY id_a, id_b
 """
 
 QUERIES["mm_phash_neardup"] = QueryDef(mm_phash_neardup, _MM_DHASH_SQL)
+
+
+def mm_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual audio near-dup (operators/multimodal.audio_fingerprint
+    energy mode + dedup.hamming_fp_pairs): one 256-sample WAV per doc
+    plus a one-sample perturbed twin (full WAV decode->modify->encode)
+    for every 5th doc. Segment energies are EXACT int64 sums of
+    int16^2, so the oracle re-derives every fingerprint bit from the
+    sha256 hex stream and brute-forces ALL pairwise Hamming distances
+    -- a hash match proves the codec round trip, the bit rule, AND
+    zero banding recall loss at max_hamming=3."""
+    from ..operators import dedup as D
+    base = (tbl(spark, sf, "documents")
+            .where(F.col("doc_id") < 500).select("doc_id"))
+    wavs = M.attach_wav_media(base, "doc_id")
+    twins = (M.perturb_samples(wavs.where(F.col("doc_id") % 5 == 0),
+                               delta=17)
+             .withColumn("doc_id", F.col("doc_id") + 100000))
+    corpus = wavs.unionByName(twins)
+    fp = M.audio_fingerprint(corpus, id_col="doc_id")
+    pairs = D.hamming_fp_pairs(fp, bits=64, bands=4, max_hamming=3,
+                               id_col="doc_id", fp_col="afp")
+    return (pairs.select(F.col("id_a"), F.col("id_b"),
+                         F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("id_a", "id_b"))
+
+
+# energy-fingerprint twin in hex-string space: 256 int16 LE samples =
+# the first 512 bytes of sha256(str(doc_id)) repeated; 65 segments of
+# floor(256/65)=3 samples; E(m) = exact int64 sum of squares; bit m =
+# E(m) > E(m+1). The twin saturating-adds 17 to sample 0 (only E(0),
+# hence only bit 0, can differ). Ground truth = ALL-pairs Hamming.
+_MM_AUDIO_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+s AS (SELECT doc_id, repeat(sha256(CAST(doc_id AS VARCHAR)), 17) AS h
+      FROM d),
+b AS (SELECT doc_id, list_transform(range(0, 512), j ->
+        CAST(concat('0x', substr(h, j*2+1, 2)) AS INT)) AS bs FROM s),
+sm AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        bs[2*i+1] + 256*bs[2*i+2]
+        - CASE WHEN bs[2*i+1] + 256*bs[2*i+2] >= 32768
+               THEN 65536 ELSE 0 END) AS x FROM b),
+tw AS (SELECT doc_id + 100000 AS doc_id,
+        list_transform(range(0, 256), i -> CASE WHEN i = 0
+          THEN least(x[1] + 17, 32767)
+          ELSE x[i+1] END) AS x
+       FROM sm WHERE doc_id % 5 = 0),
+sall AS (SELECT * FROM sm UNION ALL SELECT * FROM tw),
+en AS (SELECT doc_id, list_transform(range(0, 65), m ->
+        CAST(x[3*m+1] AS BIGINT)*x[3*m+1]
+        + CAST(x[3*m+2] AS BIGINT)*x[3*m+2]
+        + CAST(x[3*m+3] AS BIGINT)*x[3*m+3]) AS e FROM sall),
+bits AS (SELECT doc_id, list_transform(range(0, 64), m ->
+           e[m+1] > e[m+2]) AS bt FROM en),
+pairs AS (
+  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         CAST(len(list_filter(range(0, 64), i -> a.bt[i+1] <> c.bt[i+1]))
+              AS INT) AS hamming
+  FROM bits a JOIN bits c ON a.doc_id < c.doc_id)
+SELECT id_a, id_b, hamming FROM pairs
+WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+QUERIES["mm_audio_neardup"] = QueryDef(mm_audio_neardup, _MM_AUDIO_SQL)

@@ -179,3 +179,65 @@ def test_box_resize_identity_and_downscale(spark):
     half = _box_resize(g, 4, 3)
     assert half.shape == (4, 3)
     assert abs(half[0, 0] - g[0:2, 0:3].mean()) < 1e-12
+
+
+def test_audio_fingerprint_energy_twin_and_bits(spark):
+    """Energy fingerprint: a one-sample perturbed twin lands at
+    Hamming <= 1 (only segment 0's bit can flip); distinct clips
+    differ; fingerprints are deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators import multimodal as M
+
+    base = spark.range(30).selectExpr("id AS doc_id")
+    wavs = M.attach_wav_media(base, "doc_id")
+    twins = (M.perturb_samples(wavs, delta=1000)
+             .withColumn("doc_id", F.col("doc_id") + 1000))
+    fps = {r.doc_id: r.afp for r in
+           M.audio_fingerprint(wavs.unionByName(twins),
+                               id_col="doc_id").collect()}
+    fps2 = {r.doc_id: r.afp for r in
+            M.audio_fingerprint(wavs, id_col="doc_id").collect()}
+    assert all(fps[i] == fps2[i] for i in range(30))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert all(ham(fps[i], fps[i + 1000]) <= 1 for i in range(30))
+    diffs = [ham(fps[i], fps[j]) for i in range(10) for j in range(10)
+             if i < j]
+    assert sum(1 for d in diffs if d > 3) >= len(diffs) - 2
+
+
+def test_audio_fingerprint_spectral_invariants(spark):
+    """Spectral (8-band Haitsma-Kalker) mode: deterministic, invariant
+    to uniform gain (band-energy difference signs survive scaling),
+    and a one-sample nudge flips only a few bits."""
+    import numpy as np
+
+    from bodo_spark.operators.multimodal import (audio_fingerprint,
+                                                 encode_wav)
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(20):
+        x = (rng.normal(size=512) * 2000).astype(np.int16)
+        rows.append((i, bytearray(encode_wav(x))))
+        rows.append((i + 100, bytearray(encode_wav(
+            (x * 2).astype(np.int16)))))        # 2x gain, no clipping
+        y = x.copy()
+        y[5] = np.int16(min(32767, int(y[5]) + 900))
+        rows.append((i + 200, bytearray(encode_wav(y))))
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    fps = {r.doc_id: r.afp for r in
+           audio_fingerprint(df, id_col="doc_id",
+                             mode="spectral").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert all(fps[i] == fps[i + 100] for i in range(20))  # gain
+    assert all(ham(fps[i], fps[i + 200]) <= 10 for i in range(20))
+    cross = [ham(fps[i], fps[j]) for i in range(20) for j in range(20)
+             if i < j]
+    assert sum(cross) / len(cross) > 15      # distinct clips differ
