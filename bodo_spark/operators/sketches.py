@@ -170,3 +170,58 @@ def hll_ndv(df: DataFrame, col: str, *, by: list[str] | None = None,
     e = F.expr(f"hll_sketch_estimate(hll_sketch_agg({col}, {int(lg_k)}))")
     out = df.groupBy(*keys).agg(e.cast("bigint").alias("ndv_est"))
     return out.orderBy(*keys) if keys else out
+
+
+def dataset_profile(df: DataFrame, *, by: str = "source",
+                    text_col: str = "text",
+                    lang_col: str | None = "lang",
+                    lg_k: int = 12, kll_k: int = 200) -> DataFrame:
+    """One-pass 'data card' per ``by`` group: the profile a training-
+    data pipeline prints before anyone trains on the corpus --
+    (group, n_docs, tok_mass, dup_rate, n_langs, len_p50, len_p90).
+
+    Scale design: ONE groupBy over the corpus; every statistic is
+    either an ordinary algebraic aggregate or a mergeable sketch state
+    (theta for text-fingerprint NDV -> dup rate, theta for language
+    NDV, KLL for the token-length distribution), so the exchange
+    carries KB-sized states per group -- at 100 TB this is one scan.
+    Exact regime (group NDV < 2^lg_k, group rows <= kll_k): every
+    value equals its exact counterpart, which is what the gate oracle
+    pins; production keeps the defaults and the published error
+    envelopes.
+
+    Text identity uses md5 under exact mode / xxhash64 otherwise
+    (the repo's fingerprint convention, operators/text.py)."""
+    from ..modes import exact_mode
+    from .text import token_count
+
+    fp = (F.md5(F.col(text_col)) if exact_mode()
+          else F.xxhash64(F.col(text_col)).cast("string"))
+    nt = token_count(text_col)
+    # ONE kll state per group (both quantiles read from the same
+    # aggregated sketch -- two agg-side get_quantile calls would carry
+    # two identical states through the exchange)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(nt).cast("bigint").alias("tok_mass"),
+        F.expr(f"theta_sketch_estimate(theta_sketch_agg(_fp, "
+               f"{int(lg_k)}))").alias("_ndv"),
+        F.expr(f"kll_sketch_agg_double(CAST(_nt AS DOUBLE), "
+               f"{int(kll_k)})").alias("_sk"),
+    ]
+    if lang_col is not None:
+        aggs.insert(3, F.expr(
+            f"theta_sketch_estimate(theta_sketch_agg({lang_col}, "
+            f"{int(lg_k)}))").cast("bigint").alias("n_langs"))
+    out = (df.withColumn("_fp", fp).withColumn("_nt", nt)
+           .groupBy(by).agg(*aggs))
+    q = "kll_sketch_get_quantile_double(_sk, CAST({p} AS double))"
+    return (out
+            .withColumn("len_p50",
+                        F.expr(q.format(p=0.5)).cast("bigint"))
+            .withColumn("len_p90",
+                        F.expr(q.format(p=0.9)).cast("bigint"))
+            .withColumn("dup_rate",
+                        F.round(1.0 - F.col("_ndv") / F.col("n_docs"), 6))
+            .withColumn("ndv_text", F.col("_ndv").cast("bigint"))
+            .drop("_ndv", "_sk"))

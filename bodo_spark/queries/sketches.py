@@ -118,7 +118,63 @@ _QUANTILES_SQL = "\nUNION ALL\n".join(
     for p in _PROBS) + "\nORDER BY prob"
 
 
+def sketch_dataset_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass per-source data card (operators/sketches.py
+    dataset_profile): doc count, token mass, duplicate rate (theta NDV
+    over text fingerprints -- planted exact dups of every 9th doc make
+    it non-vacuous), language NDV, and KLL p50/p90 token lengths, all
+    from ONE groupBy whose exchange carries sketch states. Exact
+    regime (kll_k >= group size, NDV << 2^12), so the oracle pins
+    every value exactly."""
+    d = tbl(spark, sf, "documents").select("doc_id", "source", "lang",
+                                           "text")
+    dups = (d.where(F.col("doc_id") % 9 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    corpus = d.unionByName(dups)
+    return (SK.dataset_profile(corpus, by="source", kll_k=8192)
+            .select("source", "n_docs", "tok_mass", "ndv_text",
+                    "dup_rate", "n_langs", "len_p50", "len_p90")
+            .orderBy("source"))
+
+
+_PROFILE_SQL = """
+WITH corpus AS (
+  SELECT source, lang, text FROM documents
+  UNION ALL
+  SELECT source, lang, text FROM documents WHERE doc_id % 9 = 0),
+base AS (
+  SELECT source, lang, md5(text) AS fp,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+  FROM corpus),
+g AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS tok_mass,
+         COUNT(DISTINCT fp) AS ndv_text,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM base GROUP BY source),
+r AS (
+  SELECT source, nt,
+         row_number() OVER (PARTITION BY source ORDER BY nt) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM base),
+q AS (
+  SELECT source,
+         MAX(CASE WHEN rn = greatest(CAST(ceil(0.5 * cnt) AS BIGINT), 1)
+                  THEN nt END) AS len_p50,
+         MAX(CASE WHEN rn = greatest(CAST(ceil(0.9 * cnt) AS BIGINT), 1)
+                  THEN nt END) AS len_p90
+  FROM r GROUP BY source)
+SELECT g.source, g.n_docs, g.tok_mass, g.ndv_text,
+       round(1.0 - g.ndv_text / g.n_docs, 6) AS dup_rate,
+       g.n_langs, q.len_p50, q.len_p90
+FROM g JOIN q ON g.source = q.source
+ORDER BY g.source
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "sketch_dataset_profile": QueryDef(sketch_dataset_profile,
+                                       _PROFILE_SQL),
     "sketch_token_freq": QueryDef(sketch_token_freq, _TOKEN_FREQ_SQL),
     "sketch_ndv_profile": QueryDef(sketch_ndv_profile, _NDV_PROFILE_SQL),
     "sketch_quantiles": QueryDef(sketch_quantiles, _QUANTILES_SQL),

@@ -114,3 +114,32 @@ def test_kll_merge_quantiles_empty_shards(spark):
         assert all(r["value"] is None for r in rows)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_dataset_profile_exact_regime_and_partitioning(spark):
+    """dataset_profile: exact-regime values match hand computation and
+    are invariant to input partitioning; planted dups move dup_rate."""
+    from bodo_spark.operators.sketches import dataset_profile
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "a" if i < 25 else "b", "en" if i % 3 else "de",
+                     "tok " * (i % 7 + 1) + f"doc{i}"))
+    rows.append((100, "a", "en", rows[0][3]))      # exact dup in 'a'
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string")
+    out = {r.source: r for r in dataset_profile(df, kll_k=512).collect()}
+    out2 = {r.source: r
+            for r in dataset_profile(df.repartition(13), kll_k=512)
+            .collect()}
+    for s in ("a", "b"):
+        assert tuple(out[s]) == tuple(out2[s])
+    a = out["a"]
+    assert a.n_docs == 26 and a.ndv_text == 25
+    assert abs(a.dup_rate - round(1 - 25 / 26, 6)) < 1e-9
+    assert a.n_langs == 2
+    lens = sorted((i % 7 + 1) + 1 for i in range(25)) + [2]
+    lens.sort()
+    import math
+    assert a.len_p50 == lens[max(1, math.ceil(0.5 * len(lens))) - 1]
+    assert a.len_p90 == lens[max(1, math.ceil(0.9 * len(lens))) - 1]
