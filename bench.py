@@ -52,6 +52,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_pipeline_e2e",
     "emb_pipeline_e2e",
+    # round-10 tiers: PQ-compressed ANN and the one-pass data card
+    "ann_pq_topk",
+    "sketch_dataset_profile",
 ]
 
 

@@ -244,6 +244,38 @@ def domain_mix_sample(df: DataFrame, weights: dict[str, float], *,
             .drop("_keep_frac"))
 
 
+def cap_per_key(df: DataFrame, cap: int, *, key_col: str = "source",
+                id_col: str = "doc_id", salt: int = 16) -> DataFrame:
+    """Keep at most ``cap`` rows per key -- the RefinedWeb/C4 'max
+    documents per domain' rule (a mega-domain must not dominate the
+    mix). Selection is deterministic: the ``cap`` rows with the
+    smallest (u01_hash(id), id) per key survive, so output is stable
+    across runs, retries, partitionings AND engines (u01_hash is the
+    domain-mix sampler's Knuth hash, exactly reproducible in SQL).
+
+    Skew design: a naive row_number window puts a mega-domain's entire
+    occupancy in ONE task (the hot-key class the LSH/span operators
+    are guarded against). This runs the classic two-level top-k
+    instead: per (key, salt-of-id) window first -- every partition
+    bounded by occupancy/salt -- then a final window over the <=
+    salt*cap survivors per key. Value-identical to the single window
+    by construction (the global top-cap is contained in the union of
+    per-bucket top-caps)."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window as W
+
+    h = u01_hash(id_col)
+    salted = df.withColumn("_h", h).withColumn(
+        "_s", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)))
+    w1 = W.partitionBy(key_col, "_s").orderBy("_h", id_col)
+    cand = (salted.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") <= cap).drop("_rn", "_s"))
+    w2 = W.partitionBy(key_col).orderBy("_h", id_col)
+    return (cand.withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") <= cap).drop("_rn", "_h"))
+
+
 def leakage_free_split(df: DataFrame, pairs: DataFrame, *,
                        id_col: str = "doc_id",
                        splits: list[tuple[str, float]] | None = None,

@@ -993,7 +993,35 @@ FROM assign
 """
 
 
+def cur_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (operators/curation.cap_per_key): at
+    most 30 docs per source survive, selected by the deterministic
+    (u01_hash, id) order -- the oracle re-derives the identical
+    survivor set through its single-window formulation, proving the
+    skew-safe two-level top-k is value-identical."""
+    d = tbl(spark, sf, "documents").select("doc_id", "source")
+    kept = C.cap_per_key(d, 30, key_col="source", id_col="doc_id")
+    return (kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.bit_xor("doc_id").alias("id_xor"))
+        .orderBy("source"))
+
+
+_DOMAIN_CAP_SQL = """
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY
+           CAST(((doc_id % 2147483648) * 2654435761) % 4294967296
+                AS DOUBLE) / 4294967296.0,
+           doc_id) AS rn
+  FROM documents)
+SELECT source, COUNT(*) AS n_kept, bit_xor(doc_id) AS id_xor
+FROM r WHERE rn <= 30 GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_domain_cap": QueryDef(cur_domain_cap, _DOMAIN_CAP_SQL),
     "cur_pretrain_e2e": QueryDef(cur_pretrain_e2e, _pretrain_sql_materialized()),
     "cur_perplexity_filter": QueryDef(cur_perplexity_filter, _PPLX_SQL),
     "cur_chunk_overlap": QueryDef(cur_chunk_overlap, _CHUNK_SQL),

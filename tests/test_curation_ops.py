@@ -434,3 +434,29 @@ def test_pretrain_pipeline_modes_agree(spark, tmp_path_factory):
     assert 5 not in kept            # bench-contaminated doc dropped
     import glob
     assert glob.glob(f"{stage}/survivors/*.parquet")  # staged boundaries
+
+
+def test_cap_per_key_two_level_equals_single_window(spark):
+    """cap_per_key's skew-safe two-level top-k is value-identical to
+    the naive single window, caps a planted mega-domain, keeps small
+    domains whole, and is deterministic across partitionings."""
+    from pyspark.sql import Window as W
+
+    rows = ([(i, "mega") for i in range(500)]
+            + [(1000 + i, "small") for i in range(7)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = C.cap_per_key(df, 20, key_col="source", id_col="doc_id",
+                        salt=8)
+    a = sorted((r.source, r.doc_id) for r in got.collect())
+    h = C.u01_hash("doc_id")
+    w = W.partitionBy("source").orderBy(h, "doc_id")
+    naive = (df.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") <= 20))
+    b = sorted((r.source, r.doc_id) for r in naive.collect())
+    assert a == b
+    assert sum(1 for s, _ in a if s == "mega") == 20
+    assert sum(1 for s, _ in a if s == "small") == 7
+    c = sorted((r.source, r.doc_id) for r in
+               C.cap_per_key(df.repartition(11), 20, key_col="source",
+                             id_col="doc_id", salt=8).collect())
+    assert a == c
