@@ -624,3 +624,78 @@ def _stream_semdedup_sql() -> str:
 
 QUERIES["stream_semantic_dedup"] = QueryDef(stream_semantic_dedup,
                                             _stream_semdedup_sql())
+
+
+def stream_dataset_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed data card ON the stream (the streaming twin of
+    operators/sketches.dataset_profile, over events): per 6-hour
+    tumbling window, ordinary counts plus mergeable sketch states --
+    theta NDV of users and event types, one KLL state read for both
+    value percentiles -- all merging across micro-batches in the
+    streaming state store. Exact regime (window rows << sketch
+    budgets), so every value hash-matches the batch oracle: the
+    percentile is the data element at ceil-rank, bit-identical."""
+    from ..streaming import read_stream_parquet, run_available_now
+
+    batch = tbl(spark, sf, "events").select("ts", "user_id",
+                                            "event_type", "value")
+    stage = f"/tmp/bodo_spark_sprof_{uuid.uuid4().hex[:8]}"
+    try:
+        batch.coalesce(4).write.mode("overwrite").parquet(stage)
+        stream = read_stream_parquet(spark, stage, batch.schema,
+                                     max_files_per_trigger=2)
+        q = "kll_sketch_get_quantile_double(_sk, CAST({p} AS double))"
+        agg = (stream.groupBy(F.window("ts", "6 hours").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.expr("theta_sketch_estimate(theta_sketch_agg("
+                           "CAST(user_id AS STRING), 14))")
+                    .cast("bigint").alias("n_users"),
+                    F.expr("theta_sketch_estimate(theta_sketch_agg("
+                           "event_type, 14))")
+                    .cast("bigint").alias("n_types"),
+                    F.expr("kll_sketch_agg_double(CAST(value AS double),"
+                           " 8192)").alias("_sk")))
+        res = run_available_now(agg, f"t_sprof_{uuid.uuid4().hex[:8]}",
+                                output_mode="complete")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return (res.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+        .alias("win_start"), "n_events", "n_users", "n_types",
+        F.expr(q.format(p=0.5)).alias("val_p50"),
+        F.expr(q.format(p=0.9)).alias("val_p90"))
+        .orderBy("win_start"))
+
+
+_STREAM_PROFILE_SQL = """
+WITH w AS (
+  SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600
+                                 AS BIGINT) * 1000000),
+                  '%Y-%m-%d %H:%M:%S') AS win_start,
+         user_id, event_type, value
+  FROM events),
+g AS (
+  SELECT win_start, COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM w GROUP BY win_start),
+r AS (
+  SELECT win_start, value,
+         row_number() OVER (PARTITION BY win_start ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY win_start) AS cnt
+  FROM w),
+q AS (
+  SELECT win_start,
+         MAX(CASE WHEN rn = greatest(CAST(ceil(0.5 * cnt) AS BIGINT), 1)
+                  THEN value END) AS val_p50,
+         MAX(CASE WHEN rn = greatest(CAST(ceil(0.9 * cnt) AS BIGINT), 1)
+                  THEN value END) AS val_p90
+  FROM r GROUP BY win_start)
+SELECT g.win_start, g.n_events, g.n_users, g.n_types,
+       q.val_p50, q.val_p90
+FROM g JOIN q ON g.win_start = q.win_start
+ORDER BY g.win_start
+"""
+
+QUERIES["stream_dataset_profile"] = QueryDef(stream_dataset_profile,
+                                             _STREAM_PROFILE_SQL)
