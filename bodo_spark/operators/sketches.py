@@ -105,7 +105,12 @@ def kll_quantiles(df: DataFrame, col: str, probs: list[float], *,
                   k: int = 200, dtype: str = "double") -> DataFrame:
     """Streaming quantiles via KLL (one pass, mergeable, ~k doubles of
     state; normalized rank error ~1.65%/sqrt(k/200)). Returns one row
-    per prob: (prob, value)."""
+    per prob: (prob, value). Spark bounds k to [8, 65535] -- which also
+    bounds the exact-deterministic regime (n <= k) a hash-pinned gate
+    can rely on; fail here with a clear message instead of deep in the
+    analyzer."""
+    if not 8 <= k <= 65535:
+        raise ValueError(f"KLL k must be in [8, 65535], got {k}")
     sk = F.expr(f"kll_sketch_agg_{dtype}(CAST({col} AS {dtype}), {int(k)})")
     # ONE sketch build; all probs read from the same aggregated state
     # (a per-prob union of df.agg(...) frames would re-sketch the column

@@ -59,12 +59,21 @@ def main() -> None:
 
         def sample():
             while not stop.is_set():
-                mem = disk = 0
-                for info in jsc.getRDDStorageInfo():
-                    mem += info.memUsed()
-                    disk += info.diskUsed()
-                peak["mem"] = max(peak["mem"], mem)
-                peak["disk"] = max(peak["disk"], disk)
+                # statusStore().rddList is the py4j-friendly storage
+                # view (getRDDStorageInfo returns a Scala array py4j
+                # cannot iterate); a handle can still go stale between
+                # fetch and read -- skip that sample, not the thread
+                try:
+                    mem = disk = 0
+                    rdds = jsc.statusStore().rddList(False)
+                    for i in range(rdds.size()):
+                        r = rdds.apply(i)
+                        mem += r.memoryUsed()
+                        disk += r.diskUsed()
+                    peak["mem"] = max(peak["mem"], mem)
+                    peak["disk"] = max(peak["disk"], disk)
+                except Exception:
+                    pass
                 if os.path.isdir(stage):
                     peak["staged"] = max(peak["staged"], du(stage))
                 time.sleep(0.5)
@@ -73,7 +82,7 @@ def main() -> None:
         t.start()
         t0 = time.time()
         out = C.pretrain_pipeline(
-            docs, bench=bench, span=20, pplx_p=0.2, pplx_sketch_k=65536,
+            docs, bench=bench, span=20, pplx_p=0.2, pplx_sketch_k=65535,
             mix_weights=None, quality_weights=None, capacity=256,
             checkpoint_dir=stage if mode == "staged" else None)
         n = out.count()
