@@ -86,6 +86,75 @@ def quality_score(col: Column | str) -> Column:
             .cast("double") / 3.0)
 
 
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                     "with"]
+
+
+def gopher_rules(col: Column | str, *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stopwords: int = 2) -> Column:
+    """The Gopher quality rules (Rae et al. 2021, 'Scaling Language
+    Models', table A1) as one struct column of booleans plus a
+    ``pass_all`` flag: word-count band, mean-word-length band,
+    symbol-to-word ratio (# and ...), bullet-line and ellipsis-line
+    fractions, fraction of words with an alphabetic character, and
+    minimum distinct stopwords. Pure JVM expressions (whole-stage
+    codegen, zero shuffle) built from exact integer counts, so every
+    boolean is engine-reproducible and a SQL oracle re-derives the
+    verdicts bit-for-bit. The repetition rules from the same table
+    ship separately (dup_ngram_fraction / top_ngram_fraction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    n_words = F.size(toks)
+    word_ok = (n_words >= min_words) & (n_words <= max_words)
+    sum_wl = F.aggregate(F.transform(toks, F.length),
+                         F.lit(0), lambda a, x: a + x)
+    mean_wl = sum_wl.cast("double") / F.greatest(n_words, F.lit(1))
+    wl_ok = (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (F.length(c)
+             - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    sym_ok = ((n_hash + n_ell).cast("double")
+              / F.greatest(n_words, F.lit(1))) <= max_symbol_ratio
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    bullet_ok = bullet.cast("double") / n_lines <= max_bullet_frac
+    ell_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).endswith("...")))
+    ellipsis_ok = ell_lines.cast("double") / n_lines <= max_ellipsis_frac
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ok = (alpha.cast("double")
+                / F.greatest(n_words, F.lit(1))) >= min_alpha_frac
+    low = F.transform(toks, F.lower)
+    n_stop = None
+    for w in _GOPHER_STOPWORDS:
+        hit = F.array_contains(low, w).cast("int")
+        n_stop = hit if n_stop is None else n_stop + hit
+    stop_ok = n_stop >= min_stopwords
+    pass_all = (word_ok & wl_ok & sym_ok & bullet_ok & ellipsis_ok
+                & alpha_ok & stop_ok)
+    return F.struct(word_ok.alias("word_ok"), wl_ok.alias("wl_ok"),
+                    sym_ok.alias("sym_ok"),
+                    bullet_ok.alias("bullet_ok"),
+                    ellipsis_ok.alias("ellipsis_ok"),
+                    alpha_ok.alias("alpha_ok"), stop_ok.alias("stop_ok"),
+                    pass_all.alias("pass_all"))
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  **thresholds) -> DataFrame:
+    """Keep only rows passing every Gopher rule (gopher_rules)."""
+    return (df.withColumn("_g", gopher_rules(text_col, **thresholds))
+            .where(F.col("_g.pass_all")).drop("_g"))
+
+
 def lang_id(col: Column | str) -> Column:
     """Deterministic stopword-vote language ID: the language with the
     most marker-word hits wins; ties break by language code order.

@@ -453,7 +453,105 @@ FROM {prev} GROUP BY lang ORDER BY lang
 """)
 
 
+_NUMS = " ".join(str(i % 10) for i in range(40))
+_BULLETS = "- alpha beta\n- gamma delta\n- epsilon the of"
+
+
+def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality rules (operators/text.gopher_rules): per-lang
+    pass counts for every rule. Planted dirt makes each rule
+    non-vacuous -- every 7th doc gets a #-symbol run (symbol ratio),
+    every 11th becomes an all-bullet page, every 13th gains
+    ellipsis-terminated lines, every 17th a numeric-token run (alpha
+    fraction); the word-count band discriminates naturally (docs span
+    10-99 words around the 50 floor). The oracle re-derives the dirt
+    AND every verdict from exact integer counts."""
+    d = tbl(spark, sf, "documents").select("doc_id", "lang", "text")
+    t = F.col("text")
+    dirty = (F.when(F.col("doc_id") % 7 == 0,
+                    F.concat(t, F.lit(" " + "# " * 12)))
+             .when(F.col("doc_id") % 11 == 0, F.lit(_BULLETS))
+             .when(F.col("doc_id") % 13 == 0,
+                   F.concat(t, F.lit("\nfoo...\nbar...")))
+             .when(F.col("doc_id") % 17 == 0,
+                   F.concat(t, F.lit(" " + _NUMS)))
+             .otherwise(t))
+    g = d.select("lang", T.gopher_rules(dirty).alias("_g"))
+    aggs = [F.sum(F.col(f"_g.{r}").cast("int")).cast("bigint")
+            .alias(f"n_{r}")
+            for r in ("word_ok", "wl_ok", "sym_ok", "bullet_ok",
+                      "ellipsis_ok", "alpha_ok", "stop_ok", "pass_all")]
+    return (g.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+            .orderBy("lang"))
+
+
+def _gopher_sql() -> str:
+    hashes = " " + "# " * 12
+    stop_expr = " + ".join(
+        "CAST(list_contains(list_transform("
+        "regexp_split_to_array(trim(text), '\\s+'), "
+        f"t -> lower(t)), '{w}') AS INT)"
+        for w in ("the", "be", "to", "of", "and", "that",
+                  "have", "with"))
+    return f"""
+WITH dirty AS (
+  SELECT lang,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{hashes}'
+              WHEN doc_id % 11 = 0
+                THEN '- alpha beta' || chr(10) || '- gamma delta'
+                     || chr(10) || '- epsilon the of'
+              WHEN doc_id % 13 = 0
+                THEN text || chr(10) || 'foo...' || chr(10) || 'bar...'
+              WHEN doc_id % 17 = 0 THEN text || ' {_NUMS}'
+              ELSE text END AS text
+  FROM documents),
+feat AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         list_sum(list_transform(regexp_split_to_array(trim(text),
+                                                       '\\s+'),
+                                 t -> length(t))) AS sum_wl,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         greatest(len(string_split(text, chr(10))), 1) AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+         len(list_filter(string_split(text, chr(10)),
+             l -> ends_with(trim(l), '...'))) AS n_ell_lines,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+         {stop_expr} AS n_stop
+  FROM dirty),
+verdicts AS (
+  SELECT lang,
+         (n_words >= 50 AND n_words <= 100000) AS word_ok,
+         (sum_wl / greatest(n_words, 1) >= 3.0
+          AND sum_wl / greatest(n_words, 1) <= 10.0) AS wl_ok,
+         ((n_hash + n_ell) / greatest(n_words, 1) <= 0.1) AS sym_ok,
+         (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9) AS bullet_ok,
+         (CAST(n_ell_lines AS DOUBLE) / n_lines <= 0.3) AS ellipsis_ok,
+         (CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) >= 0.8)
+           AS alpha_ok,
+         (n_stop >= 2) AS stop_ok
+  FROM feat)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(word_ok AS INT)) AS BIGINT) AS n_word_ok,
+       CAST(SUM(CAST(wl_ok AS INT)) AS BIGINT) AS n_wl_ok,
+       CAST(SUM(CAST(sym_ok AS INT)) AS BIGINT) AS n_sym_ok,
+       CAST(SUM(CAST(bullet_ok AS INT)) AS BIGINT) AS n_bullet_ok,
+       CAST(SUM(CAST(ellipsis_ok AS INT)) AS BIGINT) AS n_ellipsis_ok,
+       CAST(SUM(CAST(alpha_ok AS INT)) AS BIGINT) AS n_alpha_ok,
+       CAST(SUM(CAST(stop_ok AS INT)) AS BIGINT) AS n_stop_ok,
+       CAST(SUM(CAST((word_ok AND wl_ok AND sym_ok AND bullet_ok
+                      AND ellipsis_ok AND alpha_ok AND stop_ok)
+                     AS INT)) AS BIGINT) AS n_pass_all
+FROM verdicts GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "text_gopher_rules": QueryDef(text_gopher_rules, _gopher_sql()),
     "text_normalize": QueryDef(text_normalize, _normalize_sql()),
     "text_tfidf_terms": QueryDef(text_tfidf_terms, _TEXT_TFIDF_SQL),
     "text_lm_perplexity": QueryDef(text_lm_perplexity, _TEXT_LM_SQL),

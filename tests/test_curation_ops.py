@@ -460,3 +460,33 @@ def test_cap_per_key_two_level_equals_single_window(spark):
                C.cap_per_key(df.repartition(11), 20, key_col="source",
                              id_col="doc_id", salt=8).collect())
     assert a == c
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Every Gopher rule verdict flips on a targeted violator and holds
+    on a clean doc; gopher_filter keeps only the clean doc."""
+    from bodo_spark.operators.text import gopher_filter, gopher_rules
+
+    clean = ("the quick brown fox and that dog have fun with words "
+             * 6)[:-1]                      # ~60 words, stopwords, alpha
+    rows = [
+        (0, clean),
+        (1, "short doc the of"),                          # word_ok fails
+        (2, clean + " " + "# " * 20),                     # sym_ok fails
+        (3, "- a the of\n- b and\n- c that"),             # bullet fails
+        (4, clean + "\nfoo...\nbar...\nbaz..."),          # ellipsis fails
+        (5, clean + " " + " ".join(str(i) for i in range(60))),  # alpha
+        (6, ("zzz qqq www eee rrr ttt yyy uuu iii ooo " * 6)[:-1]),
+    ]                                                     # stop_ok fails
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {r.doc_id: r.g.asDict() for r in
+         df.select("doc_id", gopher_rules("text").alias("g")).collect()}
+    assert g[0]["pass_all"]
+    assert not g[1]["word_ok"] and not g[1]["pass_all"]
+    assert not g[2]["sym_ok"] and g[2]["word_ok"]
+    assert not g[3]["bullet_ok"]
+    assert not g[4]["ellipsis_ok"]
+    assert not g[5]["alpha_ok"]
+    assert not g[6]["stop_ok"]
+    kept = [r.doc_id for r in gopher_filter(df).collect()]
+    assert kept == [0]
