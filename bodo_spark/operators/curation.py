@@ -244,6 +244,38 @@ def domain_mix_sample(df: DataFrame, weights: dict[str, float], *,
             .drop("_keep_frac"))
 
 
+def weighted_sample(df: DataFrame, n: int, *, weight_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006
+    A-ES): the n rows with the largest u^(1/w) survive, where u is the
+    row's deterministic u01_hash -- inclusion probability proportional
+    to weight, reproducible across runs/retries/engines (the u01
+    property domain_mix_sample relies on, extended to per-row weights
+    -- e.g. sample training docs proportional to a quality score or
+    token count). Implemented as ln(u)/w to avoid pow's cross-engine
+    rounding: ln is monotone, so the top-n by ln(u)/w descending is
+    EXACTLY the top-n by u^(1/w); the ratio of two exactly-representable
+    doubles followed by one libm ln agrees across engines (same
+    discipline as the LM scorer), with (key, id) as the total order.
+
+    Scale: orderBy+limit compiles to TakeOrderedAndProject -- per-
+    partition top-n then a driver merge of n*partitions candidates, no
+    global sort, no skew (the same reason top-k queries scale).
+    Non-positive or NULL weights never survive (P=0). Keys are rounded
+    to 12 dp (absorbs libm ln's 1-ulp engine spread; ties break on
+    id); rows hashing to u exactly 0 (ids ≡ 0 mod 2^31) sort last
+    under u^(1/w) anyway and are excluded like non-positive weights."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = u01_hash(id_col)
+    w = F.col(weight_col).cast("double")
+    key = F.when((w > 0) & (u > 0), F.round(F.log(u) / w, 12))
+    return (df.withColumn("_k", key)
+            .where(F.col("_k").isNotNull())
+            .orderBy(F.col("_k").desc(), F.col(id_col))
+            .limit(n).drop("_k"))
+
+
 def cap_per_key(df: DataFrame, cap: int, *, key_col: str = "source",
                 id_col: str = "doc_id", salt: int = 16) -> DataFrame:
     """Keep at most ``cap`` rows per key -- the RefinedWeb/C4 'max

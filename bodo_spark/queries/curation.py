@@ -1020,7 +1020,43 @@ FROM r WHERE rn <= 30 GROUP BY source ORDER BY source
 """
 
 
+def cur_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (curation.weighted_sample,
+    Efraimidis-Spirakis): 60 docs sampled with probability ∝ token
+    count. The oracle re-derives the ln(u01)/w keys and the identical
+    survivor set (per-lang count + id_xor + token mass)."""
+    from ..operators.text import token_count
+    d = (tbl(spark, sf, "documents").select("doc_id", "lang", "text")
+         .withColumn("w", token_count("text")))
+    kept = C.weighted_sample(d, 60, weight_col="w", id_col="doc_id")
+    return (kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.bit_xor("doc_id").alias("id_xor"),
+        F.sum("w").cast("bigint").alias("tok_mass"))
+        .orderBy("lang"))
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS w,
+         CAST(((doc_id % 2147483648) * 2654435761) % 4294967296
+              AS DOUBLE) / 4294967296.0 AS u
+  FROM documents),
+keyed AS (
+  SELECT doc_id, lang, w,
+         round(ln(u) / w, 12) AS k
+  FROM base WHERE w > 0 AND u > 0),
+top AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 60)
+SELECT lang, COUNT(*) AS n_kept, bit_xor(doc_id) AS id_xor,
+       CAST(SUM(w) AS BIGINT) AS tok_mass
+FROM top GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_weighted_sample": QueryDef(cur_weighted_sample,
+                                    _WEIGHTED_SAMPLE_SQL),
     "cur_domain_cap": QueryDef(cur_domain_cap, _DOMAIN_CAP_SQL),
     "cur_pretrain_e2e": QueryDef(cur_pretrain_e2e, _pretrain_sql_materialized()),
     "cur_perplexity_filter": QueryDef(cur_perplexity_filter, _PPLX_SQL),

@@ -490,3 +490,26 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not g[6]["stop_ok"]
     kept = [r.doc_id for r in gopher_filter(df).collect()]
     assert kept == [0]
+
+
+def test_weighted_sample_properties(spark):
+    """Efraimidis-Spirakis sampler: deterministic across partitionings,
+    inclusion frequency tracks weights (heavy rows sampled far more
+    often across disjoint id offsets), n >= population returns all
+    positive-weight rows, non-positive weights never survive."""
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(1, 2001)]
+    rows += [(5000, 0.0), (5001, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = sorted(r.doc_id for r in
+               C.weighted_sample(df, 100, weight_col="w").collect())
+    b = sorted(r.doc_id for r in
+               C.weighted_sample(df.repartition(17), 100,
+                                 weight_col="w").collect())
+    assert a == b and len(a) == 100
+    heavy = sum(1 for i in a if i % 10 == 0)
+    # 200 heavy rows at w=100 vs 1800 light at w=1: heavy should
+    # dominate the sample decisively (expected ~90+)
+    assert heavy >= 60, heavy
+    assert 5000 not in a and 5001 not in a
+    allpos = C.weighted_sample(df, 10_000, weight_col="w").count()
+    assert allpos == 2000
