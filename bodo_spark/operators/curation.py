@@ -614,6 +614,8 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
                       quality_bias: float = 0.0,
                       quality_cutoff: float = 0.5,
                       mix_weights: dict[str, float] | None = None,
+                      gopher: bool = False,
+                      domain_cap: int | None = None,
                       domain_col: str = "source",
                       capacity: int = 256,
                       checkpoint_dir: str | None = None) -> DataFrame:
@@ -707,6 +709,12 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
     # inner join doubles as the <2-token guard: unscoreable docs
     # (emptied by excision) carry no score row and drop here
     cur = cur.join(kept_ids, id_col)
+    if gopher:
+        # rule verdicts need CLEANED text, so this runs after line
+        # dedup + span excision (the RefinedWeb order); pure JVM
+        # expressions, fused into the same scan as the quality cutoff
+        from .text import gopher_rules
+        cur = cur.where(gopher_rules(F.col(text_col))["pass_all"])
     if quality_weights is not None:
         import math
         z = hashed_quality_score(F.col(text_col), quality_weights,
@@ -720,6 +728,9 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
         flagged = pairs.select(F.col("corpus_id").alias(id_col)).distinct()
         cur = cur.join(F.broadcast(flagged), id_col, "left_anti")
     cur = _stage(cur, "filtered")
+    if domain_cap is not None:
+        cur = cap_per_key(cur, domain_cap, key_col=domain_col,
+                          id_col=id_col)
     if mix_weights is not None:
         cur = domain_mix_sample(cur, mix_weights, domain_col=domain_col,
                                 id_col=id_col)

@@ -513,3 +513,41 @@ def test_weighted_sample_properties(spark):
     assert 5000 not in a and 5001 not in a
     allpos = C.weighted_sample(df, 10_000, weight_col="w").count()
     assert allpos == 2000
+
+
+def test_pretrain_pipeline_gopher_and_domain_cap_stages(spark):
+    """The optional gopher and domain_cap capstone stages: a
+    rule-violating page is dropped when gopher=True, survives
+    otherwise; domain_cap bounds each source's surviving docs."""
+    # interleave stopwords with per-doc-unique tokens: no shared
+    # shingles/grams, so the dedup stages leave every doc intact and
+    # the gopher/cap deltas are attributable
+    sws = ["the", "and", "that", "have", "with", "of"] * 5
+    def page(i):
+        return " ".join(f"{sw} u{i}x{j}" for j, sw in enumerate(sws))
+    rows = [(i, "src" + str(i % 2), page(i)) for i in range(10)]
+    # symbol dirt with UNIQUE tokens: a repeated '# # #' run is itself
+    # a duplicated span, and the excision stage (correctly) strips it
+    # before the rules run -- the violator must survive cleaning
+    rows.append((50, "src0", page(50) + " "
+                 + " ".join(f"#m{j}" for j in range(30))))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    kw = dict(bench=None, span=20, pplx_p=0.01, mix_weights=None,
+              quality_weights=None, capacity=64, line_max_doc_freq=1)
+    plain = {d for d, _ in
+             ((r["doc_id"], r["chunk_id"]) for r in
+              C.pretrain_pipeline(df, **kw).collect())}
+    D.unpersist_cached()
+    assert 50 in plain
+    gop = {r["doc_id"] for r in
+           C.pretrain_pipeline(df, gopher=True, **kw).collect()}
+    D.unpersist_cached()
+    assert 50 not in gop and len(gop) >= 8
+    capped = C.pretrain_pipeline(df, domain_cap=3, **kw)
+    per_src = {r["source"]: r["n"] for r in
+               capped.select("doc_id", "source").distinct()
+               .groupBy("source").agg(F.count("*").alias("n"))
+               .collect()}
+    D.unpersist_cached()
+    assert per_src and all(v <= 3 for v in per_src.values()), per_src
