@@ -699,3 +699,57 @@ ORDER BY g.win_start
 
 QUERIES["stream_dataset_profile"] = QueryDef(stream_dataset_profile,
                                              _STREAM_PROFILE_SQL)
+
+
+def stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming decontamination (streaming/dedup.py
+    stream_decontaminate_new_rows): the benchmark slice's distinct
+    5-grams are indexed to parquet once; the training corpus streams
+    through as a 2-file source and docs sharing any gram are dropped.
+    Shares cur_decontaminate's oracle verbatim (queries/curation.py)
+    -- the stream must keep the identical docs."""
+    from ..operators.dedup import word_shingles
+    from ..streaming import (read_stream_parquet, run_available_now,
+                             stream_decontaminate_new_rows)
+
+    d = tbl(spark, sf, "documents").select("doc_id", "source", "text")
+    bench = d.where(F.col("doc_id") % 19 == 0)
+    train = d.where(F.col("doc_id") % 19 != 0)
+    stage = f"/tmp/bodo_spark_sdec_{uuid.uuid4().hex[:8]}"
+    try:
+        (bench.select(F.explode(
+            word_shingles("text", 5, distinct=False)).alias("gram"))
+         .distinct().write.mode("overwrite").parquet(f"{stage}/idx"))
+        train.repartition(2).write.mode("overwrite") \
+            .parquet(f"{stage}/batch")
+        idx = spark.read.parquet(f"{stage}/idx")
+        stream = read_stream_parquet(spark, f"{stage}/batch",
+                                     train.schema,
+                                     max_files_per_trigger=1)
+        clean = stream_decontaminate_new_rows(
+            stream.select("doc_id", "text"), idx, k=5)
+        res = run_available_now(clean, f"t_sdec_{uuid.uuid4().hex[:8]}",
+                                output_mode="update")
+        tot = train.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_train"))
+        kept = (res.join(train.select("doc_id", "source"), "doc_id")
+                .groupBy("source").agg(F.count(F.lit(1))
+                                       .alias("n_clean")))
+        return (tot.join(kept, "source", "left")
+                .select("source", "n_train",
+                        F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+                        (F.col("n_train")
+                         - F.coalesce("n_clean", F.lit(0)))
+                        .alias("n_dropped"))
+                .orderBy("source"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stream_decon_sql() -> str:
+    from .curation import _DECON_SQL
+    return _DECON_SQL
+
+
+QUERIES["stream_decontaminate"] = QueryDef(stream_decontaminate,
+                                           _stream_decon_sql())

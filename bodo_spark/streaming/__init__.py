@@ -12,6 +12,7 @@ workloads run on the same engine.
 
 from .dedup import (  # noqa: F401
     stream_bloom_new_rows,
+    stream_decontaminate_new_rows,
     stream_drop_boilerplate_lines,
     stream_excise_spans,
     stream_minhash_flags,

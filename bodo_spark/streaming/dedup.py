@@ -278,3 +278,55 @@ def stream_semantic_new_rows(
     return semantic_dedup_between(stream_vecs, index, centroids,
                                   eps=eps, id_col=id_col,
                                   vec_col=vec_col, coarse_dim=coarse_dim)
+
+
+def stream_decontaminate_new_rows(
+    stream_docs: DataFrame,
+    bench_grams: DataFrame,
+    *,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming benchmark decontamination against a stored gram index
+    (the batch operator's ``bench`` side, distinct word k-grams written
+    to parquet once): emit only the arriving docs that share NO k-gram
+    with the benchmark -- operators/curation.decontaminate's streaming
+    twin, the index-once pattern once more.
+
+    Plan: stateless gram posexplode (outer -- gram-less short docs must
+    survive) -> ONE stream-static LEFT join against the gram index ->
+    per-doc any-hit reduction in applyInPandasWithState (grouping
+    vehicle only, state unused: a source row's grams land in one
+    micro-batch together). Emits the original (id, text) of clean
+    docs."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.dedup import word_shingles
+
+    ex = stream_docs.select(
+        F.col(id_col), F.col(text_col),
+        F.posexplode_outer(word_shingles(text_col, k, distinct=False))
+        .alias("_pos", "_gram"))
+    idx = bench_grams.select(F.col("gram").alias("_ig")).distinct() \
+        .withColumn("_in", F.lit(1))
+    flagged = (ex.join(idx, ex["_gram"] == F.col("_ig"), "left")
+               .withColumn("_hit", F.col("_in").isNotNull())
+               .select(id_col, text_col, "_hit"))
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        hit = False
+        text = None
+        for pdf in pdfs:
+            if len(pdf):
+                text = pdf[text_col].iloc[0]
+                hit = hit or bool(pdf["_hit"].any())
+        state.update((0,))
+        if not hit:
+            yield pd.DataFrame({id_col: [key[0]], text_col: [text]})
+
+    return (flagged.groupBy(id_col)
+            .applyInPandasWithState(
+                fn, f"{id_col} long, {text_col} string", "dummy int",
+                "update", GroupStateTimeout.NoTimeout))
