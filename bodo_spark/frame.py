@@ -1090,6 +1090,43 @@ class BodoDataFrame:
                                   threshold=threshold, **minhash_kw)
         return BodoDataFrame(dedup_survivors(self._df, pairs, id_col))
 
+    def gopher_filter(self, text_col: str = "text",
+                      **thresholds) -> "BodoDataFrame":
+        """Gopher quality rules as a frame filter
+        (operators/text.gopher_filter)."""
+        from .operators.text import gopher_filter
+        return BodoDataFrame(gopher_filter(self._df, text_col,
+                                           **thresholds))
+
+    def cap_per_domain(self, cap: int, domain_col: str = "source",
+                       id_col: str = "doc_id") -> "BodoDataFrame":
+        """At most ``cap`` deterministic rows per domain (skew-safe
+        two-level top-k; operators/curation.cap_per_key)."""
+        from .operators.curation import cap_per_key
+        return BodoDataFrame(cap_per_key(self._df, cap,
+                                         key_col=domain_col,
+                                         id_col=id_col))
+
+    def weighted_sample(self, n: int, weight_col: str,
+                        id_col: str = "doc_id") -> "BodoDataFrame":
+        """Deterministic weighted sampling without replacement
+        (operators/curation.weighted_sample, Efraimidis-Spirakis)."""
+        from .operators.curation import weighted_sample
+        return BodoDataFrame(weighted_sample(self._df, n,
+                                             weight_col=weight_col,
+                                             id_col=id_col))
+
+    def dataset_profile(self, by: str = "source",
+                        text_col: str = "text",
+                        lang_col: str | None = "lang",
+                        **kw) -> "BodoDataFrame":
+        """One-pass per-domain data card
+        (operators/sketches.dataset_profile)."""
+        from .operators.sketches import dataset_profile
+        return BodoDataFrame(dataset_profile(self._df, by=by,
+                                             text_col=text_col,
+                                             lang_col=lang_col, **kw))
+
     def drop_duplicates(self, subset: list[str] | None = None) -> "BodoDataFrame":
         return BodoDataFrame(self._df.dropDuplicates(subset))
 

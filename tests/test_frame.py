@@ -1097,3 +1097,33 @@ def test_dt_components_and_state(spark):
 
     s = d2["x"]
     assert s.convert_dtypes() is s
+
+
+def test_round10_frame_method_surfaces(spark):
+    """The round-10 curation ops are reachable from the pandas-flavored
+    frame: gopher_filter, cap_per_domain, weighted_sample,
+    dataset_profile."""
+    from pyspark.sql import functions as F
+
+    from bodo_spark.frame import BodoDataFrame
+
+    clean = ("the quick brown fox and that dog have fun with words "
+             * 6)[:-1]
+    rows = [(i, "s" + str(i % 2), "en", clean + f" unique{i}")
+            for i in range(12)]
+    rows.append((99, "s0", "en", "tiny"))
+    df = BodoDataFrame(spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"))
+    kept = df.gopher_filter()
+    ids = {r.doc_id for r in kept._df.collect()}
+    assert 99 not in ids and len(ids) == 12
+    capped = df.cap_per_domain(3)._df
+    per = {r.source: r.n for r in capped.groupBy("source")
+           .agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 3 for v in per.values())
+    w = df._df.withColumn("w", F.length("text"))
+    samp = BodoDataFrame(w).weighted_sample(5, "w")._df
+    assert samp.count() == 5
+    prof = df.dataset_profile(kll_k=64)._df.collect()
+    assert {r.source for r in prof} == {"s0", "s1"}
+    assert all(r.n_docs >= 6 for r in prof)
