@@ -169,6 +169,33 @@ def pq_encode(vectors: DataFrame, codebooks: list, *,
                     .alias(out_col)))
 
 
+def _query_luts(queries: DataFrame, codebooks: list, *,
+                q_id_col: str = "q_id",
+                q_vec_col: str = "q_vec") -> DataFrame:
+    """Per-query ADC lookup tables: one (q_id, _lut array<array<double>>)
+    row per query -- subspace-major, codeword-minor, each entry the
+    rounded two-dot distance term. Built by cross-joining the tiny
+    query frame against the broadcast codebook frame and folding back;
+    all intermediates are ~queries * m * k rows."""
+    d = len(codebooks[0][0])
+    cb = _codebook_frame(queries.sparkSession, codebooks)
+    qsub = F.slice(F.col(q_vec_col), F.col("_j") * d + 1, d)
+    lut_cell = (queries.select(q_id_col, q_vec_col)
+                .crossJoin(F.broadcast(cb))
+                .withColumn("_lv", F.round(
+                    F.col("_cc") - 2 * dot(qsub, F.col("_cw")), 9)))
+    per_j = (lut_cell.groupBy(q_id_col, "_j")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col("_cid"), F.col("_lv")))),
+                 lambda s: s["_lv"]).alias("_row")))
+    return (per_j.groupBy(q_id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_j"), F.col("_row")))),
+                lambda s: s["_row"]).alias("_lut")))
+
+
 def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
             k: int = 5, id_col: str = "vec_id", code_col: str = "code",
             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
@@ -197,25 +224,8 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
     IO the codes pass avoided stays avoided. ``adist`` is then the
     EXACT two-dot distance."""
     m = len(codebooks)
-    d = len(codebooks[0][0])
-    cb = _codebook_frame(queries.sparkSession, codebooks)
-    qsub = F.slice(F.col(q_vec_col), F.col("_j") * d + 1, d)
-    lut_cell = (queries.select(q_id_col, q_vec_col)
-                .crossJoin(F.broadcast(cb))
-                .withColumn("_lv", F.round(
-                    F.col("_cc") - 2 * dot(qsub, F.col("_cw")), 9)))
-    # (q, j, cid, lv) -> per-(q, j) codeword arrays ordered by cid ->
-    # per-q subspace arrays ordered by j (rows ~ queries * m -- tiny)
-    per_j = (lut_cell.groupBy(q_id_col, "_j")
-             .agg(F.transform(
-                 F.array_sort(F.collect_list(
-                     F.struct(F.col("_cid"), F.col("_lv")))),
-                 lambda s: s["_lv"]).alias("_row")))
-    luts = (per_j.groupBy(q_id_col)
-            .agg(F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct(F.col("_j"), F.col("_row")))),
-                lambda s: s["_row"]).alias("_lut")))
+    luts = _query_luts(queries, codebooks, q_id_col=q_id_col,
+                       q_vec_col=q_vec_col)
     # decimal-sum policy (queries/_util.py): the m looked-up terms are
     # exact 9dp decimals, so a decimal fold is order-independent and
     # bit-identical to the oracle's SUM(DECIMAL) -- a double fold could
@@ -247,6 +257,84 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
                 .join(F.broadcast(qv), F.col(q_id_col) == F.col("_qid"))
                 .select(q_id_col, id_col, exact.alias("adist")))
     return (rescored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select(q_id_col, id_col, "adist",
+                    F.col("rn").cast("bigint").alias("rn")))
+
+
+def ivf_pq_index(vectors: DataFrame, codebooks: list, *,
+                 n_cells: int = 8, centroids: list | None = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 coarse_dim: int = 16,
+                 scorer: str = "expr") -> DataFrame:
+    """The combined IVF-PQ search artifact: ``(id, cell, code)`` -- the
+    coarse cell route plus the m-int PQ code, i.e. the classic
+    FAISS-style IVF-PQ inverted file as a plain DataFrame (write it to
+    parquet once; searches never touch the raw vectors). Built in one
+    composition: the IVF centroid table assigns cells (broadcast cross
+    join + map-side max_by), pq_encode produces codes, joined on the
+    row id."""
+    from .similarity import _centroid_table, assign_nearest_cell
+
+    cents = _centroid_table(vectors, centroids, n_cells, coarse_dim,
+                            id_col, vec_col)
+    cells = assign_nearest_cell(
+        _ensure_scan_width(vectors).select(id_col, vec_col), cents,
+        vec_col=vec_col, key_col=id_col,
+        coarse_dim=coarse_dim).select(id_col, "_cell")
+    codes = pq_encode(vectors, codebooks, id_col=id_col,
+                      vec_col=vec_col, scorer=scorer)
+    return (codes.join(cells, id_col)
+            .select(id_col, F.col("_cell").alias("cell"), "code"))
+
+
+def ivf_pq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,
+                codebooks: list, *, k: int = 5, n_probe: int = 2,
+                n_cells: int = 8, centroids: list | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                coarse_dim: int = 16) -> DataFrame:
+    """IVF-PQ search over the inverted file: each query probes its
+    ``n_probe`` nearest cells and ADC-scores ONLY those cells' code
+    rows. Returns (q_id, vec_id, adist, rn).
+
+    Scale design -- the point of the whole structure: the scored pass
+    reads m ints per vector for ~n_probe/n_cells of the corpus (cell
+    pruning x PQ compression multiply), against broadcast LUTs; the
+    raw vector column is never touched at search time (``vectors`` is
+    used only to derive the deterministic centroid table -- pass
+    ``centroids`` and it is not read at all). The only exchange on
+    corpus-sized data is the hash join on the cell id."""
+    from pyspark.sql import Window as Wnd
+
+    from .similarity import _centroid_table
+
+    cents = _centroid_table(vectors, centroids, n_cells, coarse_dim,
+                            id_col, vec_col)
+    tv = F.slice(F.col(q_vec_col), 1, coarse_dim)
+    tn = F.sqrt(dot(tv, tv))
+    qscored = (queries.select(q_id_col, q_vec_col)
+               .crossJoin(F.broadcast(cents))
+               .withColumn("_ccos",
+                           F.round(dot(tv, F.col("_cvec"))
+                                   / (tn * F.col("_cn")), 9)))
+    w = Wnd.partitionBy(q_id_col).orderBy(F.col("_ccos").desc(), "_cid")
+    qprobe = (qscored.withColumn("_crn", F.row_number().over(w))
+              .where(F.col("_crn") <= n_probe)
+              .select(q_id_col, F.col("_cid").alias("cell")))
+    luts = _query_luts(queries, codebooks, q_id_col=q_id_col,
+                       q_vec_col=q_vec_col)
+    cand = (index.join(F.broadcast(qprobe), "cell")
+            .join(F.broadcast(luts), q_id_col))
+    score = F.round(F.aggregate(
+        F.zip_with(F.col("code"), F.col("_lut"),
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, x: (acc + x.cast("decimal(28,9)"))
+        .cast("decimal(28,9)")).cast("double"), 6)
+    scored = cand.select(q_id_col, id_col, score.alias("adist"))
+    wk = Wnd.partitionBy(q_id_col).orderBy("adist", id_col)
+    return (scored.withColumn("rn", F.row_number().over(wk))
             .where(F.col("rn") <= k)
             .select(q_id_col, id_col, "adist",
                     F.col("rn").cast("bigint").alias("rn")))

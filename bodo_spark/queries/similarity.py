@@ -561,7 +561,67 @@ ORDER BY q_id, rn
 """
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ (operators/pq.py ivf_pq_index + ivf_pq_topk): the
+    FAISS-style inverted file -- 8 deterministic coarse cells x
+    m=4/k=16 PQ codes -- searched with 2-probe ADC. The scored pass
+    reads only the probed cells' code rows (cell pruning x 16x
+    compression multiply); raw vectors are never touched at search
+    time. The oracle re-derives cells, codes, probe lists, LUTs and
+    the ranking."""
+    from ..operators import pq as PQ
+    emb = tbl(spark, sf, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    idx = PQ.ivf_pq_index(emb, cbs, n_cells=8)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (PQ.ivf_pq_topk(idx, queries, emb, cbs, k=5, n_probe=2,
+                           n_cells=8)
+            .where(F.col("vec_id") != F.col("q_id"))
+            .orderBy("q_id", "rn"))
+
+
+_IVF_PQ_SQL = _PQ_BODY.replace("q AS (", """cents8 AS (
+  SELECT vec_id AS ccid, embedding[1:16] AS ccvec
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+asg AS (
+  SELECT e.vec_id, c.ccid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(-(list_dot_product(CAST(e.embedding[1:16]
+                                                    AS DOUBLE[]),
+                                               CAST(c.ccvec AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding[1:16]
+                                             AS DOUBLE[]),
+                                        CAST(e.embedding[1:16]
+                                             AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.ccvec AS DOUBLE[]),
+                                          CAST(c.ccvec AS DOUBLE[]))))),
+                      9), c.ccid) AS crn
+  FROM embeddings e CROSS JOIN cents8 c),
+cells AS (SELECT vec_id, ccid AS cell FROM asg WHERE crn = 1),
+qprobe AS (SELECT vec_id AS q_id, ccid AS cell
+           FROM asg WHERE vec_id < 3 AND crn <= 2),
+q AS (""") + """,
+short AS (
+  SELECT l.q_id, co.vec_id,
+         round(CAST(SUM(CAST(l.lv AS DECIMAL(28,9))) AS DOUBLE), 6)
+           AS adist
+  FROM code co
+  JOIN cells ce ON co.vec_id = ce.vec_id
+  JOIN qprobe p ON ce.cell = p.cell
+  JOIN lut l ON l.q_id = p.q_id AND co.j = l.j AND co.cid = l.cid
+  GROUP BY l.q_id, co.vec_id)
+SELECT q_id, vec_id, adist,
+       row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+FROM short
+QUALIFY rn <= 5 AND vec_id <> q_id
+ORDER BY q_id, rn
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "ann_ivf_pq_topk": QueryDef(ann_ivf_pq_topk, _IVF_PQ_SQL),
     "ann_pq_topk": QueryDef(ann_pq_topk, _PQ_SQL),
     "ann_pq_refine_topk": QueryDef(ann_pq_refine_topk, _PQ_REFINE_SQL),
     "emb_semdedup_ingest": QueryDef(emb_semdedup_ingest,

@@ -353,3 +353,28 @@ def test_pq_trained_codebooks_recall_on_clustered_corpus(spark):
     refined = recall(trained_cbs, refine=corpus, shortlist=60)
     assert refined >= 0.65, (refined, trained)
     assert refined > trained
+
+
+def test_ivf_pq_full_probe_equals_flat_pq(spark):
+    """IVF-PQ with every cell probed returns exactly the flat PQ ADC
+    ranking (cell pruning is the ONLY difference); 2-probe search
+    still finds each seed query's own code row first."""
+    from bodo_spark.operators import pq as P
+    from bodo_spark.queries._util import tbl
+    from pyspark.sql import functions as F
+
+    emb = tbl(spark, SF_DIR, "embeddings")
+    cbs = P.lowest_id_pq_codebooks(emb, m=4, k=16)
+    idx = P.ivf_pq_index(emb, cbs, n_cells=4)
+    q = (emb.where(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    full = sorted(map(tuple, P.ivf_pq_topk(
+        idx, q, emb, cbs, k=5, n_probe=4, n_cells=4).collect()))
+    flat = sorted(map(tuple, P.pq_topk(
+        P.pq_encode(emb, cbs), q, cbs, k=5).collect()))
+    assert full == flat
+    probed = {r.q_id: r.vec_id for r in
+              P.ivf_pq_topk(idx, q, emb, cbs, k=1, n_probe=2,
+                            n_cells=4).collect()}
+    assert probed == {0: 0, 1: 1, 2: 2}
