@@ -274,14 +274,30 @@ def ivf_pq_index(vectors: DataFrame, codebooks: list, *,
     composition: the IVF centroid table assigns cells (broadcast cross
     join + map-side max_by), pq_encode produces codes, joined on the
     row id."""
-    from .similarity import _centroid_table, assign_nearest_cell
+    from .similarity import (_centroid_table, assign_nearest_cell,
+                             cell_assigner_udf)
 
-    cents = _centroid_table(vectors, centroids, n_cells, coarse_dim,
-                            id_col, vec_col)
-    cells = assign_nearest_cell(
-        _ensure_scan_width(vectors).select(id_col, vec_col), cents,
-        vec_col=vec_col, key_col=id_col,
-        coarse_dim=coarse_dim).select(id_col, "_cell")
+    if centroids is not None:
+        # driver-side centroid list -> gemm assignment (one
+        # (batch x k) matmul per Arrow batch, no crossJoin): at 200k
+        # vectors x 781 trained cells the expr path's 156M interpreted
+        # fold-dots measured 328 s of index build; the gemm UDF is the
+        # same cutover semantic_dedup's blas scorer uses, with
+        # identical rounding/tie rules. Cell ids are list POSITIONS
+        # here (matching ivf_pq_topk's probe list for explicit
+        # centroids).
+        cells = (_ensure_scan_width(vectors).select(id_col, vec_col)
+                 .withColumn("_cell",
+                             cell_assigner_udf(centroids, coarse_dim)(
+                                 F.col(vec_col)))
+                 .select(id_col, "_cell"))
+    else:
+        cents = _centroid_table(vectors, None, n_cells, coarse_dim,
+                                id_col, vec_col)
+        cells = assign_nearest_cell(
+            _ensure_scan_width(vectors).select(id_col, vec_col), cents,
+            vec_col=vec_col, key_col=id_col,
+            coarse_dim=coarse_dim).select(id_col, "_cell")
     codes = pq_encode(vectors, codebooks, id_col=id_col,
                       vec_col=vec_col, scorer=scorer)
     return (codes.join(cells, id_col)
