@@ -197,3 +197,29 @@ def test_semantic_dedup_single_cell_shuffle(spark):
         assert first.startswith("_cell") or first.startswith("vec_id"), \
             (first, shuffles)
     unpersist_cached()
+
+
+def test_pq_adc_scored_pass_plan(spark):
+    """PQ ADC search plan contract: the corpus-sized scored pass is
+    pure JVM (zero Python eval nodes -- the only pandas_udf in the
+    family is the optional blas encoder), LUTs and probe lists ride
+    broadcast exchanges, and every hash shuffle keys on the query id
+    (the top-k window) or the row id (the encode combine) -- never on
+    the code/vector payload."""
+    import re
+
+    from bodo_spark.operators import pq as P
+    emb = tbl(spark, SF_DIR, "embeddings")
+    cbs = P.lowest_id_pq_codebooks(emb, m=4, k=16)
+    codes = P.pq_encode(emb, cbs)
+    q = (emb.where("vec_id < 3")
+         .selectExpr("vec_id AS q_id", "embedding AS q_vec"))
+    out = P.pq_topk(codes, q, cbs, k=5)
+    p = plan_str(out)
+    assert "BroadcastExchange" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    shuffles = re.findall(r"hashpartitioning\(([^)]+)\)", p)
+    for keys in shuffles:
+        first = keys.split(",")[0].strip()
+        assert first.startswith("q_id") or first.startswith("vec_id"), \
+            (first, shuffles)
