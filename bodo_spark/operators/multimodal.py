@@ -585,6 +585,12 @@ def audio_fingerprint(df: DataFrame, media_col: str = "media",
     (banding, pairing, verification) is JVM."""
     if not 2 <= n_bits <= 64:
         raise ValueError("n_bits must be in [2, 64]")
+    if mode == "spectral" and n_bits % 8:
+        # the 2-D rule emits 8 bits per segment row; a non-multiple
+        # would silently truncate to (n_bits//8)*8 bits and weaken the
+        # downstream Hamming-band pigeonhole guarantee
+        raise ValueError("mode='spectral' needs n_bits % 8 == 0, "
+                         f"got {n_bits}")
     segs = n_bits + 1
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),

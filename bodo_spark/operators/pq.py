@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from .similarity import _ensure_scan_width, _round_half_up, dot
 
 __all__ = ["lowest_id_pq_codebooks", "train_pq_codebooks", "pq_encode",
-           "pq_topk"]
+           "pq_topk", "ivf_pq_index", "ivf_pq_topk", "pq_reconstruction_mse",
+           "pq_compact"]
 
 
 def lowest_id_pq_codebooks(vectors: DataFrame, *, m: int = 4, k: int = 16,
@@ -93,10 +94,19 @@ def train_pq_codebooks(vectors: DataFrame, *, m: int = 8, k: int = 256,
             # argmin l2 via the same two-dot form the engine ranks by
             dist = (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
             a = dist.argmin(axis=1)
+            # re-seed empty clusters to the worst-served point (largest
+            # distance to its assigned centroid -- the train_ivf_centroids
+            # recipe): a stale centroid would duplicate a codeword and
+            # waste code space
+            best = dist.min(axis=1)
             for c in range(k):
                 mask = a == c
                 if mask.any():
                     C[c] = S[mask].mean(axis=0)
+                else:
+                    worst = int(np.argmax(best))
+                    C[c] = S[worst]
+                    best[worst] = -np.inf  # don't reuse for another empty
         cbs.append([[float(x) for x in row] for row in C])
     return cbs
 
@@ -200,6 +210,7 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
             k: int = 5, id_col: str = "vec_id", code_col: str = "code",
             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
             refine: DataFrame | None = None,
+            refine_vec_col: str | None = None,
             shortlist: int = 0) -> DataFrame:
     """ADC top-k over the encoded corpus: returns
     ``(q_id, vec_id, adist, rn)`` with rn 1..k by ascending approximate
@@ -247,7 +258,23 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
     short = shortlist or 4 * k
     cand = (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= short).drop("rn", "adist"))
-    vec_col = [c for c in refine.columns if c != id_col][0]
+    # explicit refine_vec_col wins; the positional fallback validates the
+    # chosen column IS an array (a refine frame with, e.g., a label column
+    # listed first would otherwise silently re-rank on the wrong column)
+    from pyspark.sql.types import ArrayType
+    if refine_vec_col is not None:
+        vec_col = refine_vec_col
+        if vec_col not in refine.columns:
+            raise ValueError(f"refine_vec_col {vec_col!r} not in refine "
+                             f"columns {refine.columns}")
+    else:
+        arrays = [f.name for f in refine.schema.fields
+                  if f.name != id_col and isinstance(f.dataType, ArrayType)]
+        if not arrays:
+            raise ValueError("refine frame has no array-typed vector "
+                             f"column besides {id_col!r}; pass "
+                             "refine_vec_col explicitly")
+        vec_col = arrays[0]
     raw = refine.select(id_col, vec_col)
     qv = queries.select(F.col(q_id_col).alias("_qid"),
                         F.col(q_vec_col).alias("_qv"))
@@ -266,6 +293,7 @@ def ivf_pq_index(vectors: DataFrame, codebooks: list, *,
                  n_cells: int = 8, centroids: list | None = None,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  coarse_dim: int = 16,
+                 seed_vectors: DataFrame | None = None,
                  scorer: str = "expr") -> DataFrame:
     """The combined IVF-PQ search artifact: ``(id, cell, code)`` -- the
     coarse cell route plus the m-int PQ code, i.e. the classic
@@ -273,7 +301,14 @@ def ivf_pq_index(vectors: DataFrame, codebooks: list, *,
     parquet once; searches never touch the raw vectors). Built in one
     composition: the IVF centroid table assigns cells (broadcast cross
     join + map-side max_by), pq_encode produces codes, joined on the
-    row id."""
+    row id.
+
+    ``seed_vectors``: the frame whose lowest-id rows seed the
+    deterministic centroid table (default: ``vectors`` itself). An
+    incremental build MUST pin this to the original corpus (or pass
+    explicit ``centroids``): letting each batch derive its own seeds
+    would route the same vector to different cells across batches --
+    the index-lifecycle invariant pq_append relies on."""
     from .similarity import (_centroid_table, assign_nearest_cell,
                              cell_assigner_udf)
 
@@ -292,7 +327,8 @@ def ivf_pq_index(vectors: DataFrame, codebooks: list, *,
                                  F.col(vec_col)))
                  .select(id_col, "_cell"))
     else:
-        cents = _centroid_table(vectors, None, n_cells, coarse_dim,
+        cents = _centroid_table(seed_vectors if seed_vectors is not None
+                                else vectors, None, n_cells, coarse_dim,
                                 id_col, vec_col)
         cells = assign_nearest_cell(
             _ensure_scan_width(vectors).select(id_col, vec_col), cents,
@@ -302,6 +338,113 @@ def ivf_pq_index(vectors: DataFrame, codebooks: list, *,
                       vec_col=vec_col, scorer=scorer)
     return (codes.join(cells, id_col)
             .select(id_col, F.col("_cell").alias("cell"), "code"))
+
+
+# --------------------------------------------------------------------------
+# index lifecycle: append / staleness / compaction
+#
+# Every other index family in the engine (MinHash signatures, Bloom LSM,
+# gram/line indexes, semantic cell index) has an append + compaction
+# story; these close the same loop for the PQ tier. The lifecycle
+# invariant: appending batches encoded with the SAME codebooks and the
+# SAME centroid source is row-identical to a one-shot build (per-row
+# deterministic encode + per-row deterministic cell routing over disjoint
+# ids), so searches over a staged index equal searches over a fresh one
+# -- pinned by the ann_index_append gate. Codebook drift is measured by
+# pq_reconstruction_mse and repaired by pq_compact (retrain + re-encode).
+
+def pq_append(index: DataFrame, new_vectors: DataFrame, codebooks: list,
+              *, n_cells: int = 8, centroids: list | None = None,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              coarse_dim: int = 16,
+              seed_vectors: DataFrame | None = None,
+              scorer: str = "expr") -> DataFrame:
+    """Append a batch to an IVF-PQ inverted file using the EXISTING
+    codebooks and centroid source: encode + route only the new rows
+    (work strictly proportional to the batch -- the indexed corpus is
+    never re-read) and union onto the stored index. In production the
+    returned frame is parquet-appended next to the old segments (the
+    append_signature_index pattern); duplicate-id batches are the
+    caller's contract, as with every other index family.
+
+    Provably one-shot-equivalent: pq_encode and the cell assignment are
+    per-row pure functions of (vector, codebooks, centroid table), so
+    batch-wise construction over disjoint id sets yields the identical
+    (id, cell, code) relation -- the ann_index_append gate pins a
+    search over a two-batch index against the one-shot oracle."""
+    batch = ivf_pq_index(new_vectors, codebooks, n_cells=n_cells,
+                         centroids=centroids, id_col=id_col,
+                         vec_col=vec_col, coarse_dim=coarse_dim,
+                         seed_vectors=seed_vectors, scorer=scorer)
+    return index.unionByName(batch)
+
+
+def pq_reconstruction_mse(vectors: DataFrame, index: DataFrame,
+                          codebooks: list, *, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          code_col: str = "code") -> DataFrame:
+    """Codebook staleness measure: the mean squared reconstruction
+    error ``mean_i ||x_i - decode(code_i)||^2`` of the indexed corpus
+    under its codebooks -- one row ``(n, mse)``. Rising MSE after
+    appends means the appended data drifted from the codebook training
+    distribution (ADC distances degrade even though search still
+    runs); the maintenance loop compares it against the freshly
+    -trained MSE (pq_compact) to decide when re-encoding pays.
+
+    Per-subspace error expands to the all-dots form
+    ``dot(sub,sub) - 2*dot(sub,cw) + dot(cw,cw)`` (exact algebra, no
+    subtraction of reconstructed coordinates), each term rounded to
+    9 dp and decimal-summed -- order-independent, so the DuckDB oracle
+    reproduces every bit. One corpus scan, one broadcast of the m*k
+    codebook frame, one global aggregate; this is a maintenance pass,
+    not a search-path cost."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cb = _codebook_frame(vectors.sparkSession, codebooks)
+    ex = (vectors.select(id_col, vec_col)
+          .join(index.select(id_col, code_col), id_col)
+          .select(id_col, vec_col,
+                  F.posexplode(code_col).alias("_j", "_cid")))
+    sub = F.slice(F.col(vec_col), F.col("_j") * d + 1, d)
+    term = F.round(dot(sub, sub) - 2 * dot(sub, F.col("_cw"))
+                   + F.col("_cc"), 9)
+    per_vec = (ex.join(F.broadcast(cb), ["_j", "_cid"])
+               .groupBy(id_col)
+               .agg(F.sum(term.cast("decimal(28,9)")).alias("_e")))
+    return (per_vec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round((F.sum("_e") / F.count(F.lit(1))).cast("double"), 6)
+        .alias("mse")))
+
+
+def pq_compact(vectors: DataFrame, *, m: int = 4, k: int = 16,
+               n_cells: int = 8, id_col: str = "vec_id",
+               vec_col: str = "embedding", coarse_dim: int = 16,
+               trainer: str = "lowest_id", sample_size: int = 4096,
+               iters: int = 10, seed: int = 0,
+               scorer: str = "expr") -> tuple[DataFrame, list]:
+    """Re-train + re-encode compaction: derive fresh codebooks from the
+    CURRENT corpus (``trainer='lowest_id'`` for the deterministic
+    oracle-derivable recipe, ``'kmeans'`` for train_pq_codebooks) and
+    rebuild the inverted file in one pass. Returns ``(index,
+    codebooks)`` -- write both; searches spanning the compaction must
+    switch codebooks and index together (ADC LUTs are codebook-bound,
+    so mixing an old segment with new codebooks is a correctness bug,
+    not a recall loss). By construction the compacted index equals a
+    fresh one-shot build over the same corpus."""
+    if trainer == "lowest_id":
+        cbs = lowest_id_pq_codebooks(vectors, m=m, k=k, id_col=id_col,
+                                     vec_col=vec_col)
+    elif trainer == "kmeans":
+        cbs = train_pq_codebooks(vectors, m=m, k=k,
+                                 sample_size=sample_size, iters=iters,
+                                 seed=seed, vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown trainer {trainer!r}")
+    idx = ivf_pq_index(vectors, cbs, n_cells=n_cells, id_col=id_col,
+                       vec_col=vec_col, coarse_dim=coarse_dim,
+                       scorer=scorer)
+    return idx, cbs
 
 
 def ivf_pq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,

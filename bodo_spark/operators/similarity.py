@@ -184,10 +184,17 @@ def _centroid_table(vectors: DataFrame, centroids: list | None,
     else the n lowest-id vectors -- deterministic, so a SQL oracle can
     re-derive the identical cells."""
     if centroids is not None:
+        # array<double>, not array<float>: the gemm assigner
+        # (cell_assigner_udf) ranks against float64 centroid values, so
+        # the probe side must carry the SAME representation -- a float32
+        # downcast here could route a near-tie vector to a cell the
+        # matching query never probes (silent recall loss). float32
+        # inputs (train_ivf_centroids) are unchanged: their float64
+        # image is exact.
         rows = [(i, [float(x) for x in list(c)[:coarse_dim]])
                 for i, c in enumerate(centroids)]
         return (vectors.sparkSession.createDataFrame(
-            rows, "_cid bigint, _cvec array<float>")
+            rows, "_cid bigint, _cvec array<double>")
             .withColumn("_cn", F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
     trunc = F.slice(F.col("_cvec"), 1, coarse_dim)
     return (vectors.select(F.col(id_col).alias("_cid"),

@@ -378,3 +378,150 @@ def test_ivf_pq_full_probe_equals_flat_pq(spark):
               P.ivf_pq_topk(idx, q, emb, cbs, k=1, n_probe=2,
                             n_cells=4).collect()}
     assert probed == {0: 0, 1: 1, 2: 2}
+
+def test_pq_append_equals_one_shot_build(spark):
+    """Index built as two disjoint batches with pinned codebooks and a
+    pinned centroid seed frame is ROW-IDENTICAL to the one-shot build
+    (the lifecycle invariant pq_append documents), and searches over
+    both indexes agree exactly."""
+    from bodo_spark.operators import pq as P
+    from bodo_spark.queries._util import tbl
+    from pyspark.sql import functions as F
+
+    emb = tbl(spark, SF_DIR, "embeddings")
+    cbs = P.lowest_id_pq_codebooks(emb, m=4, k=16)
+    one = P.ivf_pq_index(emb, cbs, n_cells=4)
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    staged = P.pq_append(
+        P.ivf_pq_index(b1, cbs, n_cells=4, seed_vectors=emb),
+        b2, cbs, n_cells=4, seed_vectors=emb)
+    a = sorted((r.vec_id, r.cell, tuple(r.code)) for r in one.collect())
+    b = sorted((r.vec_id, r.cell, tuple(r.code)) for r in staged.collect())
+    assert a == b
+    q = _queries_df(emb, 3).withColumnRenamed("vec_id", "q_id")
+    s1 = sorted(map(tuple, P.ivf_pq_topk(one, q, emb, cbs, k=5,
+                                         n_probe=2, n_cells=4).collect()))
+    s2 = sorted(map(tuple, P.ivf_pq_topk(staged, q, emb, cbs, k=5,
+                                         n_probe=2, n_cells=4).collect()))
+    assert s1 == s2
+
+
+def test_pq_append_without_seed_pin_diverges(spark):
+    """Negative control: letting the second batch derive its own
+    centroid seeds routes rows differently -- the failure mode the
+    seed_vectors contract exists to prevent."""
+    from bodo_spark.operators import pq as P
+    from bodo_spark.queries._util import tbl
+    from pyspark.sql import functions as F
+
+    emb = tbl(spark, SF_DIR, "embeddings")
+    cbs = P.lowest_id_pq_codebooks(emb, m=4, k=16)
+    one = {r.vec_id: r.cell for r in
+           P.ivf_pq_index(emb, cbs, n_cells=4).collect()}
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    unpinned = {r.vec_id: r.cell for r in
+                P.ivf_pq_index(b2, cbs, n_cells=4).collect()}
+    assert any(unpinned[v] != one[v] for v in unpinned)
+
+
+def test_pq_reconstruction_mse_drops_after_compaction(spark):
+    """Staleness loop: append a drifted batch encoded with the stale
+    codebooks, measure reconstruction MSE, compact (retrain+re-encode)
+    and the MSE must improve; the compacted index equals a fresh
+    one-shot build over the same corpus."""
+    from bodo_spark.operators import pq as P
+    from bodo_spark.queries._util import tbl
+    from pyspark.sql import functions as F
+
+    emb = tbl(spark, SF_DIR, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 != 9).select("vec_id", "embedding")
+    drift = (emb.where(F.col("vec_id") % 10 == 9)
+             .select((F.col("vec_id") + 100000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: x * 3 + 5).alias("embedding")))
+    union = base.unionByName(drift)
+    cbs0 = P.lowest_id_pq_codebooks(base, m=4, k=16)
+    idx0 = P.pq_append(P.ivf_pq_index(base, cbs0, n_cells=4),
+                       drift, cbs0, n_cells=4, seed_vectors=base)
+    stale = P.pq_reconstruction_mse(union, idx0, cbs0).collect()[0]
+    idx1, cbs1 = P.pq_compact(union, m=4, k=16, n_cells=4,
+                              trainer="kmeans", sample_size=500, iters=5)
+    fresh = P.pq_reconstruction_mse(union, idx1, cbs1).collect()[0]
+    assert stale.n == fresh.n == union.count()
+    assert fresh.mse < stale.mse
+    with pytest.raises(ValueError):
+        P.pq_compact(union, trainer="nope")
+
+
+def test_train_pq_codebooks_reseeds_empty_clusters(spark):
+    """A k-means cluster that empties is re-seeded to the worst-served
+    point, so no two codewords stay duplicates: with k=8 codewords over
+    a 2-point sample repeated 50x, stale-centroid behavior would leave
+    duplicated rows; re-seeding keeps all seeds distinct from the
+    iteration's survivors."""
+    import numpy as np
+    from bodo_spark.operators import pq as P
+
+    rows = [(i, ([1.0] * 64 if i % 2 else [-1.0] * 64)) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = P.train_pq_codebooks(df, m=4, k=8, sample_size=100, iters=3)
+    # two natural clusters; 6 empties re-seed to members of {+1,-1} rows
+    for book in cbs:
+        for cw in book:
+            assert np.allclose(cw, 1.0) or np.allclose(cw, -1.0)
+
+
+def test_pq_topk_refine_vec_col_validation(spark):
+    """Refine frame with a non-array column listed first must not be
+    silently re-ranked on; explicit refine_vec_col and the array-type
+    fallback both pick the embedding."""
+    from bodo_spark.operators import pq as P
+    from bodo_spark.queries._util import tbl
+    from pyspark.sql import functions as F
+
+    emb = tbl(spark, SF_DIR, "embeddings")
+    cbs = P.lowest_id_pq_codebooks(emb, m=4, k=16)
+    codes = P.pq_encode(emb, cbs)
+    q = _queries_df(emb, 2)
+    # label (int) listed before embedding: fallback must skip it
+    messy = emb.select("vec_id", "label", "embedding")
+    got = sorted(map(tuple, P.pq_topk(codes, q, cbs, k=3, shortlist=10,
+                                      refine=messy).collect()))
+    want = sorted(map(tuple, P.pq_topk(
+        codes, q, cbs, k=3, shortlist=10,
+        refine=emb.select("vec_id", "embedding"),
+        refine_vec_col="embedding").collect()))
+    assert got == want
+    with pytest.raises(ValueError):
+        P.pq_topk(codes, q, cbs, k=3, shortlist=10,
+                  refine=emb.select("vec_id", "label"))
+    with pytest.raises(ValueError):
+        P.pq_topk(codes, q, cbs, k=3, shortlist=10,
+                  refine=emb.select("vec_id", "embedding"),
+                  refine_vec_col="nope")
+
+
+def test_audio_fingerprint_spectral_bits_guard(spark):
+    """mode='spectral' with n_bits not a multiple of 8 raises instead of
+    silently truncating the fingerprint width."""
+    from bodo_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))],
+                               "doc_id long, media binary")
+    with pytest.raises(ValueError, match="n_bits % 8"):
+        M.audio_fingerprint(df, n_bits=60, mode="spectral")
+
+
+def test_ivf_explicit_centroids_double_precision_roundtrip(spark):
+    """Explicit float64 centroids survive into the probe table without a
+    float32 downcast: a centroid value unrepresentable in float32 must
+    come back from _centroid_table bit-identical (the index/probe
+    precision-mismatch fix)."""
+    from bodo_spark.operators.similarity import _centroid_table
+    from bodo_spark.queries._util import tbl
+
+    emb = tbl(spark, SF_DIR, "embeddings")
+    c0 = [0.1] * 16  # 0.1 has no exact float32 representation
+    rows = _centroid_table(emb, [c0], 1, 16, "vec_id", "embedding").collect()
+    assert list(rows[0]["_cvec"]) == [0.1] * 16
