@@ -73,10 +73,16 @@ def train_pq_codebooks(vectors: DataFrame, *, m: int = 8, k: int = 256,
     iterations per subspace are a few numpy matmuls on the sample."""
     import numpy as np
 
-    n = vectors.count()
-    frac = min(1.0, (sample_size * 1.3) / max(n, 1))
+    # hash-ordered sample, NOT .sample(frac).limit(n): limit takes the
+    # FIRST partitions' rows, so after .sample a corpus whose tail
+    # partitions hold an appended (drifted) batch trains on ZERO rows of
+    # it -- probe_pq_lifecycle measured compaction silently not
+    # compacting (drift MSE unchanged at 10x). Ordering by a seeded
+    # content hash is uniform over rows, order- and
+    # partitioning-independent, and compiles to TakeOrderedAndProject
+    # (per-partition top-n + driver merge, no global sort).
     sample = (vectors.select(vec_col)
-              .sample(withReplacement=False, fraction=frac, seed=seed)
+              .orderBy(F.xxhash64(F.lit(seed), F.col(vec_col)))
               .limit(sample_size).collect())
     X = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
     if len(X) < k:
@@ -411,9 +417,12 @@ def pq_reconstruction_mse(vectors: DataFrame, index: DataFrame,
     per_vec = (ex.join(F.broadcast(cb), ["_j", "_cid"])
                .groupBy(id_col)
                .agg(F.sum(term.cast("decimal(28,9)")).alias("_e")))
+    # decimal-sum-then-ONE-double-division (the repo's avg policy):
+    # the decimal total is exact and order-independent; the single IEEE
+    # division then agrees bit-for-bit across engines
     return (per_vec.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round((F.sum("_e") / F.count(F.lit(1))).cast("double"), 6)
+        F.round(F.sum("_e").cast("double") / F.count(F.lit(1)), 6)
         .alias("mse")))
 
 

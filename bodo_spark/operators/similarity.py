@@ -140,10 +140,11 @@ def train_ivf_centroids(
     reference delegates to a managed index, bodo/pandas/frame.py:721)."""
     import numpy as np
 
-    n = vectors.count()
-    frac = min(1.0, (sample_size * 1.3) / max(n, 1))
+    # hash-ordered sample (see train_pq_codebooks): .sample().limit()
+    # keeps only the FIRST partitions' sampled rows, so appended-batch
+    # tails never reach training -- the probe-caught compaction defect.
     sample = (vectors.select(vec_col)
-              .sample(withReplacement=False, fraction=frac, seed=seed)
+              .orderBy(F.xxhash64(F.lit(seed), F.col(vec_col)))
               .limit(sample_size).collect())
     X = np.array([list(r[0])[:coarse_dim] for r in sample],
                  dtype=np.float64)

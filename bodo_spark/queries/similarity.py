@@ -620,7 +620,127 @@ ORDER BY q_id, rn
 """
 
 
+def ann_index_append(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ index lifecycle, append path (operators/pq.py pq_append):
+    the inverted file is built as TWO disjoint batches (even ids, then
+    odd ids appended) with pinned codebooks and a pinned centroid seed
+    frame, then searched. The oracle is the ONE-SHOT build's full
+    re-derivation -- a hash match proves staged construction is
+    row-identical to fresh construction, the invariant that lets a
+    100-TB index ingest batches without ever re-encoding the corpus."""
+    from ..operators import pq as PQ
+    emb = tbl(spark, sf, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    idx = PQ.pq_append(
+        PQ.ivf_pq_index(b1, cbs, n_cells=8, seed_vectors=emb),
+        b2, cbs, n_cells=8, seed_vectors=emb)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (PQ.ivf_pq_topk(idx, queries, emb, cbs, k=5, n_probe=2,
+                           n_cells=8)
+            .where(F.col("vec_id") != F.col("q_id"))
+            .orderBy("q_id", "rn"))
+
+
+def ann_index_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ staleness + compaction (operators/pq.py
+    pq_reconstruction_mse + pq_compact): a drifted batch (vectors
+    doubled, new low ids) is appended under the STALE codebooks; the
+    gate pins the reconstruction MSE of the stale index AND of the
+    compacted (re-derived codebooks + re-encoded) index -- the two
+    numbers the maintenance loop compares to decide when re-encoding
+    pays. The oracle re-derives both codebook sets, both encodings and
+    both exact decimal-summed error totals."""
+    from ..operators import pq as PQ
+    emb = tbl(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 10 != 9)
+    drift = (emb.where(F.col("vec_id") % 10 == 9)
+             .select((F.col("vec_id") - F.lit(1000000)).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: (x * F.lit(2.0)).cast("float"))
+                     .alias("embedding")))
+    union = base.unionByName(drift)
+    cbs0 = PQ.lowest_id_pq_codebooks(base, m=4, k=16)
+    idx0 = PQ.pq_append(PQ.ivf_pq_index(base, cbs0, n_cells=8),
+                        drift, cbs0, n_cells=8, seed_vectors=base)
+    stale = (PQ.pq_reconstruction_mse(union, idx0, cbs0)
+             .select(F.lit("stale").alias("phase"), "n", "mse"))
+    idx1, cbs1 = PQ.pq_compact(union, m=4, k=16, n_cells=8)
+    fresh = (PQ.pq_reconstruction_mse(union, idx1, cbs1)
+             .select(F.lit("compacted").alias("phase"), "n", "mse"))
+    return stale.unionByName(fresh).orderBy("phase")
+
+
+def _mse_block(tag: str, seeds_src: str) -> str:
+    """One codebook-derivation + encode + exact-MSE re-derivation block
+    (DuckDB twin of lowest_id_pq_codebooks -> pq_encode ->
+    pq_reconstruction_mse over the `un` corpus)."""
+    return f"""
+seeds{tag} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+  FROM {seeds_src} ORDER BY vec_id LIMIT 16),
+cwn{tag} AS (
+  SELECT j.j, s.cid,
+         CAST(s.embedding[j.j*16+1 : j.j*16+16] AS DOUBLE[]) AS cw,
+         list_dot_product(CAST(s.embedding[j.j*16+1 : j.j*16+16] AS DOUBLE[]),
+                          CAST(s.embedding[j.j*16+1 : j.j*16+16] AS DOUBLE[]))
+           AS cc
+  FROM seeds{tag} s CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+enc{tag} AS (
+  SELECT u.vec_id, c.j, c.cid,
+         round(c.cc - 2 * list_dot_product(
+             CAST(u.embedding[c.j*16+1 : c.j*16+16] AS DOUBLE[]), c.cw), 9)
+           AS d
+  FROM un u CROSS JOIN cwn{tag} c),
+code{tag} AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM enc{tag}) WHERE rn = 1),
+err{tag} AS (
+  SELECT u.vec_id,
+         round(list_dot_product(CAST(u.embedding[c.j*16+1 : c.j*16+16]
+                                     AS DOUBLE[]),
+                                CAST(u.embedding[c.j*16+1 : c.j*16+16]
+                                     AS DOUBLE[]))
+               - 2 * list_dot_product(CAST(u.embedding[c.j*16+1 : c.j*16+16]
+                                           AS DOUBLE[]), c.cw)
+               + c.cc, 9) AS t
+  FROM code{tag} k
+  JOIN cwn{tag} c ON k.j = c.j AND k.cid = c.cid
+  JOIN un u ON u.vec_id = k.vec_id)"""
+
+
+_COMPACT_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
+drift AS (
+  SELECT vec_id - 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 9),
+un AS (SELECT * FROM base UNION ALL SELECT * FROM drift),
+{_mse_block('0', 'base')},
+{_mse_block('1', 'un')}
+SELECT * FROM (
+  SELECT 'stale' AS phase, COUNT(DISTINCT vec_id) AS n,
+         round(CAST(SUM(CAST(t AS DECIMAL(28,9))) AS DOUBLE)
+               / COUNT(DISTINCT vec_id), 6) AS mse
+  FROM err0
+  UNION ALL
+  SELECT 'compacted' AS phase, COUNT(DISTINCT vec_id) AS n,
+         round(CAST(SUM(CAST(t AS DECIMAL(28,9))) AS DOUBLE)
+               / COUNT(DISTINCT vec_id), 6) AS mse
+  FROM err1)
+ORDER BY phase
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "ann_index_append": QueryDef(ann_index_append, _IVF_PQ_SQL),
+    "ann_index_compact": QueryDef(ann_index_compact, _COMPACT_SQL),
     "ann_ivf_pq_topk": QueryDef(ann_ivf_pq_topk, _IVF_PQ_SQL),
     "ann_pq_topk": QueryDef(ann_pq_topk, _PQ_SQL),
     "ann_pq_refine_topk": QueryDef(ann_pq_refine_topk, _PQ_REFINE_SQL),
