@@ -42,7 +42,7 @@ __all__ = [
     "contaminated_ids", "decontaminate", "global_offsets", "pack_chunks",
     "domain_mix_sample", "leakage_free_split", "redact_pii",
     "shuffle_shards", "u01_hash", "remove_boilerplate_lines",
-    "hashed_quality_score", "chunk_with_overlap",
+    "hashed_quality_score", "chunk_with_overlap", "train_hashed_quality",
 ]
 
 
@@ -523,6 +523,94 @@ def hashed_quality_score_df(df: DataFrame, weights_df: DataFrame, *,
             .withColumn(out_col, sig).drop("_m"))
 
 
+def train_hashed_quality(df: DataFrame, *, label_col: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_buckets: int = 32, steps: int = 3,
+                         lr: float = 0.5) -> tuple[list[float], float]:
+    """Train the hashing-trick quality classifier IN-ENGINE: full-batch
+    logistic regression by gradient descent over the same bucket family
+    `hashed_quality_score` scores with (exact mode h60 % n, fast mode
+    pmod(xxhash64, n)), so the returned ``(weights, bias)`` drop
+    straight into the scorer / pipeline cutoff. This closes the one
+    model artifact the pipeline previously consumed "trained offline"
+    (LM counts, PQ codebooks, IVF centroids and PCA already train
+    in-engine). The fastText-recipe analogue: CCNet/Llama train a
+    linear text classifier (wiki-vs-crawl labels) and keep docs by its
+    score; ``label_col`` carries the 0/1 labels here.
+
+    Model: z_i = bias + sum_b w_b * frac_ib with frac_ib = (tokens of
+    doc i hashing to bucket b) / max(n_tokens_i, 1) -- EXACTLY the
+    scorer's mean-of-bucket-weights feature map. Per step:
+    p = sigmoid(z), gradient g_b = mean_i (p_i - y_i) * frac_ib,
+    w -= lr * g (and likewise the bias against mean error).
+
+    Scale + determinism design:
+    * the (id, y, n, bucket, cnt) feature frame is built ONCE (one
+      explode + one count aggregate, the corpus text is read once) and
+      persisted; each step is then two broadcast joins and two
+      aggregates over it -- per-step cost is O(distinct doc-bucket
+      pairs), independent of text size.
+    * weights are a bounded model artifact (n_buckets rows), collected
+      per step like the PQ codebooks; the DRIVER only transports them
+      -- every arithmetic op (dot, sigmoid, gradient, update) is a
+      Spark expression under the repo's cross-engine discipline:
+      per-term round then decimal sum (order-independent), one libm
+      exp rounded at 9 dp, decimal-total -> ONE double division ->
+      round 12 dp for the update. A DuckDB oracle therefore re-derives
+      the trained weights bit-for-bit (cur_quality_train).
+    * train and score must run under the SAME mode (the bucket hash
+      family switches with exact_mode, like the scorer itself).
+    """
+    from ..modes import exact_mode
+    from .dedup import h60
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    spark = df.sparkSession
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    tok = F.explode(toks).alias("_t")
+    ex = df.select(F.col(id_col).alias("_id"),
+                   F.col(label_col).cast("double").alias("_y"),
+                   F.size(toks).alias("_n"), tok)
+    bucket = (h60(F.col("_t")) % n_buckets if exact_mode()
+              else F.pmod(F.xxhash64(F.col("_t")), F.lit(n_buckets)))
+    feats = (ex.select("_id", "_y", "_n", bucket.cast("int").alias("_b"))
+             .groupBy("_id", "_y", "_n", "_b")
+             .agg(F.count(F.lit(1)).alias("_cnt"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _dedup._PERSISTED.append(feats)
+    n_docs = feats.select("_id").distinct().count()  # bounded scalar
+    frac = F.col("_cnt") / F.greatest(F.col("_n"), F.lit(1))
+    w = [0.0] * n_buckets
+    bias = 0.0
+    for _ in range(steps):
+        wdf = spark.createDataFrame(
+            [(b, float(w[b])) for b in range(n_buckets)],
+            "_b int, _w double")
+        zterm = F.round(F.col("_w") * frac, 9).cast("decimal(28,9)")
+        zdf = (feats.join(F.broadcast(wdf), "_b")
+               .groupBy("_id", "_y")
+               .agg((F.lit(float(bias))
+                     + F.sum(zterm).cast("double")).alias("_z")))
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))), 9)
+        edf = zdf.select("_id", (p - F.col("_y")).alias("_err"))
+        gterm = F.round(F.col("_err") * frac, 12).cast("decimal(28,12)")
+        upd = (F.col("_w") - F.lit(float(lr)) * F.round(
+            F.coalesce(F.col("_g"), F.lit(0).cast("decimal(28,12)"))
+            .cast("double") / F.lit(n_docs), 12))
+        gdf = (feats.join(edf, "_id")
+               .groupBy("_b").agg(F.sum(gterm).alias("_g")))
+        rows = (wdf.join(gdf, "_b", "left")
+                .select("_b", upd.alias("_wn")).collect())
+        for r in rows:
+            w[r["_b"]] = float(r["_wn"])
+        brow = edf.agg(
+            (F.lit(float(bias)) - F.lit(float(lr)) * F.round(
+                F.sum(F.col("_err").cast("decimal(28,9)")).cast("double")
+                / F.lit(n_docs), 12)).alias("_bn")).collect()[0]
+        bias = float(brow["_bn"])
+    return w, bias
+
+
 # --------------------------------------------------------------------------
 # PII redaction
 
@@ -610,9 +698,13 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
                       threshold: float = 0.5,
                       pplx_p: float = 0.2, lm_k: float = 0.5,
                       pplx_sketch_k: int = 200,
-                      quality_weights: list[float] | None = None,
+                      quality_weights: list[float] | str | None = None,
                       quality_bias: float = 0.0,
                       quality_cutoff: float = 0.5,
+                      quality_labels: DataFrame | None = None,
+                      quality_label_col: str = "y",
+                      quality_train_buckets: int = 32,
+                      quality_train_steps: int = 3,
                       mix_weights: dict[str, float] | None = None,
                       gopher: bool = False,
                       domain_cap: int | None = None,
@@ -651,7 +743,14 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
 
     Stage parameters are the individual operators' (see their
     docstrings); ``quality_weights=None`` / ``mix_weights=None`` /
-    ``bench=None`` skip those stages."""
+    ``bench=None`` skip those stages. ``quality_weights="train"``
+    trains the classifier IN-ENGINE on the post-tail-drop survivors
+    joined with ``quality_labels`` (an (id_col, quality_label_col)
+    frame of 0/1 labels, e.g. curated-vs-crawl membership -- the CCNet
+    protocol) via train_hashed_quality, then filters with the trained
+    weights and bias; quality_bias is ignored in that mode. Training
+    is eager (one bounded weight collect per step), like the other
+    in-engine trainers."""
     from . import dedup as D
     from .text import bigram_lm_counts, lm_doc_logprob, normalize_text
     from .text import token_count
@@ -715,6 +814,22 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
         # expressions, fused into the same scan as the quality cutoff
         from .text import gopher_rules
         cur = cur.where(gopher_rules(F.col(text_col))["pass_all"])
+    if isinstance(quality_weights, str):
+        if quality_weights != "train":
+            raise ValueError(f"unknown quality_weights mode "
+                             f"{quality_weights!r} (expected 'train')")
+        if quality_labels is None:
+            raise ValueError("quality_weights='train' needs a "
+                             "quality_labels frame")
+        # train on the survivors as they stand at this stage (labels
+        # joined in; unlabeled docs don't contribute gradient) -- the
+        # trained-weights twin of the offline-weights path below
+        lab = cur.join(quality_labels.select(
+            id_col, quality_label_col), id_col)
+        quality_weights, quality_bias = train_hashed_quality(
+            lab, label_col=quality_label_col, text_col=text_col,
+            id_col=id_col, n_buckets=quality_train_buckets,
+            steps=quality_train_steps)
     if quality_weights is not None:
         import math
         z = hashed_quality_score(F.col(text_col), quality_weights,

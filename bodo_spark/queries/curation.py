@@ -1054,7 +1054,87 @@ FROM top GROUP BY lang ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# in-engine quality-classifier training: 3 full-batch logistic-regression
+# steps over the hashing-trick bucket family, labels = (lang == 'en').
+# Every step's arithmetic is a Spark expression under the cross-engine
+# discipline (per-term round -> decimal sum -> one double division ->
+# round-12 update), so the oracle UNROLLS the identical steps as chained
+# CTEs and the trained weight vector must match bit-for-bit.
+
+_QT_STEPS = 3
+
+
+def cur_quality_train(spark: SparkSession, sf: str) -> DataFrame:
+    """In-engine classifier training (operators/curation.py
+    train_hashed_quality): pins the full trained model -- all 32 bucket
+    weights plus the bias (bucket -1) after 3 deterministic gradient
+    steps. The weights drop straight into hashed_quality_score /
+    pretrain_pipeline's cutoff; this closes the one 'trained offline'
+    model seam the pipeline had left."""
+    d = tbl(spark, sf, "documents")
+    lab = d.withColumn("y", (F.col("lang") == "en").cast("int"))
+    w, b = C.train_hashed_quality(lab, label_col="y", n_buckets=32,
+                                  steps=_QT_STEPS, lr=0.5)
+    rows = [(i, float(x)) for i, x in enumerate(w)] + [(-1, float(b))]
+    return (spark.createDataFrame(rows, "bucket bigint, weight double")
+            .select("bucket", F.round("weight", 9).alias("weight"))
+            .orderBy("bucket"))
+
+
+def _quality_train_sql(steps: int = _QT_STEPS) -> str:
+    h60 = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+    head = f"""
+WITH docs AS (
+  SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents),
+toks AS (SELECT id, y, len(tk) AS n, unnest(tk) AS t FROM docs),
+bt AS (SELECT id, y, n, CAST({h60} % 32 AS INT) AS bucket FROM toks),
+feats AS (SELECT id, y, n, bucket, COUNT(*) AS cnt
+          FROM bt GROUP BY id, y, n, bucket),
+nn AS (SELECT COUNT(DISTINCT id) AS nd FROM feats),
+w0 AS (SELECT unnest(range(0, 32)) AS bucket, CAST(0 AS DOUBLE) AS w),
+b0 AS (SELECT CAST(0 AS DOUBLE) AS bias)"""
+    blocks = []
+    for k in range(1, steps + 1):
+        blocks.append(f"""
+z{k} AS (
+  SELECT f.id, f.y,
+         (SELECT bias FROM b{k - 1})
+         + CAST(SUM(CAST(round(w.w * (f.cnt / greatest(f.n, 1)), 9)
+                         AS DECIMAL(28,9))) AS DOUBLE) AS z
+  FROM feats f JOIN w{k - 1} w USING (bucket) GROUP BY f.id, f.y),
+e{k} AS (SELECT id, round(1.0 / (1.0 + exp(-z)), 9) - y AS err
+         FROM z{k}),
+g{k} AS (
+  SELECT f.bucket,
+         SUM(CAST(round(e.err * (f.cnt / greatest(f.n, 1)), 12)
+                  AS DECIMAL(28,12))) AS g
+  FROM feats f JOIN e{k} e USING (id) GROUP BY f.bucket),
+w{k} AS (
+  SELECT w.bucket,
+         w.w - 0.5 * round(CAST(COALESCE(g.g, 0) AS DOUBLE)
+                           / (SELECT nd FROM nn), 12) AS w
+  FROM w{k - 1} w LEFT JOIN g{k} g USING (bucket)),
+b{k} AS (
+  SELECT (SELECT bias FROM b{k - 1})
+         - 0.5 * round(CAST(SUM(CAST(err AS DECIMAL(28,9))) AS DOUBLE)
+                       / (SELECT nd FROM nn), 12) AS bias
+  FROM e{k})"""
+        )
+    tail = f"""
+SELECT CAST(bucket AS BIGINT) AS bucket, round(w, 9) AS weight
+FROM w{steps}
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS bucket, round(bias, 9) AS weight
+FROM b{steps}
+ORDER BY bucket"""
+    return head + "," + ",".join(blocks) + tail
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_quality_train": QueryDef(cur_quality_train, _quality_train_sql()),
     "cur_weighted_sample": QueryDef(cur_weighted_sample,
                                     _WEIGHTED_SAMPLE_SQL),
     "cur_domain_cap": QueryDef(cur_domain_cap, _DOMAIN_CAP_SQL),

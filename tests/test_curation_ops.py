@@ -551,3 +551,78 @@ def test_pretrain_pipeline_gopher_and_domain_cap_stages(spark):
                .collect()}
     D.unpersist_cached()
     assert per_src and all(v <= 3 for v in per_src.values()), per_src
+
+
+def test_train_hashed_quality_learns_separation(spark):
+    """The in-engine trainer must actually LEARN: planted two-class
+    corpus (disjoint vocabularies), enough steps -> the trained model
+    scores every positive doc above every negative doc, and training
+    loss decreases monotonically over a re-run with fewer steps."""
+    rows = []
+    for i in range(40):
+        good = " ".join(["alpha beta gamma delta"] * 3)
+        bad = " ".join(["omega psi chi phi"] * 3)
+        rows.append((i, good if i % 2 == 0 else bad, i % 2 == 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean") \
+        .withColumn("y", F.col("y").cast("int"))
+    w, b = C.train_hashed_quality(df, label_col="y", n_buckets=32,
+                                  steps=12, lr=2.0)
+    scored = df.withColumn(
+        "q", C.hashed_quality_score(F.col("text"), w, bias=b)).collect()
+    pos = [r.q for r in scored if r.doc_id % 2 == 0]
+    neg = [r.q for r in scored if r.doc_id % 2 == 1]
+    assert min(pos) > max(neg)
+    # fewer steps = strictly smaller separation margin (gradient keeps
+    # pushing the two vocabularies' buckets apart)
+    w2, b2 = C.train_hashed_quality(df, label_col="y", n_buckets=32,
+                                    steps=2, lr=2.0)
+    scored2 = df.withColumn(
+        "q", C.hashed_quality_score(F.col("text"), w2, bias=b2)).collect()
+    pos2 = [r.q for r in scored2 if r.doc_id % 2 == 0]
+    neg2 = [r.q for r in scored2 if r.doc_id % 2 == 1]
+    assert (min(pos) - max(neg)) > (min(pos2) - max(neg2))
+    with pytest.raises(ValueError):
+        C.train_hashed_quality(df, label_col="y", steps=0)
+    D.unpersist_cached()
+
+
+def test_train_hashed_quality_fast_mode(spark, monkeypatch):
+    """Fast mode trains over the xxhash64 bucket family and still
+    separates the planted classes (train/score share one family)."""
+    monkeypatch.setenv("BODO_SPARK_EXACT", "0")
+    rows = [(i, "aa bb cc" if i % 2 == 0 else "xx yy zz", 1 - i % 2)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w, b = C.train_hashed_quality(df, label_col="y", n_buckets=16,
+                                  steps=10, lr=2.0)
+    scored = df.withColumn(
+        "q", C.hashed_quality_score(F.col("text"), w, bias=b)).collect()
+    pos = [r.q for r in scored if r.doc_id % 2 == 0]
+    neg = [r.q for r in scored if r.doc_id % 2 == 1]
+    assert min(pos) > max(neg)
+    D.unpersist_cached()
+
+
+def test_pretrain_pipeline_quality_train_mode(spark):
+    """quality_weights='train' trains on the stage survivors and the
+    trained cutoff actually filters: the planted low-quality class
+    (labeled 0) is dropped, the labeled-1 class survives to packing."""
+    rows = []
+    for i in range(30):
+        good = f"alpha beta gamma delta unique{i} epsilon zeta eta theta"
+        bad = f"omega psi chi phi unique{i} sigma tau upsilon nu"
+        rows.append((i, good if i % 2 == 0 else bad, "web"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    labels = spark.createDataFrame(
+        [(i, 1 - i % 2) for i in range(30)], "doc_id long, y int")
+    out = C.pretrain_pipeline(
+        df, span=20, pplx_p=0.0, pplx_sketch_k=4096,
+        quality_weights="train", quality_labels=labels,
+        quality_train_steps=12, quality_cutoff=0.5, capacity=64)
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert kept and all(i % 2 == 0 for i in kept)
+    with pytest.raises(ValueError):
+        C.pretrain_pipeline(df, quality_weights="train")
+    with pytest.raises(ValueError):
+        C.pretrain_pipeline(df, quality_weights="nope")
+    D.unpersist_cached()
