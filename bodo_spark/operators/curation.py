@@ -646,6 +646,7 @@ def redact_pii(col: Column | str) -> Column:
 def filter_by_score_percentile(df: DataFrame, score_col: str, *,
                                p: float, keep: str = "above",
                                k: int = 200,
+                               group_col: str | None = None,
                                sketches: DataFrame | None = None,
                                sketch_col: str = "sketch") -> DataFrame:
     """Drop the worst score percentiles without an exact-percentile
@@ -673,10 +674,34 @@ def filter_by_score_percentile(df: DataFrame, score_col: str, *,
     already scatters across runs (tests pin both regimes).
     ``keep='above'`` keeps score >= threshold (higher-is-better
     scores); ``keep='below'`` keeps score <= threshold. Rows with NULL
-    scores are dropped either way (SQL comparison semantics)."""
+    scores are dropped either way (SQL comparison semantics).
+
+    ``group_col`` applies an INDEPENDENT threshold per group -- CCNet's
+    real protocol is per-LANGUAGE percentile buckets, because one
+    global threshold over heterogeneous score distributions strips
+    whole minority groups. Same plan economics: the per-group sketch
+    states ride ONE map-side-combined groupBy (KB per group), the
+    threshold frame (one row per group) broadcasts, the corpus never
+    reshuffles."""
     from .sketches import kll_merge_quantiles, kll_quantiles
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    if group_col is not None:
+        if sketches is not None:
+            raise ValueError("group_col and sketches are mutually "
+                             "exclusive (store per-group sketches and "
+                             "merge per group instead)")
+        if not 8 <= k <= 65535:
+            raise ValueError(f"KLL k must be in [8, 65535], got {k}")
+        sk = F.expr(f"kll_sketch_agg_double(CAST({score_col} AS double), "
+                    f"{int(k)})")
+        q = F.expr("kll_sketch_get_quantile_double(_sk, "
+                   f"CAST({float(p)} AS double))").cast("double")
+        thr = (df.groupBy(group_col).agg(sk.alias("_sk"))
+               .select(group_col, q.alias("_thr")))
+        cond = (F.col(score_col) >= F.col("_thr") if keep == "above"
+                else F.col(score_col) <= F.col("_thr"))
+        return df.join(F.broadcast(thr), group_col).where(cond).drop("_thr")
     thr = (kll_merge_quantiles(sketches, [p], sketch_col=sketch_col)
            if sketches is not None
            else kll_quantiles(df, score_col, [p], k=k))
@@ -698,6 +723,8 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
                       threshold: float = 0.5,
                       pplx_p: float = 0.2, lm_k: float = 0.5,
                       pplx_sketch_k: int = 200,
+                      per_language: bool = False,
+                      lang_col: str = "lang",
                       quality_weights: list[float] | str | None = None,
                       quality_bias: float = 0.0,
                       quality_cutoff: float = 0.5,
@@ -793,10 +820,22 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
                                       threshold=threshold,
                                       collapse_exact=True), "survivors")
     # CCNet tail-drop: the LM trains on the surviving corpus itself
-    # (the gate mode; production passes a held-out LM's count tables)
-    bigrams, unigrams, vocab = bigram_lm_counts(cur, text_col=text_col)
+    # (the gate mode; production passes a held-out LM's count tables).
+    # per_language=True is CCNet's real routing: one LM per language
+    # (group-keyed count tables) and one percentile threshold per
+    # language -- a global LM + global threshold systematically strips
+    # minority languages (cur_pretrain_multilang plants and pins the
+    # misfilter).
+    grp = [lang_col] if per_language else None
+    bigrams, unigrams, vocab = bigram_lm_counts(cur, text_col=text_col,
+                                                group_cols=grp)
     scored = lm_doc_logprob(cur, bigrams, unigrams, vocab,
-                            id_col=id_col, text_col=text_col, k=lm_k)
+                            id_col=id_col, text_col=text_col, k=lm_k,
+                            group_cols=grp)
+    if per_language:
+        # score rows don't carry the language; join it back for the
+        # per-group threshold (one narrow broadcast-able frame)
+        scored = scored.join(cur.select(id_col, lang_col), id_col)
     # pplx_sketch_k: the oracle gate sizes this >= corpus so the KLL
     # threshold is exact-rank deterministic (see
     # filter_by_score_percentile -- beyond k the compaction coin makes
@@ -804,7 +843,8 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
     # hash-pinned gate)
     kept_ids = filter_by_score_percentile(
         scored, "avg_logprob", p=pplx_p, keep="above",
-        k=pplx_sketch_k).select(id_col)
+        k=pplx_sketch_k,
+        group_col=lang_col if per_language else None).select(id_col)
     # inner join doubles as the <2-token guard: unscoreable docs
     # (emptied by excision) carry no score row and drop here
     cur = cur.join(kept_ids, id_col)

@@ -257,7 +257,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # n-gram LM perplexity filter (the CCNet-style quality pass)
 
 
-def bigram_lm_counts(df: DataFrame, text_col: str = "text"
+def bigram_lm_counts(df: DataFrame, text_col: str = "text", *,
+                     group_cols: list[str] | None = None
                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train a bigram language model on a corpus: returns
     (bigram_counts(w1,w2,c12), unigram_counts(w1,c1), vocab) where
@@ -271,27 +272,40 @@ def bigram_lm_counts(df: DataFrame, text_col: str = "text"
 
     The CCNet protocol (Wenzek et al. 2020) filters web text by the
     perplexity of a clean-corpus LM; the reference has no LM surface --
-    this extends its text/quality family the same way lang_id does."""
-    big = (df.select(tokenize_ws(text_col).alias("_t"))
-           .select(F.explode(F.when(
+    this extends its text/quality family the same way lang_id does.
+
+    ``group_cols`` trains INDEPENDENT LMs per group in the same two
+    aggregations (CCNet's actual protocol is one LM PER LANGUAGE):
+    every count frame gains the group columns as extra keys and
+    ``vocab`` becomes one row per group. Same plan shape -- the group
+    key just widens the aggregation keys; no extra pass, no skew
+    change (the hot keys are still the frequent grams)."""
+    g = [F.col(c) for c in (group_cols or [])]
+    gn = list(group_cols or [])
+    big = (df.select(*g, tokenize_ws(text_col).alias("_t"))
+           .select(*gn, F.explode(F.when(
                F.size("_t") >= 2,
                F.transform(F.sequence(F.lit(0), F.size("_t") - 2),
                            lambda i: F.struct(
                                F.col("_t")[i].alias("w1"),
                                F.col("_t")[i + 1].alias("w2"))))
                .otherwise(F.array())).alias("_b"))
-           .select("_b.w1", "_b.w2"))
-    bigrams = big.groupBy("w1", "w2").agg(
+           .select(*gn, "_b.w1", "_b.w2"))
+    bigrams = big.groupBy(*gn, "w1", "w2").agg(
         F.count(F.lit(1)).alias("c12"))
-    unigrams = (df.select(F.explode(tokenize_ws(text_col)).alias("w1"))
-                .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
-    vocab = unigrams.agg(F.count(F.lit(1)).alias("vocab"))
+    unigrams = (df.select(*g, F.explode(tokenize_ws(text_col)).alias("w1"))
+                .groupBy(*gn, "w1").agg(F.count(F.lit(1)).alias("c1")))
+    if gn:
+        vocab = unigrams.groupBy(*gn).agg(F.count(F.lit(1)).alias("vocab"))
+    else:
+        vocab = unigrams.agg(F.count(F.lit(1)).alias("vocab"))
     return bigrams, unigrams, vocab
 
 
 def lm_doc_logprob(df: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
                    vocab, *, id_col: str = "doc_id",
                    text_col: str = "text", k: float = 0.5,
+                   group_cols: list[str] | None = None,
                    out_col: str = "avg_logprob") -> DataFrame:
     """Score each doc by its average per-bigram log-probability under
     the add-k-smoothed bigram LM: sum(ln((c12+k)/(c1+k*V)))/n_bigrams.
@@ -306,22 +320,36 @@ def lm_doc_logprob(df: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
     bigram key -- either way the DOC text rides only the explode),
     one groupBy on doc id. Per-term logs are rounded to 9 dp so the
     score is reproducible bit-for-bit across engines (libm log agrees
-    to 1 ulp; the rounding absorbs it)."""
+    to 1 ulp; the rounding absorbs it).
+
+    ``group_cols`` scores each doc under ITS group's LM (pass the
+    bigram_lm_counts group_cols frames): count joins and the vocab
+    join gain the group key, so a French doc is judged by the French
+    model -- without this, a global LM systematically scores minority
+    languages as 'low quality' and a global tail-drop strips them
+    (the misfilter cur_pretrain_multilang plants and pins)."""
+    gn = list(group_cols or [])
     toks = tokenize_ws(text_col)
-    big = (df.select(F.col(id_col), toks.alias("_t"))
-           .select(id_col, F.explode(F.when(
+    big = (df.select(F.col(id_col), *[F.col(c) for c in gn],
+                     toks.alias("_t"))
+           .select(id_col, *gn, F.explode(F.when(
                F.size("_t") >= 2,
                F.transform(F.sequence(F.lit(0), F.size("_t") - 2),
                            lambda i: F.struct(
                                F.col("_t")[i].alias("w1"),
                                F.col("_t")[i + 1].alias("w2"))))
                .otherwise(F.array())).alias("_b"))
-           .select(id_col, "_b.w1", "_b.w2"))
-    joined = (big.join(bigrams, ["w1", "w2"], "left")
-              .join(unigrams, ["w1"], "left"))
+           .select(id_col, *gn, "_b.w1", "_b.w2"))
+    joined = (big.join(bigrams, gn + ["w1", "w2"], "left")
+              .join(unigrams, gn + ["w1"], "left"))
     if isinstance(vocab, DataFrame):
-        joined = joined.crossJoin(
-            F.broadcast(vocab.select(F.col("vocab").alias("_vocab"))))
+        if gn:
+            joined = joined.join(
+                F.broadcast(vocab.withColumnRenamed("vocab", "_vocab")),
+                gn, "left")
+        else:
+            joined = joined.crossJoin(
+                F.broadcast(vocab.select(F.col("vocab").alias("_vocab"))))
         kv = F.lit(float(k)) * F.col("_vocab").cast("double")
     else:
         kv = F.lit(float(k * vocab))

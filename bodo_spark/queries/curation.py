@@ -1055,6 +1055,92 @@ FROM top GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# per-language routing (CCNet's real protocol): one LM per language, one
+# percentile threshold per language. The documents table mixes 5 languages
+# with disjoint vocabularies, so a GLOBAL LM would score minority
+# languages as out-of-distribution and a global 20% tail-drop would strip
+# them disproportionately; the per-language mode judges every doc under
+# its own language's model and drops each language's own worst 20%.
+
+def cur_pretrain_multilang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tail-drop composition (operators/text.py
+    bigram_lm_counts/lm_doc_logprob with group_cols, operators/
+    curation.py filter_by_score_percentile with group_col): per-lang
+    kept counts, decimal-exact kept-score sums, and an md5 over kept
+    doc ids -- WHICH docs survive each language's own threshold."""
+    d = tbl(spark, sf, "documents")
+    train = d.where(F.col("doc_id") % 2 == 0)
+    test = d.where(F.col("doc_id") % 2 == 1)
+    bigrams, unigrams, vocab = T.bigram_lm_counts(train,
+                                                  group_cols=["lang"])
+    scored = T.lm_doc_logprob(test, bigrams, unigrams, vocab, k=0.5,
+                              group_cols=["lang"])
+    scored = scored.join(test.select("doc_id", "lang"), "doc_id")
+    kept = C.filter_by_score_percentile(scored, "avg_logprob",
+                                        p=_PPLX_P, keep="above",
+                                        k=4096, group_col="lang")
+    return (kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("avg_logprob").cast("decimal(18,6)")).cast("double")
+        .alias("sum_lp"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(
+            F.col("doc_id").cast("string"))), ",")).alias("id_hash"))
+        .orderBy("lang"))
+
+
+_MULTILANG_SQL = f"""
+WITH train AS (SELECT lang, {{toks}} AS t FROM documents
+               WHERE doc_id % 2 = 0),
+test AS (SELECT doc_id, lang, {{toks}} AS t FROM documents
+         WHERE doc_id % 2 = 1),
+tbig AS (
+  SELECT lang, t[i] AS w1, t[i+1] AS w2
+  FROM train, UNNEST(range(1, len(t))) AS r(i)),
+bigc AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM tbig
+         GROUP BY lang, w1, w2),
+unic AS (SELECT lang, w1, COUNT(*) AS c1
+         FROM (SELECT lang, unnest(t) AS w1 FROM train)
+         GROUP BY lang, w1),
+v AS (SELECT lang, COUNT(*) AS vocab FROM unic GROUP BY lang),
+sbig AS (
+  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+  FROM test, UNNEST(range(1, len(t))) AS r(i)),
+terms AS (
+  SELECT s.doc_id, s.lang,
+         round(ln((COALESCE(b.c12, 0) + 0.5)
+                  / (COALESCE(u.c1, 0) + 0.5 * vv.vocab)), 9) AS lp
+  FROM sbig s
+  LEFT JOIN bigc b ON s.lang = b.lang AND s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN unic u ON s.lang = u.lang AND s.w1 = u.w1
+  LEFT JOIN v vv ON s.lang = vv.lang),
+docs AS (
+  SELECT doc_id, lang,
+         round(CAST(SUM(CAST(lp AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_lp
+  FROM terms GROUP BY doc_id, lang),
+r AS (
+  SELECT doc_id, lang, avg_lp,
+         row_number() OVER (PARTITION BY lang ORDER BY avg_lp) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM docs),
+thr AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = greatest(CAST(ceil({_PPLX_P} * cnt) AS BIGINT),
+                                     1)
+                  THEN avg_lp END) AS t
+  FROM r GROUP BY lang),
+kept AS (
+  SELECT d.* FROM docs d JOIN thr ON d.lang = thr.lang
+  WHERE d.avg_lp >= thr.t)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(CAST(avg_lp AS DECIMAL(18,6))) AS DOUBLE) AS sum_lp,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR))) AS id_hash
+FROM kept GROUP BY lang ORDER BY lang
+""".format(toks="regexp_split_to_array(trim(text), '\\s+')")
+
+
+# --------------------------------------------------------------------------
 # in-engine quality-classifier training: 3 full-batch logistic-regression
 # steps over the hashing-trick bucket family, labels = (lang == 'en').
 # Every step's arithmetic is a Spark expression under the cross-engine
@@ -1134,6 +1220,8 @@ ORDER BY bucket"""
 
 
 QUERIES: dict[str, QueryDef] = {
+    "cur_pretrain_multilang": QueryDef(cur_pretrain_multilang,
+                                       _MULTILANG_SQL),
     "cur_quality_train": QueryDef(cur_quality_train, _quality_train_sql()),
     "cur_weighted_sample": QueryDef(cur_weighted_sample,
                                     _WEIGHTED_SAMPLE_SQL),

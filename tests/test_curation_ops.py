@@ -626,3 +626,58 @@ def test_pretrain_pipeline_quality_train_mode(spark):
     with pytest.raises(ValueError):
         C.pretrain_pipeline(df, quality_weights="nope")
     D.unpersist_cached()
+
+
+def test_per_language_routing_fixes_global_misfilter(spark):
+    """The planted two-language misfilter: language B's docs all score
+    lower under a GLOBAL LM than every language-A doc (tiny disjoint
+    vocabulary -> out-of-distribution), so a global 40% tail-drop
+    strips B entirely; per-language routing (per-lang LM + per-lang
+    threshold) keeps B's best docs and drops each language's own
+    tail."""
+    from bodo_spark.operators import text as T
+    rows = []
+    # language A: 20 docs over a shared 4-word vocab (high LM scores)
+    for i in range(20):
+        rows.append((i, "aa bb cc dd aa bb cc dd aa bb", "A"))
+    # language B: 10 docs, each with a UNIQUE word woven in (low scores
+    # under any LM trained mostly on A; comparable under B's own LM)
+    for i in range(10):
+        rows.append((100 + i, f"xx yy zz u{i} xx yy zz u{i} xx yy", "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def kept_ids(group):
+        grp = ["lang"] if group else None
+        big, uni, voc = T.bigram_lm_counts(df, group_cols=grp)
+        scored = T.lm_doc_logprob(df, big, uni, voc, group_cols=grp)
+        scored = scored.join(df.select("doc_id", "lang"), "doc_id")
+        kept = C.filter_by_score_percentile(
+            scored, "avg_logprob", p=0.4, keep="above", k=4096,
+            group_col="lang" if group else None)
+        return {r.doc_id for r in kept.select("doc_id").collect()}
+
+    glob = kept_ids(False)
+    assert not any(i >= 100 for i in glob)  # global threshold strips B
+    per = kept_ids(True)
+    n_b = sum(1 for i in per if i >= 100)
+    assert n_b >= 5  # per-language keeps B's own top 60%
+    assert sum(1 for i in per if i < 100) >= 10
+    D.unpersist_cached()
+
+
+def test_pretrain_pipeline_per_language_mode(spark):
+    """per_language=True routes the tail-drop per lang inside the
+    composed pipeline; both languages survive to packing."""
+    rows = []
+    for i in range(20):
+        rows.append((i, f"aa bb cc dd unique{i} aa bb cc dd", "A", "web"))
+    for i in range(10):
+        rows.append((100 + i, f"xx yy zz u{i} ww u{i} xx yy zz", "B", "web"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    out = C.pretrain_pipeline(df, span=20, pplx_p=0.2,
+                              pplx_sketch_k=4096, per_language=True,
+                              capacity=64)
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert any(i >= 100 for i in kept) and any(i < 100 for i in kept)
+    D.unpersist_cached()
