@@ -681,3 +681,33 @@ def test_pretrain_pipeline_per_language_mode(spark):
     kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
     assert any(i >= 100 for i in kept) and any(i < 100 for i in kept)
     D.unpersist_cached()
+
+
+def test_pretrain_pipeline_session_conf_checkpoint_dir(spark,
+                                                       tmp_path_factory):
+    """A session-level staging dir (spark.bodo_spark.pretrain.
+    checkpointDir) flips the default materialization to parquet
+    staging: the stage files appear under it and no localCheckpoint
+    warning fires; with neither set, the one-time pointer warns."""
+    import glob as _glob
+    import warnings as _w
+    rows = [(i, f"aa bb cc dd unique{i} ee ff", "web") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    stage = str(tmp_path_factory.mktemp("pt_conf_stage"))
+    spark.conf.set("spark.bodo_spark.pretrain.checkpointDir", stage)
+    try:
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # any warning -> failure
+            out = C.pretrain_pipeline(df, span=20, pplx_p=0.0,
+                                      pplx_sketch_k=4096, capacity=64)
+            n = out.count()
+        assert n > 0
+        assert _glob.glob(f"{stage}/survivors/*.parquet")
+    finally:
+        spark.conf.unset("spark.bodo_spark.pretrain.checkpointDir")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        C.pretrain_pipeline(df, span=20, pplx_p=0.0,
+                            pplx_sketch_k=4096, capacity=64).count()
+    assert any("localCheckpoint" in str(x.message) for x in rec)
+    D.unpersist_cached()
