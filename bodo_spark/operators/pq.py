@@ -132,20 +132,27 @@ def _codebook_frame(spark, cbs: list) -> DataFrame:
 def pq_encode(vectors: DataFrame, codebooks: list, *,
               id_col: str = "vec_id", vec_col: str = "embedding",
               out_col: str = "code",
-              scorer: str = "expr") -> DataFrame:
+              scorer: str = "auto") -> DataFrame:
     """Encode every vector as its m nearest-codeword ids:
     ``(id_col, out_col array<int>)`` -- the compressed search artifact.
 
-    Plan ('expr'): ONE cross join against the broadcast m*k codebook
-    frame, distance as the rounded two-dot form, then a single
-    map-side-combined groupBy(id) whose m min_by aggregates pick each
-    subspace's winner -- the exchange carries one row per vector, the
-    same reduction shape assign_nearest_cell uses. 'blas' vectorizes
-    the argmin as one (batch x k) gemm per subspace per Arrow batch
-    (mapInPandas; no join at all) -- code-identical by construction
-    (same rounding, same ties) and the path for wide m*k."""
+    ``scorer='auto'`` resolves to 'blas': one (batch x k) argmin gemm
+    per subspace per Arrow batch (mapInPandas, no join, no shuffle) --
+    measured faster at EVERY probed point (2k rows 5.5x, 20k 4.3x at
+    m=4/k=16, 50x at the production m=8/k=256 shape: 31.4 s -> 0.63 s),
+    because the 'expr' alternative materializes an m*k-way crossJoin of
+    interpreted fold-dots -- the same defect class the IVF cell
+    assigner hit (SCALE.md r10/r11). 'expr' is retained as the
+    zero-Python twin: ONE cross join against the broadcast m*k codebook
+    frame, rounded two-dot distance, a single map-side-combined
+    groupBy(id) of m min_by aggregates. The two paths are
+    code-IDENTICAL by construction (same round-half-up 9dp key, same
+    first-min/lowest-cid ties; equivalence-tested), so oracles and
+    gates hold under either."""
     m = len(codebooks)
     d = len(codebooks[0][0])
+    if scorer == "auto":
+        scorer = "blas"
     if scorer == "blas":
         import numpy as np
         import pandas as pd
@@ -193,6 +200,8 @@ def _query_luts(queries: DataFrame, codebooks: list, *,
     rounded two-dot distance term. Built by cross-joining the tiny
     query frame against the broadcast codebook frame and folding back;
     all intermediates are ~queries * m * k rows."""
+    m = len(codebooks)
+    kk = len(codebooks[0])
     d = len(codebooks[0][0])
     cb = _codebook_frame(queries.sparkSession, codebooks)
     qsub = F.slice(F.col(q_vec_col), F.col("_j") * d + 1, d)
@@ -200,16 +209,21 @@ def _query_luts(queries: DataFrame, codebooks: list, *,
                 .crossJoin(F.broadcast(cb))
                 .withColumn("_lv", F.round(
                     F.col("_cc") - 2 * dot(qsub, F.col("_cw")), 9)))
-    per_j = (lut_cell.groupBy(q_id_col, "_j")
-             .agg(F.transform(
-                 F.array_sort(F.collect_list(
-                     F.struct(F.col("_cid"), F.col("_lv")))),
-                 lambda s: s["_lv"]).alias("_row")))
-    return (per_j.groupBy(q_id_col)
-            .agg(F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct(F.col("_j"), F.col("_row")))),
-                lambda s: s["_row"]).alias("_lut")))
+    # ONE aggregation: collect all m*k cells per query, sort by (j, cid)
+    # and reshape index-arithmetically (entry (j, c) sits at j*k+c) --
+    # the previous per-j pre-aggregation was a second full exchange
+    # whose only job was grouping, pure fixed latency per query batch
+    flat = (lut_cell.groupBy(q_id_col)
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("_j"), F.col("_cid"), F.col("_lv"))))
+                .alias("_flat")))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(kk - 1)),
+            lambda c: F.element_at(F.col("_flat"),
+                                   (j * kk + c + 1).cast("int"))["_lv"]))
+    return flat.select(q_id_col, lut.alias("_lut"))
 
 
 def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
@@ -300,7 +314,7 @@ def ivf_pq_index(vectors: DataFrame, codebooks: list, *,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  coarse_dim: int = 16,
                  seed_vectors: DataFrame | None = None,
-                 scorer: str = "expr") -> DataFrame:
+                 scorer: str = "auto") -> DataFrame:
     """The combined IVF-PQ search artifact: ``(id, cell, code)`` -- the
     coarse cell route plus the m-int PQ code, i.e. the classic
     FAISS-style IVF-PQ inverted file as a plain DataFrame (write it to
@@ -364,7 +378,7 @@ def pq_append(index: DataFrame, new_vectors: DataFrame, codebooks: list,
               id_col: str = "vec_id", vec_col: str = "embedding",
               coarse_dim: int = 16,
               seed_vectors: DataFrame | None = None,
-              scorer: str = "expr") -> DataFrame:
+              scorer: str = "auto") -> DataFrame:
     """Append a batch to an IVF-PQ inverted file using the EXISTING
     codebooks and centroid source: encode + route only the new rows
     (work strictly proportional to the batch -- the indexed corpus is
@@ -431,7 +445,7 @@ def pq_compact(vectors: DataFrame, *, m: int = 4, k: int = 16,
                vec_col: str = "embedding", coarse_dim: int = 16,
                trainer: str = "lowest_id", sample_size: int = 4096,
                iters: int = 10, seed: int = 0,
-               scorer: str = "expr") -> tuple[DataFrame, list]:
+               scorer: str = "auto") -> tuple[DataFrame, list]:
     """Re-train + re-encode compaction: derive fresh codebooks from the
     CURRENT corpus (``trainer='lowest_id'`` for the deterministic
     oracle-derivable recipe, ``'kmeans'`` for train_pq_codebooks) and

@@ -211,7 +211,10 @@ def test_pq_adc_scored_pass_plan(spark):
     from bodo_spark.operators import pq as P
     emb = tbl(spark, SF_DIR, "embeddings")
     cbs = P.lowest_id_pq_codebooks(emb, m=4, k=16)
-    codes = P.pq_encode(emb, cbs)
+    # scorer='expr' pins the all-JVM encode twin; the default ('auto'
+    # -> blas gemm) deliberately uses one Arrow encode stage -- the
+    # SCORED pass below must stay zero-Python either way
+    codes = P.pq_encode(emb, cbs, scorer="expr")
     q = (emb.where("vec_id < 3")
          .selectExpr("vec_id AS q_id", "embedding AS q_vec"))
     out = P.pq_topk(codes, q, cbs, k=5)

@@ -331,7 +331,74 @@ def hand_semdedup(spark, sf):
         .orderBy("label"))
 
 
+def hand_pq(spark, sf):
+    # The textbook PQ/ADC job a user writes from the FAISS tutorial:
+    # codebooks on the driver (numpy), corpus ENCODED with a pandas UDF
+    # (one argmin gemm per batch -- same as the engine's blas path),
+    # then the scoring pass ALSO in Python: broadcast the per-query
+    # numpy LUTs into a mapInPandas that fancy-indexes
+    # LUT[q][j][code[:, j]] and emits (q_id, vec_id, adist) long-form
+    # -- every corpus code row crosses the Arrow boundary into Python
+    # and back, where the engine's scored pass is a pure JVM array-fold
+    # over broadcast LUT literals (zero Python nodes, pinned by the
+    # plan-contract test). Identical math (round-half-up 9dp encode
+    # key, first-min ties, 9dp LUT entries, 6dp rounded sum), so
+    # --check asserts the exact same ranking.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from bodo_spark.operators.similarity import _round_half_up
+
+    emb = _t(spark, sf, "embeddings")
+    rows = (emb.select("vec_id", "embedding").orderBy("vec_id")
+            .limit(16).collect())
+    CW = [np.array([list(r["embedding"])[j * 16:(j + 1) * 16]
+                    for r in rows], dtype=np.float64) for j in range(4)]
+    CC = [(c * c).sum(axis=1) for c in CW]
+    qrows = (emb.where(F.col("vec_id") < 3)
+             .select("vec_id", "embedding").orderBy("vec_id").collect())
+    q_ids = [r["vec_id"] for r in qrows]
+    QL = []  # QL[qi][j][cid] = 9dp LUT entry
+    for r in qrows:
+        qv = np.array(list(r["embedding"]), dtype=np.float64)
+        QL.append(np.stack([
+            _round_half_up(CC[j] - 2.0 * (CW[j] @ qv[j * 16:(j + 1) * 16]),
+                           9) for j in range(4)]))
+    QLs = np.stack(QL)  # (n_q, 4, 16)
+
+    def enc_and_score(it):
+        for pdf in it:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), 4), dtype=np.int64)
+            for j in range(4):
+                S = X[:, j * 16:(j + 1) * 16]
+                dist = _round_half_up(CC[j][None, :] - 2.0 * (S @ CW[j].T),
+                                      9)
+                codes[:, j] = dist.argmin(axis=1)
+            for qi, qid in enumerate(q_ids):
+                adist = np.zeros(len(pdf))
+                for j in range(4):
+                    adist += QLs[qi, j][codes[:, j]]
+                yield pd.DataFrame({
+                    "q_id": np.full(len(pdf), qid, dtype=np.int64),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "adist": _round_half_up(adist, 6)})
+
+    scored = (emb.select("vec_id", "embedding")
+              .mapInPandas(enc_and_score,
+                           "q_id long, vec_id long, adist double"))
+    w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", "adist",
+                    F.col("rn").cast("bigint").alias("rn"))
+            .orderBy("q_id", "rn"))
+
+
 HAND = {"q1_pricing_summary": hand_q1, "q3_shipping_priority": hand_q3,
+        "ann_pq_topk": hand_pq,
         "win_running_sum": hand_win_running_sum,
         "dt_sessionize": hand_dt_sessionize,
         "join_asof_events": hand_join_asof,
