@@ -753,3 +753,50 @@ def _stream_decon_sql() -> str:
 
 QUERIES["stream_decontaminate"] = QueryDef(stream_decontaminate,
                                            _stream_decon_sql())
+
+
+def stream_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming IVF-PQ search (streaming/ann.py stream_ivf_pq_topk):
+    the inverted file and centroid table are staged to parquet once
+    (the stored serving artifacts); the 3 query vectors then replay as
+    a 2-file stream and each micro-batch probes 2 cells and ADC-scores
+    only those cells' code rows. Shares ann_ivf_pq_topk's oracle
+    verbatim (queries/similarity.py) -- the served stream must return
+    the identical ranking the batch search computes."""
+    from ..operators import pq as PQ
+    from ..streaming import (read_stream_parquet, run_available_now,
+                             stream_ivf_pq_topk)
+
+    emb = tbl(spark, sf, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    cents = [(r["vec_id"], list(r["embedding"])[:16])
+             for r in emb.select("vec_id", "embedding")
+             .orderBy("vec_id").limit(8).collect()]
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    stage = f"/tmp/bodo_spark_sann_{uuid.uuid4().hex[:8]}"
+    try:
+        PQ.ivf_pq_index(emb, cbs, n_cells=8).write \
+            .mode("overwrite").parquet(f"{stage}/idx")
+        queries.repartition(2).write.mode("overwrite") \
+            .parquet(f"{stage}/q")
+        idx = spark.read.parquet(f"{stage}/idx")
+        stream = read_stream_parquet(spark, f"{stage}/q", queries.schema,
+                                     max_files_per_trigger=1)
+        topk = stream_ivf_pq_topk(stream, idx, cbs, cents,
+                                  k=5, n_probe=2)
+        res = run_available_now(topk, f"t_sann_{uuid.uuid4().hex[:8]}",
+                                output_mode="update")
+        return (res.where(F.col("vec_id") != F.col("q_id"))
+                .orderBy("q_id", "rn"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stream_ann_sql() -> str:
+    from .similarity import _IVF_PQ_SQL
+    return _IVF_PQ_SQL
+
+
+QUERIES["stream_ann_topk"] = QueryDef(stream_ann_topk, _stream_ann_sql())

@@ -10,6 +10,9 @@ stateful sessionization via applyInPandasWithState) so stream-shaped
 workloads run on the same engine.
 """
 
+from .ann import (  # noqa: F401
+    stream_ivf_pq_topk,
+)
 from .dedup import (  # noqa: F401
     stream_bloom_new_rows,
     stream_decontaminate_new_rows,

@@ -340,3 +340,41 @@ def test_stream_semantic_new_rows_matches_batch(spark, tmp_path_factory):
     res = run_available_now(kept, "t_ssem_unit", output_mode="append")
     s_kept = sorted(r.vec_id for r in res.select("vec_id").collect())
     assert s_kept == b_kept
+
+
+def test_stream_ann_topk_matches_batch_both_lut_modes(spark, tmp_path_factory):
+    """Streaming IVF-PQ search equals the batch search row-for-row, under
+    BOTH LUT modes (exact literal-tree expressions and the gemm
+    pandas_udf twin)."""
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators import pq as P
+    from bodo_spark.queries._util import tbl
+    from bodo_spark.streaming import (read_stream_parquet,
+                                      run_available_now,
+                                      stream_ivf_pq_topk)
+    from .conftest import SF_DIR
+
+    emb = tbl(spark, SF_DIR, "embeddings")
+    cbs = P.lowest_id_pq_codebooks(emb, m=4, k=16)
+    idx = P.ivf_pq_index(emb, cbs, n_cells=4)
+    cents = [(r["vec_id"], list(r["embedding"])[:16])
+             for r in emb.select("vec_id", "embedding")
+             .orderBy("vec_id").limit(4).collect()]
+    q = (emb.where(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    batch = sorted(map(tuple, P.ivf_pq_topk(
+        idx, q, emb, cbs, k=5, n_probe=2, n_cells=4).collect()))
+    stage = str(tmp_path_factory.mktemp("sann"))
+    idx.write.mode("overwrite").parquet(f"{stage}/idx")
+    q.repartition(2).write.mode("overwrite").parquet(f"{stage}/q")
+    idx2 = spark.read.parquet(f"{stage}/idx")
+    for mode in ("expr", "blas"):
+        stream = read_stream_parquet(spark, f"{stage}/q", q.schema,
+                                     max_files_per_trigger=1)
+        out = run_available_now(
+            stream_ivf_pq_topk(stream, idx2, cbs, cents, k=5, n_probe=2,
+                               luts=mode),
+            f"t_sann_{mode}", output_mode="update")
+        assert sorted(map(tuple, out.collect())) == batch
