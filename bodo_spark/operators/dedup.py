@@ -954,24 +954,25 @@ def duplicate_span_positions(df: DataFrame, id_col: str = "doc_id",
             .join(canon, [id_col, "pos"], "left_anti"))
 
 
-def excise_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text", span: int = 50,
-                           out_col: str | None = None) -> DataFrame:
-    """Substring-level exact dedup: remove every token covered by a
-    non-canonical duplicated ``span``-token gram, keeping the first
-    occurrence corpus-wide. Whitespace is normalized to single spaces
-    (the tokenization is the unit of excision, as in Lee et al. 2022).
+def excise_positions(df: DataFrame, positions: DataFrame, *,
+                     span: int, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     out_col: str | None = None) -> DataFrame:
+    """Remove every token covered by a [pos, pos+span) window for each
+    (id, pos) row of ``positions`` -- the shared excision tail of
+    excise_duplicate_spans (self-dedup positions) and
+    excise_contaminated_spans (benchmark-hit positions).
 
-    Plan: the sparse (id, pos) dup stream groups per doc (small
-    shuffle), joins back to the corpus (AQE broadcasts it when sparse),
-    and the excision itself is doc-local expressions: merge sorted
-    positions into disjoint [s, e) intervals (one O(|P|) fold), then
-    filter tokens by interval membership -- O(tokens x intervals) with
-    intervals already coalesced, so contiguous boilerplate costs one
-    interval, not one test per duplicated gram."""
+    Plan: the sparse (id, pos) stream groups per doc (small shuffle),
+    joins back to the corpus (AQE broadcasts it when sparse), and the
+    excision itself is doc-local expressions: merge sorted positions
+    into disjoint [s, e) intervals (one O(|P|) fold), then filter
+    tokens by interval membership -- O(tokens x intervals) with
+    intervals already coalesced, so contiguous spans cost one interval,
+    not one test per hit. Whitespace normalizes to single spaces (the
+    tokenization is the unit of excision, as in Lee et al. 2022)."""
     out_col = out_col or text_col
-    dup = duplicate_span_positions(df, id_col, text_col, span)
-    plists = dup.groupBy(id_col).agg(
+    plists = positions.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("_dp"))
     joined = df.join(plists, id_col, "left")
     words = F.split(F.trim(F.col(text_col)), "\\s+")
@@ -999,6 +1000,52 @@ def excise_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     if out_col not in df.columns:
         cols.append(new_text.alias(out_col))
     return joined.select(*cols)
+
+
+def excise_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", span: int = 50,
+                           out_col: str | None = None) -> DataFrame:
+    """Substring-level exact dedup: remove every token covered by a
+    non-canonical duplicated ``span``-token gram, keeping the first
+    occurrence corpus-wide (Lee et al. 2022 ExactSubstr). Positions
+    from duplicate_span_positions; excision via the shared
+    excise_positions tail."""
+    dup = duplicate_span_positions(df, id_col, text_col, span)
+    return excise_positions(df, dup, span=span, id_col=id_col,
+                            text_col=text_col, out_col=out_col)
+
+
+def excise_contaminated_spans(train: DataFrame, bench: DataFrame, *,
+                              k: int = 13, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              out_col: str | None = None) -> DataFrame:
+    """Span-level benchmark decontamination: excise ONLY the tokens
+    covered by a benchmark ``k``-gram hit instead of dropping the whole
+    document (curation.decontaminate) -- the higher-recall protocol for
+    long documents, where one leaked question should not cost the other
+    10k tokens. The doc-drop operator remains the conservative mode
+    (GPT-3 appendix C drops; Lee et al.-style span excision keeps the
+    clean remainder).
+
+    Plan: the benchmark's distinct positional gram hashes
+    (gram_hash_index -- 8 bytes per distinct gram, MBs for real eval
+    sets) BROADCAST; the train side is one scan -> positional-gram
+    posexplode -> broadcast LEFT SEMI for hit positions -> the shared
+    interval-merge excision (excise_positions). The corpus is never
+    shuffled on content: the only exchange carries the sparse (id, pos)
+    hit stream, proportional to contamination, not corpus size. Docs
+    (or bench rows) shorter than ``k`` tokens yield no grams: short
+    train docs are never excised, exactly like the streaming twin
+    (stream_excise_spans shares this index + hit semantics)."""
+    idx = gram_hash_index(bench, id_col, text_col, span=k)
+    occ = train.select(
+        F.col(id_col),
+        F.posexplode(_positional_gram_hashes(F.col(text_col), k))
+        .alias("pos", "gh"))
+    hits = (occ.join(F.broadcast(idx), "gh", "left_semi")
+            .select(id_col, "pos"))
+    return excise_positions(train, hits, span=k, id_col=id_col,
+                            text_col=text_col, out_col=out_col)
 
 
 def ngram_jaccard_pairs(

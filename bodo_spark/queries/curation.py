@@ -1055,6 +1055,71 @@ FROM top GROUP BY lang ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# span-level decontamination: excise only the leaked benchmark k-grams,
+# keep the clean remainder (vs cur_decontaminate's whole-doc drop)
+
+def cur_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level decontamination (operators/dedup.py
+    excise_contaminated_spans): the benchmark slice's 5-gram hashes are
+    the broadcast index; every covered token of the train side is
+    excised and the CLEANED text is pinned (per-lang doc counts, char
+    mass, and a cleaned-page md5 -- one flipped token anywhere flips
+    the hash). The oracle re-derives gram hashes, hit positions, the
+    covered-token union and the rebuilt pages."""
+    from ..operators import dedup as D
+    d = tbl(spark, sf, "documents").select("doc_id", "lang", "text")
+    bench = d.where(F.col("doc_id") % 19 == 0)
+    train = d.where(F.col("doc_id") % 19 != 0)
+    out = D.excise_contaminated_spans(train, bench, k=5,
+                                      out_col="clean")
+    return (out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("clean")).cast("bigint").alias("sum_chars"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(
+            F.md5("clean"))), "")).alias("text_hash"))
+        .orderBy("lang"))
+
+
+def _decon_spans_sql() -> str:
+    from .dedup import _sql_h60
+    k = 5
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents),
+cidx AS (
+  SELECT DISTINCT {_sql_h60(f"array_to_string(ts[i:i+{k - 1}], ' ')")}
+         AS gh
+  FROM docs, UNNEST(range(1, len(ts) - {k} + 2)) AS t(i)
+  WHERE doc_id % 19 = 0),
+sgrams AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_sql_h60(f"array_to_string(ts[i:i+{k - 1}], ' ')")} AS gh
+  FROM docs, UNNEST(range(1, len(ts) - {k} + 2)) AS t(i)
+  WHERE doc_id % 19 <> 0),
+hits AS (SELECT doc_id, pos FROM sgrams WHERE gh IN (SELECT gh FROM cidx)),
+covered AS (
+  SELECT DISTINCT doc_id, pos + d AS idx
+  FROM hits, UNNEST(range(0, {k})) AS t(d)),
+toks AS (
+  SELECT doc_id, ts[CAST(i AS INTEGER)] AS tok, CAST(i AS INTEGER) - 1 AS idx
+  FROM docs, UNNEST(range(1, len(ts) + 1)) AS t(i)
+  WHERE doc_id % 19 <> 0),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.idx) AS clean
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.idx IS NULL GROUP BY t.doc_id),
+cleaned AS (
+  SELECT d.doc_id, d.lang, COALESCE(kp.clean, '') AS clean
+  FROM docs d LEFT JOIN kept kp USING (doc_id) WHERE d.doc_id % 19 <> 0)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(clean)) AS BIGINT) AS sum_chars,
+       md5(string_agg(md5(clean), '' ORDER BY md5(clean))) AS text_hash
+FROM cleaned GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # per-language routing (CCNet's real protocol): one LM per language, one
 # percentile threshold per language. The documents table mixes 5 languages
 # with disjoint vocabularies, so a GLOBAL LM would score minority
@@ -1220,6 +1285,8 @@ ORDER BY bucket"""
 
 
 QUERIES: dict[str, QueryDef] = {
+    "cur_decontaminate_spans": QueryDef(cur_decontaminate_spans,
+                                        _decon_spans_sql()),
     "cur_pretrain_multilang": QueryDef(cur_pretrain_multilang,
                                        _MULTILANG_SQL),
     "cur_quality_train": QueryDef(cur_quality_train, _quality_train_sql()),

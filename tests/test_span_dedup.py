@@ -85,3 +85,33 @@ def test_positions_are_sparse_not_corpus_sized(spark):
             for i in range(1, 9)]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     assert D.duplicate_span_positions(df, span=5).count() == 0
+
+
+def test_excise_contaminated_spans_removes_only_hits(spark):
+    """Span-level decontamination keeps the clean remainder of a
+    contaminated doc (the whole-doc drop would lose it), excises the
+    planted benchmark gram everywhere it appears, and leaves clean and
+    short docs untouched."""
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators.dedup import (excise_contaminated_spans,
+                                            unpersist_cached)
+
+    bench = spark.createDataFrame(
+        [(1, "the secret eval answer is")], "doc_id long, text string")
+    train = spark.createDataFrame([
+        (10, "clean text stays wholly intact here"),
+        # leak in the middle: prefix/suffix must survive
+        (11, "intro words the secret eval answer is tail words kept"),
+        # leak twice, back to back: one merged interval
+        (12, "the secret eval answer is the secret eval answer is end"),
+        (13, "short doc"),  # < k tokens: never excised
+    ], "doc_id long, text string")
+    out = {r.doc_id: r.clean for r in
+           excise_contaminated_spans(train, bench, k=5, out_col="clean")
+           .collect()}
+    assert out[10] == "clean text stays wholly intact here"
+    assert out[11] == "intro words tail words kept"
+    assert out[12] == "end"
+    assert out[13] == "short doc"
+    unpersist_cached()
