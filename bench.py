@@ -55,6 +55,9 @@ HEADLINE = [
     # round-10 tiers: PQ-compressed ANN and the one-pass data card
     "ann_pq_topk",
     "sketch_dataset_profile",
+    # round-11 tiers: index lifecycle and per-language routing
+    "ann_index_compact",
+    "cur_pretrain_multilang",
 ]
 
 
