@@ -40,7 +40,7 @@ from .similarity import _ensure_scan_width, _round_half_up, dot
 
 __all__ = ["lowest_id_pq_codebooks", "train_pq_codebooks", "pq_encode",
            "pq_topk", "ivf_pq_index", "ivf_pq_topk", "pq_reconstruction_mse",
-           "pq_compact"]
+           "pq_compact", "pq_append", "ivf_pq_topk_segments"]
 
 
 def lowest_id_pq_codebooks(vectors: DataFrame, *, m: int = 4, k: int = 16,
@@ -487,6 +487,32 @@ def ivf_pq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,
     used only to derive the deterministic centroid table -- pass
     ``centroids`` and it is not read at all). The only exchange on
     corpus-sized data is the hash join on the cell id."""
+    scored = _ivf_pq_scored(index, queries, vectors, codebooks,
+                            n_probe=n_probe, n_cells=n_cells,
+                            centroids=centroids, id_col=id_col,
+                            vec_col=vec_col, q_id_col=q_id_col,
+                            q_vec_col=q_vec_col, coarse_dim=coarse_dim)
+    return _topk_by_adist(scored, k, q_id_col, id_col)
+
+
+def _topk_by_adist(scored: DataFrame, k: int, q_id_col: str,
+                   id_col: str) -> DataFrame:
+    from pyspark.sql import Window as Wnd
+    wk = Wnd.partitionBy(q_id_col).orderBy("adist", id_col)
+    return (scored.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= k)
+            .select(q_id_col, id_col, "adist",
+                    F.col("rn").cast("bigint").alias("rn")))
+
+
+def _ivf_pq_scored(index: DataFrame, queries: DataFrame,
+                   vectors: DataFrame, codebooks: list, *,
+                   n_probe: int, n_cells: int, centroids: list | None,
+                   id_col: str, vec_col: str, q_id_col: str,
+                   q_vec_col: str, coarse_dim: int) -> DataFrame:
+    """One segment's probed ADC scored pass: (q_id, id, adist) for the
+    probed cells' rows under THIS segment's codebooks/centroids -- the
+    shared body of ivf_pq_topk and the multi-segment search."""
     from pyspark.sql import Window as Wnd
 
     from .similarity import _centroid_table
@@ -514,9 +540,45 @@ def ivf_pq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,
         F.lit(0).cast("decimal(28,9)"),
         lambda acc, x: (acc + x.cast("decimal(28,9)"))
         .cast("decimal(28,9)")).cast("double"), 6)
-    scored = cand.select(q_id_col, id_col, score.alias("adist"))
-    wk = Wnd.partitionBy(q_id_col).orderBy("adist", id_col)
-    return (scored.withColumn("rn", F.row_number().over(wk))
-            .where(F.col("rn") <= k)
-            .select(q_id_col, id_col, "adist",
-                    F.col("rn").cast("bigint").alias("rn")))
+    return cand.select(q_id_col, id_col, score.alias("adist"))
+
+
+def ivf_pq_topk_segments(segments: list, queries: DataFrame,
+                         vectors: DataFrame, *, k: int = 5,
+                         n_probe: int = 2, n_cells: int = 8,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         q_id_col: str = "q_id",
+                         q_vec_col: str = "q_vec",
+                         coarse_dim: int = 16) -> DataFrame:
+    """Search SPANNING index segments encoded under DIFFERENT codebook
+    versions -- the mid-migration state every compaction protocol
+    passes through (old segments still on the previous codebooks, new
+    batches on the retrained ones). ``segments`` is a list of
+    ``(index, codebooks)`` or ``(index, codebooks, centroids)`` tuples;
+    each segment's rows are ADC-scored under ITS OWN codebooks (LUTs
+    are codebook-bound -- this is exactly the mixing bug pq_compact's
+    docstring warns against, handled correctly), the per-segment scored
+    passes union, and one global per-query top-k ranks them.
+
+    Correctness: every segment's adist approximates the same true
+    two-dot l2 (quantization error differs per codebook generation, as
+    in any FAISS-style staged migration), so cross-segment ranking is
+    apples-to-apples up to quantization error; with fixed codebooks
+    (one segment, or identical codebooks) this degenerates to
+    ivf_pq_topk exactly. Scale: per-segment work is the probed fraction
+    of THAT segment's code rows; the union is a no-shuffle concatenate
+    and the only exchange stays the final top-k window."""
+    if not segments:
+        raise ValueError("segments must be non-empty")
+    scored = None
+    for seg in segments:
+        idx, cbs, *rest = seg
+        cents = rest[0] if rest else None
+        s = _ivf_pq_scored(idx, queries, vectors, cbs,
+                           n_probe=n_probe, n_cells=n_cells,
+                           centroids=cents, id_col=id_col,
+                           vec_col=vec_col, q_id_col=q_id_col,
+                           q_vec_col=q_vec_col, coarse_dim=coarse_dim)
+        scored = s if scored is None else scored.unionByName(s)
+    return _topk_by_adist(scored, k, q_id_col, id_col)

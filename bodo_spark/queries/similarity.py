@@ -738,7 +738,113 @@ ORDER BY phase
 """
 
 
+def ann_index_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-codebook-version search (operators/pq.py
+    ivf_pq_topk_segments): the mid-migration state -- an old segment
+    still encoded under the previous codebooks and a new segment under
+    retrained ones -- searched in ONE pass, each segment ADC-scored
+    under its own codebooks (LUTs are codebook-bound; scoring a
+    segment with the wrong generation's LUTs is the correctness bug
+    this operator exists to prevent). The oracle re-derives BOTH
+    codebook sets, both encodings, both LUT families, the shared probe
+    list and the global ranking."""
+    from ..operators import pq as PQ
+    emb = tbl(spark, sf, "embeddings")
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    cbs_old = PQ.lowest_id_pq_codebooks(old, m=4, k=16)
+    cbs_new = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    seg_old = PQ.ivf_pq_index(old, cbs_old, n_cells=8, seed_vectors=emb)
+    seg_new = PQ.ivf_pq_index(new, cbs_new, n_cells=8, seed_vectors=emb)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (PQ.ivf_pq_topk_segments(
+        [(seg_old, cbs_old), (seg_new, cbs_new)], queries, emb,
+        k=5, n_probe=2, n_cells=8)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .orderBy("q_id", "rn"))
+
+
+def _seg_block(tag: str, seeds_pred: str, corpus_pred: str) -> str:
+    """One codebook generation: seeds -> codewords -> segment encoding
+    -> per-query LUTs -> probed ADC scores (DuckDB twin of one
+    (index, codebooks) segment of ivf_pq_topk_segments)."""
+    return f"""
+seeds{tag} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+  FROM embeddings WHERE {seeds_pred} ORDER BY vec_id LIMIT 16),
+cwn{tag} AS (
+  SELECT j.j, s.cid,
+         CAST(s.embedding[j.j*16+1 : j.j*16+16] AS DOUBLE[]) AS cw,
+         list_dot_product(CAST(s.embedding[j.j*16+1 : j.j*16+16] AS DOUBLE[]),
+                          CAST(s.embedding[j.j*16+1 : j.j*16+16] AS DOUBLE[]))
+           AS cc
+  FROM seeds{tag} s CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+enc{tag} AS (
+  SELECT e.vec_id, c.j, c.cid,
+         round(c.cc - 2 * list_dot_product(
+             CAST(e.embedding[c.j*16+1 : c.j*16+16] AS DOUBLE[]), c.cw), 9)
+           AS d
+  FROM embeddings e CROSS JOIN cwn{tag} c WHERE {corpus_pred}),
+code{tag} AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+    FROM enc{tag}) WHERE rn = 1),
+lut{tag} AS (
+  SELECT q.q_id, c.j, c.cid,
+         round(c.cc - 2 * list_dot_product(
+             CAST(q.q_vec[c.j*16+1 : c.j*16+16] AS DOUBLE[]), c.cw), 9)
+           AS lv
+  FROM q CROSS JOIN cwn{tag} c),
+sc{tag} AS (
+  SELECT l.q_id, co.vec_id,
+         round(CAST(SUM(CAST(l.lv AS DECIMAL(28,9))) AS DOUBLE), 6)
+           AS adist
+  FROM code{tag} co
+  JOIN cells ce ON co.vec_id = ce.vec_id
+  JOIN qprobe p ON ce.cell = p.cell
+  JOIN lut{tag} l ON l.q_id = p.q_id AND co.j = l.j AND co.cid = l.cid
+  GROUP BY l.q_id, co.vec_id)"""
+
+
+_SEGMENTS_SQL = f"""
+WITH cents8 AS (
+  SELECT vec_id AS ccid, embedding[1:16] AS ccvec
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+asg AS (
+  SELECT e.vec_id, c.ccid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(-(list_dot_product(CAST(e.embedding[1:16]
+                                                    AS DOUBLE[]),
+                                               CAST(c.ccvec AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding[1:16]
+                                             AS DOUBLE[]),
+                                        CAST(e.embedding[1:16]
+                                             AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.ccvec AS DOUBLE[]),
+                                          CAST(c.ccvec AS DOUBLE[]))))),
+                      9), c.ccid) AS crn
+  FROM embeddings e CROSS JOIN cents8 c),
+cells AS (SELECT vec_id, ccid AS cell FROM asg WHERE crn = 1),
+qprobe AS (SELECT vec_id AS q_id, ccid AS cell
+           FROM asg WHERE vec_id < 3 AND crn <= 2),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < 3),
+{_seg_block('o', 'vec_id % 3 <> 0', 'e.vec_id % 3 <> 0')},
+{_seg_block('n', 'TRUE', 'e.vec_id % 3 = 0')},
+scored AS (SELECT * FROM sco UNION ALL SELECT * FROM scn)
+SELECT q_id, vec_id, adist,
+       row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+FROM scored
+QUALIFY rn <= 5 AND vec_id <> q_id
+ORDER BY q_id, rn
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "ann_index_segments": QueryDef(ann_index_segments, _SEGMENTS_SQL),
     "ann_index_append": QueryDef(ann_index_append, _IVF_PQ_SQL),
     "ann_index_compact": QueryDef(ann_index_compact, _COMPACT_SQL),
     "ann_ivf_pq_topk": QueryDef(ann_ivf_pq_topk, _IVF_PQ_SQL),

@@ -525,3 +525,52 @@ def test_ivf_explicit_centroids_double_precision_roundtrip(spark):
     c0 = [0.1] * 16  # 0.1 has no exact float32 representation
     rows = _centroid_table(emb, [c0], 1, 16, "vec_id", "embedding").collect()
     assert list(rows[0]["_cvec"]) == [0.1] * 16
+
+
+def test_ivf_pq_segments_degenerate_and_mixed(spark):
+    """Segmented search with ONE segment (or identical codebooks split
+    across two) equals ivf_pq_topk exactly; mixed codebook generations
+    score each segment under its own LUTs (guard: empty segments
+    rejected)."""
+    from bodo_spark.operators import pq as P
+    from bodo_spark.queries._util import tbl
+    from pyspark.sql import functions as F
+
+    emb = tbl(spark, SF_DIR, "embeddings")
+    cbs = P.lowest_id_pq_codebooks(emb, m=4, k=16)
+    idx = P.ivf_pq_index(emb, cbs, n_cells=4)
+    q = _queries_df(emb, 3).withColumnRenamed("vec_id", "q_id")
+    want = sorted(map(tuple, P.ivf_pq_topk(
+        idx, q, emb, cbs, k=5, n_probe=2, n_cells=4).collect()))
+    one = sorted(map(tuple, P.ivf_pq_topk_segments(
+        [(idx, cbs)], q, emb, k=5, n_probe=2, n_cells=4).collect()))
+    assert one == want
+    a = idx.where(F.col("vec_id") % 2 == 0)
+    b = idx.where(F.col("vec_id") % 2 == 1)
+    two = sorted(map(tuple, P.ivf_pq_topk_segments(
+        [(a, cbs), (b, cbs)], q, emb, k=5, n_probe=2,
+        n_cells=4).collect()))
+    assert two == want
+    # mixed generations: old rows under old codebooks, new under new
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    cbs_old = P.lowest_id_pq_codebooks(old, m=4, k=16)
+    segs = [(P.ivf_pq_index(old, cbs_old, n_cells=4, seed_vectors=emb),
+             cbs_old),
+            (P.ivf_pq_index(new, cbs, n_cells=4, seed_vectors=emb), cbs)]
+    mixed = P.ivf_pq_topk_segments(segs, q, emb, k=5, n_probe=4,
+                                   n_cells=4).collect()
+    by_q = {}
+    for r in mixed:
+        by_q.setdefault(r.q_id, []).append((r.rn, r.adist, r.vec_id))
+    for rows in by_q.values():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert rows == sorted(rows, key=lambda t: (t[1], t[2]))
+    # each seed query must find its own row first (it lives in SOME
+    # segment, scored under that segment's codebooks)
+    firsts = {r.q_id: r.vec_id for r in mixed if r.rn == 1}
+    assert firsts == {0: 0, 1: 1, 2: 2}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        P.ivf_pq_topk_segments([], q, emb)
