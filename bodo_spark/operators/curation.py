@@ -526,7 +526,8 @@ def hashed_quality_score_df(df: DataFrame, weights_df: DataFrame, *,
 def train_hashed_quality(df: DataFrame, *, label_col: str,
                          text_col: str = "text", id_col: str = "doc_id",
                          n_buckets: int = 32, steps: int = 3,
-                         lr: float = 0.5) -> tuple[list[float], float]:
+                         lr: float = 0.5,
+                         as_frame: bool = False):
     """Train the hashing-trick quality classifier IN-ENGINE: full-batch
     logistic regression by gradient descent over the same bucket family
     `hashed_quality_score` scores with (exact mode h60 % n, fast mode
@@ -560,6 +561,14 @@ def train_hashed_quality(df: DataFrame, *, label_col: str,
       the trained weights bit-for-bit (cur_quality_train).
     * train and score must run under the SAME mode (the bucket hash
       family switches with exact_mode, like the scorer itself).
+    * ``as_frame=True`` is the production-width mode (2^20-bucket
+      models, the hashed_quality_score_df regime): weights NEVER leave
+      the cluster -- each step derives the next weight frame by a
+      broadcast join and localCheckpoints it (bounded plans, the
+      pretrain-pipeline boundary discipline), and the return value is
+      ``(weights_df(bucket, weight), bias_df(bias))`` ready for
+      hashed_quality_score_df. Identical arithmetic expression by
+      expression, so the two modes are bit-equal (tested).
     """
     from ..modes import exact_mode
     from .dedup import h60
@@ -580,25 +589,67 @@ def train_hashed_quality(df: DataFrame, *, label_col: str,
     _dedup._PERSISTED.append(feats)
     n_docs = feats.select("_id").distinct().count()  # bounded scalar
     frac = F.col("_cnt") / F.greatest(F.col("_n"), F.lit(1))
+
+    def _step(wdf: DataFrame, bias_df: DataFrame | None, bias: float):
+        """One gradient step: returns (edf of per-doc errors, gdf keyed
+        by _b). Arithmetic identical in both modes: the weight-sum
+        aggregate first, then bias + sum in a post-agg select (same
+        operand order as the oracle's (SELECT bias) + CAST(SUM(...)))."""
+        zterm = F.round(F.col("_w") * frac, 9).cast("decimal(28,9)")
+        zsum = (feats.join(F.broadcast(wdf), "_b")
+                .groupBy("_id", "_y")
+                .agg(F.sum(zterm).cast("double").alias("_ws")))
+        if bias_df is not None:
+            zdf = (zsum.crossJoin(F.broadcast(bias_df))
+                   .select("_id", "_y",
+                           (F.col("_bias") + F.col("_ws")).alias("_z")))
+        else:
+            zdf = zsum.select(
+                "_id", "_y",
+                (F.lit(float(bias)) + F.col("_ws")).alias("_z"))
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))), 9)
+        edf = zdf.select("_id", (p - F.col("_y")).alias("_err"))
+        gterm = F.round(F.col("_err") * frac, 12).cast("decimal(28,12)")
+        gdf = (feats.join(edf, "_id")
+               .groupBy("_b").agg(F.sum(gterm).alias("_g")))
+        return edf, gdf
+
+    upd = (F.col("_w") - F.lit(float(lr)) * F.round(
+        F.coalesce(F.col("_g"), F.lit(0).cast("decimal(28,12)"))
+        .cast("double") / F.lit(n_docs), 12))
+
+    if as_frame:
+        # weights never leave the cluster: each step's frame derives
+        # from the previous via a broadcast join, localCheckpoint-ed so
+        # plan depth stays one step (the pipeline boundary discipline)
+        wdf = (spark.range(n_buckets)
+               .select(F.col("id").cast("int").alias("_b"),
+                       F.lit(0.0).alias("_w")))
+        bias_df = spark.createDataFrame([(0.0,)], "_bias double")
+        for _ in range(steps):
+            edf, gdf = _step(wdf, bias_df, 0.0)
+            wdf = (wdf.join(gdf, "_b", "left")
+                   .select("_b", upd.alias("_w"))
+                   .localCheckpoint(eager=False))
+            bias_df = (bias_df.crossJoin(edf.agg(
+                F.sum(F.col("_err").cast("decimal(28,9)"))
+                .cast("double").alias("_es")))
+                .select((F.col("_bias") - F.lit(float(lr))
+                         * F.round(F.col("_es") / F.lit(n_docs), 12))
+                        .alias("_bias"))
+                .localCheckpoint(eager=False))
+            _dedup._PERSISTED.extend([wdf, bias_df])
+        return (wdf.select(F.col("_b").alias("bucket"),
+                           F.col("_w").alias("weight")),
+                bias_df.select(F.col("_bias").alias("bias")))
+
     w = [0.0] * n_buckets
     bias = 0.0
     for _ in range(steps):
         wdf = spark.createDataFrame(
             [(b, float(w[b])) for b in range(n_buckets)],
             "_b int, _w double")
-        zterm = F.round(F.col("_w") * frac, 9).cast("decimal(28,9)")
-        zdf = (feats.join(F.broadcast(wdf), "_b")
-               .groupBy("_id", "_y")
-               .agg((F.lit(float(bias))
-                     + F.sum(zterm).cast("double")).alias("_z")))
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))), 9)
-        edf = zdf.select("_id", (p - F.col("_y")).alias("_err"))
-        gterm = F.round(F.col("_err") * frac, 12).cast("decimal(28,12)")
-        upd = (F.col("_w") - F.lit(float(lr)) * F.round(
-            F.coalesce(F.col("_g"), F.lit(0).cast("decimal(28,12)"))
-            .cast("double") / F.lit(n_docs), 12))
-        gdf = (feats.join(edf, "_id")
-               .groupBy("_b").agg(F.sum(gterm).alias("_g")))
+        edf, gdf = _step(wdf, None, bias)
         rows = (wdf.join(gdf, "_b", "left")
                 .select("_b", upd.alias("_wn")).collect())
         for r in rows:

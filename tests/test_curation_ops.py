@@ -711,3 +711,25 @@ def test_pretrain_pipeline_session_conf_checkpoint_dir(spark,
                             pplx_sketch_k=4096, capacity=64).count()
     assert any("localCheckpoint" in str(x.message) for x in rec)
     D.unpersist_cached()
+
+
+def test_train_hashed_quality_frame_mode_bit_equal(spark):
+    """as_frame=True (weights never leave the cluster; the 2^20-bucket
+    production mode) is bit-equal to the collect-mode trainer: same
+    expressions step for step, so weights and bias match exactly, and
+    the returned frames feed hashed_quality_score_df directly."""
+    rows = [(i, "aa bb cc dd" if i % 2 == 0 else "xx yy zz ww", i % 2)
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w, b = C.train_hashed_quality(df, label_col="y", n_buckets=16,
+                                  steps=4, lr=1.0)
+    wdf, bdf = C.train_hashed_quality(df, label_col="y", n_buckets=16,
+                                      steps=4, lr=1.0, as_frame=True)
+    got_w = {r.bucket: r.weight for r in wdf.collect()}
+    got_b = bdf.collect()[0]["bias"]
+    assert got_b == b
+    assert got_w == {i: w[i] for i in range(16)}
+    scored = C.hashed_quality_score_df(df, wdf.select(
+        "bucket", "weight"), bias=got_b)
+    assert scored.where("quality IS NULL").count() == 0
+    D.unpersist_cached()
