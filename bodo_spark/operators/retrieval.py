@@ -1,0 +1,177 @@
+"""Lexical retrieval: inverted index, BM25 ranking, and reciprocal-rank
+fusion (the hybrid lexical+vector protocol).
+
+BM25 (Robertson et al., Okapi TREC-3 1994; the idf form is Lucene's
+``ln(1 + (N - df + 0.5)/(df + 0.5))``, non-negative) complements the
+vector-search tier (similarity.py brute/IVF, pq.py PQ/IVF-PQ): sparse
+keyword match where embeddings miss exact identifiers, rare names, and
+out-of-domain terms. ``rrf_fuse`` (Cormack et al. 2009) then combines
+any number of rankings without score calibration -- the standard hybrid
+retrieval recipe.
+
+Scale design: the inverted index ``(term, doc_id, tf, dl)`` is the
+durable artifact -- built in ONE corpus pass (explode + two
+aggregations) and written partitioned/bucketed by term, so a query
+batch joins against only its terms' postings (partition-pruned at
+scan). Scoring never touches raw documents: the query side is tiny and
+broadcast, per-term partials are map-side-combinable decimals, and the
+final top-k is a per-query WindowGroupLimit. Skew note: a stopword's
+posting list is the classic hot key -- the optional ``max_df_ratio``
+drops saturated terms at index-build time (their idf ~ 0 contributes
+nothing to ranking), bounding the widest posting list.
+
+Reference parity: the reference delegates text retrieval to external
+services (bodo/pandas/frame.py:721 S3 Vectors, series_ai.embed); here
+the engine provides the ranking structure itself, like the ANN tier.
+
+Determinism contract (oracle exact-match): dl/df/N are exact bigints;
+avgdl is ONE double division of exact integers; idf and the per-term
+BM25 partial are rounded to 9 dp (absorbing libm ln ulps) and summed
+as DECIMAL(28,9) -- order-independent -- with the final score one
+double cast rounded to 6 dp; ties rank by ascending doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .text import tokenize_ws
+
+__all__ = ["bm25_index", "bm25_corpus_stats", "bm25_topk", "rrf_fuse"]
+
+
+def bm25_index(docs: DataFrame, *, id_col: str = "doc_id",
+               text_col: str = "text",
+               max_df_ratio: float | None = None) -> DataFrame:
+    """Build the inverted index: ``(term, doc_id, tf, dl)`` -- one row
+    per (term, document) with the term frequency and the document's
+    token length. ONE corpus pass: tokenize, explode, count.
+
+    ``max_df_ratio``: drop terms appearing in more than this fraction
+    of documents (stopword pruning -- their idf is ~0, so they cost
+    the widest shuffle rows while moving no ranking mass). Implemented
+    as a term-level filter AFTER the tf aggregation so dl still counts
+    every token (the BM25 length normalization is unchanged).
+
+    At 100 TB: write this frame partitioned or bucketed by ``term`` --
+    ``bm25_topk`` joins on term, so a stored-index serving path scans
+    only the query batch's terms."""
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        tokenize_ws(text_col).alias("_t"))
+            .select("doc_id", F.size("_t").cast("bigint").alias("dl"),
+                    F.explode("_t").alias("term")))
+    tf = (toks.groupBy("term", "doc_id", "dl")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+          .select("term", "doc_id", "tf", "dl"))
+    if max_df_ratio is not None:
+        n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+        dfreq = (tf.groupBy("term")
+                 .agg(F.count(F.lit(1)).alias("_df"))
+                 .crossJoin(F.broadcast(n_docs))
+                 .where(F.col("_df") <= F.col("_n") * F.lit(max_df_ratio))
+                 .select("term"))
+        tf = tf.join(dfreq, "term")
+    return tf
+
+
+def bm25_corpus_stats(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Derive the two small stats artifacts from the postings frame:
+    ``term_stats (term, df)`` and the ONE-ROW ``corpus_stats (n_docs,
+    sum_dl)``. Both are lazy aggregations over the index -- persist
+    them next to a stored index so serving skips the recount; at query
+    time corpus_stats rides as a broadcast one-row frame (never a
+    driver-side .count())."""
+    term_stats = (postings.groupBy("term")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("df")))
+    per_doc = (postings.groupBy("doc_id")
+               .agg(F.max("dl").alias("_dl")))
+    corpus_stats = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_dl").cast("bigint").alias("sum_dl"))
+    return term_stats, corpus_stats
+
+
+def bm25_topk(postings: DataFrame, queries: DataFrame, *,
+              q_id_col: str = "q_id", q_text_col: str = "q_text",
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              term_stats: DataFrame | None = None,
+              corpus_stats: DataFrame | None = None) -> DataFrame:
+    """BM25 top-k: returns ``(q_id, doc_id, score, rn)`` with rn 1..k
+    by descending score (ties to the lowest doc id). Query terms are
+    DEDUPLICATED (set semantics -- standard for short queries).
+
+    score(q, d) = sum over t in q∩d of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))  (Lucene form).
+
+    Plan: query terms (tiny) broadcast-join the postings on term; the
+    per-(q, doc) partial is a 9-dp decimal so the groupBy sum is
+    map-side-combinable and order-independent; top-k is one per-query
+    window (WindowGroupLimit). The corpus is never rescanned when
+    ``term_stats``/``corpus_stats`` come from a stored index."""
+    if term_stats is None or corpus_stats is None:
+        ts, cs = bm25_corpus_stats(postings)
+        term_stats = term_stats if term_stats is not None else ts
+        corpus_stats = corpus_stats if corpus_stats is not None else cs
+    q_terms = (queries.select(F.col(q_id_col).alias("q_id"),
+                              F.explode(tokenize_ws(q_text_col))
+                              .alias("term"))
+               .distinct())
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.round(F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))), 9)
+    denom = (F.col("tf") + F.lit(float(k1))
+             * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / avgdl))
+    part = F.round(idf * (F.col("tf") * F.lit(float(k1 + 1.0))) / denom, 9)
+    scored = (postings
+              .join(F.broadcast(q_terms), "term")
+              .join(F.broadcast(term_stats
+                                .join(q_terms.select("term").distinct(),
+                                      "term")), "term")
+              .crossJoin(F.broadcast(corpus_stats))
+              .groupBy("q_id", "doc_id")
+              .agg(F.round(F.sum(part.cast("decimal(28,9)"))
+                           .cast("double"), 6).alias("score")))
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), "doc_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("q_id", "doc_id", "score",
+                    F.col("rn").cast("bigint").alias("rn")))
+
+
+def rrf_fuse(rankings: list[DataFrame], *, k: int = 60, topk: int = 10,
+             q_id_col: str = "q_id", id_col: str = "doc_id",
+             rn_col: str = "rn") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke, Buettcher 2009):
+    fused(q, d) = sum over input rankings of 1 / (k + rank). Returns
+    ``(q_id, doc_id, rrf, rn)`` with rn 1..topk by descending fused
+    score (ties to the lowest doc id). Score-scale-free, so lexical
+    BM25 and vector ANN rankings fuse without calibration -- the
+    standard hybrid-retrieval combiner.
+
+    Determinism: each contribution 1/(k+rn) is one double division of
+    exact integers rounded to 9 dp, summed as DECIMAL(28,9); inputs
+    only need (q_id, doc_id, rn) columns. Plan: a unionAll of the
+    (already small, top-k-sized) rankings, one groupBy, one window --
+    nothing corpus-sized."""
+    contrib = F.round(F.lit(1.0)
+                      / (F.lit(int(k)) + F.col(rn_col)).cast("double"), 9)
+    parts = [r.select(F.col(q_id_col).alias("q_id"),
+                      F.col(id_col).alias("doc_id"),
+                      contrib.cast("decimal(28,9)").alias("_c"))
+             for r in rankings]
+    if not parts:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy("q_id", "doc_id")
+             .agg(F.round(F.sum("_c").cast("double"), 9).alias("rrf")))
+    w = W.partitionBy("q_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (fused.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= topk)
+            .select("q_id", "doc_id", "rrf",
+                    F.col("rn").cast("bigint").alias("rn")))

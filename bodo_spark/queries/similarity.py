@@ -843,7 +843,102 @@ ORDER BY q_id, rn
 """
 
 
+def ann_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.py rrf_fuse): BM25 top-10
+    over the documents table fused with exact-cosine top-10 over the
+    embeddings table by reciprocal-rank fusion (k=60), final top-5 per
+    query. The oracle re-derives BOTH rankings and the fused scores --
+    the lexical+vector serving shape (sparse keyword match where
+    embeddings miss identifiers, dense recall where wording drifts)."""
+    from ..operators import retrieval as R
+    from ..operators.text import tokenize_ws
+    d = tbl(spark, sf, "documents")
+    emb = tbl(spark, sf, "embeddings")
+    postings = R.bm25_index(d)
+    bq = (d.where(F.col("doc_id") < 3)
+          .select(F.col("doc_id").alias("q_id"),
+                  F.array_join(F.slice(tokenize_ws("text"), 1, 8), " ")
+                  .alias("q_text")))
+    lex = R.bm25_topk(postings, bq, k=10)
+    vq = (emb.where(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    vec = (S.brute_force_topk(emb, vq, k=10)
+           .select("q_id", F.col("vec_id").alias("doc_id"), "rn"))
+    return R.rrf_fuse([lex, vec], topk=5).orderBy("q_id", "rn")
+
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_HYBRID_RRF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS term
+  FROM documents),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf, dl
+  FROM toks GROUP BY term, doc_id, dl),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+cstats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl
+  FROM (SELECT doc_id, MAX(dl) AS dl FROM tf GROUP BY doc_id)),
+q AS (
+  SELECT doc_id AS q_id, array_to_string(({_TOKS})[1:8], ' ') AS q_text
+  FROM documents WHERE doc_id < 3),
+qt AS (
+  SELECT DISTINCT q_id, term FROM (
+    SELECT q_id, unnest(regexp_split_to_array(trim(q_text), '\\s+'))
+             AS term
+    FROM q)),
+part AS (
+  SELECT qt.q_id, tf.doc_id,
+         round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+               * (tf.tf * {1.2 + 1.0!r})
+               / (tf.tf + {1.2!r} * ({1.0 - 0.75!r} + {0.75!r} * tf.dl
+                  / (CAST(sum_dl AS DOUBLE) / n_docs))), 9) AS part
+  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN cstats),
+bscored AS (
+  SELECT q_id, doc_id,
+         round(CAST(SUM(CAST(part AS DECIMAL(28,9))) AS DOUBLE), 6)
+           AS score
+  FROM part GROUP BY q_id, doc_id),
+lex AS (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM bscored QUALIFY rn <= 10),
+vq AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       WHERE vec_id < 3),
+vsc AS (
+  SELECT vq.q_id, e.vec_id AS doc_id,
+         {_SQL_COS.format(a='e.embedding', b='vq.q_vec')} AS cos
+  FROM embeddings e CROSS JOIN vq WHERE e.vec_id <> vq.q_id),
+vec AS (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, doc_id) AS rn
+  FROM vsc QUALIFY rn <= 10),
+u AS (
+  SELECT q_id, doc_id,
+         CAST(round(1.0 / CAST(60 + rn AS DOUBLE), 9) AS DECIMAL(28,9))
+           AS c
+  FROM lex
+  UNION ALL
+  SELECT q_id, doc_id,
+         CAST(round(1.0 / CAST(60 + rn AS DOUBLE), 9) AS DECIMAL(28,9))
+           AS c
+  FROM vec),
+fused AS (
+  SELECT q_id, doc_id, round(CAST(SUM(c) AS DOUBLE), 9) AS rrf
+  FROM u GROUP BY q_id, doc_id)
+SELECT q_id, doc_id, rrf,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY rrf DESC, doc_id) AS rn
+FROM fused QUALIFY rn <= 5 ORDER BY q_id, rn
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "ann_hybrid_rrf": QueryDef(ann_hybrid_rrf, _HYBRID_RRF_SQL),
     "ann_index_segments": QueryDef(ann_index_segments, _SEGMENTS_SQL),
     "ann_index_append": QueryDef(ann_index_append, _IVF_PQ_SQL),
     "ann_index_compact": QueryDef(ann_index_compact, _COMPACT_SQL),

@@ -550,7 +550,70 @@ FROM verdicts GROUP BY lang ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval (operators/retrieval.py): queries are the first
+# 8 tokens of docs 0-2 (self-retrieval makes the top rank non-trivial);
+# the oracle re-derives the inverted index, df/N/avgdl, the Lucene idf,
+# every per-term partial, the decimal sum, and the full ranking.
+
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-5 over the documents table: the engine builds the
+    inverted index (one corpus pass) and ranks 3 queries against the
+    postings only; pins exact scores and the full ranking."""
+    from ..operators import retrieval as R
+    d = tbl(spark, sf, "documents")
+    postings = R.bm25_index(d)
+    queries = (d.where(F.col("doc_id") < 3)
+               .select(F.col("doc_id").alias("q_id"),
+                       F.array_join(F.slice(T.tokenize_ws("text"), 1, 8),
+                                    " ").alias("q_text")))
+    return R.bm25_topk(postings, queries, k=5).orderBy("q_id", "rn")
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    # constants embedded via repr so DuckDB parses the IDENTICAL doubles
+    # the engine's F.lit()s hold (incl. k1+1 computed in Python)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS dl, unnest({_SQL_TOKS}) AS term
+  FROM documents),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf, dl
+  FROM toks GROUP BY term, doc_id, dl),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+cstats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl
+  FROM (SELECT doc_id, MAX(dl) AS dl FROM tf GROUP BY doc_id)),
+q AS (
+  SELECT doc_id AS q_id,
+         array_to_string(({_SQL_TOKS})[1:8], ' ') AS q_text
+  FROM documents WHERE doc_id < 3),
+qt AS (
+  SELECT DISTINCT q_id, term FROM (
+    SELECT q_id, unnest(regexp_split_to_array(trim(q_text), '\\s+'))
+             AS term
+    FROM q)),
+part AS (
+  SELECT qt.q_id, tf.doc_id,
+         round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+               * (tf.tf * {k1 + 1.0!r})
+               / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.dl
+                  / (CAST(sum_dl AS DOUBLE) / n_docs))), 9) AS part
+  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN cstats),
+scored AS (
+  SELECT q_id, doc_id,
+         round(CAST(SUM(CAST(part AS DECIMAL(28,9))) AS DOUBLE), 6)
+           AS score
+  FROM part GROUP BY q_id, doc_id)
+SELECT q_id, doc_id, score,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, doc_id) AS rn
+FROM scored QUALIFY rn <= 5 ORDER BY q_id, rn
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "text_bm25_topk": QueryDef(text_bm25_topk, _bm25_sql()),
     "text_gopher_rules": QueryDef(text_gopher_rules, _gopher_sql()),
     "text_normalize": QueryDef(text_normalize, _normalize_sql()),
     "text_tfidf_terms": QueryDef(text_tfidf_terms, _TEXT_TFIDF_SQL),

@@ -1,0 +1,114 @@
+"""Unit tests for the lexical-retrieval operators (BM25 inverted index,
+top-k ranking, stopword pruning, reciprocal-rank fusion)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bodo_spark.operators import retrieval as R
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "apple banana cherry apple"),
+        (1, "banana durian elderberry"),
+        (2, "cherry cherry cherry fig grape"),
+        (3, "the the the the apple"),
+        (4, "durian fig grape honeydew kiwi lemon"),
+        (5, "the the banana"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_index_shape_and_tf(spark, corpus):
+    idx = R.bm25_index(corpus).toPandas()
+    assert set(idx.columns) == {"term", "doc_id", "tf", "dl"}
+    row = idx[(idx.term == "apple") & (idx.doc_id == 0)].iloc[0]
+    assert row.tf == 2 and row.dl == 4
+    # dl counts every token of the doc, once per (term, doc) row
+    assert set(idx[idx.doc_id == 2].dl) == {5}
+
+
+def test_max_df_ratio_prunes_terms_not_lengths(spark, corpus):
+    idx = R.bm25_index(corpus, max_df_ratio=0.4).toPandas()
+    # 'the' appears in 2/6 docs = 0.33 <= 0.4 -> kept; a term in 3+/6
+    # docs (> 0.4) is pruned
+    by_df = (R.bm25_index(corpus).toPandas()
+             .groupby("term").doc_id.nunique())
+    pruned = set(by_df[by_df > 0.4 * 6].index)
+    assert pruned and not (set(idx.term) & pruned)
+    # dl is unchanged by pruning (length normalization keeps all tokens)
+    assert set(idx[idx.doc_id == 3].dl) == {5}
+
+
+def test_bm25_self_retrieval_and_score(spark, corpus):
+    idx = R.bm25_index(corpus)
+    q = spark.createDataFrame([(0, "apple banana")],
+                              "q_id bigint, q_text string")
+    got = (R.bm25_topk(idx, q, k=3).toPandas()
+           .sort_values("rn").reset_index(drop=True))
+    # doc 0 holds both query terms (one twice) -> must rank first
+    assert got.doc_id.iloc[0] == 0 and got.rn.iloc[0] == 1
+    # hand-compute doc 0's score with the documented formula
+    n, k1, b = 6, 1.2, 0.75
+    dls = [4, 3, 5, 5, 6, 3]
+    avgdl = sum(dls) / float(n)
+
+    def idf(df):
+        return round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)), 9)
+
+    def part(tf, df, dl):
+        return round(idf(df) * (tf * (k1 + 1.0))
+                     / (tf + k1 * (1.0 - b + b * dl / avgdl)), 9)
+
+    exp = round(part(2, 2, 4) + part(1, 3, 4), 6)  # apple df=2, banana df=3
+    assert got[got.doc_id == 0].score.iloc[0] == pytest.approx(exp, abs=2e-6)
+
+
+def test_bm25_query_terms_deduplicated(spark, corpus):
+    idx = R.bm25_index(corpus)
+    q1 = spark.createDataFrame([(0, "apple")], "q_id bigint, q_text string")
+    q2 = spark.createDataFrame([(0, "apple apple apple")],
+                               "q_id bigint, q_text string")
+    s1 = R.bm25_topk(idx, q1, k=6).toPandas().sort_values("doc_id")
+    s2 = R.bm25_topk(idx, q2, k=6).toPandas().sort_values("doc_id")
+    assert list(s1.score) == list(s2.score)
+
+
+def test_bm25_stored_stats_match_inline(spark, corpus):
+    idx = R.bm25_index(corpus)
+    ts, cs = R.bm25_corpus_stats(idx)
+    q = spark.createDataFrame([(0, "cherry fig"), (1, "banana the")],
+                              "q_id bigint, q_text string")
+    inline = R.bm25_topk(idx, q, k=4).toPandas()
+    stored = R.bm25_topk(idx, q, k=4, term_stats=ts,
+                         corpus_stats=cs).toPandas()
+    key = ["q_id", "doc_id", "score", "rn"]
+    assert (inline[key].sort_values(key).values.tolist()
+            == stored[key].sort_values(key).values.tolist())
+
+
+def test_rrf_fuse_ranks_and_scores(spark):
+    a = spark.createDataFrame([(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+                              "q_id bigint, doc_id bigint, rn bigint")
+    b = spark.createDataFrame([(0, 12, 1), (0, 10, 2), (0, 13, 3)],
+                              "q_id bigint, doc_id bigint, rn bigint")
+    got = (R.rrf_fuse([a, b], k=60, topk=4).toPandas()
+           .sort_values("rn").reset_index(drop=True))
+    score = {10: round(1 / 61, 9) + round(1 / 62, 9),
+             11: round(1 / 62, 9),
+             12: round(1 / 63, 9) + round(1 / 61, 9),
+             13: round(1 / 63, 9)}
+    order = sorted(score, key=lambda d: (-score[d], d))
+    assert list(got.doc_id) == order
+    for _, r in got.iterrows():
+        assert r.rrf == pytest.approx(score[r.doc_id], abs=1e-9)
+
+
+def test_rrf_requires_input(spark):
+    with pytest.raises(ValueError):
+        R.rrf_fuse([])
