@@ -1,0 +1,131 @@
+"""Scalar quantization (SQ8): the 4x embedding-compression tier.
+
+Per-dimension linear quantization to ``bits``-bit integer codes
+(Faiss's SQ8 / Milvus IVF_SQ8 recipe): train exact per-dim [lo, hi]
+bounds in ONE aggregation pass, encode each float to
+``floor((x - lo) / (hi - lo) * levels)``, and search by exact l2
+against the DEQUANTIZED codes. Sits between raw vectors (4 bytes/dim)
+and PQ (pq.py, m ints/vector): 1 byte/dim, near-lossless recall,
+no codebook training -- the default first compression step for a
+100-TB embedding corpus.
+
+Scale design: bounds are a d-pair model artifact (collected once,
+O(d) regardless of corpus size -- the codebook-table pattern); the
+codes frame is the durable index (write next to the raw vectors);
+the scoring pass is corpus-codes x broadcast(queries) with the score
+a pure JVM array-fold expression, zero Python, zero corpus shuffle;
+top-k is a per-query WindowGroupLimit. Out-of-range values in LATER
+batches (drift past the trained bounds) clamp to [0, levels] --
+re-train + re-encode compaction applies exactly as in pq_compact.
+
+Distance bookkeeping mirrors pq.py: rank by the two-dot form
+``dot(dq, dq) - 2 * dot(dq, q)`` (query-constant ||q||^2 dropped,
+round 6 dp, ties to the lowest corpus id) -- every float term a
+sequential-fold dot product the DuckDB oracle reproduces bit-for-bit.
+
+Reference parity: the reference delegates vector search to a managed
+external index (bodo/pandas/frame.py:721 S3 Vectors); here the engine
+provides the compression tier itself, like pq.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .similarity import dot
+
+__all__ = ["sq_train", "sq_encode", "sq_topk"]
+
+
+def sq_train(vectors: DataFrame, *,
+             vec_col: str = "embedding") -> tuple[list, list]:
+    """Exact per-dimension [lo, hi] bounds over the corpus: ONE
+    posexplode + 64-key aggregation (map-side partials emit d rows per
+    task, so the exchange is tiny at any corpus size), collected as a
+    d-pair model artifact (the bounded-collect pattern of the IVF
+    centroid/PQ codebook tables). Returns ``(los, his)`` lists of
+    python floats -- deterministic, so a SQL oracle re-derives them."""
+    rows = (vectors.select(F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min(F.col("x").cast("double")).alias("lo"),
+                 F.max(F.col("x").cast("double")).alias("hi"))
+            .orderBy("pos").collect())
+    if not rows:
+        raise ValueError("sq_train needs a non-empty corpus")
+    return ([float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows])
+
+
+def _bound_arrays(los: list, his: list):
+    lo = F.array(*[F.lit(float(v)) for v in los])
+    hi = F.array(*[F.lit(float(v)) for v in his])
+    return lo, hi
+
+
+def sq_encode(vectors: DataFrame, los: list, his: list, *,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              bits: int = 8) -> DataFrame:
+    """Encode to ``(id_col, code array<int>)`` -- the durable 1-byte/dim
+    index artifact. code_i = clamp(floor((x_i - lo_i) / (hi_i - lo_i)
+    * levels), 0, levels) with levels = 2^bits - 1; a constant
+    dimension (hi == lo) encodes 0. Pure JVM transform expression
+    (the bound arrays are two d-float literals), no shuffle."""
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits must be in [2, 16], got {bits}")
+    levels = (1 << bits) - 1
+    lo, hi = _bound_arrays(los, his)
+    code = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(hi, i + 1) == F.element_at(lo, i + 1),
+            F.lit(0)).otherwise(
+            F.least(F.lit(levels), F.greatest(F.lit(0), F.floor(
+                (x.cast("double") - F.element_at(lo, i + 1))
+                / (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
+                * levels).cast("int")))).cast("int"))
+    return vectors.select(id_col, code.alias("code"))
+
+
+def sq_dequantize(code_col, los: list, his: list, *,
+                  bits: int = 8):
+    """Column expression reconstructing array<double> from a code
+    array: dq_i = lo_i + code_i * ((hi_i - lo_i) / levels)."""
+    levels = (1 << bits) - 1
+    lo, hi = _bound_arrays(los, his)
+    c = F.col(code_col) if isinstance(code_col, str) else code_col
+    return F.transform(
+        c, lambda v, i: F.element_at(lo, i + 1)
+        + v.cast("double") * ((F.element_at(hi, i + 1)
+                               - F.element_at(lo, i + 1))
+                              / F.lit(float(levels))))
+
+
+def sq_topk(codes: DataFrame, queries: DataFrame, los: list, his: list, *,
+            k: int = 5, bits: int = 8, id_col: str = "vec_id",
+            code_col: str = "code", q_id_col: str = "q_id",
+            q_vec_col: str = "q_vec") -> DataFrame:
+    """Top-k by exact l2 against the dequantized codes: returns
+    ``(q_id, vec_id, adist, rn)`` with rn 1..k ascending (ties to the
+    lowest corpus id); ``adist`` is the two-dot form. Plan: codes x
+    broadcast(queries), score = one fold expression over the
+    reconstructed array, per-query WindowGroupLimit -- the raw corpus
+    is never read at search time."""
+    dq = sq_dequantize(code_col, los, his, bits=bits)
+    qv = queries.select(F.col(q_id_col).alias("q_id"),
+                        F.col(q_vec_col).alias("_qv"))
+    # dot(dq, dq) is query-independent: evaluate it ONCE per corpus row
+    # before the join (the brute_force_topk norm trick) -- at q queries
+    # that saves q-1 redundant d-length folds per row
+    scored = (codes.withColumn("_dq", dq)
+              .withColumn("_dd", dot(F.col("_dq"), F.col("_dq")))
+              .crossJoin(F.broadcast(qv))
+              .select(F.col("q_id"), F.col(id_col),
+                      F.round(F.col("_dd")
+                              - 2 * dot(F.col("_dq"), F.col("_qv")), 6)
+                      .alias("adist")))
+    w = W.partitionBy("q_id").orderBy("adist", id_col)
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("q_id", id_col, "adist",
+                    F.col("rn").cast("bigint").alias("rn")))

@@ -843,6 +843,55 @@ ORDER BY q_id, rn
 """
 
 
+def ann_sq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantization ANN (operators/sq.py): exact per-dim [lo,hi]
+    bounds trained over the corpus (one aggregation), every vector
+    encoded to int8 codes (4x compression), 3 queries ranked by exact
+    l2 against the DEQUANTIZED codes only. The oracle re-derives the
+    bounds, every code, the reconstruction, and the full ranking."""
+    from ..operators import sq as Q
+    emb = tbl(spark, sf, "embeddings")
+    los, his = Q.sq_train(emb)
+    codes = Q.sq_encode(emb, los, his)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (Q.sq_topk(codes, queries, los, his, k=5)
+            .where(F.col("vec_id") != F.col("q_id"))
+            .orderBy("q_id", "rn"))
+
+
+_SQ_TOPK_SQL = """
+WITH flat AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings),
+bounds AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY pos),
+enc AS (
+  SELECT f.vec_id, f.pos, b.lo, b.hi,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                  (f.x - b.lo) / (b.hi - b.lo) * 255) AS INT))) END AS code
+  FROM flat f JOIN bounds b USING (pos)),
+dq AS (
+  SELECT vec_id,
+         list(lo + code * ((hi - lo) / 255.0) ORDER BY pos) AS dqv
+  FROM enc GROUP BY vec_id),
+dd AS (SELECT vec_id, dqv, list_dot_product(dqv, dqv) AS ddv FROM dq),
+q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, d.vec_id,
+         round(d.ddv - 2 * list_dot_product(d.dqv, q.qv), 6) AS adist
+  FROM dd d CROSS JOIN q)
+SELECT q_id, vec_id, adist,
+       row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+FROM scored
+QUALIFY rn <= 5 AND vec_id <> q_id
+ORDER BY q_id, rn
+"""
+
+
 def ann_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval (operators/retrieval.py rrf_fuse): BM25 top-10
     over the documents table fused with exact-cosine top-10 over the
@@ -938,6 +987,7 @@ FROM fused QUALIFY rn <= 5 ORDER BY q_id, rn
 
 
 QUERIES: dict[str, QueryDef] = {
+    "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
     "ann_hybrid_rrf": QueryDef(ann_hybrid_rrf, _HYBRID_RRF_SQL),
     "ann_index_segments": QueryDef(ann_index_segments, _SEGMENTS_SQL),
     "ann_index_append": QueryDef(ann_index_append, _IVF_PQ_SQL),

@@ -1,0 +1,90 @@
+"""Unit tests for scalar quantization (operators/sq.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bodo_spark.operators import similarity as S
+from bodo_spark.operators import sq as Q
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from bodo_spark.queries._util import tbl
+    return tbl(spark, SF_DIR, "embeddings")
+
+
+def test_bounds_are_exact_min_max(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 5.0]), (1, [2.0, -3.0]), (2, [1.0, 1.0])],
+        "vec_id bigint, embedding array<float>")
+    los, his = Q.sq_train(df)
+    assert los == [0.0, -3.0] and his == [2.0, 5.0]
+
+
+def test_encode_endpoints_and_constant_dim(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 7.0]), (1, [10.0, 7.0]), (2, [5.0, 7.0])],
+        "vec_id bigint, embedding array<float>")
+    los, his = Q.sq_train(df)
+    codes = {r.vec_id: r.code
+             for r in Q.sq_encode(df, los, his).collect()}
+    assert codes[0][0] == 0          # lo endpoint
+    assert codes[1][0] == 255        # hi endpoint -> exactly levels
+    assert codes[2][0] == 127        # floor(0.5 * 255)
+    assert [c[1] for c in codes.values()] == [0, 0, 0]  # hi == lo dim
+
+
+def test_encode_clamps_out_of_bounds_batch(spark):
+    train = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 1.0])],
+        "vec_id bigint, embedding array<float>")
+    los, his = Q.sq_train(train)
+    drifted = spark.createDataFrame(
+        [(9, [-5.0, 2.0])], "vec_id bigint, embedding array<float>")
+    (code,) = [r.code for r in Q.sq_encode(drifted, los, his).collect()]
+    assert code[0] == 0 and code[1] == 255
+
+
+def test_bits_validation(spark, emb):
+    los, his = ([0.0], [1.0])
+    with pytest.raises(ValueError):
+        Q.sq_encode(emb, los, his, bits=1)
+    with pytest.raises(ValueError):
+        Q.sq_encode(emb, los, his, bits=17)
+
+
+def test_sq8_topk_recall_vs_exact(spark, emb):
+    """SQ8 reconstruction error is tiny relative to inter-point
+    distances on this data: the top-5 sets should almost coincide with
+    exact brute force (>= 80% recall across 5 queries)."""
+    los, his = Q.sq_train(emb)
+    codes = Q.sq_encode(emb, los, his)
+    q = (emb.where(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    got = (Q.sq_topk(codes, q, los, his, k=6)
+           .where(F.col("vec_id") != F.col("q_id"))
+           .toPandas())
+    # ground truth: exact two-dot l2 ranking on the raw vectors
+    from pyspark.sql import Window as W
+    qv = q.select(F.col("q_id"), F.col("q_vec").alias("_qv"))
+    d2 = (emb.crossJoin(F.broadcast(qv))
+          .where(F.col("vec_id") != F.col("q_id"))
+          .select("q_id", "vec_id",
+                  F.round(S.dot(F.col("embedding"), F.col("embedding"))
+                          - 2 * S.dot(F.col("embedding"), F.col("_qv")), 6)
+                  .alias("d"))
+          .withColumn("rn", F.row_number().over(
+              W.partitionBy("q_id").orderBy("d", "vec_id")))
+          .where(F.col("rn") <= 5).toPandas())
+    hits = tot = 0
+    for qid in d2.q_id.unique():
+        truth = set(d2[d2.q_id == qid].vec_id)
+        approx = set(got[got.q_id == qid].vec_id)
+        hits += len(truth & approx)
+        tot += len(truth)
+    assert hits / tot >= 0.8, f"SQ8 recall {hits}/{tot}"
