@@ -1284,7 +1284,113 @@ ORDER BY bucket"""
     return head + "," + ",".join(blocks) + tail
 
 
+# --------------------------------------------------------------------------
+# URL canonicalization + URL dedup (operators/web.py): every doc gets a
+# deterministic dirty URL -- four surface variants (case-varying host,
+# explicit :443, www. + fbclid, fragment + utm reorder) that all
+# canonicalize to the same target when doc_id % 25 matches; dedup keeps
+# the longest doc per canonical URL (ties to the lowest id). The oracle
+# re-implements the full canonicalization pipeline stage by stage.
+
+def cur_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level dedup gate: pins per-lang survivor counts, the id xor
+    (WHICH rows won), the distinct canonical-URL count, and an
+    order-insensitive md5 over every canonical URL string."""
+    from ..operators import web as Wb
+    d = tbl(spark, sf, "documents")
+    grp = (F.col("doc_id") % 25).cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(
+        F.lit("https://Example.COM/p/"), grp, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(
+            F.lit("https://example.com:443/p/"), grp,
+            F.lit("/?a=1&utm_source=news&b=2")))
+        .when(v == 2, F.concat(
+            F.lit("https://www.example.com/p/"), grp,
+            F.lit("?a=1&b=2&fbclid=xyz")))
+        .otherwise(F.concat(
+            F.lit("HTTPS://EXAMPLE.com/p/"), grp,
+            F.lit("?b=2&a=1#frag"))))
+    docs = d.select("doc_id", "lang", "n_chars", url.alias("url"))
+    kept = Wb.url_dedup(docs, score_col="n_chars", strip_www=True)
+    return (kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.bit_xor("doc_id").alias("id_xor"),
+        F.countDistinct("canon_url").alias("n_urls"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(
+            F.md5("canon_url"))), "")).alias("url_hash"))
+        .orderBy("lang"))
+
+
+_URL_DEDUP_SQL = """
+WITH urls AS (
+  SELECT doc_id, lang, n_chars,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'https://Example.COM/p/'
+                       || CAST(doc_id % 25 AS VARCHAR) || '?b=2&a=1'
+           WHEN 1 THEN 'https://example.com:443/p/'
+                       || CAST(doc_id % 25 AS VARCHAR)
+                       || '/?a=1&utm_source=news&b=2'
+           WHEN 2 THEN 'https://www.example.com/p/'
+                       || CAST(doc_id % 25 AS VARCHAR)
+                       || '?a=1&b=2&fbclid=xyz'
+           ELSE 'HTTPS://EXAMPLE.com/p/'
+                || CAST(doc_id % 25 AS VARCHAR) || '?b=2&a=1#frag'
+         END AS url
+  FROM documents),
+s1 AS (
+  SELECT *, split_part(url, '#', 1) AS nofrag FROM urls),
+s2 AS (
+  SELECT *, split_part(nofrag, '?', 1) AS base,
+         CASE WHEN contains(nofrag, '?')
+              THEN split_part(nofrag, '?', 2) ELSE '' END AS qs
+  FROM s1),
+s3 AS (
+  SELECT *, lower(split_part(base, '://', 1)) AS scheme,
+         substring(base, length(split_part(base, '://', 1)) + 4) AS rest
+  FROM s2),
+s4 AS (
+  SELECT *, lower(split_part(rest, '/', 1)) AS hostport,
+         substring(rest, length(split_part(rest, '/', 1)) + 1) AS path0
+  FROM s3),
+s5 AS (
+  SELECT *,
+         regexp_replace(
+           CASE WHEN scheme = 'http'
+                  THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https'
+                  THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END, '^www\\.', '') AS host,
+         regexp_replace(path0, '/$', '') AS path,
+         list_sort(list_filter(string_split(qs, '&'),
+           p -> p <> ''
+                AND NOT (starts_with(split_part(p, '=', 1), 'utm_')
+                         OR split_part(p, '=', 1) IN
+                            ('fbclid', 'gclid', 'msclkid', 'ref',
+                             'igshid', 'mc_cid', 'mc_eid')))) AS params
+  FROM s4),
+canon AS (
+  SELECT doc_id, lang, n_chars,
+         scheme || '://' || host || path
+         || CASE WHEN len(params) > 0
+                 THEN '?' || array_to_string(params, '&')
+                 ELSE '' END AS canon_url
+  FROM s5),
+kept AS (
+  SELECT doc_id, lang, canon_url,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY n_chars DESC, doc_id) AS _rn
+  FROM canon QUALIFY _rn = 1)
+SELECT lang, COUNT(*) AS n_kept, bit_xor(doc_id) AS id_xor,
+       COUNT(DISTINCT canon_url) AS n_urls,
+       md5(string_agg(md5(canon_url), '' ORDER BY md5(canon_url)))
+         AS url_hash
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_url_dedup": QueryDef(cur_url_dedup, _URL_DEDUP_SQL),
     "cur_decontaminate_spans": QueryDef(cur_decontaminate_spans,
                                         _decon_spans_sql()),
     "cur_pretrain_multilang": QueryDef(cur_pretrain_multilang,
