@@ -82,6 +82,97 @@ def merge_into(
     return j.select(*out_cols)
 
 
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    *,
+    key: list[str],
+    tracked: list[str],
+    batch_ts,
+    eff_from: str = "eff_from",
+    eff_to: str = "eff_to",
+    is_current: str = "is_current",
+    when_deleted: Column | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 maintenance (Kimball): apply a
+    change batch to a versioned dimension, returning the new dimension.
+
+    ``dim`` carries ``key`` + ``tracked`` (+ any other columns) plus the
+    three SCD bookkeeping columns; ``changes`` carries key + tracked
+    (extra columns are reachable as ``src_<col>`` in ``when_deleted``).
+    Per change row, against the key's CURRENT dim row:
+
+      - no current row        -> insert a new version (eff_from =
+        batch_ts, open-ended, current)
+      - any tracked column differs (null-safe) -> close the old row
+        (eff_to = batch_ts, not current) AND insert the new version
+      - identical             -> no-op
+      - ``when_deleted`` true -> close the old row only (soft delete)
+
+    Historical (non-current) rows pass through untouched; a change for
+    a key that exists only historically re-inserts it. Duplicate change
+    keys are the caller's responsibility (as in ``merge_into``).
+
+    Plan: ONE equi join (current slice x changes; broadcast when the
+    batch is small), each matched row emitting up to two output rows
+    via an array-explode (no second join, no window), and a union with
+    the untouched history -- at a 100-TB dimension the history
+    partition (eff_to IS NOT NULL) is never shuffled at all.
+    """
+    kcols, tcols = list(key), list(tracked)
+    ts = batch_ts if isinstance(batch_ts, Column) else F.lit(batch_ts)
+    missing = [c for c in (eff_from, eff_to, is_current)
+               if c not in dim.columns]
+    if missing:
+        raise ValueError(f"dim lacks SCD columns {missing}")
+    cur = dim.where(F.col(is_current))
+    hist = dim.where(~F.col(is_current))
+    t = cur.withColumn("_t_ex", F.lit(True))
+    s = (changes.select([F.col(c).alias(f"src_{c}")
+                         for c in changes.columns])
+         .withColumn("_s_ex", F.lit(True)))
+    cond = [t[k] == s[f"src_{k}"] for k in kcols]
+    j = t.join(s, cond, "full_outer")
+    t_ex = F.coalesce(F.col("_t_ex"), F.lit(False))
+    s_ex = F.coalesce(F.col("_s_ex"), F.lit(False))
+    deleted = (F.coalesce(when_deleted, F.lit(False))
+               if when_deleted is not None else F.lit(False))
+    differs = F.lit(False)
+    for c in tcols:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"src_{c}"))
+    close = t_ex & s_ex & (deleted | differs)
+    mk_new = s_ex & ~deleted & (~t_ex | differs)
+
+    def _typ(c):
+        return dim.schema[c].dataType
+
+    old_fields, new_fields = [], []
+    for c in dim.columns:
+        if c == eff_to:
+            old_fields.append(F.when(close, ts.cast(_typ(c)))
+                              .otherwise(F.col(c)).alias(c))
+            new_fields.append(F.lit(None).cast(_typ(c)).alias(c))
+        elif c == is_current:
+            old_fields.append(F.when(close, F.lit(False))
+                              .otherwise(F.col(c)).alias(c))
+            new_fields.append(F.lit(True).alias(c))
+        elif c == eff_from:
+            old_fields.append(F.col(c).alias(c))
+            new_fields.append(ts.cast(_typ(c)).alias(c))
+        elif c in kcols or c in tcols:
+            old_fields.append(F.col(c).alias(c))
+            new_fields.append(F.col(f"src_{c}").cast(_typ(c)).alias(c))
+        else:
+            old_fields.append(F.col(c).alias(c))
+            new_fields.append(F.lit(None).cast(_typ(c)).alias(c))
+    old_struct = F.when(t_ex, F.struct(*old_fields))
+    new_struct = F.when(mk_new, F.struct(*new_fields))
+    rows = F.filter(F.array(old_struct, new_struct),
+                    lambda x: x.isNotNull())
+    out = j.select(F.explode(rows).alias("_r")).select("_r.*")
+    return hist.unionByName(out)
+
+
 def merge_into_parquet(
     spark,
     path: str,

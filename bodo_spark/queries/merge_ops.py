@@ -275,7 +275,133 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# SCD2 dimension maintenance (operators/merge.scd2_apply): the customer
+# table becomes a versioned dimension (every 10th key gets a planted
+# closed historical row); the change batch updates segments for keys
+# % 3 == 0, no-ops keys % 3 == 1, soft-deletes keys % 12 == 6, and
+# inserts five brand-new keys at +1,000,000. The oracle re-derives the
+# closed / kept / inserted row sets and pins the ENTIRE new dimension.
+
+def merge_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 gate: per (is_current, eff_to) slice -- row count, key xor,
+    and an order-insensitive md5 over every full dimension row."""
+    from ..operators.merge import scd2_apply
+    c = tbl(spark, sf, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("int").alias("nat"))
+    cur = c.select(
+        "c_custkey", "seg", "nat",
+        F.lit("2020-01-01").alias("eff_from"),
+        F.lit(None).cast("string").alias("eff_to"),
+        F.lit(True).alias("is_current"))
+    hist = (c.where(F.col("c_custkey") % 10 == 0)
+            .select("c_custkey", F.lit("OLDSEG").alias("seg"), "nat",
+                    F.lit("2019-01-01").alias("eff_from"),
+                    F.lit("2020-01-01").alias("eff_to"),
+                    F.lit(False).alias("is_current")))
+    dim = cur.unionByName(hist)
+    upd = (c.where(F.col("c_custkey") % 3 < 2)
+           .select("c_custkey",
+                   F.when(F.col("c_custkey") % 3 == 0,
+                          F.lit("SEG_CHANGED")).otherwise(F.col("seg"))
+                   .alias("seg"),
+                   "nat",
+                   F.when(F.col("c_custkey") % 12 == 6, F.lit("D"))
+                   .otherwise(F.lit("U")).alias("action")))
+    ins = (c.where(F.col("c_custkey") < 5)
+           .select((F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                   F.lit("NEWSEG").alias("seg"),
+                   F.lit(99).cast("int").alias("nat"),
+                   F.lit("U").alias("action")))
+    changes = upd.unionByName(ins)
+    out = scd2_apply(dim, changes, key=["c_custkey"],
+                     tracked=["seg", "nat"], batch_ts="2024-06-01",
+                     when_deleted=F.col("src_action") == "D")
+    row = F.concat_ws(
+        ":", F.col("c_custkey").cast("string"), "seg",
+        F.col("nat").cast("string"), "eff_from",
+        F.coalesce("eff_to", F.lit("open")),
+        F.col("is_current").cast("string"))
+    return (out.groupBy("is_current", "eff_to").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("c_custkey").alias("key_xor"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(F.md5(row))), ""))
+        .alias("row_hash"))
+        .orderBy("is_current", "eff_to"))
+
+
+_SCD2_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment AS seg, CAST(c_nationkey AS INT) AS nat
+  FROM customer),
+cur AS (
+  SELECT c_custkey, seg, nat, '2020-01-01' AS eff_from,
+         CAST(NULL AS VARCHAR) AS eff_to, TRUE AS is_current
+  FROM c),
+hist AS (
+  SELECT c_custkey, 'OLDSEG' AS seg, nat, '2019-01-01' AS eff_from,
+         '2020-01-01' AS eff_to, FALSE AS is_current
+  FROM c WHERE c_custkey % 10 = 0),
+changes AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 'SEG_CHANGED' ELSE seg END
+           AS seg,
+         nat,
+         CASE WHEN c_custkey % 12 = 6 THEN 'D' ELSE 'U' END AS action
+  FROM c WHERE c_custkey % 3 < 2
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey, 'NEWSEG' AS seg,
+         CAST(99 AS INT) AS nat, 'U' AS action
+  FROM c WHERE c_custkey < 5),
+j AS (
+  SELECT t.c_custkey AS t_key, t.seg AS t_seg, t.nat AS t_nat,
+         t.eff_from, t.eff_to, t.is_current,
+         s.c_custkey AS s_key, s.seg AS s_seg, s.nat AS s_nat, s.action,
+         (t.c_custkey IS NOT NULL) AS t_ex, (s.c_custkey IS NOT NULL) AS s_ex
+  FROM cur t FULL OUTER JOIN changes s ON t.c_custkey = s.c_custkey),
+flags AS (
+  SELECT *,
+         (t_seg IS DISTINCT FROM s_seg OR t_nat IS DISTINCT FROM s_nat)
+           AS differs,
+         COALESCE(action = 'D', FALSE) AS deleted
+  FROM j),
+oldrows AS (
+  SELECT t_key AS c_custkey, t_seg AS seg, t_nat AS nat, eff_from,
+         CASE WHEN t_ex AND s_ex AND (deleted OR differs)
+              THEN '2024-06-01' ELSE eff_to END AS eff_to,
+         CASE WHEN t_ex AND s_ex AND (deleted OR differs)
+              THEN FALSE ELSE is_current END AS is_current
+  FROM flags WHERE t_ex),
+newrows AS (
+  SELECT s_key AS c_custkey, s_seg AS seg, s_nat AS nat,
+         '2024-06-01' AS eff_from, CAST(NULL AS VARCHAR) AS eff_to,
+         TRUE AS is_current
+  FROM flags WHERE s_ex AND NOT deleted AND (NOT t_ex OR differs)),
+result AS (
+  SELECT * FROM hist
+  UNION ALL SELECT * FROM oldrows
+  UNION ALL SELECT * FROM newrows),
+rowstr AS (
+  SELECT is_current, eff_to, c_custkey,
+         md5(concat_ws(':', CAST(c_custkey AS VARCHAR), seg,
+                       CAST(nat AS VARCHAR), eff_from,
+                       COALESCE(eff_to, 'open'),
+                       CASE WHEN is_current THEN 'true'
+                            ELSE 'false' END)) AS rh
+  FROM result)
+SELECT is_current, eff_to, COUNT(*) AS n_rows,
+       bit_xor(c_custkey) AS key_xor,
+       md5(string_agg(rh, '' ORDER BY rh)) AS row_hash
+FROM rowstr GROUP BY is_current, eff_to
+ORDER BY is_current, eff_to
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "merge_scd2": QueryDef(
+        merge_scd2, _SCD2_SQL,
+        doc="SCD2 dimension maintenance: close/insert/soft-delete"),
     "io_compact_roundtrip": QueryDef(io_compact_roundtrip, _IO_COMPACT_SQL),
     "io_zorder_skipping": QueryDef(io_zorder_skipping, _IO_ZORDER_SQL),
     "io_bucketed_join": QueryDef(io_bucketed_join, _IO_BUCKETED_SQL),

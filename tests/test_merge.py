@@ -85,3 +85,71 @@ def test_merge_into_parquet_cow(spark, target, source, tmp_path_factory):
     back = _rows(spark.read.parquet(path))
     assert back == {1: (10.0, "a"), 2: (25.0, "b"), 3: (130.0, "c"),
                     4: (40.0, "d"), 9: (7.0, "new")}
+
+
+# ---------------------------------------------------------------- SCD2
+
+def _scd2_frames(spark):
+    dim = spark.createDataFrame(
+        [(1, "a", "2019-01-01", "2020-01-01", False),   # history
+         (1, "b", "2020-01-01", None, True),
+         (2, "x", "2020-01-01", None, True),
+         (3, "y", "2020-01-01", None, True)],
+        "k bigint, seg string, eff_from string, eff_to string, "
+        "is_current boolean")
+    changes = spark.createDataFrame(
+        [(1, "b2", "U"),    # tracked change -> close + new version
+         (2, "x", "U"),     # identical -> no-op
+         (3, "y", "D"),     # soft delete -> close only
+         (9, "new", "U")],  # brand-new key -> insert
+        "k bigint, seg string, action string")
+    return dim, changes
+
+
+def test_scd2_close_insert_delete_noop(spark):
+    from bodo_spark.operators.merge import scd2_apply
+    dim, changes = _scd2_frames(spark)
+    out = scd2_apply(dim, changes, key=["k"], tracked=["seg"],
+                     batch_ts="2024-06-01",
+                     when_deleted=F.col("src_action") == "D").collect()
+    rows = {(r.k, r.seg, r.eff_from): (r.eff_to, r.is_current)
+            for r in out}
+    assert len(out) == len(rows) == 6
+    # history untouched
+    assert rows[(1, "a", "2019-01-01")] == ("2020-01-01", False)
+    # changed key: old closed at batch_ts, new open version
+    assert rows[(1, "b", "2020-01-01")] == ("2024-06-01", False)
+    assert rows[(1, "b2", "2024-06-01")] == (None, True)
+    # no-op key passes through open
+    assert rows[(2, "x", "2020-01-01")] == (None, True)
+    # soft delete: closed, NO new version
+    assert rows[(3, "y", "2020-01-01")] == ("2024-06-01", False)
+    assert not any(k == 3 and cur for (k, _, _), (_, cur) in rows.items())
+    # insert
+    assert rows[(9, "new", "2024-06-01")] == (None, True)
+
+
+def test_scd2_null_safe_tracking_and_extra_cols(spark):
+    from bodo_spark.operators.merge import scd2_apply
+    dim = spark.createDataFrame(
+        [(1, None, "m", "2020-01-01", None, True)],
+        "k bigint, seg string, extra string, eff_from string, "
+        "eff_to string, is_current boolean")
+    same = spark.createDataFrame([(1, None)], "k bigint, seg string")
+    out = scd2_apply(dim, same, key=["k"], tracked=["seg"],
+                     batch_ts="2024-06-01").collect()
+    assert len(out) == 1 and out[0].is_current  # NULL == NULL: no-op
+    diff = spark.createDataFrame([(1, "s")], "k bigint, seg string")
+    out = {(r.seg, r.is_current): r
+           for r in scd2_apply(dim, diff, key=["k"], tracked=["seg"],
+                               batch_ts="2024-06-01").collect()}
+    assert out[(None, False)].eff_to == "2024-06-01"
+    assert out[("s", True)].extra is None  # untracked extras null on new
+
+
+def test_scd2_missing_columns_raises(spark):
+    from bodo_spark.operators.merge import scd2_apply
+    dim = spark.createDataFrame([(1, "a")], "k bigint, seg string")
+    with pytest.raises(ValueError, match="SCD columns"):
+        scd2_apply(dim, dim, key=["k"], tracked=["seg"],
+                   batch_ts="2024-06-01")
