@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 
 from .text import tokenize_ws
 
-__all__ = ["bm25_index", "bm25_corpus_stats", "bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_index", "bm25_corpus_stats", "bm25_topk",
+           "bm25_partial_col", "rrf_fuse"]
 
 
 def bm25_index(docs: DataFrame, *, id_col: str = "doc_id",
@@ -93,6 +94,22 @@ def bm25_corpus_stats(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
     return term_stats, corpus_stats
 
 
+def bm25_partial_col(*, k1: float = 1.2, b: float = 0.75):
+    """The per-(query-term, doc) BM25 partial as a Column over the
+    joined columns ``tf, dl, df, n_docs, sum_dl``: round(idf * tf *
+    (k1+1) / (tf + k1*(1-b+b*dl/avgdl)), 9) with the Lucene idf,
+    itself rounded to 9 dp (absorbs libm ln ulps). Shared by the batch
+    ranker and the streaming serving twin so both produce
+    bit-identical partials against one oracle."""
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.round(F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))), 9)
+    denom = (F.col("tf") + F.lit(float(k1))
+             * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / avgdl))
+    return F.round(idf * (F.col("tf") * F.lit(float(k1 + 1.0))) / denom, 9)
+
+
 def bm25_topk(postings: DataFrame, queries: DataFrame, *,
               q_id_col: str = "q_id", q_text_col: str = "q_text",
               k: int = 10, k1: float = 1.2, b: float = 0.75,
@@ -119,13 +136,7 @@ def bm25_topk(postings: DataFrame, queries: DataFrame, *,
                               F.explode(tokenize_ws(q_text_col))
                               .alias("term"))
                .distinct())
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.round(F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))), 9)
-    denom = (F.col("tf") + F.lit(float(k1))
-             * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / avgdl))
-    part = F.round(idf * (F.col("tf") * F.lit(float(k1 + 1.0))) / denom, 9)
+    part = bm25_partial_col(k1=k1, b=b)
     scored = (postings
               .join(F.broadcast(q_terms), "term")
               .join(F.broadcast(term_stats

@@ -800,3 +800,52 @@ def _stream_ann_sql() -> str:
 
 
 QUERIES["stream_ann_topk"] = QueryDef(stream_ann_topk, _stream_ann_sql())
+
+
+def stream_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming BM25 search (streaming/retrieval.py stream_bm25_topk):
+    the inverted index, term stats and corpus scalars are staged to
+    parquet once (the stored serving artifacts); the 3 text queries
+    then replay as a 2-file stream and each micro-batch joins only its
+    terms' postings. Shares text_bm25_topk's oracle verbatim
+    (queries/text.py) -- the served stream must return the identical
+    ranking the batch search computes."""
+    from ..operators import retrieval as R
+    from ..operators.text import tokenize_ws
+    from ..streaming import (read_stream_parquet, run_available_now,
+                             stream_bm25_topk)
+
+    d = tbl(spark, sf, "documents")
+    postings = R.bm25_index(d)
+    ts_df, cs_df = R.bm25_corpus_stats(postings)
+    queries = (d.where(F.col("doc_id") < 3)
+               .select(F.col("doc_id").alias("q_id"),
+                       F.array_join(F.slice(tokenize_ws("text"), 1, 8),
+                                    " ").alias("q_text")))
+    stage = f"/tmp/bodo_spark_sbm25_{uuid.uuid4().hex[:8]}"
+    try:
+        postings.write.mode("overwrite").parquet(f"{stage}/idx")
+        ts_df.write.mode("overwrite").parquet(f"{stage}/ts")
+        cs = cs_df.collect()[0]  # two scalars: the stored stats artifact
+        queries.repartition(2).write.mode("overwrite") \
+            .parquet(f"{stage}/q")
+        idx = spark.read.parquet(f"{stage}/idx")
+        tstats = spark.read.parquet(f"{stage}/ts")
+        stream = read_stream_parquet(spark, f"{stage}/q", queries.schema,
+                                     max_files_per_trigger=1)
+        topk = stream_bm25_topk(stream, idx, tstats,
+                                (cs["n_docs"], cs["sum_dl"]), k=5)
+        res = run_available_now(topk, f"t_sbm25_{uuid.uuid4().hex[:8]}",
+                                output_mode="update")
+        return res.orderBy("q_id", "rn")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stream_bm25_sql() -> str:
+    from .text import _bm25_sql
+    return _bm25_sql()
+
+
+QUERIES["stream_bm25_search"] = QueryDef(stream_bm25_search,
+                                         _stream_bm25_sql())

@@ -13,6 +13,9 @@ workloads run on the same engine.
 from .ann import (  # noqa: F401
     stream_ivf_pq_topk,
 )
+from .retrieval import (  # noqa: F401
+    stream_bm25_topk,
+)
 from .dedup import (  # noqa: F401
     stream_bloom_new_rows,
     stream_decontaminate_new_rows,
