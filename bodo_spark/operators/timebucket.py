@@ -26,6 +26,51 @@ def time_bucket(ts: Column, seconds: int) -> Column:
         (F.unix_timestamp(ts) / seconds).cast("bigint") * seconds)
 
 
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, how far through the ``steps``
+    sequence did their event history progress? Returns ``(user_col,
+    stage)`` with stage in 0..len(steps): stage ``i`` means the first
+    ``i`` steps occurred in order (each step strictly after the
+    previous one in (ts, event id) order -- the id tiebreak makes
+    same-timestamp events deterministic). The classic conversion
+    funnel (view -> click -> purchase); Spark has no MATCH_RECOGNIZE,
+    so this is the composition that covers its most common use.
+
+    Only users with at least one step-typed event appear (the frame is
+    pruned to step types BEFORE the shuffle -- at 100 TB of events the
+    groupBy moves only funnel-relevant rows).
+
+    Plan: ONE groupBy(user): collect the (ts, id, type) structs,
+    array_sort (struct order = field order), and advance a stage
+    counter with a fold expression -- zero Python, no window, no self
+    join per step. Per-user state is that user's step-typed events
+    only; the fold uses F.get (NULL past the end), so it is ANSI-safe.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = (events.where(F.col(type_col).isin(list(steps)))
+          .select(F.col(user_col),
+                  F.struct(F.col(ts_col).alias("t"),
+                           F.col(id_col).alias("i"),
+                           F.col(type_col).alias("e")).alias("_ev")))
+    arr = F.array_sort(F.collect_list("_ev"))
+    stage = F.aggregate(
+        arr, F.lit(0),
+        lambda acc, e: F.when(e["e"] == F.get(steps_arr, acc), acc + 1)
+        .otherwise(acc))
+    return (ev.groupBy(user_col)
+            .agg(stage.cast("bigint").alias("stage")))
+
+
 def bucket_gapfill(
     df: DataFrame,
     ts_col: str,

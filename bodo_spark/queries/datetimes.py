@@ -254,7 +254,67 @@ ORDER BY s.event_type, bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Ordered conversion funnel (operators/timebucket.funnel_stages): how
+# far each user progressed through view -> click -> purchase, each step
+# strictly after the previous in (ts, event_id) order. The engine is a
+# sorted-array fold; the oracle is the sequential min-key chain -- two
+# different formulations of "first occurrence after", so the hash match
+# proves the fold's ordering semantics, not just its arithmetic.
+
+def dt_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel gate: per reached stage -- user count and user-id xor
+    (WHICH users converted, not just how many)."""
+    from ..operators.timebucket import funnel_stages
+    e = tbl(spark, sf, "events")
+    st = funnel_stages(e, ["view", "click", "purchase"])
+    return (st.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.bit_xor("user_id").alias("uid_xor"))
+        .orderBy("stage"))
+
+
+# sortable (ts, event_id) key: microsecond strftime + zero-padded id --
+# lexicographic order == struct order (engine side sorts real structs;
+# only the ORDER must agree, and both are total orders on (ts, id))
+_SKEY = ("strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' "
+         "|| lpad(CAST(event_id AS VARCHAR), 12, '0')")
+
+_DT_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, {_SKEY} AS skey
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+base AS (SELECT DISTINCT user_id FROM ev),
+t1 AS (
+  SELECT user_id, MIN(skey) AS k1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.skey) AS k2
+  FROM ev e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.skey > t1.k1
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(e.skey) AS k3
+  FROM ev e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.skey > t2.k2
+  GROUP BY e.user_id),
+stages AS (
+  SELECT b.user_id,
+         CASE WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              WHEN t1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM base b
+  LEFT JOIN t1 ON b.user_id = t1.user_id
+  LEFT JOIN t2 ON b.user_id = t2.user_id
+  LEFT JOIN t3 ON b.user_id = t3.user_id)
+SELECT stage, COUNT(*) AS n_users, bit_xor(user_id) AS uid_xor
+FROM stages GROUP BY stage ORDER BY stage
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dt_funnel_stages": QueryDef(dt_funnel_stages, _DT_FUNNEL_SQL),
     "dt_bucket_gapfill": QueryDef(dt_bucket_gapfill, _DT_GAPFILL_SQL),
     "dt_extract_parts": QueryDef(dt_extract_parts, _DT_PARTS_SQL),
     "dt_time_parts": QueryDef(dt_time_parts, _DT_TIME_SQL),

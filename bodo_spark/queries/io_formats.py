@@ -264,7 +264,56 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def io_binary_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-media ingest (sources/io.read_binary_files): the first 20
+    documents are staged as .bin files (plus a decoy the glob must
+    exclude at LISTING time), ingested through Spark's binaryFile
+    source, ids recovered from paths, and the bytes md5-pinned per
+    lang against the oracle hashing the same text straight from
+    parquet -- any content corruption, truncation or glob leak
+    surfaces as a value mismatch."""
+    from ..sources.io import read_binary_files
+
+    d = tbl(spark, sf, "documents")
+    rows = d.where(F.col("doc_id") < 20).select("doc_id", "text").collect()
+    stage = f"/tmp/bodo_spark_bin_{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage)
+    try:
+        for r in rows:
+            with open(f"{stage}/doc_{r['doc_id']:05d}.bin", "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        with open(f"{stage}/ignore.tmp", "wb") as fh:
+            fh.write(b"decoy")
+        b = read_binary_files(stage, spark=spark, glob="*.bin")
+        parsed = b.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint").alias("doc_id"),
+            F.col("length"), F.md5("content").alias("h"))
+        agg = (parsed.join(d.select("doc_id", "lang"), "doc_id")
+               .groupBy("lang").agg(
+                   F.count(F.lit(1)).alias("n_files"),
+                   F.sum("length").cast("bigint").alias("sum_bytes"),
+                   F.md5(F.array_join(F.array_sort(F.collect_list("h")),
+                                      "")).alias("content_hash"))
+               .orderBy("lang"))
+        return _materialize(
+            agg, "lang string, n_files bigint, sum_bytes bigint, "
+                 "content_hash string")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_IO_BINARY_SQL = """
+SELECT lang, COUNT(*) AS n_files,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+       md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_hash
+FROM documents WHERE doc_id < 20
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "io_binary_files": QueryDef(io_binary_files, _IO_BINARY_SQL),
     "io_orc_roundtrip": QueryDef(io_orc_roundtrip, _IO_ORC_SQL),
     "io_csv_roundtrip": QueryDef(io_csv_roundtrip, _IO_CSV_SQL),
     "io_json_roundtrip": QueryDef(io_json_roundtrip, _IO_JSON_SQL),

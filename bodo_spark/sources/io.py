@@ -155,6 +155,30 @@ def read_orc(path: str, spark: SparkSession | None = None,
     return spark.read.options(**options).orc(path)
 
 
+def read_binary_files(path: str, spark: SparkSession | None = None,
+                      glob: str | None = None,
+                      recursive: bool = False) -> DataFrame:
+    """Raw-media ingest: Spark's ``binaryFile`` source -- one row per
+    file with (path, modificationTime, length, content binary). The
+    entry point of the multimodal tier (operators/multimodal.py):
+    image/audio/video lakes land as opaque bytes + typed metadata,
+    then decode/fingerprint stages run over the ``content`` column.
+
+    Scale notes: files are distributed across tasks by size (each task
+    reads whole files -- no splitting, so a 100-TB media lake wants
+    many small-to-medium objects, not few giant ones); ``glob`` maps
+    to pathGlobFilter (evaluated at listing time, so non-matching
+    files are never opened); filters on ``length`` and
+    ``modificationTime`` push down to the file listing too."""
+    spark = spark or get_spark()
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)
+
+
 def to_orc(df: DataFrame, path: str, mode: str = "overwrite",
            partition_by: list[str] | None = None,
            **options: Any) -> None:

@@ -1,0 +1,66 @@
+"""Unit tests for funnel_stages (operators/timebucket.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from bodo_spark.operators.timebucket import funnel_stages
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(e, dt.datetime(2024, 1, 1, 0, 0, s), u, t)
+         for (e, s, u, t) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string")
+
+
+STEPS = ["view", "click", "purchase"]
+
+
+def test_funnel_order_matters(spark):
+    ev = _ev(spark, [
+        # user 1: full ordered funnel
+        (1, 1, 1, "view"), (2, 2, 1, "click"), (3, 3, 1, "purchase"),
+        # user 2: purchase BEFORE the view -> stops at stage 1
+        (4, 1, 2, "purchase"), (5, 2, 2, "view"),
+        # user 3: click then view -> the click cannot count, stage 1
+        (6, 1, 3, "click"), (7, 2, 3, "view"),
+        # user 4: only clicks -> stage 0 (present, step[0] never seen)
+        (8, 1, 4, "click"),
+        # user 5: no step-typed events at all -> absent from output
+        (9, 1, 5, "error"),
+    ])
+    got = {r.user_id: r.stage
+           for r in funnel_stages(ev, STEPS).collect()}
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0}
+
+
+def test_funnel_same_timestamp_ties_on_event_id(spark):
+    ev = _ev(spark, [
+        # same second: event_id order decides -> view(10) before
+        # click(11) advances both; reversed ids advance only view
+        (10, 1, 1, "view"), (11, 1, 1, "click"),
+        (21, 1, 2, "click"), (22, 1, 2, "view"),
+    ])
+    got = {r.user_id: r.stage
+           for r in funnel_stages(ev, STEPS).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_funnel_repeat_steps_and_restart(spark):
+    ev = _ev(spark, [
+        # repeated views don't advance twice; a later click still counts
+        (1, 1, 1, "view"), (2, 2, 1, "view"), (3, 3, 1, "click"),
+    ])
+    got = {r.user_id: r.stage
+           for r in funnel_stages(ev, STEPS).collect()}
+    assert got == {1: 2}
+
+
+def test_funnel_empty_steps_raises(spark):
+    ev = _ev(spark, [(1, 1, 1, "view")])
+    with pytest.raises(ValueError):
+        funnel_stages(ev, [])
