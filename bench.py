@@ -58,6 +58,9 @@ HEADLINE = [
     # round-11 tiers: index lifecycle and per-language routing
     "ann_index_compact",
     "cur_pretrain_multilang",
+    # round-11 retrieval/compression tiers: lexical BM25 and SQ8 ANN
+    "text_bm25_topk",
+    "ann_sq_topk",
 ]
 
 

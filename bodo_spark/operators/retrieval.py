@@ -37,10 +37,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..modes import exact_mode
 from .text import tokenize_ws
 
 __all__ = ["bm25_index", "bm25_corpus_stats", "bm25_topk",
            "bm25_partial_col", "rrf_fuse"]
+
+
+def _sum6(part):
+    """Order-independent DECIMAL(28,9) sum under the exact gate;
+    plain double sum in fast/bench mode (the queries/_util.py dec()
+    policy applied to the retrieval tier)."""
+    if exact_mode():
+        return F.round(F.sum(part.cast("decimal(28,9)"))
+                       .cast("double"), 6)
+    return F.round(F.sum(part), 6)
 
 
 def bm25_index(docs: DataFrame, *, id_col: str = "doc_id",
@@ -144,8 +155,7 @@ def bm25_topk(postings: DataFrame, queries: DataFrame, *,
                                       "term")), "term")
               .crossJoin(F.broadcast(corpus_stats))
               .groupBy("q_id", "doc_id")
-              .agg(F.round(F.sum(part.cast("decimal(28,9)"))
-                           .cast("double"), 6).alias("score")))
+              .agg(_sum6(part).alias("score")))
     w = W.partitionBy("q_id").orderBy(F.col("score").desc(), "doc_id")
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
@@ -170,9 +180,11 @@ def rrf_fuse(rankings: list[DataFrame], *, k: int = 60, topk: int = 10,
     nothing corpus-sized."""
     contrib = F.round(F.lit(1.0)
                       / (F.lit(int(k)) + F.col(rn_col)).cast("double"), 9)
+    if exact_mode():
+        contrib = contrib.cast("decimal(28,9)")
     parts = [r.select(F.col(q_id_col).alias("q_id"),
                       F.col(id_col).alias("doc_id"),
-                      contrib.cast("decimal(28,9)").alias("_c"))
+                      contrib.alias("_c"))
              for r in rankings]
     if not parts:
         raise ValueError("rrf_fuse needs at least one ranking")

@@ -226,3 +226,70 @@ def test_pq_adc_scored_pass_plan(spark):
         first = keys.split(",")[0].strip()
         assert first.startswith("q_id") or first.startswith("vec_id"), \
             (first, shuffles)
+
+
+def test_bm25_scored_pass_plan(spark):
+    """BM25 plan contract: the postings-sized scored pass is pure JVM
+    (zero Python nodes), the query-term/term-stats/corpus-stats sides
+    all ride broadcast exchanges (postings are never the build side),
+    and the top-k compiles to WindowGroupLimit partitioned on the
+    query id."""
+    from bodo_spark.operators import retrieval as R
+    d = tbl(spark, SF_DIR, "documents")
+    postings = R.bm25_index(d)
+    q = (d.where("doc_id < 3")
+         .selectExpr("doc_id AS q_id", "text AS q_text"))
+    p = plan_str(R.bm25_topk(postings, q, k=5))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert p.count("BroadcastExchange") >= 3, p
+    assert "WindowGroupLimit" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_sq_scored_pass_plan(spark):
+    """SQ8 plan contract: encode is a zero-shuffle projection; search
+    is codes x broadcast(queries) with zero Python nodes and the only
+    hash shuffle keyed on the query id (top-k window)."""
+    import re
+
+    from bodo_spark.operators import sq as Q
+    emb = tbl(spark, SF_DIR, "embeddings")
+    los, his = Q.sq_train(emb)
+    codes = Q.sq_encode(emb, los, his)
+    assert "Exchange" not in plan_str(codes), plan_str(codes)
+    q = (emb.where("vec_id < 3")
+         .selectExpr("vec_id AS q_id", "embedding AS q_vec"))
+    p = plan_str(Q.sq_topk(codes, q, los, his, k=5))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "BroadcastExchange" in p, p
+    shuffles = re.findall(r"hashpartitioning\(([^)]+)\)", p)
+    for keys in shuffles:
+        assert keys.split(",")[0].strip().startswith("q_id"), shuffles
+
+
+def test_url_canonicalize_is_narrow(spark):
+    """URL canonicalization is a per-row expression: no exchange, no
+    Python, until the dedup aggregation asks for one."""
+    from bodo_spark.operators import web as Wb
+    d = (tbl(spark, SF_DIR, "documents")
+         .selectExpr("doc_id", "concat('https://E.com/p/', doc_id) AS url"))
+    p = plan_str(d.select(Wb.canonicalize_url("url").alias("c")))
+    assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_funnel_single_shuffle_on_user(spark):
+    """Funnel plan contract: events prune to step types at the scan
+    (pushed filter), then exactly one aggregation exchange keyed on
+    the user id; the fold is a JVM expression (no window, no Python)."""
+    import re
+
+    from bodo_spark.operators.timebucket import funnel_stages
+    e = tbl(spark, SF_DIR, "events")
+    p = plan_str(funnel_stages(e, ["view", "click", "purchase"]))
+    assert "EvalPython" not in p and "Window" not in p, p
+    pushed = p.split("PushedFilters")[1][:200] if "PushedFilters" in p else ""
+    assert "event_type" in pushed, p
+    shuffles = re.findall(r"hashpartitioning\(([^)]+)\)", p)
+    assert shuffles and all(
+        k.split(",")[0].strip().startswith("user_id") for k in shuffles), \
+        shuffles

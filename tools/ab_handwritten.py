@@ -397,7 +397,47 @@ def hand_pq(spark, sf):
             .orderBy("q_id", "rn"))
 
 
+def hand_bm25(spark, sf):
+    # The straightforward BM25 job a user writes: same tokenize/explode/
+    # groupBy bones (it IS the natural Spark shape), but corpus stats
+    # collected to the DRIVER as scalars via two separate count()/avg()
+    # actions (three corpus passes total: stats, df, tf -- the engine
+    # derives df and the one-row stats frame FROM the postings pass and
+    # broadcasts them, one corpus scan), no broadcast hints, no stored-
+    # index reuse. Same 9dp/6dp rounding so --check asserts equality.
+    from pyspark.sql import Window
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    N = d.count()                                   # driver action 1
+    avgdl = toks.select(F.avg(F.size("t"))).first()[0]  # driver action 2
+    tf = (toks.select("doc_id", F.size("t").alias("dl"),
+                      F.explode("t").alias("term"))
+          .groupBy("term", "doc_id", "dl").count()
+          .withColumnRenamed("count", "tf"))
+    dfreq = tf.groupBy("term").count().withColumnRenamed("count", "df")
+    q = (d.where(F.col("doc_id") < 3)
+         .select(F.col("doc_id").alias("q_id"),
+                 F.slice(F.split(F.trim("text"), r"\s+"), 1, 8)
+                 .alias("qt")))
+    qt = q.select("q_id", F.explode("qt").alias("term")).distinct()
+    idf = F.round(F.log(1.0 + (F.lit(N) - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)), 9)
+    part = F.round(idf * (F.col("tf") * 2.2)
+                   / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl")
+                                           / F.lit(avgdl))), 9)
+    scored = (tf.join(qt, "term").join(dfreq, "term")
+              .groupBy("q_id", "doc_id")
+              .agg(F.round(F.sum(part), 6).alias("score")))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "doc_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("q_id", "doc_id", "score",
+                    F.col("rn").cast("bigint").alias("rn"))
+            .orderBy("q_id", "rn"))
+
+
 HAND = {"q1_pricing_summary": hand_q1, "q3_shipping_priority": hand_q3,
+        "text_bm25_topk": hand_bm25,
         "ann_pq_topk": hand_pq,
         "win_running_sum": hand_win_running_sum,
         "dt_sessionize": hand_dt_sessionize,
