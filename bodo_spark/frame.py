@@ -1127,6 +1127,36 @@ class BodoDataFrame:
                                              text_col=text_col,
                                              lang_col=lang_col, **kw))
 
+    def drop_url_duplicates(self, url_col: str = "url",
+                            id_col: str = "doc_id",
+                            score_col: str | None = None,
+                            **canon_kw) -> "BodoDataFrame":
+        """One row per canonical URL (operators/web.url_dedup): the
+        C4/RefinedWeb pre-content dedup as a frame method."""
+        from .operators.web import url_dedup
+        return BodoDataFrame(url_dedup(self._df, url_col=url_col,
+                                       id_col=id_col,
+                                       score_col=score_col, **canon_kw))
+
+    def bm25_search(self, queries, *, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 10,
+                    **bm25_kw) -> "BodoDataFrame":
+        """BM25 top-k over this frame's text against a query frame
+        (operators/retrieval): builds the inverted index and ranks in
+        one call; for repeated serving build the index once with
+        bm25_index and call bm25_topk directly."""
+        from .operators.retrieval import bm25_index, bm25_topk
+        postings = bm25_index(self._df, id_col=id_col,
+                              text_col=text_col)
+        q = queries._df if isinstance(queries, BodoDataFrame) else queries
+        return BodoDataFrame(bm25_topk(postings, q, k=k, **bm25_kw))
+
+    def funnel(self, steps: list[str], **kw) -> "BodoDataFrame":
+        """Per-user ordered-funnel progression
+        (operators/timebucket.funnel_stages)."""
+        from .operators.timebucket import funnel_stages
+        return BodoDataFrame(funnel_stages(self._df, steps, **kw))
+
     def drop_duplicates(self, subset: list[str] | None = None) -> "BodoDataFrame":
         return BodoDataFrame(self._df.dropDuplicates(subset))
 

@@ -1127,3 +1127,32 @@ def test_round10_frame_method_surfaces(spark):
     prof = df.dataset_profile(kll_k=64)._df.collect()
     assert {r.source for r in prof} == {"s0", "s1"}
     assert all(r.n_docs >= 6 for r in prof)
+
+
+def test_round11_frame_method_surfaces(spark):
+    """The round-11 ops are reachable from the pandas-flavored frame:
+    drop_url_duplicates, bm25_search, funnel."""
+    import datetime as dt
+
+    from bodo_spark.frame import BodoDataFrame
+
+    urls = BodoDataFrame(spark.createDataFrame(
+        [(1, "https://E.com/a?b=2&a=1"), (2, "https://e.com/a/?a=1&b=2"),
+         (3, "https://e.com/b")],
+        "doc_id long, url string"))
+    kept = urls.drop_url_duplicates()._df
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+    docs = BodoDataFrame(spark.createDataFrame(
+        [(0, "apple banana"), (1, "banana cherry"), (2, "cherry date")],
+        "doc_id long, text string"))
+    q = spark.createDataFrame([(7, "cherry")], "q_id long, q_text string")
+    top = docs.bm25_search(q, k=2)._df.collect()
+    assert {r.doc_id for r in top} == {1, 2} and len(top) == 2
+
+    ev = BodoDataFrame(spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 1), 1, "view"),
+         (2, dt.datetime(2024, 1, 1, 0, 0, 2), 1, "click")],
+        "event_id long, ts timestamp, user_id long, event_type string"))
+    st = ev.funnel(["view", "click", "purchase"])._df.collect()
+    assert st[0].stage == 2
