@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 from .similarity import dot
 
-__all__ = ["sq_train", "sq_encode", "sq_topk"]
+__all__ = ["sq_train", "sq_encode", "sq_topk", "ivf_sq_index",
+           "ivf_sq_topk"]
 
 
 def sq_train(vectors: DataFrame, *,
@@ -128,4 +129,92 @@ def sq_topk(codes: DataFrame, queries: DataFrame, los: list, his: list, *,
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .select("q_id", id_col, "adist",
+                    F.col("rn").cast("bigint").alias("rn")))
+
+
+# --------------------------------------------------------------------------
+# IVF-SQ8: the Faiss IVF_SQ8 index type -- coarse cells x SQ codes. The
+# same composition as ivf_pq_index (pq.py), with the SQ code column in
+# place of PQ codes: cell pruning and 4x compression multiply, recall
+# stays near-exact (SQ reconstruction error << inter-point distances),
+# no codebook training. The right default when memory allows 1 byte/dim.
+
+def ivf_sq_index(vectors: DataFrame, los: list, his: list, *,
+                 n_cells: int = 8, centroids: list | None = None,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 coarse_dim: int = 16,
+                 seed_vectors: DataFrame | None = None,
+                 bits: int = 8) -> DataFrame:
+    """The IVF-SQ inverted file: ``(id, cell, code)``. Cell routing is
+    the shared IVF machinery (deterministic lowest-id centroid table,
+    or explicit ``centroids`` via the gemm assigner); codes are
+    sq_encode's. Same lifecycle contract as ivf_pq_index: pin
+    ``seed_vectors``/``centroids`` across incremental builds so
+    batches route identically."""
+    from .similarity import (_centroid_table, _ensure_scan_width,
+                             assign_nearest_cell, cell_assigner_udf)
+    if centroids is not None:
+        cells = (_ensure_scan_width(vectors).select(id_col, vec_col)
+                 .withColumn("_cell",
+                             cell_assigner_udf(centroids, coarse_dim)(
+                                 F.col(vec_col)))
+                 .select(id_col, "_cell"))
+    else:
+        cents = _centroid_table(
+            seed_vectors if seed_vectors is not None else vectors,
+            None, n_cells, coarse_dim, id_col, vec_col)
+        cells = assign_nearest_cell(
+            _ensure_scan_width(vectors).select(id_col, vec_col), cents,
+            vec_col=vec_col, key_col=id_col,
+            coarse_dim=coarse_dim).select(id_col, "_cell")
+    codes = sq_encode(vectors, los, his, id_col=id_col,
+                      vec_col=vec_col, bits=bits)
+    return (codes.join(cells, id_col)
+            .select(id_col, F.col("_cell").alias("cell"), "code"))
+
+
+def ivf_sq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,
+                los: list, his: list, *, k: int = 5, n_probe: int = 2,
+                n_cells: int = 8, centroids: list | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+                coarse_dim: int = 16, bits: int = 8) -> DataFrame:
+    """IVF-SQ search: each query probes its ``n_probe`` nearest cells
+    (cosine on the truncated vector vs the broadcast centroid table --
+    the shared IVF probe rule) and l2-scores ONLY those cells' rows
+    against the dequantized codes. Returns (q_id, vec_id, adist, rn).
+
+    Scale shape: the scored pass reads 1 byte/dim for ~n_probe/n_cells
+    of the corpus; raw vectors are never touched at search time
+    (``vectors`` only seeds the deterministic centroid table -- pass
+    ``centroids`` and it is not read at all); the only corpus-sized
+    exchange is the hash join on the cell id."""
+    from pyspark.sql import Window as Wnd
+
+    from .similarity import _centroid_table
+    cents = _centroid_table(vectors, centroids, n_cells, coarse_dim,
+                            id_col, vec_col)
+    tv = F.slice(F.col(q_vec_col), 1, coarse_dim)
+    tn = F.sqrt(dot(tv, tv))
+    qscored = (queries.select(q_id_col, q_vec_col)
+               .crossJoin(F.broadcast(cents))
+               .withColumn("_ccos",
+                           F.round(dot(tv, F.col("_cvec"))
+                                   / (tn * F.col("_cn")), 9)))
+    w = Wnd.partitionBy(q_id_col).orderBy(F.col("_ccos").desc(), "_cid")
+    qprobe = (qscored.withColumn("_crn", F.row_number().over(w))
+              .where(F.col("_crn") <= n_probe)
+              .select(q_id_col, F.col("_cid").alias("cell")))
+    qv = queries.select(q_id_col, F.col(q_vec_col).alias("_qv"))
+    dq = sq_dequantize("code", los, his, bits=bits)
+    cand = (index.withColumn("_dq", dq)
+            .withColumn("_dd", dot(F.col("_dq"), F.col("_dq")))
+            .join(F.broadcast(qprobe), "cell")
+            .join(F.broadcast(qv), q_id_col))
+    adist = F.round(F.col("_dd") - 2 * dot(F.col("_dq"), F.col("_qv")), 6)
+    scored = cand.select(q_id_col, id_col, adist.alias("adist"))
+    wk = Wnd.partitionBy(q_id_col).orderBy("adist", id_col)
+    return (scored.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= k)
+            .select(q_id_col, id_col, "adist",
                     F.col("rn").cast("bigint").alias("rn")))

@@ -892,6 +892,72 @@ ORDER BY q_id, rn
 """
 
 
+def ann_ivf_sq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-SQ8 (operators/sq.py ivf_sq_index/ivf_sq_topk -- the Faiss
+    IVF_SQ8 type): corpus routed to 8 deterministic cells AND encoded
+    to int8, 3 queries probe their 2 nearest cells and l2-rank only
+    those cells' dequantized codes. The oracle re-derives cells,
+    bounds, codes, probe lists, reconstruction and ranking."""
+    from ..operators import sq as Q
+    emb = tbl(spark, sf, "embeddings")
+    los, his = Q.sq_train(emb)
+    idx = Q.ivf_sq_index(emb, los, his, n_cells=8)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (Q.ivf_sq_topk(idx, queries, emb, los, his, k=5, n_probe=2,
+                          n_cells=8)
+            .where(F.col("vec_id") != F.col("q_id"))
+            .orderBy("q_id", "rn"))
+
+
+_IVF_SQ_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding[1:16] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(-({_SQL_COS9.format(a='e.embedding[1:16]',
+                                                b='c.cvec')}), 9),
+                      c.cid) AS crn
+  FROM embeddings e CROSS JOIN cents c),
+cells AS (SELECT vec_id, cid AS cell FROM asg WHERE crn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, cid AS cell
+  FROM asg WHERE vec_id < 3 AND crn <= 2),
+flat AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings),
+bounds AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY pos),
+enc AS (
+  SELECT f.vec_id, f.pos, b.lo, b.hi,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                  (f.x - b.lo) / (b.hi - b.lo) * 255) AS INT))) END AS code
+  FROM flat f JOIN bounds b USING (pos)),
+dq AS (
+  SELECT vec_id,
+         list(lo + code * ((hi - lo) / 255.0) ORDER BY pos) AS dqv
+  FROM enc GROUP BY vec_id),
+dd AS (SELECT vec_id, dqv, list_dot_product(dqv, dqv) AS ddv FROM dq),
+q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT p.q_id, d.vec_id,
+         round(d.ddv - 2 * list_dot_product(d.dqv, q.qv), 6) AS adist
+  FROM dd d JOIN cells v ON d.vec_id = v.vec_id
+  JOIN qprobe p ON v.cell = p.cell
+  JOIN q ON q.q_id = p.q_id)
+SELECT q_id, vec_id, adist,
+       row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+FROM scored
+QUALIFY rn <= 5 AND vec_id <> q_id
+ORDER BY q_id, rn
+"""
+
+
 def ann_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval (operators/retrieval.py rrf_fuse): BM25 top-10
     over the documents table fused with exact-cosine top-10 over the
@@ -988,6 +1054,7 @@ FROM fused QUALIFY rn <= 5 ORDER BY q_id, rn
 
 QUERIES: dict[str, QueryDef] = {
     "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
+    "ann_ivf_sq_topk": QueryDef(ann_ivf_sq_topk, _IVF_SQ_SQL),
     "ann_hybrid_rrf": QueryDef(ann_hybrid_rrf, _HYBRID_RRF_SQL),
     "ann_index_segments": QueryDef(ann_index_segments, _SEGMENTS_SQL),
     "ann_index_append": QueryDef(ann_index_append, _IVF_PQ_SQL),

@@ -88,3 +88,26 @@ def test_sq8_topk_recall_vs_exact(spark, emb):
         hits += len(truth & approx)
         tot += len(truth)
     assert hits / tot >= 0.8, f"SQ8 recall {hits}/{tot}"
+
+
+def test_ivf_sq_full_probe_equals_flat_sq(spark, emb):
+    """Probing ALL cells must reproduce the flat SQ ranking exactly
+    (cell pruning is the only approximation IVF adds); 2-probe must
+    still find each seed vector's own row at adist ~ 0."""
+    los, his = Q.sq_train(emb)
+    idx = Q.ivf_sq_index(emb, los, his, n_cells=8)
+    q = (emb.where(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    full = Q.ivf_sq_topk(idx, q, emb, los, his, k=5, n_probe=8,
+                         n_cells=8).toPandas()
+    flat = Q.sq_topk(Q.sq_encode(emb, los, his), q, los, his,
+                     k=5).toPandas()
+    key = ["q_id", "rn"]
+    assert (full.sort_values(key)[["q_id", "vec_id", "adist", "rn"]]
+            .values.tolist()
+            == flat.sort_values(key)[["q_id", "vec_id", "adist", "rn"]]
+            .values.tolist())
+    two = Q.ivf_sq_topk(idx, q, emb, los, his, k=1, n_probe=2,
+                        n_cells=8).toPandas()
+    assert (two.vec_id == two.q_id).all()  # own row ranks first
