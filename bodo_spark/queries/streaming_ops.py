@@ -849,3 +849,44 @@ def _stream_bm25_sql() -> str:
 
 QUERIES["stream_bm25_search"] = QueryDef(stream_bm25_search,
                                          _stream_bm25_sql())
+
+
+def stream_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming conversion funnel (streaming/stateful.py
+    funnel_stream_stateful): events replay as a 2-file stream (a
+    user's events SPLIT across micro-batches, so the per-user event
+    buffer genuinely accumulates in GroupState); the final per-user
+    update -- stage is monotone, so max == last -- must equal the
+    batch fold. Shares dt_funnel_stages' oracle verbatim
+    (queries/datetimes.py)."""
+    from ..streaming import (funnel_stream_stateful, read_stream_parquet,
+                             run_available_now)
+
+    e = tbl(spark, sf, "events")
+    stage = f"/tmp/bodo_spark_sfun_{uuid.uuid4().hex[:8]}"
+    try:
+        (e.select("event_id", "ts", "user_id", "event_type")
+         .repartition(2).write.mode("overwrite").parquet(f"{stage}/e"))
+        src = spark.read.parquet(f"{stage}/e")
+        stream = read_stream_parquet(spark, f"{stage}/e", src.schema,
+                                     max_files_per_trigger=1)
+        st = funnel_stream_stateful(stream,
+                                    ["view", "click", "purchase"])
+        res = run_available_now(st, f"t_sfun_{uuid.uuid4().hex[:8]}",
+                                output_mode="update")
+        final = (res.groupBy("user_id")
+                 .agg(F.max("stage").alias("stage")))
+        return (final.groupBy("stage").agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.bit_xor("user_id").alias("uid_xor"))
+            .orderBy("stage"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stream_funnel_sql() -> str:
+    from .datetimes import _DT_FUNNEL_SQL
+    return _DT_FUNNEL_SQL
+
+
+QUERIES["stream_funnel"] = QueryDef(stream_funnel, _stream_funnel_sql())

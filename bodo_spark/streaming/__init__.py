@@ -29,6 +29,7 @@ from .joins import (  # noqa: F401
 )
 from .stateful import (  # noqa: F401
     dedup_stream,
+    funnel_stream_stateful,
     running_totals_stateful,
 )
 from .windows import (  # noqa: F401

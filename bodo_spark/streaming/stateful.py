@@ -61,3 +61,64 @@ def dedup_stream(df: DataFrame, subset: list[str], ts_col: str,
     df = _event_time(df, ts_col)
     return (df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(subset))
+
+
+def funnel_stream_stateful(df: DataFrame, steps: list[str], *,
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id") -> DataFrame:
+    """Streaming ordered-funnel progression (the batch
+    operators/timebucket.funnel_stages as a REAL cross-batch state
+    machine): per user, the step-typed event buffer accumulates in
+    GroupState across micro-batches and the reached stage is re-folded
+    and emitted per batch. Correct under arbitrary out-of-order
+    arrival ACROSS batches (an early 'view' arriving late re-chains
+    everything -- a chain-scalar state could never recover it), and
+    the emitted stage is MONOTONE non-decreasing per user (more events
+    can only extend the best chain), so the final/max update equals
+    the batch fold over the full history -- the stream_funnel gate
+    pins exactly that against the batch oracle.
+
+    State per user = that user's step-typed events (the same per-user
+    bound the batch groupBy holds in its sort buffer), stored as
+    parallel (sortable key, type) arrays; the key string
+    zero-padded(epoch_micros)|zero-padded(event_id) sorts identically
+    to the batch struct(ts, id) order."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    # fixed-width formatted ts (works for TIMESTAMP and TIMESTAMP_NTZ
+    # alike -- parquet round-trips often come back NTZ) + zero-padded id:
+    # lexicographic order == the batch struct(ts, id) order
+    ev = (df.where(F.col(type_col).isin(list(steps)))
+          .select(F.col(user_col).alias("_u"),
+                  F.concat(
+                      F.date_format(F.col(ts_col),
+                                    "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                      F.lit("|"),
+                      F.lpad(F.col(id_col).cast("string"), 12, "0"))
+                  .alias("_k"),
+                  F.col(type_col).alias("_e")))
+    out_schema = f"{user_col} long, stage long"
+    state_schema = "ks array<string>, es array<string>"
+
+    def fn(key: Tuple[Any], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, es = list(state.get[0]), list(state.get[1])
+        else:
+            ks, es = [], []
+        for pdf in pdfs:
+            ks.extend(pdf["_k"])
+            es.extend(pdf["_e"])
+        state.update((ks, es))
+        acc = 0
+        for i in sorted(range(len(ks)), key=lambda j: ks[j]):
+            if acc < len(steps) and es[i] == steps[acc]:
+                acc += 1
+        yield pd.DataFrame({user_col: [key[0]], "stage": [acc]})
+
+    return (ev.groupBy("_u")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))

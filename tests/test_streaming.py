@@ -378,3 +378,50 @@ def test_stream_ann_topk_matches_batch_both_lut_modes(spark, tmp_path_factory):
                                luts=mode),
             f"t_sann_{mode}", output_mode="update")
         assert sorted(map(tuple, out.collect())) == batch
+
+
+def test_stream_funnel_out_of_order_across_batches(spark, tmp_path_factory):
+    """The cross-batch state design's reason to exist: a 'click'
+    arriving in micro-batch 1 and the earlier 'view' only in batch 2
+    must still chain (a scalar-chain state could never recover it).
+    Final per-user stage equals the batch fold; emissions are
+    monotone."""
+    import datetime as dt
+
+    from bodo_spark.operators.timebucket import funnel_stages
+    from bodo_spark.streaming import (funnel_stream_stateful,
+                                      read_stream_parquet,
+                                      run_available_now)
+
+    t = dt.datetime(2024, 1, 1)
+    rows_b1 = [(2, t.replace(second=2), 1, "click"),
+               (4, t.replace(second=4), 1, "purchase"),
+               (11, t.replace(second=1), 2, "view")]
+    rows_b2 = [(1, t.replace(second=1), 1, "view"),
+               (12, t.replace(second=2), 2, "click")]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    stage = str(tmp_path_factory.mktemp("sfun"))
+    spark.createDataFrame(rows_b1, schema).coalesce(1).write \
+        .mode("append").parquet(f"{stage}/e")
+    spark.createDataFrame(rows_b2, schema).coalesce(1).write \
+        .mode("append").parquet(f"{stage}/e")
+    src = spark.read.parquet(f"{stage}/e")
+    stream = read_stream_parquet(spark, f"{stage}/e", src.schema,
+                                 max_files_per_trigger=1)
+    st = funnel_stream_stateful(stream, ["view", "click", "purchase"])
+    res = run_available_now(st, "t_sfun_unit", output_mode="update")
+    from pyspark.sql import functions as F
+    final = {r.user_id: r.stage for r in
+             res.groupBy("user_id").agg(F.max("stage").alias("stage"))
+             .collect()}
+    batch = {r.user_id: r.stage for r in
+             funnel_stages(src, ["view", "click", "purchase"]).collect()}
+    assert final == batch
+    assert batch[1] == 3  # view arrived late but re-chained the funnel
+    # monotone emissions per user
+    emitted = [(r.user_id, r.stage) for r in res.collect()]
+    per_user: dict = {}
+    for u, s in emitted:
+        assert s >= per_user.get(u, 0)
+        per_user[u] = s
