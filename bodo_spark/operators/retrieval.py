@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 from ..modes import exact_mode
 from .text import tokenize_ws
 
-__all__ = ["bm25_index", "bm25_corpus_stats", "bm25_topk",
-           "bm25_partial_col", "rrf_fuse"]
+__all__ = ["bm25_index", "bm25_append", "bm25_corpus_stats",
+           "bm25_topk", "bm25_partial_col", "rrf_fuse"]
 
 
 def _sum6(part):
@@ -86,6 +86,29 @@ def bm25_index(docs: DataFrame, *, id_col: str = "doc_id",
                  .select("term"))
         tf = tf.join(dfreq, "term")
     return tf
+
+
+def bm25_append(postings: DataFrame, new_docs: DataFrame, *,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Append a document batch to a stored inverted index: tokenize and
+    count ONLY the batch (work strictly proportional to it -- the
+    indexed corpus is never re-read) and union onto the postings. The
+    lifecycle invariant of every index family here: postings rows are
+    per-(term, doc) pure functions of the document, so batch-wise
+    construction over disjoint doc ids yields the IDENTICAL relation
+    to a one-shot build -- the text_bm25_append gate pins a search
+    over a two-batch index against the one-shot oracle. df/N/avgdl
+    are derived from the postings at query time (or re-persisted via
+    bm25_corpus_stats after the append), so scores need no further
+    maintenance.
+
+    ``max_df_ratio`` pruning is deliberately NOT available here: it is
+    a corpus-level statistic, and pruning a batch by its own df would
+    diverge from the one-shot index. Prune at compaction (rebuild with
+    bm25_index(max_df_ratio=...)) instead."""
+    return postings.unionByName(
+        bm25_index(new_docs, id_col=id_col, text_col=text_col))
 
 
 def bm25_corpus_stats(postings: DataFrame) -> tuple[DataFrame, DataFrame]:

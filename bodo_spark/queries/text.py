@@ -612,7 +612,26 @@ FROM scored QUALIFY rn <= 5 ORDER BY q_id, rn
 """
 
 
+def text_bm25_append(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 index lifecycle gate (operators/retrieval.bm25_append):
+    even-id docs are indexed first (the stored artifact), odd-id docs
+    appended as a batch -- work proportional to the batch only -- and
+    the SAME queries are ranked over the staged index. Shares
+    text_bm25_topk's one-shot oracle verbatim: the two-batch index
+    must produce the identical ranking."""
+    from ..operators import retrieval as R
+    d = tbl(spark, sf, "documents")
+    base = R.bm25_index(d.where(F.col("doc_id") % 2 == 0))
+    staged = R.bm25_append(base, d.where(F.col("doc_id") % 2 != 0))
+    queries = (d.where(F.col("doc_id") < 3)
+               .select(F.col("doc_id").alias("q_id"),
+                       F.array_join(F.slice(T.tokenize_ws("text"), 1, 8),
+                                    " ").alias("q_text")))
+    return R.bm25_topk(staged, queries, k=5).orderBy("q_id", "rn")
+
+
 QUERIES: dict[str, QueryDef] = {
+    "text_bm25_append": QueryDef(text_bm25_append, _bm25_sql()),
     "text_bm25_topk": QueryDef(text_bm25_topk, _bm25_sql()),
     "text_gopher_rules": QueryDef(text_gopher_rules, _gopher_sql()),
     "text_normalize": QueryDef(text_normalize, _normalize_sql()),

@@ -112,3 +112,14 @@ def test_rrf_fuse_ranks_and_scores(spark):
 def test_rrf_requires_input(spark):
     with pytest.raises(ValueError):
         R.rrf_fuse([])
+
+
+def test_bm25_append_equals_one_shot(spark, corpus):
+    one_shot = R.bm25_index(corpus).toPandas()
+    staged = R.bm25_append(
+        R.bm25_index(corpus.where("doc_id % 2 = 0")),
+        corpus.where("doc_id % 2 != 0")).toPandas()
+    key = ["term", "doc_id"]
+    cols = ["term", "doc_id", "tf", "dl"]
+    assert (one_shot.sort_values(key)[cols].values.tolist()
+            == staged.sort_values(key)[cols].values.tolist())
