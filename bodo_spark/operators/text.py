@@ -302,6 +302,87 @@ def bigram_lm_counts(df: DataFrame, text_col: str = "text", *,
     return bigrams, unigrams, vocab
 
 
+def hashed_tfidf_vectors(df: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         dim: int = 64) -> DataFrame:
+    """In-engine text -> vector embedding WITHOUT an external model:
+    the feature-hashing ("hashing trick") TF-IDF vectorizer
+    (sklearn's HashingVectorizer + TfidfTransformer compute shape).
+    token -> bucket = hash(token) mod dim; weight = tf * smooth-idf
+    (the tf_idf_terms formulation); returns ``(id_col, vec
+    array<double>)`` dense vectors ready for the ANN tier -- lexical
+    semantic search with zero model dependencies, and the honest
+    in-engine stand-in wherever a neural embedding seam is offline.
+
+    Plan: one explode + (doc, bucket) count; bucket doc-frequency
+    reduced FROM the tf frame (no second corpus pass); the dense
+    vector built per doc from a map literal lookup over a sequence --
+    pure JVM, one groupBy. Exact mode buckets via the md5-derived h60
+    (oracle-reproducible); fast mode uses the xxhash64 intrinsic.
+    Weights are rounded to 9 dp so downstream cosine folds are
+    engine-reproducible."""
+    from ..modes import exact_mode
+    from .dedup import h60
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+        .alias("_t"))
+    bucket = (h60(F.col("_t")) % dim if exact_mode()
+              else F.pmod(F.xxhash64("_t"), F.lit(dim))).cast("int")
+    tf = (toks.select(id_col, bucket.alias("b"))
+          .groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    dfb = (tf.groupBy("b").agg(F.count(F.lit(1)).alias("_df"))
+           .crossJoin(F.broadcast(n_docs)))
+    idf = F.log((F.col("_n") + F.lit(1)).cast("double")
+                / (F.col("_df") + 1)) + 1
+    sparse = (tf.join(dfb, "b")
+              .select(id_col, "b",
+                      F.round(F.col("tf") * idf, 9).alias("w")))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)))
+    return (sparse.groupBy(id_col)
+            .agg(F.map_from_entries(F.collect_list(F.struct("b", "w")))
+                 .alias("_m"))
+            .select(id_col, vec.alias("vec")))
+
+
+def pmi_collocations(df: DataFrame, *, text_col: str = "text",
+                     top_n: int = 20, min_count: int = 5) -> DataFrame:
+    """Top-``top_n`` adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990): pmi = ln(p(w1,w2) / (p(w1)
+    p(w2))) = ln(c12 * W^2 / (T * c1 * c2)) over exact corpus counts
+    -- the classic phrase/collocation extractor ("new york" scores
+    high, "of the" does not). ``min_count`` drops rare pairs whose PMI
+    is an artifact of sparsity (the standard guard).
+
+    Plan: REUSES bigram_lm_counts' one-pass count tables; the bigram
+    frame joins the unigram table twice (hash joins on the words;
+    Catalyst broadcasts small vocabularies), totals ride as broadcast
+    one-row aggregates, and the global top-n compiles to
+    TakeOrderedAndProject (per-partition top-n + driver merge of
+    n*partitions candidates -- no global sort). PMI is rounded to 9 dp
+    (ln ulps); ties rank (w1, w2) alphabetically."""
+    bigrams, unigrams, _ = bigram_lm_counts(df, text_col=text_col)
+    tot_b = bigrams.agg(F.sum("c12").cast("bigint").alias("_T"))
+    tot_w = unigrams.agg(F.sum("c1").cast("bigint").alias("_W"))
+    u2 = unigrams.select(F.col("w1").alias("w2"),
+                         F.col("c1").alias("c2"))
+    j = (bigrams.where(F.col("c12") >= min_count)
+         .join(unigrams, "w1").join(u2, "w2")
+         .crossJoin(F.broadcast(tot_b)).crossJoin(F.broadcast(tot_w)))
+    pmi = F.round(F.log(
+        (F.col("c12").cast("double") * F.col("_W") * F.col("_W"))
+        / (F.col("_T").cast("double") * F.col("c1") * F.col("c2"))), 9)
+    return (j.select("w1", "w2",
+                     F.col("c12").cast("bigint").alias("c12"),
+                     pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_n))
+
+
 def lm_doc_logprob(df: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
                    vocab, *, id_col: str = "doc_id",
                    text_col: str = "text", k: float = 0.5,

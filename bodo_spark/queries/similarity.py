@@ -892,6 +892,61 @@ ORDER BY q_id, rn
 """
 
 
+def emb_hashed_tfidf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """In-engine text->vector->ANN composition (operators/text.py
+    hashed_tfidf_vectors + similarity.brute_force_topk): documents are
+    embedded by the feature-hashing TF-IDF vectorizer (dim=32, no
+    external model) and the first 3 docs' vectors retrieve their
+    cosine top-5. The oracle re-derives buckets (md5 h60), tf/df/idf,
+    every 9-dp weight, the dense vectors, and the full cosine
+    ranking."""
+    from ..operators import text as T
+    d = tbl(spark, sf, "documents")
+    vecs = T.hashed_tfidf_vectors(d, dim=32)
+    q = (vecs.where(F.col("doc_id") < 3)
+         .select(F.col("doc_id").alias("q_id"),
+                 F.col("vec").alias("q_vec")))
+    return (S.brute_force_topk(vecs, q, k=5, id_col="doc_id",
+                               vec_col="vec")
+            .orderBy("q_id", "rn"))
+
+
+_HASHED_TFIDF_ANN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents),
+tf AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 32
+              AS INT) AS b,
+         COUNT(*) AS tf
+  FROM toks GROUP BY 1, 2),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfb AS (SELECT b, COUNT(*) AS dfr FROM tf GROUP BY b),
+sparse AS (
+  SELECT tf.doc_id, tf.b,
+         round(tf.tf * (ln(CAST((SELECT n FROM nd) + 1 AS DOUBLE)
+                           / (dfr + 1)) + 1), 9) AS w
+  FROM tf JOIN dfb USING (b)),
+dense AS (
+  SELECT d.doc_id, list(COALESCE(s.w, 0.0) ORDER BY i.i) AS vec
+  FROM (SELECT DISTINCT doc_id FROM sparse) d
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
+  LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.b = i.i
+  GROUP BY d.doc_id),
+q AS (SELECT doc_id AS q_id, vec AS q_vec FROM dense WHERE doc_id < 3),
+scored AS (
+  SELECT q.q_id, v.doc_id,
+         {_SQL_COS.format(a='v.vec', b='q.q_vec')} AS cos
+  FROM dense v CROSS JOIN q WHERE v.doc_id <> q.q_id)
+SELECT q_id, doc_id, cos,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id)
+         AS rn
+FROM scored QUALIFY rn <= 5 ORDER BY q_id, rn
+"""
+
+
 def ann_ivf_sq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-SQ8 (operators/sq.py ivf_sq_index/ivf_sq_topk -- the Faiss
     IVF_SQ8 type): corpus routed to 8 deterministic cells AND encoded
@@ -1055,6 +1110,8 @@ FROM fused QUALIFY rn <= 5 ORDER BY q_id, rn
 QUERIES: dict[str, QueryDef] = {
     "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
     "ann_ivf_sq_topk": QueryDef(ann_ivf_sq_topk, _IVF_SQ_SQL),
+    "emb_hashed_tfidf_ann": QueryDef(emb_hashed_tfidf_ann,
+                                     _HASHED_TFIDF_ANN_SQL),
     "ann_hybrid_rrf": QueryDef(ann_hybrid_rrf, _HYBRID_RRF_SQL),
     "ann_index_segments": QueryDef(ann_index_segments, _SEGMENTS_SQL),
     "ann_index_append": QueryDef(ann_index_append, _IVF_PQ_SQL),

@@ -630,7 +630,41 @@ def text_bm25_append(spark: SparkSession, sf: str) -> DataFrame:
     return R.bm25_topk(staged, queries, k=5).orderBy("q_id", "rn")
 
 
+def text_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation extraction (operators/text.pmi_collocations):
+    the top-20 adjacent bigrams by pointwise mutual information with
+    min_count=5. Pins WHICH pairs, their exact counts, and the
+    9-dp PMI values."""
+    d = tbl(spark, sf, "documents")
+    return T.pmi_collocations(d, top_n=20, min_count=5)
+
+
+_TEXT_COLLOC_SQL = f"""
+WITH corp AS (SELECT {_SQL_TOKS} AS t FROM documents),
+tbig AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM corp, UNNEST(range(1, len(t))) AS r(i)),
+bigc AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbig GROUP BY w1, w2),
+unic AS (SELECT w1, COUNT(*) AS c1
+         FROM (SELECT unnest(t) AS w1 FROM corp) GROUP BY w1),
+tot AS (SELECT (SELECT SUM(c12) FROM bigc) AS T,
+               (SELECT SUM(c1) FROM unic) AS W),
+scored AS (
+  SELECT b.w1, b.w2, b.c12,
+         round(ln((CAST(b.c12 AS DOUBLE) * W * W)
+                  / (CAST(T AS DOUBLE) * u1.c1 * u2.c1)), 9) AS pmi
+  FROM bigc b
+  JOIN unic u1 ON b.w1 = u1.w1
+  JOIN unic u2 ON b.w2 = u2.w1
+  CROSS JOIN tot
+  WHERE b.c12 >= 5)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, pmi
+FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "text_collocations": QueryDef(text_collocations, _TEXT_COLLOC_SQL),
     "text_bm25_append": QueryDef(text_bm25_append, _bm25_sql()),
     "text_bm25_topk": QueryDef(text_bm25_topk, _bm25_sql()),
     "text_gopher_rules": QueryDef(text_gopher_rules, _gopher_sql()),

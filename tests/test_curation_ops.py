@@ -733,3 +733,42 @@ def test_train_hashed_quality_frame_mode_bit_equal(spark):
         "bucket", "weight"), bias=got_b)
     assert scored.where("quality IS NULL").count() == 0
     D.unpersist_cached()
+
+
+def test_pmi_collocations_hand_example(spark):
+    from bodo_spark.operators.text import pmi_collocations
+    # "new york" always adjacent; "of the" frequent but independent
+    rows = [(i, "new york of the and of the or") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_collocations(df, top_n=3, min_count=5).collect()
+    assert (got[0].w1, got[0].w2) == ("new", "york")
+    # hand-check: W=48 tokens, T=42 bigrams, c12=6, c1=c2=6
+    import math
+    exp = round(math.log((6.0 * 48 * 48) / (42.0 * 6 * 6)), 9)
+    assert got[0].pmi == pytest.approx(exp, abs=1e-9)
+    # "of the": c12=12, of=12, the=12
+    exp_ot = round(math.log((12.0 * 48 * 48) / (42.0 * 12 * 12)), 9)
+    ot = [r for r in got if (r.w1, r.w2) == ("of", "the")][0]
+    assert ot.pmi == pytest.approx(exp_ot, abs=1e-9)
+    assert got[0].pmi > ot.pmi  # collocation beats frequent-independent
+
+
+def test_hashed_tfidf_vectors_shape_and_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators.text import hashed_tfidf_vectors
+    rows = [(0, "apple apple banana"), (1, "apple cherry"),
+            (2, "durian elderberry fig")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: list(r.vec)
+           for r in hashed_tfidf_vectors(df, dim=16).collect()}
+    assert set(out) == {0, 1, 2} and all(len(v) == 16 for v in out.values())
+    # every doc has at least one nonzero slot; repeated token outweighs
+    assert all(any(x > 0 for x in v) for v in out.values())
+    assert max(out[0]) > 0
+    # identical text -> identical vector (deterministic hashing)
+    out2 = {r.doc_id: list(r.vec)
+            for r in hashed_tfidf_vectors(df, dim=16).collect()}
+    assert out == out2
+    with pytest.raises(ValueError):
+        hashed_tfidf_vectors(df, dim=1)
