@@ -788,13 +788,22 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
                       domain_cap: int | None = None,
                       domain_col: str = "source",
                       capacity: int = 256,
+                      url_col: str | None = None,
+                      url_score_col: str | None = None,
+                      strip_www: bool = True,
                       checkpoint_dir: str | None = None) -> DataFrame:
     """The composed pretraining-data pipeline, each tier in its
     web-corpus order (RefinedWeb/CCNet/Llama protocols):
 
-      normalize -> line dedup -> span excision -> near-dup survivors
-      (collapse-first) -> perplexity tail-drop -> quality cutoff ->
-      fuzzy decontaminate -> domain mix -> pack
+      [URL dedup] -> normalize -> line dedup -> span excision ->
+      near-dup survivors (collapse-first) -> perplexity tail-drop ->
+      quality cutoff -> fuzzy decontaminate -> domain mix -> pack
+
+    ``url_col`` switches on the pre-content stage every web corpus
+    runs FIRST (C4/RefinedWeb): canonicalize + keep one row per
+    canonical URL (operators/web.url_dedup; best ``url_score_col``
+    wins, else lowest id) -- the cheapest dedup axis, applied before
+    any text is even parsed.
 
     Returns one row per (chunk_id, doc) assignment with the surviving
     cleaned text. Every stage is an existing gated operator; what this
@@ -873,6 +882,11 @@ def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
         return p
 
     cur = df
+    if url_col is not None:
+        from .web import url_dedup
+        cur = url_dedup(cur, url_col=url_col, id_col=id_col,
+                        score_col=url_score_col,
+                        strip_www=strip_www).drop("canon_url")
     if normalize:
         cur = cur.withColumn(text_col, normalize_text(text_col))
     # line dedup's exploded frame is persisted internally; its OUTPUT

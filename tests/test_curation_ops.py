@@ -772,3 +772,30 @@ def test_hashed_tfidf_vectors_shape_and_semantics(spark):
     assert out == out2
     with pytest.raises(ValueError):
         hashed_tfidf_vectors(df, dim=1)
+
+
+def test_pretrain_pipeline_url_stage(spark):
+    """url_col= switches on the pre-content URL dedup: two rows with
+    the same canonical URL (tracking-param + case variants) collapse
+    BEFORE any text stage, keeping the higher url_score_col row; the
+    canon_url helper column does not leak into the output."""
+    base = "tok" + " tok".join(str(i) for i in range(30))
+    rows = []
+    for i in range(8):
+        body = f"doc{i} unique words " + " ".join(
+            f"w{i}_{j}" for j in range(25))
+        rows.append((i, "s", f"https://E.com/p/{i}?utm_x=1&a=1", 1,
+                     f"LINE\n{body}\n{base}"))
+    # doc 50 duplicates doc 2's URL (different surface form) with a
+    # HIGHER score -> doc 2 must lose the URL race
+    rows.append((50, "s", "https://e.com/p/2/?a=1", 9, rows[2][4]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, url string, sc long, "
+              "text string")
+    out = C.pretrain_pipeline(df, url_col="url", url_score_col="sc",
+                              pplx_p=0.0, quality_weights=None,
+                              mix_weights=None, capacity=64)
+    got = {r["doc_id"] for r in out.collect()}
+    D.unpersist_cached()
+    assert 2 not in got and got  # lost the canonical-URL race
+    assert "canon_url" not in out.columns
