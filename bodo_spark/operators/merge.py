@@ -30,6 +30,7 @@ def merge_into(
     when_matched_update: Mapping[str, Column] | None = None,
     when_matched_delete: Column | None = None,
     when_not_matched_insert: Mapping[str, Column] | None = None,
+    when_not_matched_insert_condition: Column | None = None,
 ) -> DataFrame:
     """ANSI MERGE semantics over DataFrames; returns the merged target.
 
@@ -42,6 +43,10 @@ def merge_into(
     - ``when_not_matched_insert``: {target_col: expr} building inserted
       rows from source-only keys (exprs reference ``src_<col>``); omit
       to ignore unmatched source rows.
+    - ``when_not_matched_insert_condition``: optional boolean over
+      ``src_<col>`` columns gating the insert (ANSI ``WHEN NOT MATCHED
+      AND <cond> THEN INSERT``); unmatched source rows failing it are
+      ignored (e.g. a CDC delete for a key that never existed).
 
     Target rows with no source match pass through unchanged. Duplicate
     source keys are the caller's responsibility (ANSI MERGE raises on
@@ -78,7 +83,13 @@ def merge_into(
             val = F.when(~F.col("_t_ex"), ins).otherwise(val)
         out_cols.append(val.alias(c))
 
-    j = j if when_not_matched_insert is not None else j.where(F.col("_t_ex"))
+    if when_not_matched_insert is None:
+        j = j.where(F.col("_t_ex"))
+    elif when_not_matched_insert_condition is not None:
+        # 3VL as in the delete clause: NULL condition -> no insert
+        j = j.where(F.col("_t_ex")
+                    | F.coalesce(when_not_matched_insert_condition,
+                                 F.lit(False)))
     return j.select(*out_cols)
 
 

@@ -26,6 +26,42 @@ def time_bucket(ts: Column, seconds: int) -> Column:
         (F.unix_timestamp(ts) / seconds).cast("bigint") * seconds)
 
 
+def interpolate_linear(df: DataFrame, *, group_cols: list[str],
+                       order_col: str, value_col: str,
+                       out_col: str | None = None,
+                       ndigits: int = 6) -> DataFrame:
+    """Linear interpolation of NULL values over an ordered series (the
+    TimescaleDB ``interpolate()`` / pandas ``interpolate('linear')``
+    companion to bucket_gapfill): each NULL between two non-null
+    neighbors becomes prev + (next - prev) * (pos - prev_pos) /
+    (next_pos - prev_pos), rounded to ``ndigits``; leading/trailing
+    NULLs (no neighbor on one side) stay NULL. ``order_col`` must be
+    numeric (epoch seconds for time series -- bucket_gapfill's grid).
+
+    Plan: four window expressions over ONE per-group ordered frame
+    (prev/next value and position via ignorenulls last/first) -- a
+    single shuffle on the group key, no self-joins, no Python. At
+    100 TB of (group, bucket) rollups each group's series sorts
+    within its partition; groups are independent."""
+    from pyspark.sql import Window as Wnd
+    out_col = out_col or value_col
+    g = [F.col(c) for c in group_cols]
+    o, v = F.col(order_col), F.col(value_col)
+    wp = (Wnd.partitionBy(*g).orderBy(order_col)
+          .rowsBetween(Wnd.unboundedPreceding, -1))
+    wn = (Wnd.partitionBy(*g).orderBy(order_col)
+          .rowsBetween(1, Wnd.unboundedFollowing))
+    pv = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wp)
+    po = F.last(F.when(v.isNotNull(), o), ignorenulls=True).over(wp)
+    nv = F.first(F.when(v.isNotNull(), v), ignorenulls=True).over(wn)
+    no = F.first(F.when(v.isNotNull(), o), ignorenulls=True).over(wn)
+    frac = (o - po).cast("double") / (no - po)
+    interp = F.round(pv + (nv - pv) * frac, ndigits)
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(pv.isNotNull() & nv.isNotNull(), interp))
+    return df.withColumn(out_col, filled)
+
+
 def funnel_stages(
     events: DataFrame,
     steps: list[str],

@@ -313,7 +313,91 @@ FROM stages GROUP BY stage ORDER BY stage
 """
 
 
+def dt_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-fill + linear interpolation (operators/timebucket.py
+    bucket_gapfill -> interpolate_linear): 5-minute per-type rollups
+    with empty buckets materialized, then every gap filled by linear
+    interpolation between its non-null neighbors. Pins bucket/gap
+    counts and the decimal-exact sum of the filled series."""
+    from ..operators.timebucket import bucket_gapfill, interpolate_linear
+    e = tbl(spark, sf, "events")
+    gf = bucket_gapfill(e, "ts", 300, ["event_type"],
+                        {"sum_value": dsum(dec("value", 12))})
+    ser = gf.select("event_type",
+                    F.unix_timestamp("bucket").cast("bigint")
+                    .alias("pos"),
+                    F.col("sum_value").cast("double").alias("v"))
+    out = interpolate_linear(ser, group_cols=["event_type"],
+                             order_col="pos", value_col="v",
+                             out_col="v_fill")
+    return (out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_gaps"),
+        F.sum(F.col("v_fill").isNull().cast("long"))
+        .alias("n_edge_nulls"),
+        F.sum(F.col("v_fill").cast("decimal(18,6)")).cast("double")
+        .alias("sum_filled"))
+        .orderBy("event_type"))
+
+
+_DT_INTERP_SQL = """
+WITH b AS (
+  SELECT event_type,
+         make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+                        * 1000000) AS bucket,
+         value
+  FROM events),
+agged AS (
+  SELECT event_type, bucket,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+  FROM b GROUP BY 1, 2),
+rng AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+  FROM b GROUP BY 1),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 300 SECOND)) AS bucket
+  FROM rng),
+series AS (
+  SELECT s.event_type, CAST(epoch(s.bucket) AS BIGINT) AS pos, a.v
+  FROM spine s LEFT JOIN agged a
+    ON s.event_type = a.event_type AND s.bucket = a.bucket),
+nb AS (
+  SELECT event_type, pos, v,
+         last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+           OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+           OVER wp AS po,
+         first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+           OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+           OVER wn AS nxo
+  FROM series
+  WINDOW wp AS (PARTITION BY event_type ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY event_type ORDER BY pos
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+filled AS (
+  SELECT event_type, v,
+         CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                round(pv + (nv - pv)
+                      * (CAST(pos - po AS DOUBLE) / (nxo - po)), 6)
+         END AS v_fill
+  FROM nb)
+SELECT event_type, COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       CAST(SUM(CASE WHEN v_fill IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_edge_nulls,
+       CAST(SUM(CAST(v_fill AS DECIMAL(18,6))) AS DOUBLE) AS sum_filled
+FROM filled GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "dt_interpolate_linear": QueryDef(dt_interpolate_linear,
+                                      _DT_INTERP_SQL),
     "dt_funnel_stages": QueryDef(dt_funnel_stages, _DT_FUNNEL_SQL),
     "dt_bucket_gapfill": QueryDef(dt_bucket_gapfill, _DT_GAPFILL_SQL),
     "dt_extract_parts": QueryDef(dt_extract_parts, _DT_PARTS_SQL),

@@ -890,3 +890,93 @@ def _stream_funnel_sql() -> str:
 
 
 QUERIES["stream_funnel"] = QueryDef(stream_funnel, _stream_funnel_sql())
+
+
+def stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC apply (streaming/cdc.py apply_cdc_stream): a
+    customer dimension is maintained from a replayed change stream --
+    upserts (two versions of some keys, split ACROSS micro-batches),
+    deletes (some in the same batch as a newer upsert for the same
+    key), and brand-new keys -- each micro-batch applied as ONE
+    seq-guarded MERGE with a conditional insert. The oracle derives
+    the final table as global last-change-per-key over the whole
+    stream; sequential batch application must land on the identical
+    state."""
+    from ..streaming import apply_cdc_stream, read_stream_parquet
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_cdc_{uuid.uuid4().hex[:8]}"
+    try:
+        (c.withColumn("_cdc_seq", F.lit(0).cast("long"))
+         .write.mode("overwrite").parquet(f"{stage}/tbl"))
+
+        def ch(pred, seg, op, seq, shift=0):
+            return (c.where(pred)
+                    .select((F.col("k") + shift).alias("k"),
+                            seg.alias("seg"), F.lit(op).alias("op"),
+                            F.lit(seq).cast("long").alias("seq")))
+
+        batch_a = ch(F.col("k") % 3 == 0, F.lit("SEG_V1"), "U", 1) \
+            .unionByName(ch(F.col("k") < 5, F.lit("NEWSEG"), "U", 1,
+                            shift=1_000_000))
+        batch_b = ch(F.col("k") % 6 == 0, F.lit("SEG_V2"), "U", 2) \
+            .unionByName(ch(F.col("k") % 5 == 0,
+                            F.lit(None).cast("string"), "D", 3))
+        batch_a.coalesce(1).write.mode("append").parquet(f"{stage}/ch")
+        batch_b.coalesce(1).write.mode("append").parquet(f"{stage}/ch")
+        src = spark.read.parquet(f"{stage}/ch")
+        stream = read_stream_parquet(spark, f"{stage}/ch", src.schema,
+                                     max_files_per_trigger=1)
+        apply_cdc_stream(stream, f"{stage}/tbl", key_cols=["k"],
+                         query_name=f"cdc_{uuid.uuid4().hex[:8]}")
+        agg = (spark.read.parquet(f"{stage}/tbl")
+               .groupBy("seg").agg(
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.bit_xor("k").alias("key_xor"),
+                   F.max("_cdc_seq").alias("max_seq"))
+               .orderBy("seg"))
+        rows = [tuple(r) for r in agg.collect()]
+        return spark.createDataFrame(
+            rows, "seg string, n_rows bigint, key_xor bigint, "
+                  "max_seq bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(f"{stage}/tbl__cdc_ckpt", ignore_errors=True)
+
+
+_STREAM_CDC_SQL = """
+WITH init AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, CAST(0 AS BIGINT) AS sq
+  FROM customer),
+ch AS (
+  SELECT c_custkey AS k, 'SEG_V1' AS seg, 'U' AS op,
+         CAST(1 AS BIGINT) AS sq
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWSEG', 'U', 1 FROM customer
+  WHERE c_custkey < 5
+  UNION ALL
+  SELECT c_custkey, 'SEG_V2', 'U', 2 FROM customer
+  WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS VARCHAR), 'D', 3 FROM customer
+  WHERE c_custkey % 5 = 0),
+last AS (
+  SELECT k, seg, op, sq,
+         row_number() OVER (PARTITION BY k ORDER BY sq DESC) AS rn
+  FROM ch QUALIFY rn = 1),
+final AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.seg ELSE l.seg END AS seg,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN last l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D')
+SELECT seg, COUNT(*) AS n_rows, bit_xor(k) AS key_xor,
+       MAX(sq) AS max_seq
+FROM final GROUP BY seg ORDER BY seg
+"""
+
+
+QUERIES["stream_cdc_apply"] = QueryDef(stream_cdc_apply, _STREAM_CDC_SQL)

@@ -13,6 +13,9 @@ workloads run on the same engine.
 from .ann import (  # noqa: F401
     stream_ivf_pq_topk,
 )
+from .cdc import (  # noqa: F401
+    apply_cdc_stream,
+)
 from .retrieval import (  # noqa: F401
     stream_bm25_topk,
 )

@@ -64,3 +64,26 @@ def test_funnel_empty_steps_raises(spark):
     ev = _ev(spark, [(1, 1, 1, "view")])
     with pytest.raises(ValueError):
         funnel_stages(ev, [])
+
+
+def test_interpolate_linear_hand_example(spark):
+    from bodo_spark.operators.timebucket import interpolate_linear
+    rows = [("a", 0, 10.0), ("a", 10, None), ("a", 20, None),
+            ("a", 30, 40.0), ("a", 40, None),       # trailing edge
+            ("b", 0, None), ("b", 10, 5.0)]         # leading edge
+    df = spark.createDataFrame(rows, "g string, pos long, v double")
+    out = {(r.g, r.pos): r.vf for r in interpolate_linear(
+        df, group_cols=["g"], order_col="pos", value_col="v",
+        out_col="vf").collect()}
+    assert out[("a", 10)] == 20.0 and out[("a", 20)] == 30.0
+    assert out[("a", 0)] == 10.0 and out[("a", 30)] == 40.0
+    assert out[("a", 40)] is None and out[("b", 0)] is None  # edges
+    assert out[("b", 10)] == 5.0
+    # non-uniform spacing interpolates by position, not row index
+    df2 = spark.createDataFrame([("a", 0, 0.0), ("a", 30, None),
+                                 ("a", 100, 100.0)],
+                                "g string, pos long, v double")
+    out2 = {r.pos: r.v for r in interpolate_linear(
+        df2, group_cols=["g"], order_col="pos",
+        value_col="v").collect()}
+    assert out2[30] == 30.0

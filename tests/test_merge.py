@@ -153,3 +153,20 @@ def test_scd2_missing_columns_raises(spark):
     with pytest.raises(ValueError, match="SCD columns"):
         scd2_apply(dim, dim, key=["k"], tracked=["seg"],
                    batch_ts="2024-06-01")
+
+
+def test_merge_insert_condition(spark):
+    from bodo_spark.operators.merge import merge_into
+    t = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    s = spark.createDataFrame([(1, 1.0, "U"), (2, 2.0, "U"),
+                               (3, 3.0, "D"), (4, 4.0, None)],
+                              "k long, v double, op string")
+    out = merge_into(
+        t, s, on=["k"],
+        when_matched_update={"v": F.col("src_v")},
+        when_not_matched_insert={"k": F.col("src_k"),
+                                 "v": F.col("src_v")},
+        when_not_matched_insert_condition=F.col("src_op") != "D")
+    got = {r.k: r.v for r in out.collect()}
+    # k=3 ('D', unmatched) skipped; k=4 (NULL condition -> 3VL no) too
+    assert got == {1: 1.0, 2: 2.0}
