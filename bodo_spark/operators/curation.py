@@ -765,6 +765,51 @@ def filter_by_score_percentile(df: DataFrame, score_col: str, *,
 # --------------------------------------------------------------------------
 # the full pretraining pipeline, composed as one staged plan
 
+def winsorize(df: DataFrame, value_col: str, *, p_lo: float = 0.01,
+              p_hi: float = 0.99, group_col: str | None = None,
+              k: int = 200, out_col: str | None = None) -> DataFrame:
+    """Percentile clipping (winsorization): values below the sketched
+    ``p_lo`` quantile or above ``p_hi`` are clipped TO those
+    thresholds -- the outlier-robust normalization every feature/score
+    pipeline runs before scaling (clip, not drop: the row count and
+    every join key survive). Same economics as
+    filter_by_score_percentile: ONE KLL sketch pass (~k doubles of
+    mergeable state, map-side combined; BOTH quantiles read from the
+    same state), broadcast threshold row(s), one clip scan -- the
+    corpus never reshuffles. ``group_col`` clips per group (per-type /
+    per-language distributions differ, the CCNet argument). Exact-rank
+    deterministic for n <= k (the filter_by_score_percentile
+    contract); NULL values stay NULL."""
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got "
+                         f"({p_lo}, {p_hi})")
+    if not 8 <= k <= 65535:
+        raise ValueError(f"KLL k must be in [8, 65535], got {k}")
+    out_col = out_col or value_col
+    v = F.col(value_col)
+    sk = F.expr(f"kll_sketch_agg_double(CAST({value_col} AS double), "
+                f"{int(k)})")
+
+    def q(p):
+        return F.expr("kll_sketch_get_quantile_double(_sk, "
+                      f"CAST({float(p)} AS double))").cast("double")
+
+    if group_col is not None:
+        thr = (df.groupBy(group_col).agg(sk.alias("_sk"))
+               .select(group_col, q(p_lo).alias("_lo"),
+                       q(p_hi).alias("_hi")))
+        j = df.join(F.broadcast(thr), group_col)
+    else:
+        thr = df.agg(sk.alias("_sk")).select(q(p_lo).alias("_lo"),
+                                             q(p_hi).alias("_hi"))
+        j = df.crossJoin(F.broadcast(thr))
+    # guard: greatest/least SKIP nulls in Spark, so an unguarded clip
+    # would turn a NULL value into the lower threshold
+    clipped = F.when(v.isNotNull(),
+                     F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+    return j.withColumn(out_col, clipped).drop("_lo", "_hi")
+
+
 def pretrain_pipeline(df: DataFrame, *, bench: DataFrame | None = None,
                       id_col: str = "doc_id", text_col: str = "text",
                       normalize: bool = True,

@@ -1389,7 +1389,57 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+def cur_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile clipping gate (operators/curation.winsorize): event
+    values clipped per type at the P10/P90 sketched thresholds
+    (k sized past every group, so the exact-rank regime holds). Pins
+    row counts, clip counts on BOTH tails, and the decimal-exact sum
+    of the clipped column."""
+    e = tbl(spark, sf, "events").select("event_type", "value")
+    w = C.winsorize(e, "value", p_lo=0.1, p_hi=0.9,
+                    group_col="event_type", k=32768, out_col="cv")
+    return (w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("cv") > F.col("value")).cast("long"))
+        .alias("n_clip_lo"),
+        F.sum((F.col("cv") < F.col("value")).cast("long"))
+        .alias("n_clip_hi"),
+        F.sum(F.col("cv").cast("decimal(14,2)")).cast("double")
+        .alias("sum_clipped"))
+        .orderBy("event_type"))
+
+
+_WINSORIZE_SQL = """
+WITH n AS (SELECT event_type, COUNT(*) AS ng FROM events GROUP BY 1),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value)
+           AS r
+  FROM events),
+thr AS (
+  SELECT r.event_type,
+         MAX(CASE WHEN r.r = greatest(CAST(ceil(0.1 * n.ng) AS BIGINT),
+                                      1) THEN r.value END) AS lo,
+         MAX(CASE WHEN r.r = greatest(CAST(ceil(0.9 * n.ng) AS BIGINT),
+                                      1) THEN r.value END) AS hi
+  FROM ranked r JOIN n ON r.event_type = n.event_type
+  GROUP BY r.event_type),
+clip AS (
+  SELECT e.event_type, e.value,
+         LEAST(GREATEST(e.value, t.lo), t.hi) AS cv
+  FROM events e JOIN thr t USING (event_type))
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN cv > value THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN cv < value THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       CAST(SUM(CAST(cv AS DECIMAL(14,2))) AS DOUBLE) AS sum_clipped
+FROM clip GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_winsorize": QueryDef(cur_winsorize, _WINSORIZE_SQL),
     "cur_url_dedup": QueryDef(cur_url_dedup, _URL_DEDUP_SQL),
     "cur_decontaminate_spans": QueryDef(cur_decontaminate_spans,
                                         _decon_spans_sql()),

@@ -799,3 +799,22 @@ def test_pretrain_pipeline_url_stage(spark):
     D.unpersist_cached()
     assert 2 not in got and got  # lost the canonical-URL race
     assert "canon_url" not in out.columns
+
+
+def test_winsorize_clips_and_preserves(spark):
+    rows = ([("a", float(i)) for i in range(1, 11)]
+            + [("a", 1000.0), ("a", -50.0), ("b", 5.0), ("a", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = C.winsorize(df, "v", p_lo=0.1, p_hi=0.9, group_col="g",
+                      k=256, out_col="cv")
+    got = [(r.g, r.v, r.cv) for r in out.collect()]
+    assert len(got) == len(rows)                  # clip, not drop
+    a = {v: cv for g, v, cv in got if g == "a" and v is not None}
+    assert a[1000.0] < 1000.0 and a[-50.0] > -50.0  # both tails clip
+    assert a[5.0] == 5.0                          # middle untouched
+    assert [cv for g, v, cv in got if v is None] == [None]
+    assert [cv for g, v, cv in got if g == "b"] == [5.0]  # own group
+    with pytest.raises(ValueError):
+        C.winsorize(df, "v", p_lo=0.5, p_hi=0.2)
+    with pytest.raises(ValueError):
+        C.winsorize(df, "v", k=4)
