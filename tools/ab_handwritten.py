@@ -436,8 +436,46 @@ def hand_bm25(spark, sf):
             .orderBy("q_id", "rn"))
 
 
+def hand_funnel(spark, sf):
+    # The sequential min-key chain a SQL-minded user writes (and the
+    # gate oracle's own formulation): prune to step types, then one
+    # aggregation + join PER STEP -- t1 = first 'view' per user, t2 =
+    # first 'click' after t1, t3 = first 'purchase' after t2 -- plus a
+    # final 3-way left join to assign stages. The engine instead runs
+    # ONE groupBy with a sorted-struct fold. Same (ts, event_id) order
+    # key, so --check asserts identical (stage, n_users, uid_xor).
+    e = _events(spark, sf)
+    ev = (e.where(F.col("event_type").isin("view", "click", "purchase"))
+          .select("user_id", "event_type",
+                  F.concat(F.date_format("ts",
+                                         "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                           F.lit("|"),
+                           F.lpad(F.col("event_id").cast("string"),
+                                  12, "0")).alias("sk")))
+    t1 = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("sk").alias("k1")))
+    t2 = (ev.where(F.col("event_type") == "click").join(t1, "user_id")
+          .where(F.col("sk") > F.col("k1"))
+          .groupBy("user_id").agg(F.min("sk").alias("k2")))
+    t3 = (ev.where(F.col("event_type") == "purchase").join(t2, "user_id")
+          .where(F.col("sk") > F.col("k2"))
+          .groupBy("user_id").agg(F.min("sk").alias("k3")))
+    base = ev.select("user_id").distinct()
+    stage = (F.when(F.col("k3").isNotNull(), 3)
+             .when(F.col("k2").isNotNull(), 2)
+             .when(F.col("k1").isNotNull(), 1).otherwise(0))
+    st = (base.join(t1, "user_id", "left").join(t2, "user_id", "left")
+          .join(t3, "user_id", "left")
+          .select("user_id", stage.cast("bigint").alias("stage")))
+    return (st.groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.bit_xor("user_id").alias("uid_xor"))
+            .orderBy("stage"))
+
+
 HAND = {"q1_pricing_summary": hand_q1, "q3_shipping_priority": hand_q3,
         "text_bm25_topk": hand_bm25,
+        "dt_funnel_stages": hand_funnel,
         "ann_pq_topk": hand_pq,
         "win_running_sum": hand_win_running_sum,
         "dt_sessionize": hand_dt_sessionize,
