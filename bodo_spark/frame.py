@@ -1157,6 +1157,31 @@ class BodoDataFrame:
         from .operators.timebucket import funnel_stages
         return BodoDataFrame(funnel_stages(self._df, steps, **kw))
 
+    def winsorize(self, value_col: str, **kw) -> "BodoDataFrame":
+        """Percentile outlier clipping
+        (operators/curation.winsorize)."""
+        from .operators.curation import winsorize
+        return BodoDataFrame(winsorize(self._df, value_col, **kw))
+
+    def interpolate(self, *, group_cols: list[str], order_col: str,
+                    value_col: str, **kw) -> "BodoDataFrame":
+        """Linear interpolation of NULL gaps over an ordered series
+        (operators/timebucket.interpolate_linear)."""
+        from .operators.timebucket import interpolate_linear
+        return BodoDataFrame(interpolate_linear(
+            self._df, group_cols=group_cols, order_col=order_col,
+            value_col=value_col, **kw))
+
+    def scd2_apply(self, changes, *, key: list[str], tracked: list[str],
+                   batch_ts, **kw) -> "BodoDataFrame":
+        """SCD2 dimension maintenance (operators/merge.scd2_apply);
+        this frame is the dimension, ``changes`` the batch."""
+        from .operators.merge import scd2_apply
+        ch = changes._df if isinstance(changes, BodoDataFrame) else changes
+        return BodoDataFrame(scd2_apply(self._df, ch, key=key,
+                                        tracked=tracked,
+                                        batch_ts=batch_ts, **kw))
+
     def drop_duplicates(self, subset: list[str] | None = None) -> "BodoDataFrame":
         return BodoDataFrame(self._df.dropDuplicates(subset))
 

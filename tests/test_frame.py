@@ -1156,3 +1156,30 @@ def test_round11_frame_method_surfaces(spark):
         "event_id long, ts timestamp, user_id long, event_type string"))
     st = ev.funnel(["view", "click", "purchase"])._df.collect()
     assert st[0].stage == 2
+
+
+def test_round11_frame_method_surfaces_2(spark):
+    """winsorize / interpolate / scd2_apply reachable from the frame."""
+    from bodo_spark.frame import BodoDataFrame
+
+    v = BodoDataFrame(spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 11)] + [("a", 999.0)],
+        "g string, v double"))
+    w = v.winsorize("v", p_lo=0.1, p_hi=0.9, group_col="g")._df
+    assert max(r.v for r in w.collect()) < 999.0
+
+    s = BodoDataFrame(spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 10, None), ("a", 20, 20.0)],
+        "g string, pos long, v double"))
+    out = s.interpolate(group_cols=["g"], order_col="pos",
+                        value_col="v")._df
+    assert {r.pos: r.v for r in out.collect()}[10] == 10.0
+
+    dim = BodoDataFrame(spark.createDataFrame(
+        [(1, "x", "2020-01-01", None, True)],
+        "k long, seg string, eff_from string, eff_to string, "
+        "is_current boolean"))
+    ch = spark.createDataFrame([(1, "y")], "k long, seg string")
+    got = dim.scd2_apply(ch, key=["k"], tracked=["seg"],
+                         batch_ts="2024-01-01")._df.collect()
+    assert len(got) == 2
