@@ -93,6 +93,36 @@ def merge_into(
     return j.select(*out_cols)
 
 
+def merge_rollup(
+    rollup: DataFrame,
+    batch: DataFrame,
+    *,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental rollup-table maintenance: fold a NEW batch's
+    aggregates into a stored rollup -- matched groups ADD (the batch
+    side must already be aggregated to the same grain), new groups
+    insert. The incremental-ETL primitive for additive measures
+    (counts, sums; keep avg as sum+count and divide at read).
+    Provably one-shot-equivalent for additive columns: addition is
+    associative/commutative over disjoint row sets, so batch-wise
+    maintenance equals re-aggregating everything -- the
+    merge_rollup_incremental gate pins a two-batch rollup against the
+    one-shot oracle (DECIMAL columns keep this exact; see the
+    determinism contract).
+
+    Plan: ONE equi join on the grain keys (the batch side is
+    group-cardinality, usually broadcast); nothing else moves. Apply
+    via merge_into_parquet for the stored-table loop."""
+    return merge_into(
+        rollup, batch, on=list(keys),
+        when_matched_update={c: F.col(c) + F.col(f"src_{c}")
+                             for c in add_cols},
+        when_not_matched_insert={c: F.col(f"src_{c}")
+                                 for c in list(keys) + list(add_cols)})
+
+
 def scd2_apply(
     dim: DataFrame,
     changes: DataFrame,

@@ -1438,7 +1438,95 @@ FROM clip GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Data-quality expectation suite (operators/expectations.expect): orders
+# gains five planted violation rows (a duplicated key, a NULL custkey,
+# a negative price, a bogus priority hitting set AND regex, a dangling
+# customer ref); every rule must count exactly its planted dirt (plus
+# any natural violations, which both engines count from the same data).
+
+def cur_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Expectation-suite gate: (check, n_violations) for six rule
+    kinds over the dirtied orders table."""
+    from ..operators.expectations import expect
+    o = tbl(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("o_totalprice").alias("price"))
+    c = tbl(spark, sf, "customer")
+    first = o.orderBy("o_orderkey").limit(1)
+    planted = spark.createDataFrame(
+        [(1000000001, None, "1-URGENT", 10.0),
+         (1000000002, 1, "1-URGENT", -5.0),
+         (1000000003, 1, "9-BOGUS", 10.0),
+         (1000000004, 999999999, "1-URGENT", 10.0)],
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "price double")
+    dirty = o.unionByName(first).unionByName(planted)
+    return expect(dirty, [
+        ("not_null", "o_custkey"),
+        ("unique", ["o_orderkey"]),
+        ("range", "price", 0.0, 1000000.0),
+        ("in_set", "o_orderpriority",
+         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW"]),
+        ("regex", "o_orderpriority", "^[1-5]-"),
+        ("ref", "o_custkey", c, "c_custkey")])
+
+
+_EXPECT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice AS price
+  FROM orders),
+first AS (SELECT * FROM base ORDER BY o_orderkey LIMIT 1),
+dirty AS (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM first
+  UNION ALL SELECT 1000000001, NULL, '1-URGENT', 10.0
+  UNION ALL SELECT 1000000002, 1, '1-URGENT', -5.0
+  UNION ALL SELECT 1000000003, 1, '9-BOGUS', 10.0
+  UNION ALL SELECT 1000000004, 999999999, '1-URGENT', 10.0)
+SELECT * FROM (
+  SELECT 'not_null(o_custkey)' AS "check",
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations
+  FROM dirty
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+  FROM (SELECT COUNT(*) AS n FROM dirty GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'range(price,0.0,1000000.0)',
+         CAST(SUM(CASE WHEN price IS NOT NULL
+                       AND (price < 0.0 OR price > 1000000.0)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM dirty
+  UNION ALL
+  SELECT 'in_set(o_orderpriority)',
+         CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND o_orderpriority NOT IN
+                           ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                            '4-NOT SPECIFIED', '5-LOW')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM dirty
+  UNION ALL
+  SELECT 'regex(o_orderpriority)',
+         CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM dirty
+  UNION ALL
+  SELECT 'ref(o_custkey->c_custkey)',
+         CAST(COUNT(*) AS BIGINT)
+  FROM dirty d
+  WHERE d.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = d.o_custkey))
+ORDER BY "check"
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cur_expectations": QueryDef(cur_expectations, _EXPECT_SQL),
     "cur_winsorize": QueryDef(cur_winsorize, _WINSORIZE_SQL),
     "cur_url_dedup": QueryDef(cur_url_dedup, _URL_DEDUP_SQL),
     "cur_decontaminate_spans": QueryDef(cur_decontaminate_spans,

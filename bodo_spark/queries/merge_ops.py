@@ -398,7 +398,47 @@ ORDER BY is_current, eff_to
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance (operators/merge.merge_rollup): orders
+# split into two batches at the median key; batch 1's per-priority
+# rollup is maintained with batch 2's aggregates; the result must equal
+# the one-shot aggregation of everything -- the additive-maintenance
+# invariant, exact because the measures are DECIMAL sums and counts.
+
+def merge_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-batch rollup == one-shot groupBy, pinned per priority:
+    order counts and decimal price mass."""
+    from ..operators.merge import merge_rollup
+    o = tbl(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        dec("o_totalprice", 12, 2).alias("price"))
+
+    def agg(df):
+        return (df.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                     F.sum(dec("price", 12, 2)).alias("sum_price")))
+
+    b1 = agg(o.where(F.col("o_orderkey") % 2 == 0))
+    b2 = agg(o.where(F.col("o_orderkey") % 2 != 0))
+    merged = merge_rollup(b1, b2, keys=["o_orderpriority"],
+                          add_cols=["n_orders", "sum_price"])
+    return (merged.select("o_orderpriority", "n_orders",
+                          F.col("sum_price").cast("double")
+                          .alias("sum_price"))
+            .orderBy("o_orderpriority"))
+
+
+_ROLLUP_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "merge_rollup_incremental": QueryDef(merge_rollup_incremental,
+                                         _ROLLUP_SQL),
     "merge_scd2": QueryDef(
         merge_scd2, _SCD2_SQL,
         doc="SCD2 dimension maintenance: close/insert/soft-delete"),

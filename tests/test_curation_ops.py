@@ -818,3 +818,26 @@ def test_winsorize_clips_and_preserves(spark):
         C.winsorize(df, "v", p_lo=0.5, p_hi=0.2)
     with pytest.raises(ValueError):
         C.winsorize(df, "v", k=4)
+
+
+def test_expectations_rules(spark):
+    from bodo_spark.operators.expectations import expect
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", 50.0), (2, None, -1.0), (3, "zz", 5.0)],
+        "k long, s string, v double")
+    ref = spark.createDataFrame([(1,), (2,)], "k long")
+    got = {r.check: r.n_violations for r in expect(df, [
+        ("not_null", "s"),
+        ("unique", ["k"]),
+        ("range", "v", 0.0, 10.0),
+        ("in_set", "s", ["a", "b"]),
+        ("regex", "s", "^[ab]$"),
+        ("ref", "k", ref, "k")]).collect()}
+    assert got == {"not_null(s)": 1, "unique(k)": 1,
+                   "range(v,0.0,10.0)": 2, "in_set(s)": 1,
+                   "regex(s)": 1, "ref(k->k)": 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        expect(df, [])
+    with _pt.raises(ValueError):
+        expect(df, [("bogus", "s")])
