@@ -403,7 +403,57 @@ GROUP BY seg ORDER BY seg
 """
 
 
+# --------------------------------------------------------------------------
+# Hierarchy expansion (operators/hierarchy.expand_hierarchy): the
+# WITH RECURSIVE workload via pointer doubling. A deterministic tree is
+# derived from doc ids (parent = id // 3, root 0 -- depth ~8 at sf0.01);
+# the engine resolves it in ~log2(depth) doubling joins while the
+# oracle IS a real recursive CTE -- two formulations, one result.
+
+def join_hierarchy_expand(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-depth node counts and id xors of the resolved forest."""
+    from ..operators.hierarchy import expand_hierarchy
+    d = tbl(spark, sf, "documents")
+    edges = (d.where(F.col("doc_id") > 0)
+             .select(F.col("doc_id").alias("child"),
+                     F.floor(F.col("doc_id") / F.lit(3)).cast("long")
+                     .alias("parent")))
+    h = expand_hierarchy(edges)
+    return (h.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.bit_xor("id").alias("id_xor"),
+        F.bit_xor("root").alias("root_xor"))
+        .orderBy("depth"))
+
+
+_HIERARCHY_SQL = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS child, doc_id // 3 AS parent
+  FROM documents WHERE doc_id > 0),
+nodes AS (SELECT child AS id FROM e UNION SELECT parent FROM e),
+rootset AS (
+  SELECT id FROM nodes WHERE id NOT IN (SELECT child FROM e)),
+up AS (
+  SELECT id, id AS anc, CAST(0 AS BIGINT) AS depth FROM nodes
+  UNION ALL
+  SELECT u.id, e.parent, u.depth + 1
+  FROM up u JOIN e ON u.anc = e.child),
+final AS (
+  -- DISTINCT: DuckDB multiplies the non-recursive base CTE's rows
+  -- inside a WITH RECURSIVE block (observed 4x at v1.0); the terminal
+  -- (id, root, depth) row is unique per id in a forest, so DISTINCT
+  -- recovers the exact relation
+  SELECT DISTINCT id, anc AS root, depth FROM up
+  WHERE anc IN (SELECT id FROM rootset))
+SELECT depth, COUNT(*) AS n_nodes, bit_xor(id) AS id_xor,
+       bit_xor(root) AS root_xor
+FROM final GROUP BY depth ORDER BY depth
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "join_hierarchy_expand": QueryDef(join_hierarchy_expand,
+                                      _HIERARCHY_SQL),
     "join_null_aware_anti": QueryDef(join_null_aware_anti,
                                      _JOIN_NULL_AWARE_SQL),
     "join_salted_skew": QueryDef(join_salted_skew, _JOIN_SALTED_SQL),

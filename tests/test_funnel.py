@@ -87,3 +87,23 @@ def test_interpolate_linear_hand_example(spark):
         df2, group_cols=["g"], order_col="pos",
         value_col="v").collect()}
     assert out2[30] == 30.0
+
+
+def test_expand_hierarchy_forest_and_cycle(spark):
+    from bodo_spark.operators.hierarchy import expand_hierarchy
+    import pytest
+    # two trees: 0<-1<-3, 0<-2, 10<-11; deep chain resolves in
+    # log rounds (depth 4 via 20<-21<-22<-23<-24)
+    edges = spark.createDataFrame(
+        [(1, 0), (3, 1), (2, 0), (11, 10),
+         (21, 20), (22, 21), (23, 22), (24, 23)],
+        "child long, parent long")
+    got = {r.id: (r.root, r.depth)
+           for r in expand_hierarchy(edges).collect()}
+    assert got == {0: (0, 0), 1: (0, 1), 2: (0, 1), 3: (0, 2),
+                   10: (10, 0), 11: (10, 1),
+                   20: (20, 0), 21: (20, 1), 22: (20, 2),
+                   23: (20, 3), 24: (20, 4)}
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+    with pytest.raises(RuntimeError, match="converge"):
+        expand_hierarchy(cyc, max_iter=4)
