@@ -163,6 +163,17 @@ def bm25_topk(postings: DataFrame, queries: DataFrame, *,
     window (WindowGroupLimit). The corpus is never rescanned when
     ``term_stats``/``corpus_stats`` come from a stored index."""
     if term_stats is None or corpus_stats is None:
+        # the inline-stats path consumes postings THREE times (scored
+        # join + term stats + corpus stats); without a boundary each
+        # consumer re-executes the whole index build -- measured 3x+ on
+        # the append gate at 100x. Persist once (released via
+        # dedup.unpersist_cached, the house discipline); the
+        # stored-stats serving path skips this entirely.
+        from pyspark import StorageLevel
+
+        from .dedup import _PERSISTED
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(postings)
         ts, cs = bm25_corpus_stats(postings)
         term_stats = term_stats if term_stats is not None else ts
         corpus_stats = corpus_stats if corpus_stats is not None else cs
