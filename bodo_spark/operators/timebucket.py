@@ -56,7 +56,14 @@ def interpolate_linear(df: DataFrame, *, group_cols: list[str],
     nv = F.first(F.when(v.isNotNull(), v), ignorenulls=True).over(wn)
     no = F.first(F.when(v.isNotNull(), o), ignorenulls=True).over(wn)
     frac = (o - po).cast("double") / (no - po)
-    interp = F.round(pv + (nv - pv) * frac, ndigits)
+    # scaled integer rounding, NOT F.round(x, n): Spark rounds via the
+    # double's exact decimal expansion while DuckDB rounds the SCALED
+    # double -- a value whose binary form reads ...4999 decimal but
+    # scales to an exact .5 flips between them (caught by the sf0.001
+    # oracle run). round(x*10^n, 0)/10^n makes both engines round the
+    # IDENTICAL scaled double, and both break .5 ties away from zero.
+    scale = F.lit(float(10 ** ndigits))
+    interp = F.round((pv + (nv - pv) * frac) * scale, 0) / scale
     filled = F.when(v.isNotNull(), v).otherwise(
         F.when(pv.isNotNull() & nv.isNotNull(), interp))
     return df.withColumn(out_col, filled)

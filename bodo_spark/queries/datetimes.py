@@ -381,8 +381,9 @@ filled AS (
   SELECT event_type, v,
          CASE WHEN v IS NOT NULL THEN v
               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-                round(pv + (nv - pv)
-                      * (CAST(pos - po AS DOUBLE) / (nxo - po)), 6)
+                round((pv + (nv - pv)
+                       * (CAST(pos - po AS DOUBLE) / (nxo - po)))
+                      * 1000000.0) / 1000000.0
          END AS v_fill
   FROM nb)
 SELECT event_type, COUNT(*) AS n_buckets,
