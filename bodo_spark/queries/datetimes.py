@@ -315,13 +315,13 @@ FROM stages GROUP BY stage ORDER BY stage
 
 def dt_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-fill + linear interpolation (operators/timebucket.py
-    bucket_gapfill -> interpolate_linear): 5-minute per-type rollups
+    bucket_gapfill -> interpolate_linear): 30-minute per-type rollups
     with empty buckets materialized, then every gap filled by linear
     interpolation between its non-null neighbors. Pins bucket/gap
     counts and the decimal-exact sum of the filled series."""
     from ..operators.timebucket import bucket_gapfill, interpolate_linear
     e = tbl(spark, sf, "events")
-    gf = bucket_gapfill(e, "ts", 300, ["event_type"],
+    gf = bucket_gapfill(e, "ts", 1800, ["event_type"],
                         {"sum_value": dsum(dec("value", 12))})
     ser = gf.select("event_type",
                     F.unix_timestamp("bucket").cast("bigint")
@@ -343,7 +343,7 @@ def dt_interpolate_linear(spark: SparkSession, sf: str) -> DataFrame:
 _DT_INTERP_SQL = """
 WITH b AS (
   SELECT event_type,
-         make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+         make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)
                         * 1000000) AS bucket,
          value
   FROM events),
@@ -356,7 +356,7 @@ rng AS (
   FROM b GROUP BY 1),
 spine AS (
   SELECT event_type,
-         unnest(generate_series(lo, hi, INTERVAL 300 SECOND)) AS bucket
+         unnest(generate_series(lo, hi, INTERVAL 1800 SECOND)) AS bucket
   FROM rng),
 series AS (
   SELECT s.event_type, CAST(epoch(s.bucket) AS BIGINT) AS pos, a.v
