@@ -197,6 +197,70 @@ def bm25_topk(postings: DataFrame, queries: DataFrame, *,
                     F.col("rn").cast("bigint").alias("rn")))
 
 
+def mmr_rerank(candidates: DataFrame, *, q_id_col: str = "q_id",
+               id_col: str = "doc_id", rel_col: str = "score",
+               vec_col: str = "vec", k: int = 5,
+               lam: float = 0.5) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998): greedily re-rank a per-query candidate shortlist
+    so each pick balances relevance against similarity to what is
+    already picked -- mmr = lam * rel - (1 - lam) * max_sim(picked).
+    The standard diversity pass between retrieval and an LLM context
+    window (near-duplicate passages waste the budget).
+
+    ``candidates``: (q_id, id, rel, vec) -- a top-N shortlist per
+    query (e.g. bm25_topk or sq_topk joined back to vectors). Returns
+    (q_id, id, mmr, rn) with rn 1..k in pick order.
+
+    Plan: the greedy loop unrolls to ``k`` DataFrame steps, each a
+    candidates x picked join (both shortlist-sized), one max-sim
+    aggregation, and a per-query min(struct) argmax -- ALL JVM
+    expressions (sequential-fold cosines rounded to 9 dp, ties to the
+    lowest id), so a SQL oracle re-derives every pick exactly. Work
+    per query is O(k * shortlist) pairs; the corpus is never touched
+    -- at 100 TB this runs on the retrieval output, not the data."""
+    from .similarity import cosine
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cands = candidates.select(
+        F.col(q_id_col).alias("q_id"), F.col(id_col).alias("id"),
+        F.col(rel_col).cast("double").alias("rel"),
+        F.col(vec_col).alias("vec"))
+    picked = None
+    remaining = cands
+    for step in range(1, k + 1):
+        if picked is None:
+            scored = remaining.withColumn("_mmr", F.col("rel"))
+        else:
+            pv = picked.select(F.col("q_id"),
+                               F.col("vec").alias("_pvec"))
+            sims = (remaining.join(pv, "q_id")
+                    .withColumn("_sim", F.round(
+                        cosine(F.col("vec"), F.col("_pvec")), 9))
+                    .groupBy("q_id", "id")
+                    .agg(F.max("_sim").alias("_ms")))
+            scored = (remaining.join(sims, ["q_id", "id"])
+                      .withColumn("_mmr",
+                                  F.lit(float(lam)) * F.col("rel")
+                                  - F.lit(float(1.0 - lam))
+                                  * F.col("_ms")))
+        best_key = (scored.groupBy("q_id")
+                    .agg(F.min(F.struct(
+                        (-F.col("_mmr")).alias("ns"),
+                        F.col("id").alias("i"))).alias("_b"))
+                    .select("q_id", F.col("_b.i").alias("id")))
+        best = (scored.join(best_key, ["q_id", "id"])
+                .select("q_id", "id", "rel", "vec",
+                        F.col("_mmr").alias("mmr"),
+                        F.lit(step).cast("bigint").alias("rn")))
+        picked = best if picked is None else picked.unionByName(best)
+        remaining = remaining.join(best_key.select("q_id", "id"),
+                                   ["q_id", "id"], "left_anti")
+    return picked.select("q_id", F.col("id").alias(id_col), "mmr", "rn")
+
+
 def rrf_fuse(rankings: list[DataFrame], *, k: int = 60, topk: int = 10,
              q_id_col: str = "q_id", id_col: str = "doc_id",
              rn_col: str = "rn") -> DataFrame:

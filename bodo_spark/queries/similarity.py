@@ -947,6 +947,80 @@ FROM scored QUALIFY rn <= 5 ORDER BY q_id, rn
 """
 
 
+def ann_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversity re-rank (operators/retrieval.mmr_rerank): each
+    query's exact-cosine top-10 shortlist is greedily re-ranked to 3
+    picks balancing relevance vs similarity-to-picked (lam=0.5). The
+    oracle unrolls the identical greedy steps as CTEs -- every pick,
+    score and order pinned."""
+    from ..operators import retrieval as R
+    emb = tbl(spark, sf, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    short = S.brute_force_topk(emb, queries, k=10)
+    cands = short.join(emb.select("vec_id", "embedding"), "vec_id")
+    out = R.mmr_rerank(cands, q_id_col="q_id", id_col="vec_id",
+                       rel_col="cos", vec_col="embedding", k=3,
+                       lam=0.5)
+    return out.orderBy("q_id", "rn")
+
+
+_MMR_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 3),
+scored0 AS (
+  SELECT q.q_id, e.vec_id,
+         {_SQL_COS.format(a='e.embedding', b='q.q_vec')} AS rel
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+short AS (
+  SELECT q_id, vec_id, rel FROM (
+    SELECT q_id, vec_id, rel,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY rel DESC, vec_id) AS rn
+    FROM scored0) WHERE rn <= 10),
+cand AS (
+  SELECT s.q_id, s.vec_id, s.rel, e.embedding AS vec
+  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id),
+s1 AS (
+  SELECT q_id, vec_id, rel AS mmr, vec FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM cand) WHERE rn = 1),
+c2 AS (
+  SELECT c.q_id, c.vec_id, c.rel, c.vec,
+         0.5 * c.rel - 0.5 * round(
+           {_SQL_COS9.format(a='c.vec', b='p.vec')}, 9) AS mmr
+  FROM cand c JOIN s1 p ON c.q_id = p.q_id
+  WHERE c.vec_id <> p.vec_id),
+s2 AS (
+  SELECT q_id, vec_id, mmr, vec FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY mmr DESC, vec_id) AS rn
+    FROM c2) WHERE rn = 1),
+c3 AS (
+  SELECT c.q_id, c.vec_id, c.rel, c.vec,
+         0.5 * c.rel - 0.5 * greatest(
+           round({_SQL_COS9.format(a='c.vec', b='p1.vec')}, 9),
+           round({_SQL_COS9.format(a='c.vec', b='p2.vec')}, 9)) AS mmr
+  FROM cand c
+  JOIN s1 p1 ON c.q_id = p1.q_id
+  JOIN s2 p2 ON c.q_id = p2.q_id
+  WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id),
+s3 AS (
+  SELECT q_id, vec_id, mmr, vec FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY mmr DESC, vec_id) AS rn
+    FROM c3) WHERE rn = 1),
+allp AS (
+  SELECT q_id, vec_id, mmr, 1 AS rn FROM s1
+  UNION ALL SELECT q_id, vec_id, mmr, 2 FROM s2
+  UNION ALL SELECT q_id, vec_id, mmr, 3 FROM s3)
+SELECT q_id, vec_id, mmr, CAST(rn AS BIGINT) AS rn
+FROM allp ORDER BY q_id, rn
+"""
+
+
 def ann_ivf_sq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-SQ8 (operators/sq.py ivf_sq_index/ivf_sq_topk -- the Faiss
     IVF_SQ8 type): corpus routed to 8 deterministic cells AND encoded
@@ -1110,6 +1184,7 @@ FROM fused QUALIFY rn <= 5 ORDER BY q_id, rn
 QUERIES: dict[str, QueryDef] = {
     "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
     "ann_ivf_sq_topk": QueryDef(ann_ivf_sq_topk, _IVF_SQ_SQL),
+    "ann_mmr_rerank": QueryDef(ann_mmr_rerank, _MMR_SQL),
     "emb_hashed_tfidf_ann": QueryDef(emb_hashed_tfidf_ann,
                                      _HASHED_TFIDF_ANN_SQL),
     "ann_hybrid_rrf": QueryDef(ann_hybrid_rrf, _HYBRID_RRF_SQL),

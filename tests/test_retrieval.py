@@ -123,3 +123,26 @@ def test_bm25_append_equals_one_shot(spark, corpus):
     cols = ["term", "doc_id", "tf", "dl"]
     assert (one_shot.sort_values(key)[cols].values.tolist()
             == staged.sort_values(key)[cols].values.tolist())
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    # q=[1,0]; A most relevant; B ~ duplicate of A; C orthogonal-ish.
+    # Plain top-2 would pick (A, B); MMR at lam=0.5 must pick (A, C).
+    cands = spark.createDataFrame(
+        [(0, 1, 0.99, [1.0, 0.05]),   # A
+         (0, 2, 0.98, [1.0, 0.06]),   # B near-dup of A
+         (0, 3, 0.60, [0.2, 1.0])],   # C diverse
+        "q_id bigint, doc_id bigint, score double, "
+        "vec array<double>")
+    got = (R.mmr_rerank(cands, k=2, lam=0.5).toPandas()
+           .sort_values("rn"))
+    assert list(got.doc_id) == [1, 3]
+    # lam=1.0 degenerates to pure relevance order
+    rel = (R.mmr_rerank(cands, k=3, lam=1.0).toPandas()
+           .sort_values("rn"))
+    assert list(rel.doc_id) == [1, 2, 3]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        R.mmr_rerank(cands, lam=1.5)
+    with _pt.raises(ValueError):
+        R.mmr_rerank(cands, k=0)
