@@ -293,3 +293,34 @@ def test_funnel_single_shuffle_on_user(spark):
     assert shuffles and all(
         k.split(",")[0].strip().startswith("user_id") for k in shuffles), \
         shuffles
+
+
+def test_interpolate_single_group_shuffle(spark):
+    """Interpolation plan contract: the four neighbor expressions share
+    the per-group ordered frame -- ONE hash shuffle keyed on the group,
+    no Python, no self-joins."""
+    import re
+
+    from bodo_spark.operators.timebucket import interpolate_linear
+    df = (tbl(spark, SF_DIR, "events")
+          .selectExpr("event_type AS g",
+                      "CAST(event_id AS LONG) AS pos", "value AS v"))
+    p = plan_str(interpolate_linear(df, group_cols=["g"],
+                                    order_col="pos", value_col="v"))
+    assert "EvalPython" not in p and "Join" not in p, p
+    shuffles = re.findall(r"hashpartitioning\(([^)]+)\)", p)
+    assert shuffles and all(k.split(",")[0].strip().startswith("g")
+                            for k in shuffles), shuffles
+
+
+def test_mmr_all_jvm(spark):
+    """MMR plan contract: the unrolled greedy steps stay pure JVM
+    (fold cosines, min(struct) argmax) -- zero Python nodes."""
+    from bodo_spark.operators.retrieval import mmr_rerank
+    emb = tbl(spark, SF_DIR, "embeddings")
+    cands = (emb.where("vec_id < 20")
+             .selectExpr("CAST(1 AS LONG) AS q_id", "vec_id AS doc_id",
+                         "CAST(vec_id AS DOUBLE) AS score",
+                         "embedding AS vec"))
+    p = plan_str(mmr_rerank(cands, k=2))
+    assert "EvalPython" not in p, p
