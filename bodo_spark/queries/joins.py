@@ -451,7 +451,76 @@ FROM final GROUP BY depth ORDER BY depth
 """
 
 
+# --------------------------------------------------------------------------
+# Record linkage (operators/linkage.fuzzy_join): a dirty feed of
+# customer names -- one digit deleted mid-name for most rows, the head
+# replaced by XXXX-noise for every 5th (same blocking tail, must FAIL
+# the threshold) -- matched back to the clean master, blocked on the
+# last-4-character tail. The oracle re-blocks, re-scores with DuckDB's
+# own jaro_winkler_similarity (bit-matched kernel, integer-compared),
+# re-thresholds and re-picks best matches.
+
+def join_fuzzy_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy-join gate: match counts, key xors and the exact score
+    mass of the best-match assignment."""
+    from ..operators.linkage import fuzzy_join
+    c = tbl(spark, sf, "customer")
+    left = c.select(F.col("c_custkey").alias("lk"),
+                    F.col("c_name").alias("lname"))
+    dirty_name = (F.when(F.col("c_custkey") % 5 == 0,
+                         F.concat(F.lit("XXXXXXXXXXXX"),
+                                  F.substring(F.col("c_name"), -6, 6)))
+                  .otherwise(F.concat(
+                      F.substring(F.col("c_name"), 1, 9),
+                      F.expr("substring(c_name, 11)"))))
+    right = c.select((F.col("c_custkey") + 1_000_000).alias("rk"),
+                     dirty_name.alias("rname"))
+    out = fuzzy_join(left, right, left_key="lk", right_key="rk",
+                     left_col="lname", right_col="rname",
+                     left_block=F.substring(F.col("lname"), -4, 4),
+                     right_block=F.substring(F.col("rname"), -4, 4),
+                     threshold=0.9, keep="best")
+    return (out.agg(F.count(F.lit(1)).alias("n_matched"),
+                    F.bit_xor("lk").alias("lk_xor"),
+                    F.bit_xor("rk").alias("rk_xor"),
+                    F.sum("score100").cast("bigint").alias("score_mass")))
+
+
+_FUZZY_LINKAGE_SQL = """
+WITH L AS (SELECT c_custkey AS lk, c_name AS lname FROM customer),
+R AS (
+  SELECT c_custkey + 1000000 AS rk,
+         CASE WHEN c_custkey % 5 = 0
+              THEN 'XXXXXXXXXXXX' || substr(c_name, length(c_name) - 5, 6)
+              ELSE substr(c_name, 1, 9) || substr(c_name, 11) END
+           AS rname
+  FROM customer),
+cand AS (
+  SELECT lk, rk, lname, rname
+  FROM L JOIN R
+    ON substr(lname, length(lname) - 3, 4)
+       = substr(rname, length(rname) - 3, 4)),
+scored AS (
+  SELECT lk, rk,
+         CAST(floor(100 * jaro_winkler_similarity(lname, rname) + 0.5)
+              AS INT) AS score100
+  FROM cand),
+kept AS (SELECT * FROM scored WHERE score100 >= 90),
+best AS (
+  SELECT lk, rk, score100 FROM (
+    SELECT *, row_number() OVER (PARTITION BY lk
+                                 ORDER BY score100 DESC, rk) AS rn
+    FROM kept) WHERE rn = 1)
+SELECT COUNT(*) AS n_matched, bit_xor(lk) AS lk_xor,
+       bit_xor(rk) AS rk_xor,
+       CAST(SUM(score100) AS BIGINT) AS score_mass
+FROM best
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "join_fuzzy_linkage": QueryDef(join_fuzzy_linkage,
+                                   _FUZZY_LINKAGE_SQL),
     "join_hierarchy_expand": QueryDef(join_hierarchy_expand,
                                       _HIERARCHY_SQL),
     "join_null_aware_anti": QueryDef(join_null_aware_anti,

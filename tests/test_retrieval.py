@@ -146,3 +146,32 @@ def test_mmr_rerank_prefers_diversity(spark):
         R.mmr_rerank(cands, lam=1.5)
     with _pt.raises(ValueError):
         R.mmr_rerank(cands, k=0)
+
+
+def test_fuzzy_join_blocks_thresholds_best(spark):
+    from bodo_spark.operators.linkage import fuzzy_join
+    left = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "maria garcia"), (3, "wei chen")],
+        "lk long, name string")
+    right = spark.createDataFrame(
+        [(10, "jonathon smith"),    # typo twin of 1 (same block 'j')
+         (11, "jon smith"),         # weaker variant of 1
+         (20, "maria garcia"),      # exact twin of 2
+         (30, "zzzz chen")],        # same-initial decoy for nobody
+        "rk long, name string")
+    from pyspark.sql import functions as F
+    out = fuzzy_join(left, right, left_key="lk", right_key="rk",
+                     left_col="name", right_col="name",
+                     left_block=F.col("name").substr(1, 1),
+                     right_block=F.col("name").substr(1, 1),
+                     threshold=0.9, keep="best")
+    got = {r.lk: (r.rk, r.score100) for r in out.collect()}
+    assert got[1][0] == 10 and got[1][1] >= 90   # best typo twin wins
+    assert got[2] == (20, 100)                   # exact match
+    assert 3 not in got                          # decoy under threshold
+    allp = fuzzy_join(left, right, left_key="lk", right_key="rk",
+                      left_col="name", right_col="name",
+                      left_block=F.col("name").substr(1, 1),
+                      right_block=F.col("name").substr(1, 1),
+                      threshold=0.8, keep="all").collect()
+    assert len(allp) >= 3                        # looser: jon smith too
