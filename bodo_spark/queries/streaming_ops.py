@@ -980,3 +980,60 @@ FROM final GROUP BY seg ORDER BY seg
 
 
 QUERIES["stream_cdc_apply"] = QueryDef(stream_cdc_apply, _STREAM_CDC_SQL)
+
+
+def stream_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming rollup maintenance (streaming/cdc.py
+    maintain_rollup_stream): order facts replay as a 2-file stream;
+    each micro-batch aggregates to the per-priority grain and folds
+    into the stored rollup. Shares merge_rollup_incremental's one-shot
+    oracle verbatim -- the streamed rollup must equal aggregating
+    everything at once (additive DECIMAL measures keep it exact)."""
+    from ..streaming import maintain_rollup_stream, read_stream_parquet
+
+    o = tbl(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").alias("price"))
+    stage = f"/tmp/bodo_spark_srup_{uuid.uuid4().hex[:8]}"
+    try:
+        empty = (o.groupBy("o_orderpriority")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                      F.sum(F.col("price").cast("decimal(12,2)"))
+                      .alias("sum_price"))
+                 .where(F.lit(False)))
+        empty.write.mode("overwrite").parquet(f"{stage}/tbl")
+        o.where(F.col("o_orderkey") % 2 == 0).coalesce(1).write \
+            .mode("append").parquet(f"{stage}/facts")
+        o.where(F.col("o_orderkey") % 2 != 0).coalesce(1).write \
+            .mode("append").parquet(f"{stage}/facts")
+        src = spark.read.parquet(f"{stage}/facts")
+        stream = read_stream_parquet(spark, f"{stage}/facts", src.schema,
+                                     max_files_per_trigger=1)
+        maintain_rollup_stream(
+            stream, f"{stage}/tbl",
+            keys=["o_orderpriority"],
+            aggs={"n_orders": F.count(F.lit(1)).cast("bigint"),
+                  "sum_price": F.sum(F.col("price")
+                                     .cast("decimal(12,2)"))},
+            add_cols=["n_orders", "sum_price"],
+            query_name=f"rup_{uuid.uuid4().hex[:8]}")
+        final = (spark.read.parquet(f"{stage}/tbl")
+                 .select("o_orderpriority", "n_orders",
+                         F.col("sum_price").cast("double")
+                         .alias("sum_price"))
+                 .orderBy("o_orderpriority"))
+        rows = [tuple(r) for r in final.collect()]
+        return spark.createDataFrame(
+            rows, "o_orderpriority string, n_orders bigint, "
+                  "sum_price double")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(f"{stage}/tbl__rollup_ckpt", ignore_errors=True)
+
+
+def _stream_rollup_sql() -> str:
+    from .merge_ops import _ROLLUP_SQL
+    return _ROLLUP_SQL
+
+
+QUERIES["stream_rollup"] = QueryDef(stream_rollup, _stream_rollup_sql())

@@ -15,6 +15,7 @@ from .ann import (  # noqa: F401
 )
 from .cdc import (  # noqa: F401
     apply_cdc_stream,
+    maintain_rollup_stream,
 )
 from .retrieval import (  # noqa: F401
     stream_bm25_topk,

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_cdc_stream"]
+__all__ = ["apply_cdc_stream", "maintain_rollup_stream"]
 
 
 def apply_cdc_stream(changes: DataFrame, path: str, *,
@@ -81,6 +81,63 @@ def apply_cdc_stream(changes: DataFrame, path: str, *,
     q = (changes.writeStream.queryName(query_name)
          .foreachBatch(apply_batch)
          .option("checkpointLocation", f"{path}__cdc_ckpt"))
+    if available_now:
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return sq
+    return q.start()
+
+
+def maintain_rollup_stream(facts: DataFrame, path: str, *,
+                           keys: list[str], aggs: dict,
+                           add_cols: list[str],
+                           query_name: str = "rollup_maintain",
+                           available_now: bool = True):
+    """Streaming rollup maintenance: each micro-batch of FACT rows is
+    aggregated to the rollup grain and folded into the stored rollup
+    table via merge_rollup (matched groups ADD, new groups insert) --
+    the incremental-ETL loop as a stream, additive-exact by the same
+    argument as the batch operator (the stream_rollup gate pins the
+    replayed stream against the one-shot aggregation oracle).
+
+    ``aggs``: {out_col: Column} aggregate expressions at the grain
+    (counts / DECIMAL sums -- additive measures only); ``add_cols``
+    lists which output columns fold additively (usually all of them).
+    The table at ``path`` must exist with keys + add_cols. At-least-
+    once caveat, stated honestly: unlike apply_cdc_stream's seq guard,
+    ADDITION is not idempotent -- a REPLAYED batch double-counts, so
+    production pairs this with foreachBatch's batch-id dedup (persist
+    last applied batch id next to the table) or an idempotent sink;
+    the checkpoint already prevents replays within one query's life.
+    DECIMAL sums: Spark widens precision by 1 per addition (capped at
+    38) -- declare rollup decimal columns at (38, s) up front if exact
+    schema stability across many batches matters."""
+    from ..operators.merge import merge_rollup
+
+    spark = facts.sparkSession
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        if not bdf.take(1):
+            return
+        batch_agg = bdf.groupBy(*keys).agg(
+            *[c.alias(n) for n, c in aggs.items()])
+        cur = spark.read.parquet(path)
+        merged = merge_rollup(cur, batch_agg, keys=keys,
+                              add_cols=add_cols)
+        # COW swap via the merge staging discipline
+        import shutil
+        import uuid
+        norm = path.rstrip("/")
+        staging = f"{norm}.__rollup_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("errorifexists").parquet(staging)
+        backup = f"{norm}.__rollup_bak_{uuid.uuid4().hex[:8]}"
+        shutil.move(norm, backup)
+        shutil.move(staging, norm)
+        shutil.rmtree(backup, ignore_errors=True)
+
+    q = (facts.writeStream.queryName(query_name)
+         .foreachBatch(apply_batch)
+         .option("checkpointLocation", f"{path}__rollup_ckpt"))
     if available_now:
         sq = q.trigger(availableNow=True).start()
         sq.awaitTermination()
