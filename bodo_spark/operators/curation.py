@@ -733,7 +733,8 @@ def filter_by_score_percentile(df: DataFrame, score_col: str, *,
     whole minority groups. Same plan economics: the per-group sketch
     states ride ONE map-side-combined groupBy (KB per group), the
     threshold frame (one row per group) broadcasts, the corpus never
-    reshuffles."""
+    reshuffles. A NULL group key forms its own group (null-safe join),
+    thresholded independently like any other -- not dropped."""
     from .sketches import kll_merge_quantiles, kll_quantiles
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
@@ -749,10 +750,16 @@ def filter_by_score_percentile(df: DataFrame, score_col: str, *,
         q = F.expr("kll_sketch_get_quantile_double(_sk, "
                    f"CAST({float(p)} AS double))").cast("double")
         thr = (df.groupBy(group_col).agg(sk.alias("_sk"))
-               .select(group_col, q.alias("_thr")))
+               .select(F.col(group_col).alias("_g"), q.alias("_thr")))
         cond = (F.col(score_col) >= F.col("_thr") if keep == "above"
                 else F.col(score_col) <= F.col("_thr"))
-        return df.join(F.broadcast(thr), group_col).where(cond).drop("_thr")
+        # eqNullSafe: groupBy emits a NULL-group row, so a null-safe join
+        # matches EVERY input row (a plain equi join would silently drop
+        # rows whose group key is NULL -- they'd never match their own
+        # threshold row)
+        return (df.join(F.broadcast(thr),
+                        F.col(group_col).eqNullSafe(F.col("_g")))
+                .where(cond).drop("_g", "_thr"))
     thr = (kll_merge_quantiles(sketches, [p], sketch_col=sketch_col)
            if sketches is not None
            else kll_quantiles(df, score_col, [p], k=k))
@@ -777,7 +784,9 @@ def winsorize(df: DataFrame, value_col: str, *, p_lo: float = 0.01,
     mergeable state, map-side combined; BOTH quantiles read from the
     same state), broadcast threshold row(s), one clip scan -- the
     corpus never reshuffles. ``group_col`` clips per group (per-type /
-    per-language distributions differ, the CCNet argument). Exact-rank
+    per-language distributions differ, the CCNet argument); a NULL
+    group key forms its own group and is clipped by that group's
+    thresholds (null-safe join -- no row is ever dropped). Exact-rank
     deterministic for n <= k (the filter_by_score_percentile
     contract); NULL values stay NULL."""
     if not 0.0 <= p_lo < p_hi <= 1.0:
@@ -796,9 +805,15 @@ def winsorize(df: DataFrame, value_col: str, *, p_lo: float = 0.01,
 
     if group_col is not None:
         thr = (df.groupBy(group_col).agg(sk.alias("_sk"))
-               .select(group_col, q(p_lo).alias("_lo"),
+               .select(F.col(group_col).alias("_g"), q(p_lo).alias("_lo"),
                        q(p_hi).alias("_hi")))
-        j = df.join(F.broadcast(thr), group_col)
+        # eqNullSafe keeps the "clip, not drop" contract for NULL group
+        # keys: groupBy emits a NULL-group threshold row and the
+        # null-safe join matches those rows to it (a plain equi join
+        # would drop them)
+        j = (df.join(F.broadcast(thr),
+                     F.col(group_col).eqNullSafe(F.col("_g")))
+             .drop("_g"))
     else:
         thr = df.agg(sk.alias("_sk")).select(q(p_lo).alias("_lo"),
                                              q(p_hi).alias("_hi"))

@@ -232,15 +232,34 @@ def merge_into_parquet(
     swap itself is the only non-atomic window and is driver-local metadata
     work; a real lakehouse table (Iceberg/Delta) is this exact operation
     plus an atomic snapshot-pointer commit."""
+    target = spark.read.parquet(path)
+    merged = merge_into(target, source, on, **merge_kwargs)
+    cow_publish(merged, path)
+
+
+def cow_publish(merged: DataFrame, path: str, *,
+                partition_by: list[str] | None = None) -> None:
+    """Publish ``merged`` as the new content of the parquet table at
+    ``path``: durable staging write -> directory swap, with the
+    exception-restore discipline every COW maintainer needs (shared by
+    merge_into_parquet, maintain_rollup_stream and the file-pruned
+    merge). A failed staging write leaves the table untouched and
+    removes the staging dir; a failure between the two moves restores
+    the original from the backup."""
     import shutil
     import uuid
 
-    target = spark.read.parquet(path)
-    merged = merge_into(target, source, on, **merge_kwargs)
     norm = path.rstrip("/")
-    staging = f"{norm}.__merge_staging_{uuid.uuid4().hex[:8]}"
-    backup = f"{norm}.__merge_backup_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("errorifexists").parquet(staging)
+    staging = f"{norm}.__cow_staging_{uuid.uuid4().hex[:8]}"
+    backup = f"{norm}.__cow_backup_{uuid.uuid4().hex[:8]}"
+    w = merged.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    try:
+        w.parquet(staging)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     try:
         shutil.move(norm, backup)
         shutil.move(staging, norm)

@@ -185,10 +185,16 @@ def ivf_sq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,
     against the dequantized codes. Returns (q_id, vec_id, adist, rn).
 
     Scale shape: the scored pass reads 1 byte/dim for ~n_probe/n_cells
-    of the corpus; raw vectors are never touched at search time
-    (``vectors`` only seeds the deterministic centroid table -- pass
-    ``centroids`` and it is not read at all); the only corpus-sized
-    exchange is the hash join on the cell id."""
+    of the corpus, and the d-length dequantize/self-dot folds run over
+    that SAME pruned fraction -- the index is semi-joined against the
+    probed-cell set BEFORE the reconstruction projection (Catalyst does
+    not push a join below a Project, so computing _dq first would fold
+    over 100% of index rows; caught in the r11 executed-plan probe and
+    pinned by test_ivf_sq_prunes_before_dequantize). Raw vectors are
+    never touched at search time (``vectors`` only seeds the
+    deterministic centroid table -- pass ``centroids`` and it is not
+    read at all); the only corpus-sized exchange is the hash join on
+    the cell id."""
     from pyspark.sql import Window as Wnd
 
     from .similarity import _centroid_table
@@ -207,7 +213,12 @@ def ivf_sq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,
               .select(q_id_col, F.col("_cid").alias("cell")))
     qv = queries.select(q_id_col, F.col(q_vec_col).alias("_qv"))
     dq = sq_dequantize("code", los, his, bits=bits)
-    cand = (index.withColumn("_dq", dq)
+    # prune FIRST, reconstruct SECOND: the semi join bounds the O(d)
+    # _dq/_dd folds to the probed cells' rows; qprobe is top-n_probe
+    # per query, so its distinct cell set is tiny and broadcasts
+    probed = qprobe.select("cell").distinct()
+    pruned = index.join(F.broadcast(probed), "cell", "left_semi")
+    cand = (pruned.withColumn("_dq", dq)
             .withColumn("_dd", dot(F.col("_dq"), F.col("_dq")))
             .join(F.broadcast(qprobe), "cell")
             .join(F.broadcast(qv), q_id_col))

@@ -56,8 +56,14 @@ def apply_cdc_stream(changes: DataFrame, path: str, *,
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         if not bdf.take(1):
             return
+        # deterministic tiebreak: two changes with EQUAL seq for one key
+        # in one batch pick the delete ('D' < 'U', ascending op after
+        # seq desc -- delete-wins at equal version), instead of an
+        # arbitrary partition-order winner. The monotone-seq contract
+        # makes ties a producer bug, but the outcome must still be
+        # stable under replay.
         w = (W.partitionBy(*key_cols)
-             .orderBy(F.col(src_seq_col).desc()))
+             .orderBy(F.col(src_seq_col).desc(), F.col(op_col).asc()))
         last = (bdf.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1).drop("_rn"))
         table_cols = spark.read.parquet(path).columns
@@ -98,7 +104,9 @@ def maintain_rollup_stream(facts: DataFrame, path: str, *,
     table via merge_rollup (matched groups ADD, new groups insert) --
     the incremental-ETL loop as a stream, additive-exact by the same
     argument as the batch operator (the stream_rollup gate pins the
-    replayed stream against the one-shot aggregation oracle).
+    replayed stream against the one-shot aggregation oracle). The
+    publish step reuses merge.cow_publish, so a failure anywhere in
+    the staging write or the swap leaves the stored rollup intact.
 
     ``aggs``: {out_col: Column} aggregate expressions at the grain
     (counts / DECIMAL sums -- additive measures only); ``add_cols``
@@ -112,7 +120,7 @@ def maintain_rollup_stream(facts: DataFrame, path: str, *,
     DECIMAL sums: Spark widens precision by 1 per addition (capped at
     38) -- declare rollup decimal columns at (38, s) up front if exact
     schema stability across many batches matters."""
-    from ..operators.merge import merge_rollup
+    from ..operators.merge import cow_publish, merge_rollup
 
     spark = facts.sparkSession
 
@@ -124,16 +132,9 @@ def maintain_rollup_stream(facts: DataFrame, path: str, *,
         cur = spark.read.parquet(path)
         merged = merge_rollup(cur, batch_agg, keys=keys,
                               add_cols=add_cols)
-        # COW swap via the merge staging discipline
-        import shutil
-        import uuid
-        norm = path.rstrip("/")
-        staging = f"{norm}.__rollup_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("errorifexists").parquet(staging)
-        backup = f"{norm}.__rollup_bak_{uuid.uuid4().hex[:8]}"
-        shutil.move(norm, backup)
-        shutil.move(staging, norm)
-        shutil.rmtree(backup, ignore_errors=True)
+        # guarded COW swap (staging write + exception-restore), shared
+        # with merge_into_parquet
+        cow_publish(merged, path)
 
     q = (facts.writeStream.queryName(query_name)
          .foreachBatch(apply_batch)

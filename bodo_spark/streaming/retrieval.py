@@ -87,7 +87,13 @@ def stream_bm25_topk(
             "rn": pd.RangeIndex(1, len(agg) + 1).astype("int64")})
 
     from pyspark.sql.streaming.state import GroupStateTimeout
+    # derive id output types from the inputs (batch bm25_topk preserves
+    # them; hardcoding long would fail string/int32 ids at runtime)
+    q_typ = stream_queries.schema[q_id_col].dataType.simpleString()
+    d_typ = postings.schema["doc_id"].dataType.simpleString()
+    out_schema = (f"q_id {q_typ}, doc_id {d_typ}, "
+                  "score double, rn long")
     return (scored.groupBy("q_id")
             .applyInPandasWithState(
-                topk, "q_id long, doc_id long, score double, rn long",
+                topk, out_schema,
                 "dummy int", "update", GroupStateTimeout.NoTimeout))

@@ -31,7 +31,8 @@ def running_totals_stateful(df: DataFrame, key_col: str,
     micro-batch folds its rows into the state tuple and emits the
     updated totals. State is two doubles per key -- bounded by key
     cardinality, the canonical accumulator shape."""
-    out_schema = f"{key_col} long, n long, total double"
+    k_typ = df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {k_typ}, n long, total double"
     state_schema = "n long, total double"
 
     def fn(key: Tuple[Any], pdfs: Iterator[pd.DataFrame],
@@ -84,22 +85,30 @@ def funnel_stream_stateful(df: DataFrame, steps: list[str], *,
     bound the batch groupBy holds in its sort buffer), stored as
     parallel (sortable key, type) arrays; the key string
     zero-padded(epoch_micros)|zero-padded(event_id) sorts identically
-    to the batch struct(ts, id) order."""
+    to the batch struct(ts, id) order. Ids must be NON-NEGATIVE: the
+    zero-pad is lexicographic, and a '-' sign reverses order among
+    negatives ('-9' sorts after '-1')."""
     if not steps:
         raise ValueError("steps must be non-empty")
     # fixed-width formatted ts (works for TIMESTAMP and TIMESTAMP_NTZ
     # alike -- parquet round-trips often come back NTZ) + zero-padded id:
-    # lexicographic order == the batch struct(ts, id) order
+    # lexicographic order == the batch struct(ts, id) order. Pad to 20
+    # chars -- int64 max is 19 digits, and Spark lpad TRUNCATES strings
+    # longer than the pad width, so a 12-char pad would silently corrupt
+    # ids >= 10^12 (plausible at 100-TB event volumes).
     ev = (df.where(F.col(type_col).isin(list(steps)))
           .select(F.col(user_col).alias("_u"),
                   F.concat(
                       F.date_format(F.col(ts_col),
                                     "yyyy-MM-dd HH:mm:ss.SSSSSS"),
                       F.lit("|"),
-                      F.lpad(F.col(id_col).cast("string"), 12, "0"))
+                      F.lpad(F.col(id_col).cast("string"), 20, "0"))
                   .alias("_k"),
                   F.col(type_col).alias("_e")))
-    out_schema = f"{user_col} long, stage long"
+    # derive the key's output type from the input instead of assuming
+    # long -- string/int32 user ids stream through unchanged
+    u_typ = df.schema[user_col].dataType.simpleString()
+    out_schema = f"{user_col} {u_typ}, stage long"
     state_schema = "ks array<string>, es array<string>"
 
     def fn(key: Tuple[Any], pdfs: Iterator[pd.DataFrame],

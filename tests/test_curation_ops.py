@@ -820,6 +820,42 @@ def test_winsorize_clips_and_preserves(spark):
         C.winsorize(df, "v", k=4)
 
 
+def test_winsorize_null_group_key_not_dropped(spark):
+    """NULL group keys form their own group (null-safe threshold join):
+    the row count survives and the NULL group clips by ITS thresholds,
+    not the global ones -- the 'clip, not drop' contract."""
+    rows = ([("a", float(i)) for i in range(1, 11)]
+            + [(None, float(i) * 100) for i in range(1, 11)]
+            + [(None, 99999.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = C.winsorize(df, "v", p_lo=0.1, p_hi=0.9, group_col="g",
+                      k=256, out_col="cv")
+    got = [(r.g, r.v, r.cv) for r in out.collect()]
+    assert len(got) == len(rows)                  # nothing dropped
+    nulls = {v: cv for g, v, cv in got if g is None}
+    assert len(nulls) == 11
+    assert nulls[99999.0] < 99999.0               # clipped in-group
+    assert nulls[500.0] == 500.0                  # in-group middle kept
+    # group "a" untouched by the NULL group's scale
+    assert {cv for g, v, cv in got if g == "a"} <= set(
+        float(i) for i in range(1, 11))
+
+
+def test_score_percentile_null_group_key_not_dropped(spark):
+    """Same null-safe-join contract for the percentile FILTER: rows
+    with a NULL group key are thresholded against their own group's
+    quantile instead of silently vanishing."""
+    rows = ([("a", float(i)) for i in range(1, 11)]
+            + [(None, float(i)) for i in range(1, 11)])
+    df = spark.createDataFrame(rows, "g string, s double")
+    out = C.filter_by_score_percentile(df, "s", p=0.5, keep="above",
+                                       group_col="g", k=256)
+    got = [(r.g, r.s) for r in out.collect()]
+    null_kept = sorted(s for g, s in got if g is None)
+    a_kept = sorted(s for g, s in got if g == "a")
+    assert null_kept == a_kept == [float(i) for i in range(5, 11)]
+
+
 def test_expectations_rules(spark):
     from bodo_spark.operators.expectations import expect
     df = spark.createDataFrame(

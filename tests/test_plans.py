@@ -267,6 +267,38 @@ def test_sq_scored_pass_plan(spark):
         assert keys.split(",")[0].strip().startswith("q_id"), shuffles
 
 
+def test_ivf_sq_prunes_before_dequantize(spark, tmp_path):
+    """IVF-SQ search plan contract: the probed-cell semi join must sit
+    BELOW the dequantize projection, so the O(d) reconstruction folds
+    run on ~n_probe/n_cells of the index, not 100% of it (Catalyst
+    does not push a join below a Project -- the r11 executed-plan
+    probe caught exactly this defect)."""
+    from bodo_spark.operators import sq as Q
+    emb = tbl(spark, SF_DIR, "embeddings")
+    los, his = Q.sq_train(emb)
+    # materialize the index so the only transform() in the search plan
+    # is the dequantize fold (an inline build would contribute
+    # sq_encode's transform and foil the position check)
+    Q.ivf_sq_index(emb, los, his, n_cells=4).write.parquet(
+        str(tmp_path / "idx"))
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    q = (emb.where("vec_id < 3")
+         .selectExpr("vec_id AS q_id", "embedding AS q_vec"))
+    out = Q.ivf_sq_topk(idx, q, emb, los, his, k=3, n_probe=2, n_cells=4)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in opt, opt
+    # logical tree prints root-first: the dequantize Project must
+    # appear BEFORE (above) the semi join that prunes to probed cells
+    assert opt.index("transform(") < opt.index("LeftSemi"), opt
+    # value sanity: probing ALL cells must equal the flat SQ scan
+    # bit-for-bit (n_probe=2 recall is the ann_ivf_sq_topk gate's job)
+    full = Q.ivf_sq_topk(idx, q, emb, los, his, k=3, n_probe=4,
+                         n_cells=4)
+    flat = Q.sq_topk(idx.select("vec_id", "code"), q, los, his, k=3)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, flat.collect()))
+
+
 def test_url_canonicalize_is_narrow(spark):
     """URL canonicalization is a per-row expression: no exchange, no
     Python, until the dedup aggregation asks for one."""

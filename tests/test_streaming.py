@@ -427,6 +427,91 @@ def test_stream_funnel_out_of_order_across_batches(spark, tmp_path_factory):
         per_user[u] = s
 
 
+def test_stream_funnel_big_ids_string_user(spark, tmp_path_factory):
+    """Two regressions pinned at once: (a) event ids >= 10^12 must sort
+    correctly (Spark lpad TRUNCATES past the pad width -- a 12-char pad
+    corrupted them); (b) the output schema derives the user-id type
+    from the input, so string user ids stream through."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators.timebucket import funnel_stages
+    from bodo_spark.streaming import (funnel_stream_stateful,
+                                      read_stream_parquet,
+                                      run_available_now)
+
+    t = dt.datetime(2024, 1, 1)
+    # same timestamp everywhere: ordering rides ONLY on the id pad.
+    # view_id < click_id numerically, but their 12-char PREFIXES order
+    # the other way ('9999...' > '1000...'), so the old truncating
+    # 12-char pad would fold click-before-view and stall at stage 1.
+    view_id, click_id = 999_999_999_999_999, 1_000_000_000_000_000
+    rows = [(click_id, t, "u1", "click"), (view_id, t, "u1", "view"),
+            (view_id + 7, t, "u2", "view")]
+    schema = ("event_id long, ts timestamp, user_id string, "
+              "event_type string")
+    stage = str(tmp_path_factory.mktemp("sfunbig"))
+    spark.createDataFrame(rows, schema).coalesce(1).write \
+        .mode("append").parquet(f"{stage}/e")
+    src = spark.read.parquet(f"{stage}/e")
+    stream = read_stream_parquet(spark, f"{stage}/e", src.schema,
+                                 max_files_per_trigger=1)
+    st = funnel_stream_stateful(stream, ["view", "click", "purchase"])
+    res = run_available_now(st, "t_sfun_big", output_mode="update")
+    assert res.schema["user_id"].dataType.simpleString() == "string"
+    final = {r.user_id: r.stage for r in
+             res.groupBy("user_id").agg(F.max("stage").alias("stage"))
+             .collect()}
+    batch = {r.user_id: r.stage for r in
+             funnel_stages(src, ["view", "click", "purchase"],
+                           user_col="user_id").collect()}
+    assert final == batch
+    assert final["u1"] == 2  # view THEN click by true numeric id order
+
+
+def test_cdc_equal_seq_tiebreak_delete_wins(spark, tmp_path_factory):
+    """Two changes with EQUAL seq for one key in one micro-batch must
+    pick a deterministic winner (delete-wins), not partition order."""
+    from bodo_spark.streaming import apply_cdc_stream, read_stream_parquet
+
+    stage = str(tmp_path_factory.mktemp("cdctie"))
+    spark.createDataFrame([(1, "a", 0)],
+                          "k long, seg string, _cdc_seq long") \
+        .write.parquet(f"{stage}/tbl")
+    ch = spark.createDataFrame(
+        [(1, "u-wins?", "U", 5), (1, None, "D", 5)],
+        "k long, seg string, op string, seq long")
+    ch.coalesce(1).write.mode("append").parquet(f"{stage}/ch")
+    src = spark.read.parquet(f"{stage}/ch")
+    stream = read_stream_parquet(spark, f"{stage}/ch", src.schema)
+    apply_cdc_stream(stream, f"{stage}/tbl", key_cols=["k"],
+                     query_name="cdc_tie")
+    assert spark.read.parquet(f"{stage}/tbl").count() == 0
+
+
+def test_cow_publish_failed_write_leaves_table(spark, tmp_path):
+    """A staging write that fails mid-flight must leave the stored
+    table byte-identical and clean up the staging directory."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators.merge import cow_publish
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "k long, v string").write \
+        .parquet(path)
+    bad = spark.read.parquet(path).withColumn(
+        "boom", F.expr("raise_error('staged failure')"))
+    with pytest.raises(Exception):
+        cow_publish(bad, path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) \
+        == [(1, "a")]
+    assert not glob.glob(str(tmp_path / "tbl.__cow_*"))
+
+
 def test_cdc_apply_replay_idempotent(spark, tmp_path_factory):
     """Replaying the ENTIRE change stream against the already-applied
     table (fresh checkpoint forces reprocessing) must be a no-op: the
