@@ -237,6 +237,177 @@ def merge_into_parquet(
     cow_publish(merged, path)
 
 
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]),
+                  F.lit(int(n_buckets))).cast("int")
+
+
+def write_bucket_partitioned(df: DataFrame, path: str,
+                             key_cols: list[str], n_buckets: int, *,
+                             bucket_col: str = "mbucket",
+                             mode: str = "errorifexists") -> None:
+    """Initialize a table for file-pruned MERGE maintenance: stored
+    hash-bucket-partitioned on the merge key (``bucket_col =
+    pmod(xxhash64(keys), n_buckets)`` as a hive partition directory).
+    Because the bucket derives from the key alone, every future change
+    row routes to exactly one partition directory -- the property
+    merge_into_partitioned prunes on."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    (df.withColumn(bucket_col, _bucket_expr(key_cols, n_buckets))
+     .write.mode(mode).partitionBy(bucket_col).parquet(path))
+
+
+def merge_into_partitioned(
+    spark,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    *,
+    part_col: str | None = None,
+    n_buckets: int | None = None,
+    bucket_col: str = "mbucket",
+    **merge_kwargs,
+) -> list:
+    """File-pruned MERGE against a partitioned parquet table: only the
+    partitions containing the batch's keys are read, merged, and
+    rewritten -- per-batch cost is bound by the TOUCHED-partition size,
+    not the table size (the lakehouse merge-on-read/file-pruned-COW
+    economics; the plain merge_into_parquet rewrites the whole table
+    per batch, which at 100 TB is the one cost that grows with the
+    table instead of the batch). Reference parity: Iceberg MERGE COW
+    rewrites matched *files*, not the table (reference
+    bodo/io/iceberg/merge_into.py:33); here the pruning unit is the
+    hive partition directory.
+
+    Exactly one of:
+    - ``n_buckets``: the table was written by write_bucket_partitioned
+      with the same key/bucket config. The batch's buckets derive from
+      its keys (bounded collect, <= n_buckets values); inserts/updates/
+      deletes can never escape the touched set by construction.
+    - ``part_col``: a natural partition column, present in ``source``
+      and IMMUTABLE under the merge (the hive-partition contract). A
+      matched update that moves a row across partitions is detected at
+      publish time and raises (its staged partition falls outside the
+      touched set). ``when_not_matched_insert`` must map ``part_col``.
+
+    Plan shape: the target scan carries ``part_col IN (touched)`` --
+    static partition pruning, asserted in test_plans -- then ONE merge
+    join sized by the touched slice; the rewrite stages only the
+    touched partitions and swaps those directories (guarded: restore
+    on failure). Untouched partition files are never opened. Partition
+    values must be simple (no hive-escaped characters); bucket mode's
+    int buckets always are. Returns the sorted touched values.
+
+    Schema stability contract: update/insert expressions must produce
+    the STORED column types -- a partitioned table keeps one schema
+    across directories, and e.g. Spark's decimal arithmetic widens
+    precision, so an uncast ``bal + src_bal`` would write a wider
+    decimal into the touched buckets and type-clash with untouched
+    ones at read time. Cast back explicitly (the merge_file_pruned
+    gate does).
+    """
+    if (part_col is None) == (n_buckets is None):
+        raise ValueError("pass exactly one of part_col / n_buckets")
+    if n_buckets is not None:
+        pcol = bucket_col
+        src_p = source.withColumn(pcol, _bucket_expr(list(on), n_buckets))
+    else:
+        pcol = part_col
+        if pcol not in source.columns:
+            raise ValueError(f"source lacks partition column {pcol!r}")
+        src_p = source
+    touched = sorted(r[0] for r in
+                     src_p.select(pcol).distinct().collect())
+    if not touched:
+        return []
+    tgt = spark.read.parquet(path).where(F.col(pcol).isin(touched))
+    if n_buckets is not None:
+        # the bucket is a pure function of the key: drop it through the
+        # merge and recompute for every output row (insert exprs need
+        # not mention it)
+        merged = merge_into(tgt.drop(pcol), source, on, **merge_kwargs)
+        merged = merged.withColumn(pcol, _bucket_expr(list(on),
+                                                      n_buckets))
+    else:
+        merged = merge_into(tgt, source, on, **merge_kwargs)
+    _publish_partitions(merged, path, pcol, touched)
+    return touched
+
+
+def _escape_part(v) -> str:
+    """Hive partition directory value for simple values; raises on
+    values that hive-escapes (use bucket mode for arbitrary keys)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(v)
+    unsafe = set('\\/:=%#?*"\'{}[]^ \t\n\r')
+    if not s or any(c in unsafe or ord(c) < 0x20 for c in s):
+        raise ValueError(
+            f"partition value {s!r} needs hive escaping -- unsupported "
+            "in the file-pruned merge; use n_buckets mode")
+    return s
+
+
+def _publish_partitions(merged: DataFrame, path: str, pcol: str,
+                        touched: list) -> None:
+    """Stage ONLY the touched partitions and swap their directories in,
+    with the cow_publish restore discipline applied per partition. A
+    touched partition absent from the staged output (every row deleted)
+    is removed. Local-FS path, like cow_publish; on object stores the
+    same staged layout feeds a catalog commit."""
+    import os
+    import shutil
+    import uuid
+
+    norm = path.rstrip("/")
+    staging = f"{norm}.__cow_parts_{uuid.uuid4().hex[:8]}"
+    try:
+        merged.write.mode("errorifexists").partitionBy(pcol) \
+            .parquet(staging)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    expected = {f"{pcol}={_escape_part(v)}" for v in touched}
+    staged = {d for d in os.listdir(staging)
+              if d.startswith(f"{pcol}=")}
+    stray = staged - expected
+    if stray:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"merge produced partitions outside the touched set "
+            f"({sorted(stray)[:5]}): part_col must be immutable under "
+            "the merge -- an update moved a row across partitions")
+    backup = f"{norm}.__cow_partbak_{uuid.uuid4().hex[:8]}"
+    os.makedirs(backup)
+    moved_out, moved_in = [], []
+    try:
+        for name in sorted(expected):
+            old = os.path.join(norm, name)
+            if os.path.isdir(old):
+                shutil.move(old, os.path.join(backup, name))
+                moved_out.append(name)
+            new = os.path.join(staging, name)
+            if os.path.isdir(new):
+                shutil.move(new, os.path.join(norm, name))
+                moved_in.append(name)
+    except Exception:
+        # restore: drop the new dirs that made it in, put the originals
+        # back (same-FS dir moves are atomic renames)
+        for name in moved_in:
+            shutil.rmtree(os.path.join(norm, name), ignore_errors=True)
+        for name in moved_out:
+            bsrc = os.path.join(backup, name)
+            dst = os.path.join(norm, name)
+            if os.path.isdir(bsrc) and not os.path.isdir(dst):
+                shutil.move(bsrc, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(backup, ignore_errors=True)
+        raise
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 def cow_publish(merged: DataFrame, path: str, *,
                 partition_by: list[str] | None = None) -> None:
     """Publish ``merged`` as the new content of the parquet table at

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from .similarity import dot
 
 __all__ = ["sq_train", "sq_encode", "sq_topk", "ivf_sq_index",
-           "ivf_sq_topk"]
+           "ivf_sq_topk", "sq_append", "sq_clamp_fraction",
+           "sq_reconstruction_mse", "sq_compact"]
 
 
 def sq_train(vectors: DataFrame, *,
@@ -229,3 +230,114 @@ def ivf_sq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,
             .where(F.col("rn") <= k)
             .select(q_id_col, id_col, "adist",
                     F.col("rn").cast("bigint").alias("rn")))
+
+
+# --------------------------------------------------------------------------
+# SQ index lifecycle: append / staleness / compact -- the pq.py
+# lifecycle contract (pq_append / pq_reconstruction_mse / pq_compact)
+# applied to the bounds-model family. The model artifact here is the
+# (los, his) pair instead of codebooks; drift shows up as LATER batches
+# clamping to [0, levels] at encode time, which both signals below
+# measure and sq_compact repairs by re-training bounds + re-encoding.
+
+def sq_append(index: DataFrame, new_vectors: DataFrame,
+              los: list, his: list, *, n_cells: int = 8,
+              centroids: list | None = None, id_col: str = "vec_id",
+              vec_col: str = "embedding", coarse_dim: int = 16,
+              seed_vectors: DataFrame | None = None,
+              bits: int = 8) -> DataFrame:
+    """Append a batch to an IVF-SQ inverted file using the EXISTING
+    stored bounds and centroid source: encode + route only the new
+    rows (work strictly proportional to the batch) and union onto the
+    stored index. Pin ``seed_vectors``/``centroids`` to the original
+    build's so batches route identically (the pq_append contract).
+
+    Provably one-shot-equivalent: sq_encode and cell routing are
+    per-row pure functions of (vector, bounds, centroid table), so
+    batch-wise construction over disjoint ids yields the identical
+    (id, cell, code) relation -- the ann_sq_append gate pins a search
+    over a two-batch index against the one-shot oracle. Out-of-range
+    values in the new batch CLAMP (by design); watch
+    sq_clamp_fraction / sq_reconstruction_mse for when that starts
+    costing recall, then sq_compact."""
+    batch = ivf_sq_index(new_vectors, los, his, n_cells=n_cells,
+                         centroids=centroids, id_col=id_col,
+                         vec_col=vec_col, coarse_dim=coarse_dim,
+                         seed_vectors=seed_vectors, bits=bits)
+    return index.unionByName(batch)
+
+
+def sq_clamp_fraction(vectors: DataFrame, los: list, his: list, *,
+                      vec_col: str = "embedding") -> DataFrame:
+    """Bounds-staleness signal #1 (cheap): the fraction of (row, dim)
+    values falling OUTSIDE the stored [lo, hi] -- exactly the values
+    sq_encode clamps. One scan, one global aggregate; returns
+    ``(n_values, n_clamped, clamp_frac)``. A fresh in-distribution
+    batch clamps ~0; a drifted batch clamps a visible fraction long
+    before reconstruction error dominates -- the trigger metric for
+    scheduling sq_compact."""
+    lo, hi = _bound_arrays(los, his)
+    ex = vectors.select(F.posexplode(vec_col).alias("pos", "x"))
+    xd = F.col("x").cast("double")
+    oob = ((xd < F.element_at(lo, F.col("pos") + 1))
+           | (xd > F.element_at(hi, F.col("pos") + 1)))
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.when(oob, 1).otherwise(0)).cast("bigint")
+        .alias("n_clamped"),
+        F.round(F.sum(F.when(oob, 1).otherwise(0))
+                / F.count(F.lit(1)), 6).alias("clamp_frac"))
+
+
+def sq_reconstruction_mse(vectors: DataFrame, index: DataFrame,
+                          los: list, his: list, *, bits: int = 8,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          code_col: str = "code") -> DataFrame:
+    """Bounds-staleness signal #2: mean squared reconstruction error
+    ``mean_i ||x_i - dq(code_i)||^2`` of the indexed corpus under the
+    STORED bounds -- the pq_reconstruction_mse analogue, one row
+    ``(n, mse)``. Rising MSE after appends means the appended data
+    drifted outside the trained bounds (codes clamp, distances
+    degrade); compare against the freshly-trained MSE (sq_compact) to
+    decide when re-encoding pays. Per-element error rounded to 9 dp
+    and decimal-summed per vector (order-independent, so the DuckDB
+    oracle reproduces every bit), then ONE double division."""
+    levels = (1 << bits) - 1
+    lo, hi = _bound_arrays(los, his)
+    ex = (vectors.select(id_col, vec_col)
+          .join(index.select(id_col, code_col), id_col)
+          .select(id_col, vec_col,
+                  F.posexplode(code_col).alias("_p", "_c")))
+    loi = F.element_at(lo, F.col("_p") + 1)
+    hii = F.element_at(hi, F.col("_p") + 1)
+    dqi = loi + F.col("_c").cast("double") * ((hii - loi)
+                                              / F.lit(float(levels)))
+    xi = F.element_at(F.col(vec_col), F.col("_p") + 1).cast("double")
+    term = F.round((xi - dqi) * (xi - dqi), 9)
+    per_vec = (ex.groupBy(id_col)
+               .agg(F.sum(term.cast("decimal(28,9)")).alias("_e")))
+    return (per_vec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("_e").cast("double") / F.count(F.lit(1)), 6)
+        .alias("mse")))
+
+
+def sq_compact(vectors: DataFrame, *, n_cells: int = 8,
+               centroids: list | None = None, id_col: str = "vec_id",
+               vec_col: str = "embedding", coarse_dim: int = 16,
+               seed_vectors: DataFrame | None = None,
+               bits: int = 8) -> tuple[DataFrame, list, list]:
+    """Re-train + re-encode compaction: derive fresh [lo, hi] bounds
+    from the CURRENT corpus (sq_train's exact aggregation) and rebuild
+    the inverted file in one pass. Returns ``(index, los, his)`` --
+    write all three together; searches spanning the compaction must
+    switch bounds and index atomically (dequantization is
+    bounds-bound, exactly the pq_compact codebook contract). By
+    construction the compacted index equals a fresh one-shot build."""
+    los, his = sq_train(vectors, vec_col=vec_col)
+    idx = ivf_sq_index(vectors, los, his, n_cells=n_cells,
+                       centroids=centroids, id_col=id_col,
+                       vec_col=vec_col, coarse_dim=coarse_dim,
+                       seed_vectors=seed_vectors, bits=bits)
+    return idx, los, his

@@ -436,7 +436,121 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# File-pruned MERGE (operators/merge.merge_into_partitioned): the
+# customer table is stored hash-bucket-partitioned on the key (256
+# buckets); a three-clause merge whose source touches only c_custkey %
+# 100 == 0 keys must (a) land on the exact same values as the full
+# logical MERGE -- the oracle re-derives it with the full-outer CASE --
+# and (b) leave every file in every UNTOUCHED bucket byte-identical
+# (path+mtime+size recorded before/after), which is the file-pruning
+# claim itself, stated as a gate column the oracle pins TRUE.
+
+def merge_file_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket-pruned MERGE: update + delete + conditional insert over a
+    256-bucket table, touching ~15 keys; untouched bucket files must
+    survive physically unmodified."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.merge import (merge_into_partitioned,
+                                   write_bucket_partitioned)
+
+    c = tbl(spark, sf, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"),
+        dec("c_acctbal", 12, 2).alias("bal"))
+    o = tbl(spark, sf, "orders")
+    spend = (o.where(F.col("o_custkey") % 100 == 0)
+             .groupBy("o_custkey")
+             .agg(F.sum(dec("o_totalprice", 12, 2)).alias("addbal"))
+             .select(F.col("o_custkey").alias("c_custkey"), "addbal"))
+    newbies = (spend.where(F.col("c_custkey") < 1000)
+               .select((F.col("c_custkey") + 10_000_000)
+                       .alias("c_custkey"), "addbal"))
+    src = spend.unionByName(newbies)
+    stage = f"/tmp/bodo_spark_fpmerge_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucket_partitioned(c, stage, ["c_custkey"], 256)
+
+        def files(exclude_dirs):
+            return {(p, os.path.getmtime(p), os.path.getsize(p))
+                    for p in glob.glob(os.path.join(stage, "**",
+                                                    "*.parquet"),
+                                       recursive=True)
+                    if not any(os.sep + d + os.sep in p
+                               for d in exclude_dirs)}
+
+        touched = merge_into_partitioned(
+            spark, stage, src, ["c_custkey"], n_buckets=256,
+            # cast back to the stored decimal(12,2): Spark widens
+            # decimal arithmetic, and a touched bucket written at a
+            # wider precision would type-clash with untouched buckets
+            # at read time (partitioned tables must keep ONE schema)
+            when_matched_update={"bal": (F.col("bal")
+                                         + F.col("src_addbal"))
+                                 .cast("decimal(12,2)")},
+            when_matched_delete=F.col("src_addbal") > 300_000,
+            when_not_matched_insert={
+                "c_custkey": F.col("src_c_custkey"),
+                "seg": F.lit("NEW"),
+                "bal": F.col("src_addbal").cast("decimal(12,2)")})
+        # pruning evidence: re-run the SAME merge (idempotence is not
+        # claimed -- bal drifts -- but the file check needs a second
+        # write); files outside the touched buckets must be identical
+        tdirs = [f"mbucket={t}" for t in touched]
+        before = files(tdirs)
+        merge_into_partitioned(
+            spark, stage, src, ["c_custkey"], n_buckets=256,
+            when_matched_update={"bal": F.col("bal")})
+        intact = files(tdirs) == before and len(touched) < 256
+        back = spark.read.parquet(stage).drop("mbucket")
+        out = (back.groupBy("seg")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("bal").cast("double").alias("total_bal"))
+               .withColumn("untouched_intact", F.lit(bool(intact)))
+               .orderBy("seg"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "seg string, n bigint, total_bal double, "
+                  "untouched_intact boolean")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        for d in glob.glob(f"{stage}.__cow_*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_MERGE_PRUNED_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS k, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS addbal
+  FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1),
+src AS (
+  SELECT k, addbal FROM spend
+  UNION ALL
+  SELECT k + 10000000, addbal FROM spend WHERE k < 1000),
+merged AS (
+  SELECT COALESCE(c.c_custkey, s.k) AS c_custkey,
+         CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_mktsegment END AS seg,
+         CASE
+           WHEN c.c_custkey IS NOT NULL AND s.k IS NOT NULL
+             THEN CAST(c.c_acctbal AS DECIMAL(12,2)) + s.addbal
+           WHEN c.c_custkey IS NULL THEN s.addbal
+           ELSE CAST(c.c_acctbal AS DECIMAL(12,2))
+         END AS bal
+  FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+  WHERE NOT (c.c_custkey IS NOT NULL AND s.k IS NOT NULL
+             AND s.addbal > 300000))
+SELECT seg, COUNT(*) AS n, CAST(SUM(bal) AS DOUBLE) AS total_bal,
+       TRUE AS untouched_intact
+FROM merged GROUP BY seg ORDER BY seg
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "merge_file_pruned": QueryDef(
+        merge_file_pruned, _MERGE_PRUNED_SQL,
+        doc="file-pruned MERGE: only touched key-hash buckets rewritten"),
     "merge_rollup_incremental": QueryDef(merge_rollup_incremental,
                                          _ROLLUP_SQL),
     "merge_scd2": QueryDef(

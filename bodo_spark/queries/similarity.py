@@ -1087,6 +1087,173 @@ ORDER BY q_id, rn
 """
 
 
+def ann_sq_append(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-SQ index lifecycle, append path (operators/sq.py sq_append):
+    bounds and centroid seeds are trained on batch 1 (vec_id % 3 <> 0)
+    ONLY -- the stored-model artifacts -- then batch 2 is appended
+    under those same artifacts and the two-batch index is searched.
+    The oracle is the one-shot build's full re-derivation (batch-1
+    bounds/cents applied to the whole corpus): a hash match proves
+    staged construction is row-identical to fresh construction, with
+    batch-2 values CLAMPING to the stored bounds exactly as the
+    operator contract states."""
+    from ..operators import sq as Q
+    emb = tbl(spark, sf, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 3 != 0)
+    b2 = emb.where(F.col("vec_id") % 3 == 0)
+    los, his = Q.sq_train(b1)
+    idx = Q.sq_append(
+        Q.ivf_sq_index(b1, los, his, n_cells=8, seed_vectors=b1),
+        b2, los, his, n_cells=8, seed_vectors=b1)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (Q.ivf_sq_topk(idx, queries, b1, los, his, k=5, n_probe=2,
+                          n_cells=8)
+            .where(F.col("vec_id") != F.col("q_id"))
+            .orderBy("q_id", "rn"))
+
+
+_SQ_APPEND_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding[1:16] AS cvec
+  FROM embeddings WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 8),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(-({_SQL_COS9.format(a='e.embedding[1:16]',
+                                                b='c.cvec')}), 9),
+                      c.cid) AS crn
+  FROM embeddings e CROSS JOIN cents c),
+cells AS (SELECT vec_id, cid AS cell FROM asg WHERE crn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, cid AS cell
+  FROM asg WHERE vec_id < 3 AND crn <= 2),
+flat1 AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings WHERE vec_id % 3 <> 0),
+bounds AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM flat1 GROUP BY pos),
+flat AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings),
+enc AS (
+  SELECT f.vec_id, f.pos, b.lo, b.hi,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                  (f.x - b.lo) / (b.hi - b.lo) * 255) AS INT))) END AS code
+  FROM flat f JOIN bounds b USING (pos)),
+dq AS (
+  SELECT vec_id,
+         list(lo + code * ((hi - lo) / 255.0) ORDER BY pos) AS dqv
+  FROM enc GROUP BY vec_id),
+dd AS (SELECT vec_id, dqv, list_dot_product(dqv, dqv) AS ddv FROM dq),
+q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT p.q_id, d.vec_id,
+         round(d.ddv - 2 * list_dot_product(d.dqv, q.qv), 6) AS adist
+  FROM dd d JOIN cells v ON d.vec_id = v.vec_id
+  JOIN qprobe p ON v.cell = p.cell
+  JOIN q ON q.q_id = p.q_id)
+SELECT q_id, vec_id, adist,
+       row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+FROM scored
+QUALIFY rn <= 5 AND vec_id <> q_id
+ORDER BY q_id, rn
+"""
+
+
+def ann_sq_staleness(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ bounds staleness + compaction (operators/sq.py
+    sq_clamp_fraction + sq_reconstruction_mse + sq_compact -- the
+    ann_index_compact discipline for the bounds-model family): a
+    drifted batch (vectors doubled, new low ids) is appended under the
+    STALE batch-1 bounds; the gate pins, per phase, the clamped-value
+    fraction AND the reconstruction MSE -- stale (drift clamps hard,
+    error explodes) vs compacted (re-trained bounds + re-encode; clamp
+    frac 0 by construction). These are the two signals the maintenance
+    loop compares to schedule sq_compact. The oracle re-derives both
+    bounds sets, every code, both exact decimal-summed error totals
+    and both clamp counts."""
+    from ..operators import sq as Q
+    emb = tbl(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 10 != 9)
+    drift = (emb.where(F.col("vec_id") % 10 == 9)
+             .select((F.col("vec_id") - F.lit(1000000)).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: (x * F.lit(2.0)).cast("float"))
+                     .alias("embedding")))
+    un = base.unionByName(drift)
+    los0, his0 = Q.sq_train(base)
+    idx0 = Q.sq_append(
+        Q.ivf_sq_index(base, los0, his0, n_cells=8, seed_vectors=base),
+        drift, los0, his0, n_cells=8, seed_vectors=base)
+    idx1, los1, his1 = Q.sq_compact(un, n_cells=8, seed_vectors=un)
+
+    def phase(tag, idx, los, his):
+        m = Q.sq_reconstruction_mse(un, idx, los, his)
+        c = Q.sq_clamp_fraction(un, los, his).select("clamp_frac")
+        return (m.crossJoin(c)
+                .select(F.lit(tag).alias("phase"), "n", "mse",
+                        "clamp_frac"))
+
+    return (phase("stale", idx0, los0, his0)
+            .unionByName(phase("compacted", idx1, los1, his1))
+            .orderBy("phase"))
+
+
+def _sq_err_block(tag: str, bounds_src: str) -> str:
+    """One bounds-derivation + encode + exact-MSE + clamp-count block
+    (DuckDB twin of sq_train -> sq_encode -> sq_reconstruction_mse +
+    sq_clamp_fraction over the `flatu` corpus)."""
+    return f"""
+bounds{tag} AS (
+  SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM {bounds_src} GROUP BY pos),
+err{tag} AS (
+  SELECT f.vec_id, f.x,
+         b.lo + (CASE WHEN b.hi = b.lo THEN 0
+                      ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                          (f.x - b.lo) / (b.hi - b.lo) * 255) AS INT)))
+                 END) * ((b.hi - b.lo) / 255.0) AS dq,
+         CASE WHEN f.x < b.lo OR f.x > b.hi THEN 1 ELSE 0 END AS oob
+  FROM flatu f JOIN bounds{tag} b USING (pos)),
+agg{tag} AS (
+  SELECT COUNT(DISTINCT vec_id) AS n,
+         round(CAST(SUM(CAST(round((x - dq) * (x - dq), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE)
+               / COUNT(DISTINCT vec_id), 6) AS mse,
+         round(CAST(SUM(oob) AS DOUBLE) / COUNT(*), 6) AS clamp_frac
+  FROM err{tag})"""
+
+
+_SQ_STALENESS_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
+drift AS (
+  SELECT vec_id - 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 9),
+un AS (SELECT * FROM base UNION ALL SELECT * FROM drift),
+flatb AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM base),
+flatu AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM un),
+{_sq_err_block('0', 'flatb')},
+{_sq_err_block('1', 'flatu')}
+SELECT * FROM (
+  SELECT 'stale' AS phase, n, mse, clamp_frac FROM agg0
+  UNION ALL
+  SELECT 'compacted' AS phase, n, mse, clamp_frac FROM agg1)
+ORDER BY phase
+"""
+
+
 def ann_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval (operators/retrieval.py rrf_fuse): BM25 top-10
     over the documents table fused with exact-cosine top-10 over the
@@ -1184,6 +1351,14 @@ FROM fused QUALIFY rn <= 5 ORDER BY q_id, rn
 QUERIES: dict[str, QueryDef] = {
     "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
     "ann_ivf_sq_topk": QueryDef(ann_ivf_sq_topk, _IVF_SQ_SQL),
+    "ann_sq_append": QueryDef(
+        ann_sq_append, _SQ_APPEND_SQL,
+        doc="SQ index append: two-batch build == one-shot (stored "
+            "bounds + pinned seeds)"),
+    "ann_sq_staleness": QueryDef(
+        ann_sq_staleness, _SQ_STALENESS_SQL,
+        doc="SQ bounds staleness: clamp fraction + reconstruction MSE, "
+            "stale vs compacted"),
     "ann_mmr_rerank": QueryDef(ann_mmr_rerank, _MMR_SQL),
     "emb_hashed_tfidf_ann": QueryDef(emb_hashed_tfidf_ann,
                                      _HASHED_TFIDF_ANN_SQL),

@@ -982,6 +982,67 @@ FROM final GROUP BY seg ORDER BY seg
 QUERIES["stream_cdc_apply"] = QueryDef(stream_cdc_apply, _STREAM_CDC_SQL)
 
 
+def stream_cdc_apply_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """File-pruned streaming CDC apply: the SAME change stream and the
+    SAME oracle as stream_cdc_apply, but the dimension table is stored
+    hash-bucket-partitioned on the key (merge.write_bucket_partitioned,
+    16 buckets) and every micro-batch MERGEs through
+    merge_into_partitioned -- only the buckets the batch's keys hash to
+    are read and rewritten, so the per-batch cost is bound by the
+    touched-partition size instead of the table size. Value parity
+    with the plain COW mode is exactly what this gate pins."""
+    from ..operators.merge import write_bucket_partitioned
+    from ..streaming import apply_cdc_stream, read_stream_parquet
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_cdcp_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucket_partitioned(
+            c.withColumn("_cdc_seq", F.lit(0).cast("long")),
+            f"{stage}/tbl", ["k"], 16)
+
+        def ch(pred, seg, op, seq, shift=0):
+            return (c.where(pred)
+                    .select((F.col("k") + shift).alias("k"),
+                            seg.alias("seg"), F.lit(op).alias("op"),
+                            F.lit(seq).cast("long").alias("seq")))
+
+        batch_a = ch(F.col("k") % 3 == 0, F.lit("SEG_V1"), "U", 1) \
+            .unionByName(ch(F.col("k") < 5, F.lit("NEWSEG"), "U", 1,
+                            shift=1_000_000))
+        batch_b = ch(F.col("k") % 6 == 0, F.lit("SEG_V2"), "U", 2) \
+            .unionByName(ch(F.col("k") % 5 == 0,
+                            F.lit(None).cast("string"), "D", 3))
+        batch_a.coalesce(1).write.mode("append").parquet(f"{stage}/ch")
+        batch_b.coalesce(1).write.mode("append").parquet(f"{stage}/ch")
+        src = spark.read.parquet(f"{stage}/ch")
+        stream = read_stream_parquet(spark, f"{stage}/ch", src.schema,
+                                     max_files_per_trigger=1)
+        apply_cdc_stream(stream, f"{stage}/tbl", key_cols=["k"],
+                         n_buckets=16,
+                         query_name=f"cdcp_{uuid.uuid4().hex[:8]}")
+        agg = (spark.read.parquet(f"{stage}/tbl").drop("mbucket")
+               .groupBy("seg").agg(
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.bit_xor("k").alias("key_xor"),
+                   F.max("_cdc_seq").alias("max_seq"))
+               .orderBy("seg"))
+        rows = [tuple(r) for r in agg.collect()]
+        return spark.createDataFrame(
+            rows, "seg string, n_rows bigint, key_xor bigint, "
+                  "max_seq bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(f"{stage}/tbl__cdc_ckpt", ignore_errors=True)
+
+
+QUERIES["stream_cdc_apply_pruned"] = QueryDef(
+    stream_cdc_apply_pruned, _STREAM_CDC_SQL,
+    doc="file-pruned streaming CDC apply (bucket-partitioned MERGE)")
+
+
 def stream_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming rollup maintenance (streaming/cdc.py
     maintain_rollup_stream): order facts replay as a 2-file stream;

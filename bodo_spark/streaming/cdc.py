@@ -42,14 +42,25 @@ def apply_cdc_stream(changes: DataFrame, path: str, *,
                      seq_col: str = "_cdc_seq",
                      src_seq_col: str = "seq",
                      query_name: str = "cdc_apply",
-                     available_now: bool = True):
+                     available_now: bool = True,
+                     n_buckets: int | None = None,
+                     bucket_col: str = "mbucket"):
     """Start (and, under AvailableNow, await) the CDC maintenance
     query. The table at ``path`` must already exist with the payload
     schema plus ``seq_col``; payload columns are every table column
-    except keys and ``seq_col``."""
+    except keys and ``seq_col``.
+
+    ``n_buckets``: file-pruned mode -- the table was initialized with
+    merge.write_bucket_partitioned on ``key_cols`` and each micro-batch
+    MERGEs through merge_into_partitioned, reading and rewriting ONLY
+    the key-hash partitions the batch touches. Per-batch cost is then
+    bound by the touched-partition size instead of the table size (the
+    plain mode's COW rewrite is table-sized per batch -- the one cost
+    that grows with the TABLE at 100 TB). Values are identical in both
+    modes (the stream_cdc_apply_pruned gate shares the plain oracle)."""
     from pyspark.sql import Window as W
 
-    from ..operators.merge import merge_into_parquet
+    from ..operators.merge import merge_into_parquet, merge_into_partitioned
 
     spark = changes.sparkSession
 
@@ -68,7 +79,7 @@ def apply_cdc_stream(changes: DataFrame, path: str, *,
                 .where(F.col("_rn") == 1).drop("_rn"))
         table_cols = spark.read.parquet(path).columns
         payload = [c for c in table_cols
-                   if c not in key_cols and c != seq_col]
+                   if c not in key_cols and c not in (seq_col, bucket_col)]
         newer = F.col(f"src_{src_seq_col}") > F.col(seq_col)
         upd = {c: F.when(newer, F.col(f"src_{c}")).otherwise(F.col(c))
                for c in payload}
@@ -76,13 +87,19 @@ def apply_cdc_stream(changes: DataFrame, path: str, *,
                         .otherwise(F.col(seq_col)))
         ins = {c: F.col(f"src_{c}") for c in key_cols + payload}
         ins[seq_col] = F.col(f"src_{src_seq_col}")
-        merge_into_parquet(
-            spark, path, last, on=list(key_cols),
+        clauses = dict(
             when_matched_delete=(F.col(f"src_{op_col}") == "D") & newer,
             when_matched_update=upd,
             when_not_matched_insert=ins,
             when_not_matched_insert_condition=(
                 F.col(f"src_{op_col}") != "D"))
+        if n_buckets is not None:
+            merge_into_partitioned(
+                spark, path, last, on=list(key_cols),
+                n_buckets=n_buckets, bucket_col=bucket_col, **clauses)
+        else:
+            merge_into_parquet(spark, path, last, on=list(key_cols),
+                               **clauses)
 
     q = (changes.writeStream.queryName(query_name)
          .foreachBatch(apply_batch)

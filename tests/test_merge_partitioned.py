@@ -1,0 +1,160 @@
+"""File-pruned MERGE (operators/merge.merge_into_partitioned): value
+parity with the unpartitioned merge, physical evidence that untouched
+partition files are never rewritten, deletion emptying a partition,
+the cross-partition-update guard, and failure restore."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bodo_spark.operators.merge import (merge_into, merge_into_partitioned,
+                                        write_bucket_partitioned)
+
+
+def _tbl(spark):
+    return spark.createDataFrame(
+        [(i, f"seg{i % 3}", float(i)) for i in range(40)],
+        "k long, seg string, bal double")
+
+
+def _files(path):
+    return {(p, os.path.getmtime(p), os.path.getsize(p))
+            for p in glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True)}
+
+
+def test_pruned_merge_matches_unpartitioned(spark, tmp_path):
+    t = _tbl(spark)
+    path = str(tmp_path / "tbl")
+    write_bucket_partitioned(t, path, ["k"], 8)
+    src = spark.createDataFrame(
+        [(3, 100.0), (7, 200.0), (999, 5.0)], "k long, add double")
+    clauses = dict(
+        when_matched_update={"bal": F.col("bal") + F.col("src_add")},
+        when_matched_delete=F.col("src_add") > 150,
+        when_not_matched_insert={"k": F.col("src_k"),
+                                 "seg": F.lit("NEW"),
+                                 "bal": F.col("src_add")})
+    touched = merge_into_partitioned(spark, path, src, ["k"],
+                                     n_buckets=8, **clauses)
+    assert 0 < len(touched) <= 3
+    got = sorted(map(tuple, spark.read.parquet(path)
+                     .select("k", "seg", "bal").collect()))
+    want = sorted(map(tuple,
+                      merge_into(t, src, ["k"], **clauses).collect()))
+    assert got == want
+    assert (3, "seg0", 103.0) in got and (999, "NEW", 5.0) in got
+    assert not any(k == 7 for k, _, _ in got)
+
+
+def test_untouched_partition_files_never_rewritten(spark, tmp_path):
+    t = _tbl(spark)
+    path = str(tmp_path / "tbl")
+    write_bucket_partitioned(t, path, ["k"], 8)
+    src = spark.createDataFrame([(3, 1.0)], "k long, add double")
+    tset = merge_into_partitioned(
+        spark, path, src, ["k"], n_buckets=8,
+        when_matched_update={"bal": F.col("bal") + F.col("src_add")})
+    assert len(tset) == 1
+    touched_dir = os.path.join(path, f"mbucket={tset[0]}")
+    before = {f for f in _files(path)
+              if not f[0].startswith(touched_dir)}
+    # second merge on the same key: every file OUTSIDE the touched
+    # bucket must be byte-for-byte the same file (path+mtime+size)
+    merge_into_partitioned(
+        spark, path, src, ["k"], n_buckets=8,
+        when_matched_update={"bal": F.col("bal") + F.col("src_add")})
+    after = {f for f in _files(path)
+             if not f[0].startswith(touched_dir)}
+    assert before == after and before
+    assert not glob.glob(str(tmp_path / "tbl.__cow_*"))
+
+
+def test_delete_empties_partition_dir(spark, tmp_path):
+    # single key in its own bucket of 64: deleting it must REMOVE the
+    # partition directory, and the read-back must drop the row
+    t = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    path = str(tmp_path / "tbl")
+    write_bucket_partitioned(t, path, ["k"], 64)
+    src = spark.createDataFrame([(1,)], "k long")
+    merge_into_partitioned(spark, path, src, ["k"], n_buckets=64,
+                           when_matched_delete=F.lit(True))
+    assert [tuple(r) for r in spark.read.parquet(path)
+            .select("k", "v").collect()] == [(2, 2.0)]
+    dirs = {d for d in os.listdir(path) if d.startswith("mbucket=")}
+    assert len(dirs) == 1
+
+
+def test_natural_part_col_and_cross_partition_guard(spark, tmp_path):
+    t = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "k long, region string, v double")
+    path = str(tmp_path / "tbl")
+    t.write.partitionBy("region").parquet(path)
+    ok = spark.createDataFrame([(1, "a", 10.0)],
+                               "k long, region string, v double")
+    touched = merge_into_partitioned(
+        spark, path, ok, ["k"], part_col="region",
+        when_matched_update={"v": F.col("src_v")})
+    assert touched == ["a"]
+    got = sorted(map(tuple, spark.read.parquet(path)
+                     .select("k", "v", "region").collect()))
+    assert got == [(1, 10.0, "a"), (2, 2.0, "a"), (3, 3.0, "b")]
+    # an update that MOVES the row to another partition must raise and
+    # leave the table unchanged
+    bad = spark.createDataFrame([(2, "a", 0.0)],
+                                "k long, region string, v double")
+    with pytest.raises(ValueError, match="touched set"):
+        merge_into_partitioned(
+            spark, path, bad, ["k"], part_col="region",
+            when_matched_update={"v": F.col("src_v"),
+                                 "region": F.lit("c")})
+    assert sorted(map(tuple, spark.read.parquet(path)
+                      .select("k", "v", "region").collect())) == got
+    assert not glob.glob(str(tmp_path / "tbl.__cow_*"))
+
+
+def test_empty_source_is_noop(spark, tmp_path):
+    t = _tbl(spark)
+    path = str(tmp_path / "tbl")
+    write_bucket_partitioned(t, path, ["k"], 8)
+    before = _files(path)
+    src = spark.createDataFrame([], "k long, add double")
+    assert merge_into_partitioned(
+        spark, path, src, ["k"], n_buckets=8,
+        when_matched_update={"bal": F.col("src_add")}) == []
+    assert _files(path) == before
+
+
+def test_pruned_failed_staging_leaves_table(spark, tmp_path):
+    t = _tbl(spark)
+    path = str(tmp_path / "tbl")
+    write_bucket_partitioned(t, path, ["k"], 8)
+    before = sorted(map(tuple, spark.read.parquet(path)
+                        .select("k", "seg", "bal").collect()))
+    src = spark.createDataFrame([(3, 1.0)], "k long, add double")
+    with pytest.raises(Exception):
+        merge_into_partitioned(
+            spark, path, src, ["k"], n_buckets=8,
+            when_matched_update={
+                "bal": F.expr("raise_error('staged failure')")
+                .cast("double")})
+    assert sorted(map(tuple, spark.read.parquet(path)
+                      .select("k", "seg", "bal").collect())) == before
+    assert not glob.glob(str(tmp_path / "tbl.__cow_*"))
+
+
+def test_arg_validation(spark, tmp_path):
+    src = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="exactly one"):
+        merge_into_partitioned(spark, "/nope", src, ["k"])
+    with pytest.raises(ValueError, match="exactly one"):
+        merge_into_partitioned(spark, "/nope", src, ["k"],
+                               part_col="p", n_buckets=4)
+    with pytest.raises(ValueError, match="lacks partition column"):
+        merge_into_partitioned(spark, "/nope", src, ["k"],
+                               part_col="region")

@@ -267,6 +267,29 @@ def test_sq_scored_pass_plan(spark):
         assert keys.split(",")[0].strip().startswith("q_id"), shuffles
 
 
+def test_pruned_merge_target_scan_partition_filters(spark, tmp_path):
+    """File-pruned MERGE plan contract: the target-table scan carries
+    the touched-bucket IN list as PartitionFilters (static partition
+    pruning -- untouched directories are skipped at planning time, the
+    property that bounds per-batch cost by the touched size)."""
+    from bodo_spark.operators.merge import (_bucket_expr,
+                                            write_bucket_partitioned)
+    t = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double")
+    path = str(tmp_path / "tbl")
+    write_bucket_partitioned(t, path, ["k"], 16)
+    src = spark.createDataFrame([(3, 9.0)], "k long, v double")
+    touched = [r[0] for r in
+               src.withColumn("b", _bucket_expr(["k"], 16))
+               .select("b").distinct().collect()]
+    pruned = spark.read.parquet(path).where(
+        F.col("mbucket").isin(touched))
+    p = plan_str(pruned)
+    assert "PartitionFilters" in p, p
+    seg = p.split("PartitionFilters")[1][:200]
+    assert "mbucket" in seg and str(touched[0]) in seg, seg
+
+
 def test_ivf_sq_prunes_before_dequantize(spark, tmp_path):
     """IVF-SQ search plan contract: the probed-cell semi join must sit
     BELOW the dequantize projection, so the O(d) reconstruction folds

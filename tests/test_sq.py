@@ -111,3 +111,49 @@ def test_ivf_sq_full_probe_equals_flat_sq(spark, emb):
     two = Q.ivf_sq_topk(idx, q, emb, los, his, k=1, n_probe=2,
                         n_cells=8).toPandas()
     assert (two.vec_id == two.q_id).all()  # own row ranks first
+
+
+def test_sq_append_equals_one_shot(spark, emb):
+    """Two-batch append under pinned bounds + seeds is row-identical
+    to the one-shot build (per-row pure functions over disjoint ids)."""
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    los, his = Q.sq_train(emb)
+    staged = Q.sq_append(
+        Q.ivf_sq_index(b1, los, his, n_cells=8, seed_vectors=emb),
+        b2, los, his, n_cells=8, seed_vectors=emb)
+    oneshot = Q.ivf_sq_index(emb, los, his, n_cells=8, seed_vectors=emb)
+    key = lambda r: (r.vec_id, r.cell, list(r.code))  # noqa: E731
+    assert sorted(map(key, staged.collect())) == \
+        sorted(map(key, oneshot.collect()))
+
+
+def test_sq_staleness_signals_and_compact(spark, emb):
+    """Drifted append under stale bounds: clamp fraction and MSE both
+    rise; compaction (re-trained bounds) drives clamp to 0 and MSE
+    back to the in-distribution level."""
+    ev = emb.select("vec_id", "embedding")
+    base = ev.where(F.col("vec_id") % 5 != 4)
+    drift = (ev.where(F.col("vec_id") % 5 == 4)
+             .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: (x * F.lit(3.0)).cast("float"))
+                     .alias("embedding")))
+    un = base.unionByName(drift)
+    los0, his0 = Q.sq_train(base)
+    idx0 = Q.sq_append(
+        Q.ivf_sq_index(base, los0, his0, n_cells=4, seed_vectors=base),
+        drift, los0, his0, n_cells=4, seed_vectors=base)
+    c0 = Q.sq_clamp_fraction(un, los0, his0).collect()[0]
+    m0 = Q.sq_reconstruction_mse(un, idx0, los0, his0).collect()[0]
+    assert c0.clamp_frac > 0.01 and c0.n_clamped > 0
+    assert c0.n_values == un.count() * 64
+    # in-distribution sanity: base under its own bounds clamps nothing
+    cb = Q.sq_clamp_fraction(base, los0, his0).collect()[0]
+    assert cb.n_clamped == 0
+    idx1, los1, his1 = Q.sq_compact(un, n_cells=4, seed_vectors=un)
+    c1 = Q.sq_clamp_fraction(un, los1, his1).collect()[0]
+    m1 = Q.sq_reconstruction_mse(un, idx1, los1, his1).collect()[0]
+    assert c1.n_clamped == 0
+    assert m1.mse < m0.mse
+    assert m0.n == m1.n == un.count()
