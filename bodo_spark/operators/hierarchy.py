@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expand_hierarchy"]
+__all__ = ["expand_hierarchy", "expand_dag"]
 
 
 def expand_hierarchy(edges: DataFrame, *, child_col: str = "child",
@@ -73,4 +73,96 @@ def expand_hierarchy(edges: DataFrame, *, child_col: str = "child",
             pass
     raise RuntimeError(
         f"hierarchy did not converge in {max_iter} doubling rounds "
+        f"(cycle in the edge list, or depth > 2^{max_iter})")
+
+
+def expand_dag(edges: DataFrame, *, child_col: str = "child",
+               parent_col: str = "parent", qty_col: str | None = None,
+               max_iter: int = 30) -> DataFrame:
+    """Multi-parent DAG expansion with quantity roll-up -- the BOM
+    explosion (the other half of the WITH RECURSIVE workload after
+    expand_hierarchy's forests): for every (node, ancestor) pair
+    reachable in the DAG, the number of distinct paths and, with
+    ``qty_col``, the total quantity ``sum over paths of the product of
+    edge quantities along the path`` (how many of component A a
+    finished product B needs, across every assembly route).
+
+    Log-depth by STRATIFIED pointer doubling over the path semiring
+    (sum aggregates, product composes). Plain doubling
+    ``C' = C + C.C`` would overcount -- a length-5 path splits as
+    1+4, 2+3, 3+2 and 4+1 -- so the loop carries TWO relations:
+    ``E_k`` = paths of EXACTLY 2^k edges and ``C_k`` = paths of <= 2^k
+    edges, both aggregated per (node, ancestor). Every path of length
+    L in (2^k, 2^(k+1)] decomposes UNIQUELY as its first 2^k edges
+    (one E_k row set) followed by the remaining L - 2^k <= 2^k edges
+    (one C_k row set), so
+
+        C_(k+1) = C_k  UNION  aggregate(E_k compose C_k)
+        E_(k+1) = aggregate(E_k compose E_k)
+
+    counts each path exactly once; composition multiplies path counts
+    and quantity masses (distributivity makes the per-pair aggregates
+    sufficient -- no path enumeration ever materializes). Terminates
+    when E_k is empty (longest path reached): ceil(log2(depth)) + 1
+    rounds, each TWO hash joins keyed on node ids, every round's frame
+    lineage-truncated (localCheckpoint) with a bounded one-row
+    convergence probe -- the expand_hierarchy discipline. A cycle
+    never empties E_k; it is detected as a node reaching ITSELF in
+    C_k (checked every round -- a length-c cycle self-path appears
+    once 2^k >= c; checking E_k alone would miss it, since 2^k is
+    never a multiple of, e.g., 3) and raised explicitly.
+
+    Quantities ride as BIGINT (exact; the caller sizes qty/depth so
+    products fit -- the gate's oracle is a real DuckDB recursive CTE
+    with the same arithmetic). Parallel edges are legal and aggregate
+    like any other multi-path. Returns ``(id, anc, n_paths
+    [, total_qty])``.
+    """
+    ch, pa = F.col(child_col), F.col(parent_col)
+    qt = (F.col(qty_col).cast("long") if qty_col is not None
+          else F.lit(1).cast("long"))
+    base = edges.select(ch.alias("id"), pa.alias("anc"),
+                        F.lit(1).cast("long").alias("np"),
+                        qt.alias("qt"))
+
+    def agg(df):
+        return (df.groupBy("id", "anc")
+                .agg(F.sum("np").alias("np"), F.sum("qt").alias("qt")))
+
+    def compose(left, right):
+        # paths left(id -> m) then right(m -> anc): counts and masses
+        # multiply (sum-of-products over the m fan distributes)
+        r = right.select(F.col("id").alias("anc"),
+                         F.col("anc").alias("_a2"),
+                         F.col("np").alias("_np2"),
+                         F.col("qt").alias("_qt2"))
+        return (left.join(r, "anc")
+                .select("id", F.col("_a2").alias("anc"),
+                        (F.col("np") * F.col("_np2")).alias("np"),
+                        (F.col("qt") * F.col("_qt2")).alias("qt")))
+
+    cur = agg(base).localCheckpoint(eager=True)   # C_0: len <= 1
+    exact = cur                                   # E_0: len == 1
+    for _ in range(max_iter):
+        if cur.where(F.col("id") == F.col("anc")).limit(1).count():
+            raise RuntimeError("cycle detected: a node reaches itself "
+                               "-- expand_dag requires a DAG")
+        if not exact.limit(1).count():
+            out = [F.col("id"), F.col("anc"),
+                   F.col("np").alias("n_paths")]
+            if qty_col is not None:
+                out.append(F.col("qt").alias("total_qty"))
+            return cur.select(*out)
+        nxt_cur = agg(cur.unionByName(compose(exact, cur))) \
+            .localCheckpoint(eager=True)
+        nxt_exact = agg(compose(exact, exact)) \
+            .localCheckpoint(eager=True)
+        for old in (cur, exact):
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        cur, exact = nxt_cur, nxt_exact
+    raise RuntimeError(
+        f"expand_dag did not converge in {max_iter} doubling rounds "
         f"(cycle in the edge list, or depth > 2^{max_iter})")

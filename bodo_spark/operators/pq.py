@@ -39,8 +39,9 @@ from pyspark.sql import functions as F
 from .similarity import _ensure_scan_width, _round_half_up, dot
 
 __all__ = ["lowest_id_pq_codebooks", "train_pq_codebooks", "pq_encode",
-           "pq_topk", "ivf_pq_index", "ivf_pq_topk", "pq_reconstruction_mse",
-           "pq_compact", "pq_append", "ivf_pq_topk_segments"]
+           "pq_topk", "pq_search", "ivf_pq_index", "ivf_pq_topk",
+           "pq_reconstruction_mse", "pq_compact", "pq_append",
+           "ivf_pq_topk_segments"]
 
 
 def lowest_id_pq_codebooks(vectors: DataFrame, *, m: int = 4, k: int = 16,
@@ -226,12 +227,58 @@ def _query_luts(queries: DataFrame, codebooks: list, *,
     return flat.select(q_id_col, lut.alias("_lut"))
 
 
+def _driver_luts(spark, qrows: list, codebooks: list, *,
+                 q_id_col: str = "q_id",
+                 q_vec_col: str = "q_vec") -> DataFrame:
+    """Small-shape LUT fast path: for a HANDFUL of queries the Spark
+    LUT job (_query_luts' cross-join + aggregation exchanges) is pure
+    fixed latency, so compute the m x k tables on the driver (numpy
+    gemm over the in-hand codebooks) and ship them as a local one-row-
+    per-query relation -- zero LUT-build Spark jobs; the scored pass is
+    unchanged. Numpy's gemm is a pairwise/SIMD summation, not the
+    sequential fold the DuckDB oracles replay, so a 9-dp boundary can
+    round differently in rare ulp cases -- this path is therefore
+    FAST-MODE ONLY (pq_topk keeps the Spark LUTs under the exact gate,
+    the retrieval-tier _sum6 policy)."""
+    import numpy as np
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    CW = [np.array(codebooks[j], dtype=np.float64) for j in range(m)]
+    CC = [(c * c).sum(axis=1) for c in CW]
+    data = []
+    for r in qrows:
+        qv = np.array(list(r[q_vec_col]), dtype=np.float64)
+        lut = [_round_half_up(
+            CC[j] - 2.0 * (CW[j] @ qv[j * d:(j + 1) * d]), 9).tolist()
+            for j in range(m)]
+        data.append((r[q_id_col], lut))
+    from pyspark.sql.types import (ArrayType, DoubleType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField(q_id_col, _py_type(data[0][0])),
+        StructField("_lut", ArrayType(ArrayType(DoubleType())))])
+    return spark.createDataFrame(data, schema)
+
+
+def _py_type(v):
+    from pyspark.sql.types import DoubleType, LongType, StringType
+    if isinstance(v, bool):
+        raise ValueError("boolean query ids are unsupported")
+    if isinstance(v, int):
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    return StringType()
+
+
 def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
             k: int = 5, id_col: str = "vec_id", code_col: str = "code",
             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
             refine: DataFrame | None = None,
             refine_vec_col: str | None = None,
-            shortlist: int = 0) -> DataFrame:
+            shortlist: int = 0, luts: str = "auto",
+            max_driver_queries: int = 32) -> DataFrame:
     """ADC top-k over the encoded corpus: returns
     ``(q_id, vec_id, adist, rn)`` with rn 1..k by ascending approximate
     distance (ties to the lowest corpus id). ``adist`` is the two-dot
@@ -253,21 +300,55 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
     re-ranked by exact l2. At scale the refine join touches
     queries*shortlist rows of the raw corpus -- the 99%+ of raw-vector
     IO the codes pass avoided stays avoided. ``adist`` is then the
-    EXACT two-dot distance."""
+    EXACT two-dot distance.
+
+    ``luts``: 'spark' (the cross-join LUT job -- always used under the
+    exact gate), 'driver' (numpy LUTs on the driver, shipped as a local
+    relation -- the small-query-set fast path; caller asserts the query
+    frame is tiny), or 'auto' (default: in fast mode, probe the query
+    count with take(max_driver_queries + 1) and take the driver path
+    when it fits -- the A/B-measured crossover; exact mode always takes
+    the Spark path because numpy's pairwise gemm summation can round a
+    9-dp LUT boundary differently from the oracle's sequential fold)."""
+    from ..modes import exact_mode
+    if luts not in ("auto", "spark", "driver"):
+        raise ValueError(f"luts must be auto|spark|driver, got {luts!r}")
     m = len(codebooks)
-    luts = _query_luts(queries, codebooks, q_id_col=q_id_col,
-                       q_vec_col=q_vec_col)
-    # decimal-sum policy (queries/_util.py): the m looked-up terms are
-    # exact 9dp decimals, so a decimal fold is order-independent and
-    # bit-identical to the oracle's SUM(DECIMAL) -- a double fold could
-    # straddle a 6dp rounding boundary under reordering
-    score = F.round(F.aggregate(
-        F.zip_with(F.col(code_col), F.col("_lut"),
-                   lambda c, row: F.element_at(row, c + 1)),
-        F.lit(0).cast("decimal(28,9)"),
-        lambda acc, x: (acc + x.cast("decimal(28,9)"))
-        .cast("decimal(28,9)")).cast("double"), 6)
-    scored = (codes.crossJoin(F.broadcast(luts))
+    qrows = None
+    if luts == "driver":
+        qrows = queries.select(q_id_col, q_vec_col).collect()
+    elif luts == "auto" and not exact_mode():
+        head = (queries.select(q_id_col, q_vec_col)
+                .take(max_driver_queries + 1))
+        if len(head) <= max_driver_queries:
+            qrows = head
+    if qrows is not None:
+        luts_df = _driver_luts(queries.sparkSession, qrows, codebooks,
+                               q_id_col=q_id_col, q_vec_col=q_vec_col)
+    else:
+        luts_df = _query_luts(queries, codebooks, q_id_col=q_id_col,
+                              q_vec_col=q_vec_col)
+    if exact_mode():
+        # decimal-sum policy (queries/_util.py): the m looked-up terms
+        # are exact 9dp decimals, so a decimal fold is order-independent
+        # and bit-identical to the oracle's SUM(DECIMAL) -- a double
+        # fold could straddle a 6dp rounding boundary under reordering
+        score = F.round(F.aggregate(
+            F.zip_with(F.col(code_col), F.col("_lut"),
+                       lambda c, row: F.element_at(row, c + 1)),
+            F.lit(0).cast("decimal(28,9)"),
+            lambda acc, x: (acc + x.cast("decimal(28,9)"))
+            .cast("decimal(28,9)")).cast("double"), 6)
+    else:
+        # fast mode: plain double fold -- the fold order is fixed
+        # (sequential over m entries), only the decimal-vs-double
+        # representation differs, and bench/serving mode trades the
+        # cross-engine bit guarantee for m plain adds per row
+        score = F.round(F.aggregate(
+            F.zip_with(F.col(code_col), F.col("_lut"),
+                       lambda c, row: F.element_at(row, c + 1)),
+            F.lit(0.0), lambda acc, x: acc + x), 6)
+    scored = (codes.crossJoin(F.broadcast(luts_df))
               .select(q_id_col, id_col, score.alias("adist")))
     w = W.partitionBy(q_id_col).orderBy("adist", id_col)
     if refine is None:
@@ -306,6 +387,92 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
     return (rescored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
             .select(q_id_col, id_col, "adist",
+                    F.col("rn").cast("bigint").alias("rn")))
+
+
+def pq_search(vectors: DataFrame, codebooks: list, queries: DataFrame, *,
+              k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding", q_id_col: str = "q_id",
+              q_vec_col: str = "q_vec",
+              max_driver_queries: int = 32) -> DataFrame:
+    """Encode + ADC top-k in one composition -- the flat-PQ search
+    entry point. Exact mode always runs ``pq_encode`` + ``pq_topk``
+    (the oracle-exact JVM path). Fast mode with a TINY query set
+    (<= max_driver_queries, probed with one take()) takes the FUSED
+    Arrow pass instead: ONE mapInPandas over the raw corpus computes
+    the per-subspace argmin codes (the blas encoder's gemm) and the
+    ADC scores against driver-computed LUTs in the same batch --
+    zero LUT-build jobs, zero separate encode pass, exactly the plan
+    a hand numpy/PySpark implementation reaches (the ann_pq_topk A/B
+    twin), while the corpus stays fully distributed (only the m*k*q
+    LUT floats ride the task closure). Identical math: round-half-up
+    9-dp encode keys and LUT entries, first-min ties, 6-dp rounded
+    sums; the pq_search unit test pins rank equality between the two
+    paths."""
+    from ..modes import exact_mode
+    if not exact_mode():
+        qrows = (queries.select(q_id_col, q_vec_col)
+                 .take(max_driver_queries + 1))
+        if len(qrows) <= max_driver_queries and qrows:
+            return _pq_search_fused(vectors, codebooks, qrows, k=k,
+                                    id_col=id_col, vec_col=vec_col,
+                                    q_id_col=q_id_col,
+                                    q_vec_col=q_vec_col)
+    codes = pq_encode(vectors, codebooks, id_col=id_col,
+                      vec_col=vec_col)
+    return pq_topk(codes, queries, codebooks, k=k, id_col=id_col,
+                   q_id_col=q_id_col, q_vec_col=q_vec_col)
+
+
+def _pq_search_fused(vectors: DataFrame, codebooks: list, qrows: list,
+                     *, k: int, id_col: str, vec_col: str,
+                     q_id_col: str, q_vec_col: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    CW = [np.array(codebooks[j], dtype=np.float64) for j in range(m)]
+    CC = [(c * c).sum(axis=1) for c in CW]
+    q_ids = [r[q_id_col] for r in qrows]
+    QL = np.stack([np.stack([
+        _round_half_up(CC[j] - 2.0 * (
+            CW[j] @ np.array(list(r[q_vec_col]),
+                             dtype=np.float64)[j * d:(j + 1) * d]), 9)
+        for j in range(m)]) for r in qrows])
+
+    id_typ = vectors.schema[id_col].dataType.simpleString()
+    q_typ = ("bigint" if isinstance(q_ids[0], int) else
+             "double" if isinstance(q_ids[0], float) else "string")
+
+    def enc_score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                S = X[:, j * d:(j + 1) * d]
+                dist = _round_half_up(
+                    CC[j][None, :] - 2.0 * (S @ CW[j].T), 9)
+                codes[:, j] = dist.argmin(axis=1)
+            for qi, qid in enumerate(q_ids):
+                adist = np.zeros(len(pdf))
+                for j in range(m):
+                    adist += QL[qi, j][codes[:, j]]
+                yield pd.DataFrame({
+                    "q_id": np.full(len(pdf), qid),
+                    id_col: pdf[id_col].to_numpy(),
+                    "adist": _round_half_up(adist, 6)})
+
+    scored = (vectors.select(id_col, vec_col)
+              .mapInPandas(enc_score,
+                           f"q_id {q_typ}, {id_col} {id_typ}, "
+                           "adist double"))
+    w = W.partitionBy("q_id").orderBy("adist", id_col)
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("q_id", id_col, "adist",
                     F.col("rn").cast("bigint").alias("rn")))
 
 

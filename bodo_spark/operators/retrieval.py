@@ -41,7 +41,8 @@ from ..modes import exact_mode
 from .text import tokenize_ws
 
 __all__ = ["bm25_index", "bm25_append", "bm25_corpus_stats",
-           "bm25_topk", "bm25_partial_col", "rrf_fuse"]
+           "bm25_topk", "bm25_partial_col", "rrf_fuse",
+           "bm25_store_index", "bm25_stored_topk"]
 
 
 def _sum6(part):
@@ -195,6 +196,80 @@ def bm25_topk(postings: DataFrame, queries: DataFrame, *,
             .where(F.col("rn") <= k)
             .select("q_id", "doc_id", "score",
                     F.col("rn").cast("bigint").alias("rn")))
+
+
+def _term_bucket(n_term_buckets: int):
+    return F.pmod(F.xxhash64("term"),
+                  F.lit(int(n_term_buckets))).cast("int")
+
+
+def bm25_store_index(postings: DataFrame, path: str, *,
+                     n_term_buckets: int = 64,
+                     mode: str = "errorifexists") -> None:
+    """Persist the inverted index as the SERVING artifact the module
+    docstring promises: postings hive-partitioned by a term hash
+    bucket (``tbucket = pmod(xxhash64(term), n_term_buckets)``), the
+    derived ``term_stats`` partitioned the same way, the one-row
+    ``corpus_stats``, and a meta row pinning the bucket count. A query
+    batch's terms hash to a BOUNDED bucket set, so bm25_stored_topk's
+    reads prune to those partition directories -- the
+    io_partitioned_roundtrip discipline applied to the retrieval tier
+    (PartitionFilters asserted in test_plans). The postings plan is
+    persisted for the duration of the store (it feeds three writes)."""
+    if n_term_buckets < 1:
+        raise ValueError(f"n_term_buckets must be >= 1, "
+                         f"got {n_term_buckets}")
+    from pyspark import StorageLevel
+    spark = postings.sparkSession
+    tb = _term_bucket(n_term_buckets)
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (postings.withColumn("tbucket", tb).write.mode(mode)
+         .partitionBy("tbucket").parquet(f"{path}/postings"))
+        ts, cs = bm25_corpus_stats(postings)
+        (ts.withColumn("tbucket", tb).write.mode(mode)
+         .partitionBy("tbucket").parquet(f"{path}/term_stats"))
+        cs.write.mode(mode).parquet(f"{path}/corpus_stats")
+        spark.createDataFrame([(int(n_term_buckets),)],
+                              "n_term_buckets int") \
+            .write.mode(mode).parquet(f"{path}/meta")
+    finally:
+        try:
+            postings.unpersist()
+        except Exception:
+            pass
+
+
+def bm25_stored_topk(spark, path: str, queries: DataFrame, *,
+                     q_id_col: str = "q_id", q_text_col: str = "q_text",
+                     k: int = 10, k1: float = 1.2,
+                     b: float = 0.75) -> DataFrame:
+    """Serving-path BM25 over a stored index: the query batch's terms
+    hash to their buckets (a bounded driver-side list -- <= the number
+    of distinct query terms and <= n_term_buckets), the postings and
+    term_stats scans carry the bucket IN list as PartitionFilters
+    (static partition pruning: only the query's term shards are ever
+    opened), and the ranking is the shared bm25_topk pass with the
+    stored stats -- value-identical to an in-memory index (the
+    text_bm25_stored_prune gate shares text_bm25_topk's oracle
+    verbatim). This is the read side of the "write partitioned by
+    term" claim: per query batch, I/O is bound by the touched shards,
+    not the corpus."""
+    nb = int(spark.read.parquet(f"{path}/meta")
+             .collect()[0]["n_term_buckets"])
+    buckets = [r[0] for r in
+               (queries.select(F.explode(tokenize_ws(q_text_col))
+                               .alias("term"))
+                .select(_term_bucket(nb).alias("tb"))
+                .distinct().collect())]
+    postings = (spark.read.parquet(f"{path}/postings")
+                .where(F.col("tbucket").isin(buckets)).drop("tbucket"))
+    ts = (spark.read.parquet(f"{path}/term_stats")
+          .where(F.col("tbucket").isin(buckets)).drop("tbucket"))
+    cs = spark.read.parquet(f"{path}/corpus_stats")
+    return bm25_topk(postings, queries, q_id_col=q_id_col,
+                     q_text_col=q_text_col, k=k, k1=k1, b=b,
+                     term_stats=ts, corpus_stats=cs)
 
 
 def mmr_rerank(candidates: DataFrame, *, q_id_col: str = "q_id",

@@ -518,7 +518,87 @@ FROM best
 """
 
 
+# --------------------------------------------------------------------------
+# Multi-parent DAG expansion / BOM explosion (operators/hierarchy
+# .expand_dag): each part k < 500 is assembled into parents k//2 (qty
+# k%5+1) AND k//3 (qty k%7+1) -- a true multi-parent DAG (parallel
+# edges included at k=3) where quantities multiply along paths and
+# roll up per (part, ancestor-assembly). The engine runs stratified
+# pointer doubling (log-depth); the oracle IS a real DuckDB recursive
+# CTE enumerating every path. The full (d, a, n_paths, total_qty)
+# relation is pinned per ancestor bucket via sorted row hashes.
+
+def join_bom_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """BOM explosion gate: per ancestor bucket -- pair count, path
+    count mass, rolled-up quantity mass, order-insensitive md5 over
+    every (part, ancestor, n_paths, total_qty) row."""
+    from ..operators.hierarchy import expand_dag
+    p = (tbl(spark, sf, "part").select("p_partkey")
+         .where(F.col("p_partkey") < 500))
+    half = (p.where(F.col("p_partkey") >= 2)
+            .select(F.col("p_partkey").cast("long").alias("child"),
+                    F.floor(F.col("p_partkey") / 2).cast("long")
+                    .alias("parent"),
+                    (F.col("p_partkey") % 5 + 1).cast("long")
+                    .alias("qty")))
+    third = (p.where(F.col("p_partkey") >= 3)
+             .select(F.col("p_partkey").cast("long").alias("child"),
+                     F.floor(F.col("p_partkey") / 3).cast("long")
+                     .alias("parent"),
+                     (F.col("p_partkey") % 7 + 1).cast("long")
+                     .alias("qty")))
+    bom = expand_dag(half.unionByName(third), qty_col="qty")
+    row = F.concat_ws(":", F.col("id").cast("string"),
+                      F.col("anc").cast("string"),
+                      F.col("n_paths").cast("string"),
+                      F.col("total_qty").cast("string"))
+    return (bom.groupBy((F.col("anc") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("n_paths").cast("bigint").alias("paths_sum"),
+        F.sum("total_qty").cast("bigint").alias("qty_sum"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(F.md5(row))), ""))
+        .alias("row_hash"))
+        .orderBy("bucket"))
+
+
+_BOM_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(p_partkey AS BIGINT) AS child,
+         CAST(p_partkey // 2 AS BIGINT) AS parent,
+         CAST(p_partkey % 5 + 1 AS BIGINT) AS qty
+  FROM part WHERE p_partkey >= 2 AND p_partkey < 500
+  UNION ALL
+  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey // 3 AS BIGINT),
+         CAST(p_partkey % 7 + 1 AS BIGINT)
+  FROM part WHERE p_partkey >= 3 AND p_partkey < 500),
+paths AS (
+  SELECT child AS d, parent AS a, qty AS qt FROM edges
+  UNION ALL
+  SELECT p.d, e.parent, p.qt * e.qty
+  FROM paths p JOIN edges e ON p.a = e.child),
+rel AS (
+  SELECT d, a, CAST(COUNT(*) AS BIGINT) AS n_paths,
+         CAST(SUM(qt) AS BIGINT) AS total_qty
+  FROM paths GROUP BY d, a),
+rowstr AS (
+  SELECT a % 10 AS bucket, n_paths, total_qty,
+         md5(concat_ws(':', CAST(d AS VARCHAR), CAST(a AS VARCHAR),
+                       CAST(n_paths AS VARCHAR),
+                       CAST(total_qty AS VARCHAR))) AS rh
+  FROM rel)
+SELECT bucket, COUNT(*) AS n_pairs,
+       CAST(SUM(n_paths) AS BIGINT) AS paths_sum,
+       CAST(SUM(total_qty) AS BIGINT) AS qty_sum,
+       md5(string_agg(rh, '' ORDER BY rh)) AS row_hash
+FROM rowstr GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "join_bom_explode": QueryDef(
+        join_bom_explode, _BOM_SQL,
+        doc="multi-parent DAG / BOM explosion with quantity roll-up "
+            "vs a real recursive-CTE oracle"),
     "join_fuzzy_linkage": QueryDef(join_fuzzy_linkage,
                                    _FUZZY_LINKAGE_SQL),
     "join_hierarchy_expand": QueryDef(join_hierarchy_expand,

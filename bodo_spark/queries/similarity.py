@@ -383,15 +383,18 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     m=4 x k=16 lowest-id codebooks, every vector encoded to 4 code
     ids (64 floats -> 4 ints, the compression artifact), queries
     scored via the per-query LUT against the CODES only. The oracle
-    re-derives the identical codebooks, codes, LUTs and ranking."""
+    re-derives the identical codebooks, codes, LUTs and ranking.
+    Dispatch: pq_search -- exact mode takes the JVM encode+LUT path
+    the oracle replays bit-for-bit; fast/bench mode with this tiny
+    query set takes the fused Arrow pass (one corpus scan, driver
+    LUTs -- the small-shape serving plan, rank-equal by test)."""
     from ..operators import pq as PQ
     emb = tbl(spark, sf, "embeddings")
     cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
-    codes = PQ.pq_encode(emb, cbs)
     queries = (emb.where(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_vec")))
-    return (PQ.pq_topk(codes, queries, cbs, k=5)
+    return (PQ.pq_search(emb, cbs, queries, k=5)
             .where(F.col("vec_id") != F.col("q_id"))
             .orderBy("q_id", "rn"))
 

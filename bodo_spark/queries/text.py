@@ -630,6 +630,36 @@ def text_bm25_append(spark: SparkSession, sf: str) -> DataFrame:
     return R.bm25_topk(staged, queries, k=5).orderBy("q_id", "rn")
 
 
+def text_bm25_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored-index SERVING path (operators/retrieval.bm25_store_index
+    + bm25_stored_topk): the inverted index is persisted term-bucket-
+    partitioned (64 shards) with its stats artifacts, then the SAME 3
+    queries are served reading ONLY their terms' shards (partition
+    pruning, plan-asserted in test_plans). Shares text_bm25_topk's
+    oracle verbatim: pruned serving must rank identically to the
+    in-memory index."""
+    import shutil
+    import uuid
+
+    from ..operators import retrieval as R
+    d = tbl(spark, sf, "documents")
+    stage = f"/tmp/bodo_spark_bm25idx_{uuid.uuid4().hex[:8]}"
+    try:
+        R.bm25_store_index(R.bm25_index(d), stage, n_term_buckets=64)
+        queries = (d.where(F.col("doc_id") < 3)
+                   .select(F.col("doc_id").alias("q_id"),
+                           F.array_join(F.slice(T.tokenize_ws("text"),
+                                                1, 8), " ")
+                           .alias("q_text")))
+        out = R.bm25_stored_topk(spark, stage, queries, k=5) \
+            .orderBy("q_id", "rn")
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, doc_id long, score double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def text_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """PMI collocation extraction (operators/text.pmi_collocations):
     the top-20 adjacent bigrams by pointwise mutual information with
@@ -666,6 +696,9 @@ FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20
 QUERIES: dict[str, QueryDef] = {
     "text_collocations": QueryDef(text_collocations, _TEXT_COLLOC_SQL),
     "text_bm25_append": QueryDef(text_bm25_append, _bm25_sql()),
+    "text_bm25_stored_prune": QueryDef(
+        text_bm25_stored_prune, _bm25_sql(),
+        doc="stored term-sharded BM25 serving with partition pruning"),
     "text_bm25_topk": QueryDef(text_bm25_topk, _bm25_sql()),
     "text_gopher_rules": QueryDef(text_gopher_rules, _gopher_sql()),
     "text_normalize": QueryDef(text_normalize, _normalize_sql()),

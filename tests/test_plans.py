@@ -290,6 +290,29 @@ def test_pruned_merge_target_scan_partition_filters(spark, tmp_path):
     assert "mbucket" in seg and str(touched[0]) in seg, seg
 
 
+def test_bm25_stored_serving_partition_prunes(spark, tmp_path):
+    """Stored-BM25 serving plan contract: the postings scan carries
+    the query terms' bucket IN list as PartitionFilters -- only the
+    touched term shards are opened (the 'write partitioned by term'
+    claim, read side)."""
+    from bodo_spark.operators import retrieval as R
+    d = (tbl(spark, SF_DIR, "documents")
+         .select("doc_id", "text").limit(200))
+    path = str(tmp_path / "bmidx")
+    R.bm25_store_index(R.bm25_index(d), path, n_term_buckets=64)
+    q = spark.createDataFrame([(1, "the quick fox")],
+                              "q_id long, q_text string")
+    out = R.bm25_stored_topk(spark, path, q, k=5)
+    p = plan_str(out)
+    assert "PartitionFilters" in p, p
+    seg = p.split("PartitionFilters")[1][:300]
+    assert "tbucket" in seg, seg
+    # <= 3 distinct terms -> <= 3 of 64 buckets in the IN list
+    import re
+    m = re.search(r"tbucket[^\]]*IN \(([^)]*)\)", seg)
+    assert m and len(m.group(1).split(",")) <= 3, seg
+
+
 def test_ivf_sq_prunes_before_dequantize(spark, tmp_path):
     """IVF-SQ search plan contract: the probed-cell semi join must sit
     BELOW the dequantize projection, so the O(d) reconstruction folds

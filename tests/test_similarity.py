@@ -574,3 +574,31 @@ def test_ivf_pq_segments_degenerate_and_mixed(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         P.ivf_pq_topk_segments([], q, emb)
+
+
+def test_pq_search_fused_matches_jvm_ranking(spark):
+    """The small-shape fused Arrow path (one mapInPandas pass, driver
+    LUTs) must rank exactly like the JVM encode+LUT path -- same
+    round-half-up 9dp keys, first-min ties, 6dp sums."""
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators import pq as PQ
+    from bodo_spark.queries._util import tbl
+
+    from .conftest import SF_DIR
+    emb = tbl(spark, SF_DIR, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    q = (emb.where(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    jvm = (PQ.pq_topk(PQ.pq_encode(emb, cbs), q, cbs, k=5,
+                      luts="spark").toPandas()
+           .sort_values(["q_id", "rn"]).reset_index(drop=True))
+    fused = (PQ._pq_search_fused(emb, cbs, q.collect(), k=5,
+                                 id_col="vec_id", vec_col="embedding",
+                                 q_id_col="q_id", q_vec_col="q_vec")
+             .toPandas().sort_values(["q_id", "rn"])
+             .reset_index(drop=True))
+    assert jvm[["q_id", "vec_id", "rn"]].values.tolist() == \
+        fused[["q_id", "vec_id", "rn"]].values.tolist()
+    assert (jvm.adist - fused.adist).abs().max() <= 1e-6

@@ -35,16 +35,29 @@ def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [500_000, 5_000_000,
                                                50_000_000]
     results = []
+    # warmup: absorb JVM/codegen startup so the first ladder row is
+    # comparable to the rest
+    warm = spark.range(10_000).select(F.col("id").alias("k"),
+                                      F.lit(0.0).alias("v"))
+    wsrc = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    wstage = f"/tmp/bodo_probe_fpm_warm_{uuid.uuid4().hex[:8]}"
+    try:
+        warm.write.parquet(wstage)
+        merge_into_parquet(spark, wstage, wsrc, ["k"],
+                           when_matched_update={"v": F.col("src_v")})
+    finally:
+        shutil.rmtree(wstage, ignore_errors=True)
     for n in sizes:
-        # WIDE rows (~220 B payload): the COW-vs-pruned question is
-        # about data volume rewritten per batch, and a narrow table
-        # makes even a full rewrite I/O-trivial at probe sizes
+        # WIDE, INCOMPRESSIBLE rows (~256 B of hash payload): the
+        # COW-vs-pruned question is about data volume rewritten per
+        # batch; narrow or snappy-compressible payloads make even a
+        # full rewrite I/O-trivial at probe sizes
+        h = lambda o: F.sha2((F.col("id") + o).cast("string"), 256)  # noqa: E731
         base = (spark.range(n).select(
             F.col("id").alias("k"),
             (F.col("id") % 97).cast("double").alias("v"),
             F.lit(0).cast("long").alias("seq"),
-            F.concat(F.lit("x" * 200),
-                     F.col("id").cast("string")).alias("pay")))
+            F.concat(h(0), h(1), h(2), h(3)).alias("pay")))
         src = spark.createDataFrame(
             [(int(i * (n // 10)), 1.0, 1) for i in range(8)],
             "k long, v double, seq long")
