@@ -950,6 +950,102 @@ FROM scored QUALIFY rn <= 5 ORDER BY q_id, rn
 """
 
 
+def emb_tfidf_ivf_sq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed text->vector->INDEXED-ANN route (closing
+    emb_hashed_tfidf_ann's by-design O(corpus)/query brute baseline):
+    documents are embedded by the hashed TF-IDF vectorizer (dim 32),
+    the vectors are SQ8-encoded into an IVF-SQ inverted file, and the
+    first 3 docs' vectors search it with 2-of-8 cell probing -- at
+    scale the query cost is bound by the probed cells' code rows, not
+    the corpus. The oracle re-derives the ENTIRE composition: buckets,
+    tf/df/idf, dense vectors, cells, bounds, codes, probe lists,
+    reconstruction and the full l2 ranking."""
+    from ..operators import sq as Q
+    from ..operators import text as T
+    d = tbl(spark, sf, "documents")
+    vecs = T.hashed_tfidf_vectors(d, dim=32)
+    los, his = Q.sq_train(vecs, vec_col="vec")
+    idx = Q.ivf_sq_index(vecs, los, his, n_cells=8, id_col="doc_id",
+                         vec_col="vec", coarse_dim=16)
+    q = (vecs.where(F.col("doc_id") < 3)
+         .select(F.col("doc_id").alias("q_id"),
+                 F.col("vec").alias("q_vec")))
+    return (Q.ivf_sq_topk(idx, q, vecs, los, his, k=5, n_probe=2,
+                          n_cells=8, id_col="doc_id", vec_col="vec",
+                          coarse_dim=16)
+            .where(F.col("doc_id") != F.col("q_id"))
+            .orderBy("q_id", "rn"))
+
+
+_TFIDF_IVF_SQ_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents),
+tf AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 32
+              AS INT) AS b,
+         COUNT(*) AS tf
+  FROM toks GROUP BY 1, 2),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfb AS (SELECT b, COUNT(*) AS dfr FROM tf GROUP BY b),
+sparse AS (
+  SELECT tf.doc_id, tf.b,
+         round(tf.tf * (ln(CAST((SELECT n FROM nd) + 1 AS DOUBLE)
+                           / (dfr + 1)) + 1), 9) AS w
+  FROM tf JOIN dfb USING (b)),
+dense AS (
+  SELECT d.doc_id, list(COALESCE(s.w, 0.0) ORDER BY i.i) AS v
+  FROM (SELECT DISTINCT doc_id FROM sparse) d
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
+  LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.b = i.i
+  GROUP BY d.doc_id),
+cents AS (
+  SELECT doc_id AS cid, v[1:16] AS cvec
+  FROM dense ORDER BY doc_id LIMIT 8),
+asg AS (
+  SELECT e.doc_id, c.cid,
+         row_number() OVER (PARTITION BY e.doc_id
+             ORDER BY round(-({_SQL_COS9.format(a='e.v[1:16]',
+                                                b='c.cvec')}), 9),
+                      c.cid) AS crn
+  FROM dense e CROSS JOIN cents c),
+cells AS (SELECT doc_id, cid AS cell FROM asg WHERE crn = 1),
+qprobe AS (
+  SELECT doc_id AS q_id, cid AS cell
+  FROM asg WHERE doc_id < 3 AND crn <= 2),
+flat AS (
+  SELECT doc_id, unnest(v) AS x,
+         unnest(range(1, len(v) + 1)) AS pos
+  FROM dense),
+bounds AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY pos),
+enc AS (
+  SELECT f.doc_id, f.pos, b.lo, b.hi,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                  (f.x - b.lo) / (b.hi - b.lo) * 255) AS INT))) END AS code
+  FROM flat f JOIN bounds b USING (pos)),
+dq AS (
+  SELECT doc_id,
+         list(lo + code * ((hi - lo) / 255.0) ORDER BY pos) AS dqv
+  FROM enc GROUP BY doc_id),
+dd AS (SELECT doc_id, dqv, list_dot_product(dqv, dqv) AS ddv FROM dq),
+q AS (SELECT doc_id AS q_id, v AS qv FROM dense WHERE doc_id < 3),
+scored AS (
+  SELECT p.q_id, d.doc_id,
+         round(d.ddv - 2 * list_dot_product(d.dqv, q.qv), 6) AS adist
+  FROM dd d JOIN cells ce ON d.doc_id = ce.doc_id
+  JOIN qprobe p ON ce.cell = p.cell
+  JOIN q ON q.q_id = p.q_id)
+SELECT q_id, doc_id, adist,
+       row_number() OVER (PARTITION BY q_id ORDER BY adist, doc_id) AS rn
+FROM scored
+QUALIFY rn <= 5 AND doc_id <> q_id
+ORDER BY q_id, rn
+"""
+
+
 def ann_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversity re-rank (operators/retrieval.mmr_rerank): each
     query's exact-cosine top-10 shortlist is greedily re-ranked to 3
@@ -1365,6 +1461,10 @@ QUERIES: dict[str, QueryDef] = {
     "ann_mmr_rerank": QueryDef(ann_mmr_rerank, _MMR_SQL),
     "emb_hashed_tfidf_ann": QueryDef(emb_hashed_tfidf_ann,
                                      _HASHED_TFIDF_ANN_SQL),
+    "emb_tfidf_ivf_sq_topk": QueryDef(
+        emb_tfidf_ivf_sq_topk, _TFIDF_IVF_SQ_SQL,
+        doc="text -> hashed TF-IDF -> IVF-SQ8 index -> probed ANN "
+            "(the composed scale route)"),
     "ann_hybrid_rrf": QueryDef(ann_hybrid_rrf, _HYBRID_RRF_SQL),
     "ann_index_segments": QueryDef(ann_index_segments, _SEGMENTS_SQL),
     "ann_index_append": QueryDef(ann_index_append, _IVF_PQ_SQL),
