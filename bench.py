@@ -61,6 +61,10 @@ HEADLINE = [
     # round-11 retrieval/compression tiers: lexical BM25 and SQ8 ANN
     "text_bm25_topk",
     "ann_sq_topk",
+    # round-12 tiers: file-pruned MERGE and the composed
+    # text -> vector -> indexed-ANN route
+    "merge_file_pruned",
+    "emb_tfidf_ivf_sq_topk",
 ]
 
 

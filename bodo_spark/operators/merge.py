@@ -245,7 +245,8 @@ def _bucket_expr(key_cols: list[str], n_buckets: int):
 def write_bucket_partitioned(df: DataFrame, path: str,
                              key_cols: list[str], n_buckets: int, *,
                              bucket_col: str = "mbucket",
-                             mode: str = "errorifexists") -> None:
+                             mode: str = "errorifexists",
+                             files_per_bucket: int = 1) -> None:
     """Initialize a table for file-pruned MERGE maintenance: stored
     hash-bucket-partitioned on the merge key (``bucket_col =
     pmod(xxhash64(keys), n_buckets)`` as a hive partition directory).
@@ -254,8 +255,24 @@ def write_bucket_partitioned(df: DataFrame, path: str,
     merge_into_partitioned prunes on."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    (df.withColumn(bucket_col, _bucket_expr(key_cols, n_buckets))
-     .write.mode(mode).partitionBy(bucket_col).parquet(path))
+    if files_per_bucket < 1:
+        raise ValueError(f"files_per_bucket must be >= 1, "
+                         f"got {files_per_bucket}")
+    # repartition keyed on (bucket [, intra-bucket salt]) before the
+    # dynamic-partition write: otherwise every task writes into every
+    # bucket directory -- tasks x n_buckets tiny files whose per-file
+    # writer overhead dominates (measured 5x on the BM25 store, same
+    # pattern; SCALE.md r12). files_per_bucket > 1 restores
+    # within-bucket write parallelism for big tables.
+    b = df.withColumn(bucket_col, _bucket_expr(key_cols, n_buckets))
+    if files_per_bucket == 1:
+        b = b.repartition(int(n_buckets), F.col(bucket_col))
+    else:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols],
+                                 F.lit(7)), F.lit(files_per_bucket))
+        b = b.repartition(int(n_buckets * files_per_bucket),
+                          F.col(bucket_col), salt)
+    b.write.mode(mode).partitionBy(bucket_col).parquet(path)
 
 
 def merge_into_partitioned(
@@ -363,8 +380,14 @@ def _publish_partitions(merged: DataFrame, path: str, pcol: str,
     norm = path.rstrip("/")
     staging = f"{norm}.__cow_parts_{uuid.uuid4().hex[:8]}"
     try:
-        merged.write.mode("errorifexists").partitionBy(pcol) \
-            .parquet(staging)
+        # one shuffle keyed on the partition col bounds the staged
+        # write to ~one file per touched partition (vs tasks x touched
+        # tiny files -- the per-file overhead measured on the BM25
+        # store); the touched slice is small by construction, so the
+        # reduced write parallelism is the right trade
+        (merged.repartition(max(len(touched), 1), F.col(pcol))
+         .write.mode("errorifexists").partitionBy(pcol)
+         .parquet(staging))
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise

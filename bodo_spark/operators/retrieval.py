@@ -224,10 +224,21 @@ def bm25_store_index(postings: DataFrame, path: str, *,
     tb = _term_bucket(n_term_buckets)
     postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        (postings.withColumn("tbucket", tb).write.mode(mode)
+        # repartition BY the bucket before the dynamic-partition write:
+        # a cached frame pins its partitioning (AQE cannot coalesce an
+        # InMemoryTableScan), so without this every task writes a file
+        # into every bucket directory -- tasks x buckets tiny parquet
+        # files whose per-file writer overhead dominated the store
+        # (measured 43.5 s vs 8.3 s for the same 10x write; SCALE.md
+        # r12). One shuffle keyed on the bucket -> ~one file per shard.
+        (postings.withColumn("tbucket", tb)
+         .repartition(int(n_term_buckets), F.col("tbucket"))
+         .write.mode(mode)
          .partitionBy("tbucket").parquet(f"{path}/postings"))
         ts, cs = bm25_corpus_stats(postings)
-        (ts.withColumn("tbucket", tb).write.mode(mode)
+        (ts.withColumn("tbucket", tb)
+         .repartition(int(n_term_buckets), F.col("tbucket"))
+         .write.mode(mode)
          .partitionBy("tbucket").parquet(f"{path}/term_stats"))
         cs.write.mode(mode).parquet(f"{path}/corpus_stats")
         spark.createDataFrame([(int(n_term_buckets),)],

@@ -1043,6 +1043,66 @@ QUERIES["stream_cdc_apply_pruned"] = QueryDef(
     doc="file-pruned streaming CDC apply (bucket-partitioned MERGE)")
 
 
+def stream_cdc_apply_mor(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read streaming CDC apply (operators/mor.py): the SAME
+    change stream and the SAME oracle as the two COW modes, but each
+    micro-batch is ONE O(batch) delta-segment append -- nothing is
+    read or rewritten at apply time -- with a mid-stream compaction
+    (compact_every=2) folding the log into the base, and the final
+    state read through the reconcile (latest seq per key, delete-wins,
+    tombstones persist). Three MERGE designs, one pinned state."""
+    from ..operators import mor as M
+    from ..streaming import read_stream_parquet
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_cdcm_{uuid.uuid4().hex[:8]}"
+    try:
+        M.mor_init(c.withColumn("_cdc_seq", F.lit(0).cast("long")),
+                   f"{stage}/tbl")
+
+        def ch(pred, seg, op, seq, shift=0):
+            return (c.where(pred)
+                    .select((F.col("k") + shift).alias("k"),
+                            seg.alias("seg"), F.lit(op).alias("op"),
+                            F.lit(seq).cast("long").alias("seq")))
+
+        batch_a = ch(F.col("k") % 3 == 0, F.lit("SEG_V1"), "U", 1) \
+            .unionByName(ch(F.col("k") < 5, F.lit("NEWSEG"), "U", 1,
+                            shift=1_000_000))
+        batch_b = ch(F.col("k") % 6 == 0, F.lit("SEG_V2"), "U", 2) \
+            .unionByName(ch(F.col("k") % 5 == 0,
+                            F.lit(None).cast("string"), "D", 3))
+        batch_a.coalesce(1).write.mode("append").parquet(f"{stage}/ch")
+        batch_b.coalesce(1).write.mode("append").parquet(f"{stage}/ch")
+        src = spark.read.parquet(f"{stage}/ch")
+        stream = read_stream_parquet(spark, f"{stage}/ch", src.schema,
+                                     max_files_per_trigger=1)
+        M.apply_cdc_stream_mor(stream, f"{stage}/tbl", key_cols=["k"],
+                               compact_every=2,
+                               query_name=f"cdcm_{uuid.uuid4().hex[:8]}")
+        agg = (M.mor_read(spark, f"{stage}/tbl", key_cols=["k"])
+               .groupBy("seg").agg(
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.bit_xor("k").alias("key_xor"),
+                   F.max("_cdc_seq").alias("max_seq"))
+               .orderBy("seg"))
+        rows = [tuple(r) for r in agg.collect()]
+        return spark.createDataFrame(
+            rows, "seg string, n_rows bigint, key_xor bigint, "
+                  "max_seq bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(f"{stage}/tbl__mor_ckpt", ignore_errors=True)
+
+
+QUERIES["stream_cdc_apply_mor"] = QueryDef(
+    stream_cdc_apply_mor, _STREAM_CDC_SQL,
+    doc="merge-on-read streaming CDC: O(batch) delta appends + "
+        "read-time reconcile + mid-stream compaction")
+
+
 def stream_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming rollup maintenance (streaming/cdc.py
     maintain_rollup_stream): order facts replay as a 2-file stream;

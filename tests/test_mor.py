@@ -1,0 +1,118 @@
+"""Merge-on-read delta-log table (operators/mor.py): O(batch) appends,
+read-time reconcile, compaction equivalence, tombstone semantics."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bodo_spark.operators import mor as M
+
+
+def _init(spark, tmp_path):
+    path = str(tmp_path / "t")
+    M.mor_init(spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)],
+        "k long, seg string, _cdc_seq long"), path)
+    return path
+
+
+def _state(spark, path):
+    return sorted(map(tuple, M.mor_read(spark, path, key_cols=["k"])
+                      .select("k", "seg", "_cdc_seq").collect()))
+
+
+def test_mor_apply_read_compact_roundtrip(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "a2", "U", 1), (9, "new", "U", 1), (2, None, "D", 1)],
+        "k long, seg string, op string, seq long")
+    b2 = spark.createDataFrame(
+        [(1, "a3", "U", 2), (9, None, "D", 2)],
+        "k long, seg string, op string, seq long")
+    M.mor_apply(b1, path, key_cols=["k"])
+    mid = _state(spark, path)
+    assert mid == [(1, "a2", 1), (3, "c", 0), (9, "new", 1)]
+    M.mor_apply(b2, path, key_cols=["k"])
+    want = [(1, "a3", 2), (3, "c", 0)]
+    assert _state(spark, path) == want
+    stats = M.mor_delta_stats(spark, path)
+    assert stats["n_segments"] == 2 and stats["delta_rows"] == 5
+    # compaction folds the log and preserves the state exactly
+    M.mor_compact(spark, path, key_cols=["k"])
+    assert M.mor_delta_stats(spark, path)["n_segments"] == 0
+    assert _state(spark, path) == want
+    assert not glob.glob(os.path.join(path, "base.__cow_*"))
+
+
+def test_mor_tombstone_beats_late_old_upsert(spark, tmp_path):
+    """The delta log keeps the delete as a TOMBSTONE: an older upsert
+    arriving in a later batch loses to it at reconcile -- strictly
+    stronger than the COW modes' documented no-tombstone caveat."""
+    path = _init(spark, tmp_path)
+    M.mor_apply(spark.createDataFrame(
+        [(2, None, "D", 5)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    M.mor_apply(spark.createDataFrame(
+        [(2, "late-old", "U", 3)],
+        "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    assert all(k != 2 for k, _, _ in _state(spark, path))
+
+
+def test_mor_intra_batch_disorder_and_equal_seq_delete_wins(spark,
+                                                            tmp_path):
+    path = _init(spark, tmp_path)
+    b = spark.createDataFrame(
+        [(1, "v2", "U", 2), (1, "v1", "U", 1),        # out of order
+         (3, "u?", "U", 7), (3, None, "D", 7)],        # equal seq
+        "k long, seg string, op string, seq long")
+    M.mor_apply(b, path, key_cols=["k"])
+    got = _state(spark, path)
+    assert (1, "v2", 2) in got
+    assert all(k != 3 for k, _, _ in got)              # delete wins
+
+
+def test_mor_replay_is_idempotent_at_read(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    b = spark.createDataFrame(
+        [(1, "a2", "U", 1), (2, None, "D", 1)],
+        "k long, seg string, op string, seq long")
+    M.mor_apply(b, path, key_cols=["k"])
+    first = _state(spark, path)
+    M.mor_apply(b, path, key_cols=["k"])   # full replay re-appends
+    assert _state(spark, path) == first    # reconcile picks same winners
+
+
+def test_mor_init_validates_seq(spark, tmp_path):
+    with pytest.raises(ValueError, match="seq column"):
+        M.mor_init(spark.createDataFrame([(1,)], "k long"),
+                   str(tmp_path / "x"))
+
+
+def test_mor_stream_with_mid_stream_compaction(spark, tmp_path_factory):
+    """Streaming MoR apply with compact_every=2: the reconciled state
+    must equal the batch-applied state, and the log must have been
+    folded mid-stream."""
+    from bodo_spark.streaming import read_stream_parquet
+
+    stage = str(tmp_path_factory.mktemp("mors"))
+    M.mor_init(spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], "k long, seg string, _cdc_seq long"),
+        f"{stage}/tbl")
+    ch = spark.createDataFrame(
+        [(1, "a2", "U", 1), (2, None, "D", 2), (9, "new", "U", 3)],
+        "k long, seg string, op string, seq long")
+    ch.repartition(3).write.mode("append").parquet(f"{stage}/ch")
+    src = spark.read.parquet(f"{stage}/ch")
+    stream = read_stream_parquet(spark, f"{stage}/ch", src.schema,
+                                 max_files_per_trigger=1)
+    M.apply_cdc_stream_mor(stream, f"{stage}/tbl", key_cols=["k"],
+                           compact_every=2, query_name="mor_unit")
+    got = _state(spark, f"{stage}/tbl")
+    assert got == [(1, "a2", 1), (9, "new", 3)]
+    # 3 single-row batches, compaction at >=2 segments: log was folded
+    assert M.mor_delta_stats(spark, f"{stage}/tbl")["n_segments"] < 3
