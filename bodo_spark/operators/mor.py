@@ -83,16 +83,32 @@ def mor_apply(changes: DataFrame, path: str, *, key_cols: list[str],
 
 
 def mor_read(spark, path: str, *, key_cols: list[str],
-             seq_col: str = "_cdc_seq") -> DataFrame:
+             seq_col: str = "_cdc_seq",
+             as_of_segment: int | None = None) -> DataFrame:
     """Reconciled current state: base UNION deltas -> one window per
     key picks the highest (seq, delete-first) version; winning deletes
     drop. Returns the base schema (payload + ``seq_col``). Read
     amplification = delta mass scanned on top of the base -- watch
-    mor_delta_stats and compact."""
+    mor_delta_stats and compact.
+
+    ``as_of_segment=n``: TIME TRAVEL -- reconcile only the first ``n``
+    delta segments (0 = the base as-is), i.e. the table state as of
+    that append; the delta log doubles as the snapshot history for
+    free, exactly the Hudi/Iceberg incremental-read economics. Valid
+    between compactions (mor_compact folds consumed segments into the
+    base and truncates that history -- a real lakehouse keeps the old
+    snapshots; here sources/versioned.py is the retained-history
+    twin)."""
     base = spark.read.parquet(os.path.join(path, "base"))
     payload = [c for c in base.columns
                if c not in key_cols and c != seq_col]
     dd = _delta_dirs(path)
+    if as_of_segment is not None:
+        if not 0 <= as_of_segment <= len(dd):
+            raise ValueError(
+                f"as_of_segment must be in [0, {len(dd)}], "
+                f"got {as_of_segment}")
+        dd = dd[:as_of_segment]
     if not dd:
         return base
     b = base.select(

@@ -38,7 +38,8 @@ from .similarity import dot
 
 __all__ = ["sq_train", "sq_encode", "sq_topk", "ivf_sq_index",
            "ivf_sq_topk", "sq_append", "sq_clamp_fraction",
-           "sq_reconstruction_mse", "sq_compact"]
+           "sq_reconstruction_mse", "sq_compact",
+           "ivf_sq_topk_segments"]
 
 
 def sq_train(vectors: DataFrame, *,
@@ -196,6 +197,31 @@ def ivf_sq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,
     deterministic centroid table -- pass ``centroids`` and it is not
     read at all); the only corpus-sized exchange is the hash join on
     the cell id."""
+    scored = _ivf_sq_scored(index, queries, vectors, los, his,
+                            n_probe=n_probe, n_cells=n_cells,
+                            centroids=centroids, id_col=id_col,
+                            vec_col=vec_col, q_id_col=q_id_col,
+                            q_vec_col=q_vec_col, coarse_dim=coarse_dim,
+                            bits=bits)
+    return _sq_topk_by_adist(scored, k, q_id_col, id_col)
+
+
+def _sq_topk_by_adist(scored: DataFrame, k: int, q_id_col: str,
+                      id_col: str) -> DataFrame:
+    from pyspark.sql import Window as Wnd
+    wk = Wnd.partitionBy(q_id_col).orderBy("adist", id_col)
+    return (scored.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= k)
+            .select(q_id_col, id_col, "adist",
+                    F.col("rn").cast("bigint").alias("rn")))
+
+
+def _ivf_sq_scored(index: DataFrame, queries: DataFrame,
+                   vectors: DataFrame, los: list, his: list, *,
+                   n_probe: int, n_cells: int,
+                   centroids: list | None, id_col: str, vec_col: str,
+                   q_id_col: str, q_vec_col: str, coarse_dim: int,
+                   bits: int) -> DataFrame:
     from pyspark.sql import Window as Wnd
 
     from .similarity import _centroid_table
@@ -224,12 +250,47 @@ def ivf_sq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,
             .join(F.broadcast(qprobe), "cell")
             .join(F.broadcast(qv), q_id_col))
     adist = F.round(F.col("_dd") - 2 * dot(F.col("_dq"), F.col("_qv")), 6)
-    scored = cand.select(q_id_col, id_col, adist.alias("adist"))
-    wk = Wnd.partitionBy(q_id_col).orderBy("adist", id_col)
-    return (scored.withColumn("rn", F.row_number().over(wk))
-            .where(F.col("rn") <= k)
-            .select(q_id_col, id_col, "adist",
-                    F.col("rn").cast("bigint").alias("rn")))
+    return cand.select(q_id_col, id_col, adist.alias("adist"))
+
+
+def ivf_sq_topk_segments(segments: list, queries: DataFrame,
+                         vectors: DataFrame, *, k: int = 5,
+                         n_probe: int = 2, n_cells: int = 8,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         q_id_col: str = "q_id",
+                         q_vec_col: str = "q_vec",
+                         coarse_dim: int = 16,
+                         bits: int = 8) -> DataFrame:
+    """Search SPANNING index segments encoded under DIFFERENT bounds
+    versions -- the mid-migration state the SQ lifecycle passes through
+    (old segments on the previous [lo, hi], new batches on retrained
+    bounds) -- the ivf_pq_topk_segments contract for the bounds-model
+    family. ``segments`` is a list of ``(index, los, his)`` or
+    ``(index, los, his, centroids)``; each segment's rows are
+    dequantized under ITS OWN bounds (dequantization is bounds-bound:
+    mixing generations is the correctness bug sq_compact's docstring
+    warns against), the per-segment scored passes union, and one
+    global per-query top-k ranks them. Cell routing stays the SHARED
+    centroid source (pin ``vectors``/centroids across segments so all
+    generations live in one cell space). Per-segment work is the
+    probed fraction of that segment's code rows; the union is a
+    no-shuffle concatenate; the only exchange is the final top-k
+    window."""
+    if not segments:
+        raise ValueError("segments must be non-empty")
+    scored = None
+    for seg in segments:
+        idx, los, his, *rest = seg
+        cents = rest[0] if rest else None
+        s = _ivf_sq_scored(idx, queries, vectors, los, his,
+                           n_probe=n_probe, n_cells=n_cells,
+                           centroids=cents, id_col=id_col,
+                           vec_col=vec_col, q_id_col=q_id_col,
+                           q_vec_col=q_vec_col, coarse_dim=coarse_dim,
+                           bits=bits)
+        scored = s if scored is None else scored.unionByName(s)
+    return _sq_topk_by_adist(scored, k, q_id_col, id_col)
 
 
 # --------------------------------------------------------------------------

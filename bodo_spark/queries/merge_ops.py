@@ -547,7 +547,109 @@ FROM merged GROUP BY seg ORDER BY seg
 """
 
 
+# --------------------------------------------------------------------------
+# MoR time travel (operators/mor.mor_read(as_of_segment=)): the delta
+# log doubles as snapshot history -- reading the table as of segment 0
+# (the base), 1 (after batch A) and 2 (head) must reproduce each
+# historical state exactly; the oracle re-derives all three from the
+# change definitions.
+
+def merge_mor_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Three snapshots of a MoR-maintained dimension, each pinned:
+    (phase, n_rows, key_xor, max_seq)."""
+    import shutil
+    import uuid
+
+    from ..operators import mor as M
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_mortt_{uuid.uuid4().hex[:8]}"
+    try:
+        M.mor_init(c.withColumn("_cdc_seq", F.lit(0).cast("long")),
+                   stage)
+
+        def ch(pred, seg, op, seq, shift=0):
+            return (c.where(pred)
+                    .select((F.col("k") + shift).alias("k"),
+                            seg.alias("seg"), F.lit(op).alias("op"),
+                            F.lit(seq).cast("long").alias("seq")))
+
+        batch_a = ch(F.col("k") % 3 == 0, F.lit("SEG_V1"), "U", 1) \
+            .unionByName(ch(F.col("k") < 5, F.lit("NEWSEG"), "U", 1,
+                            shift=1_000_000))
+        batch_b = ch(F.col("k") % 6 == 0, F.lit("SEG_V2"), "U", 2) \
+            .unionByName(ch(F.col("k") % 5 == 0,
+                            F.lit(None).cast("string"), "D", 3))
+        M.mor_apply(batch_a, stage, key_cols=["k"])
+        M.mor_apply(batch_b, stage, key_cols=["k"])
+        rows = []
+        for phase, n in (("asof0", 0), ("asof1", 1), ("head", 2)):
+            st = M.mor_read(spark, stage, key_cols=["k"],
+                            as_of_segment=n)
+            a = st.agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.bit_xor("k").alias("key_xor"),
+                       F.max("_cdc_seq").alias("max_seq")).collect()[0]
+            rows.append((phase, a["n_rows"], a["key_xor"],
+                         a["max_seq"]))
+        return spark.createDataFrame(
+            rows, "phase string, n_rows bigint, key_xor bigint, "
+                  "max_seq bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_MOR_TT_SQL = """
+WITH init AS (
+  SELECT c_custkey AS k, CAST(0 AS BIGINT) AS sq FROM customer),
+cha AS (
+  SELECT c_custkey AS k, 'U' AS op, CAST(1 AS BIGINT) AS sq
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'U', 1 FROM customer WHERE c_custkey < 5),
+chb AS (
+  SELECT c_custkey AS k, 'U' AS op, CAST(2 AS BIGINT) AS sq
+  FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT c_custkey, 'D', 3 FROM customer WHERE c_custkey % 5 = 0),
+asof1 AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN (
+    SELECT k, op, sq,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY sq DESC, op ASC) AS rn
+    FROM cha QUALIFY rn = 1) l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D'),
+head AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN (
+    SELECT k, op, sq,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY sq DESC, op ASC) AS rn
+    FROM (SELECT * FROM cha UNION ALL SELECT * FROM chb)
+    QUALIFY rn = 1) l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D')
+SELECT * FROM (
+  SELECT 'asof0' AS phase, COUNT(*) AS n_rows, bit_xor(k) AS key_xor,
+         CAST(MAX(sq) AS BIGINT) AS max_seq FROM init
+  UNION ALL
+  SELECT 'asof1', COUNT(*), bit_xor(k), CAST(MAX(sq) AS BIGINT)
+  FROM asof1
+  UNION ALL
+  SELECT 'head', COUNT(*), bit_xor(k), CAST(MAX(sq) AS BIGINT)
+  FROM head)
+ORDER BY phase
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "merge_mor_time_travel": QueryDef(
+        merge_mor_time_travel, _MOR_TT_SQL,
+        doc="MoR delta log as snapshot history: three as-of states "
+            "pinned"),
     "merge_file_pruned": QueryDef(
         merge_file_pruned, _MERGE_PRUNED_SQL,
         doc="file-pruned MERGE: only touched key-hash buckets rewritten"),

@@ -1264,6 +1264,96 @@ ORDER BY q_id, rn
 """
 
 
+def ann_sq_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-bounds-version search (operators/sq.py
+    ivf_sq_topk_segments): the SQ mid-migration state -- an old
+    segment (vec_id % 3 <> 0) still encoded under ITS bounds and a new
+    segment (vec_id % 3 = 0) under retrained full-corpus bounds --
+    searched in ONE pass, each segment dequantized under its own
+    generation (bounds-bound, the mixing bug the operator exists to
+    prevent), cells shared. The oracle re-derives BOTH bounds sets,
+    both encodings, the shared probe list and the global ranking."""
+    from ..operators import sq as Q
+    emb = tbl(spark, sf, "embeddings")
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    los_o, his_o = Q.sq_train(old)
+    los_n, his_n = Q.sq_train(emb)
+    seg_old = Q.ivf_sq_index(old, los_o, his_o, n_cells=8,
+                             seed_vectors=emb)
+    seg_new = Q.ivf_sq_index(new, los_n, his_n, n_cells=8,
+                             seed_vectors=emb)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return (Q.ivf_sq_topk_segments(
+        [(seg_old, los_o, his_o), (seg_new, los_n, his_n)],
+        queries, emb, k=5, n_probe=2, n_cells=8)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .orderBy("q_id", "rn"))
+
+
+def _sq_seg_block(tag: str, bounds_pred: str, corpus_pred: str) -> str:
+    """One bounds generation: per-dim [lo,hi] over ``bounds_pred`` rows,
+    encode + dequantize the ``corpus_pred`` segment under them (DuckDB
+    twin of sq_train -> ivf_sq_index for one segment)."""
+    return f"""
+flat{tag} AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings WHERE {bounds_pred}),
+bounds{tag} AS (
+  SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM flat{tag} GROUP BY pos),
+enc{tag} AS (
+  SELECT f.vec_id, f.pos, b.lo, b.hi,
+         CASE WHEN b.hi = b.lo THEN 0
+              ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                  (f.x - b.lo) / (b.hi - b.lo) * 255) AS INT))) END AS code
+  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings WHERE {corpus_pred}) f
+  JOIN bounds{tag} b USING (pos)),
+dd{tag} AS (
+  SELECT vec_id, dqv, list_dot_product(dqv, dqv) AS ddv FROM (
+    SELECT vec_id,
+           list(lo + code * ((hi - lo) / 255.0) ORDER BY pos) AS dqv
+    FROM enc{tag} GROUP BY vec_id)),
+sc{tag} AS (
+  SELECT p.q_id, d.vec_id,
+         round(d.ddv - 2 * list_dot_product(d.dqv, q.qv), 6) AS adist
+  FROM dd{tag} d JOIN cells v ON d.vec_id = v.vec_id
+  JOIN qprobe p ON v.cell = p.cell
+  JOIN q ON q.q_id = p.q_id)"""
+
+
+_SQ_SEGMENTS_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding[1:16] AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(-({_SQL_COS9.format(a='e.embedding[1:16]',
+                                                b='c.cvec')}), 9),
+                      c.cid) AS crn
+  FROM embeddings e CROSS JOIN cents c),
+cells AS (SELECT vec_id, cid AS cell FROM asg WHERE crn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, cid AS cell
+  FROM asg WHERE vec_id < 3 AND crn <= 2),
+q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+{_sq_seg_block('o', 'vec_id % 3 <> 0', 'vec_id % 3 <> 0')},
+{_sq_seg_block('n', 'TRUE', 'vec_id % 3 = 0')},
+scored AS (SELECT * FROM sco UNION ALL SELECT * FROM scn)
+SELECT q_id, vec_id, adist,
+       row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+FROM scored
+QUALIFY rn <= 5 AND vec_id <> q_id
+ORDER BY q_id, rn
+"""
+
+
 def ann_sq_staleness(spark: SparkSession, sf: str) -> DataFrame:
     """SQ bounds staleness + compaction (operators/sq.py
     sq_clamp_fraction + sq_reconstruction_mse + sq_compact -- the
@@ -1458,6 +1548,10 @@ QUERIES: dict[str, QueryDef] = {
         ann_sq_staleness, _SQ_STALENESS_SQL,
         doc="SQ bounds staleness: clamp fraction + reconstruction MSE, "
             "stale vs compacted"),
+    "ann_sq_segments": QueryDef(
+        ann_sq_segments, _SQ_SEGMENTS_SQL,
+        doc="mixed-bounds-version SQ search: each segment dequantized "
+            "under its own generation"),
     "ann_mmr_rerank": QueryDef(ann_mmr_rerank, _MMR_SQL),
     "emb_hashed_tfidf_ann": QueryDef(emb_hashed_tfidf_ann,
                                      _HASHED_TFIDF_ANN_SQL),

