@@ -334,10 +334,21 @@ def merge_into_partitioned(
         if pcol not in source.columns:
             raise ValueError(f"source lacks partition column {pcol!r}")
         src_p = source
-    touched = sorted(r[0] for r in
-                     src_p.select(pcol).distinct().collect())
+    touched = sorted((r[0] for r in
+                      src_p.select(pcol).distinct().collect()),
+                     key=lambda v: (v is None, v))
     if not touched:
         return []
+    if touched[-1] is None or (touched and touched[0] is None):
+        # isin() never matches NULL, so the target slice would miss the
+        # NULL-partition rows and the swap would then REPLACE that
+        # directory with only the batch's rows -- silent data loss.
+        # Refuse; bucket mode cannot produce NULL buckets (xxhash64 is
+        # total), which is the supported route for nullable keys.
+        raise ValueError(
+            "source contains NULL partition values -- unsupported in "
+            "natural part_col mode (the pruned scan cannot match them); "
+            "use n_buckets mode")
     tgt = spark.read.parquet(path).where(F.col(pcol).isin(touched))
     if n_buckets is not None:
         # the bucket is a pure function of the key: drop it through the

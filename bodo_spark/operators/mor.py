@@ -54,6 +54,11 @@ def mor_init(df: DataFrame, path: str, *, seq_col: str = "_cdc_seq",
     the base; the delta log starts empty."""
     if seq_col not in df.columns:
         raise ValueError(f"df lacks seq column {seq_col!r}")
+    clash = {c for c in df.columns} & {_OP, "_seq"}
+    if clash:
+        raise ValueError(f"columns {sorted(clash)} collide with the "
+                         "MoR bookkeeping columns (_op, _seq) -- "
+                         "rename them")
     df.write.mode(mode).parquet(os.path.join(path, "base"))
     os.makedirs(os.path.join(path, "delta"), exist_ok=True)
 

@@ -158,3 +158,25 @@ def test_arg_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="lacks partition column"):
         merge_into_partitioned(spark, "/nope", src, ["k"],
                                part_col="region")
+
+
+def test_natural_mode_null_part_value_refused(spark, tmp_path):
+    """A NULL partition value in the source must raise, not silently
+    drop the NULL-partition directory's other rows (isin never matches
+    NULL, so the slice-and-swap would replace that dir with only the
+    batch rows)."""
+    t = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, None, 3.0)],
+        "k long, region string, v double")
+    path = str(tmp_path / "tbl")
+    t.write.partitionBy("region").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path)
+                        .select("k", "v").collect()))
+    bad = spark.createDataFrame([(2, None, 9.0)],
+                                "k long, region string, v double")
+    with pytest.raises(ValueError, match="NULL partition"):
+        merge_into_partitioned(
+            spark, path, bad, ["k"], part_col="region",
+            when_matched_update={"v": F.col("src_v")})
+    assert sorted(map(tuple, spark.read.parquet(path)
+                      .select("k", "v").collect())) == before

@@ -136,3 +136,10 @@ def test_mor_as_of_segment_time_travel(spark, tmp_path):
     assert st(2) == _state(spark, path)   # full log == head read
     with pytest.raises(ValueError, match="as_of_segment"):
         M.mor_read(spark, path, key_cols=["k"], as_of_segment=3)
+
+
+def test_mor_init_refuses_bookkeeping_collisions(spark, tmp_path):
+    with pytest.raises(ValueError, match="collide"):
+        M.mor_init(spark.createDataFrame(
+            [(1, "x", 0)], "k long, _op string, _cdc_seq long"),
+            str(tmp_path / "y"))
