@@ -258,6 +258,10 @@ def write_bucket_partitioned(df: DataFrame, path: str,
     if files_per_bucket < 1:
         raise ValueError(f"files_per_bucket must be >= 1, "
                          f"got {files_per_bucket}")
+    if bucket_col in df.columns:
+        raise ValueError(
+            f"column {bucket_col!r} collides with the bucket "
+            "bookkeeping column -- rename it or pass bucket_col=")
     # repartition keyed on (bucket [, intra-bucket salt]) before the
     # dynamic-partition write: otherwise every task writes into every
     # bucket directory -- tasks x n_buckets tiny files whose per-file
@@ -284,6 +288,8 @@ def merge_into_partitioned(
     part_col: str | None = None,
     n_buckets: int | None = None,
     bucket_col: str = "mbucket",
+    max_touched: int = 4096,
+    validate_cross_partition: bool = False,
     **merge_kwargs,
 ) -> list:
     """File-pruned MERGE against a partitioned parquet table: only the
@@ -303,10 +309,27 @@ def merge_into_partitioned(
       its keys (bounded collect, <= n_buckets values); inserts/updates/
       deletes can never escape the touched set by construction.
     - ``part_col``: a natural partition column, present in ``source``
-      and IMMUTABLE under the merge (the hive-partition contract). A
-      matched update that moves a row across partitions is detected at
-      publish time and raises (its staged partition falls outside the
-      touched set). ``when_not_matched_insert`` must map ``part_col``.
+      and IMMUTABLE under the merge (the hive-partition contract), with
+      int/string values only (other types render differently in hive
+      directory names than ``str()`` -- rejected early). Each source
+      row's ``part_col`` must equal its matched row's STORED partition:
+      the pruned scan only reads the source's partitions, so a source
+      row pointing at the wrong partition never sees its match and
+      would INSERT A DUPLICATE key while the stored row survives.
+      Updates that move a row across partitions are caught at publish
+      time only when the staged partition falls outside the touched
+      set; ``validate_cross_partition=True`` closes the remaining gap
+      by anti-checking source keys against the table OUTSIDE the
+      touched slice (one extra scan of the untouched partitions --
+      key-only, broadcast semi join, no shuffle -- so opt-in).
+      ``when_not_matched_insert`` must map ``part_col``.
+
+    ``max_touched``: driver-memory guard -- the touched-partition list
+    is collected, bounded by ``n_buckets`` in bucket mode but unbounded
+    in principle in natural mode; a batch touching more distinct
+    partition values than this raises with guidance (fall back to
+    merge_into_parquet or use n_buckets mode) instead of risking the
+    driver.
 
     Plan shape: the target scan carries ``part_col IN (touched)`` --
     static partition pruning, asserted in test_plans -- then ONE merge
@@ -333,10 +356,26 @@ def merge_into_partitioned(
         pcol = part_col
         if pcol not in source.columns:
             raise ValueError(f"source lacks partition column {pcol!r}")
+        from pyspark.sql import types as T
+        ptyp = source.schema[pcol].dataType
+        if not isinstance(ptyp, (T.ByteType, T.ShortType, T.IntegerType,
+                                 T.LongType, T.StringType)):
+            raise ValueError(
+                f"part_col {pcol!r} has type {ptyp.simpleString()} -- "
+                "natural part_col mode supports int/string values only "
+                "(hive renders other types differently than str()); "
+                "use n_buckets mode")
         src_p = source
-    touched = sorted((r[0] for r in
-                      src_p.select(pcol).distinct().collect()),
-                     key=lambda v: (v is None, v))
+    cap = max(int(max_touched), n_buckets or 0)
+    tvals = [r[0] for r in
+             src_p.select(pcol).distinct().limit(cap + 1).collect()]
+    if len(tvals) > cap:
+        raise ValueError(
+            f"batch touches more than {cap} distinct {pcol!r} values "
+            "-- the touched-partition list would not be driver-safe; "
+            "raise max_touched, use n_buckets mode, or fall back to "
+            "merge_into_parquet (full COW) for this batch")
+    touched = sorted(tvals, key=lambda v: (v is None, v))
     if not touched:
         return []
     if touched[-1] is None or (touched and touched[0] is None):
@@ -350,6 +389,25 @@ def merge_into_partitioned(
             "natural part_col mode (the pruned scan cannot match them); "
             "use n_buckets mode")
     tgt = spark.read.parquet(path).where(F.col(pcol).isin(touched))
+    if validate_cross_partition and n_buckets is None:
+        # natural mode's silent-duplication hazard: a source row whose
+        # part_col differs from its key's STORED partition never meets
+        # its match in the pruned slice. Check: no source key may exist
+        # in the table outside the touched partitions. Key-only scan of
+        # the untouched slice x broadcast(source keys), stop at one hit.
+        src_keys = source.select(*on).distinct()
+        outside = (spark.read.parquet(path)
+                   .where(~F.col(pcol).isin(touched))
+                   .select(*on)
+                   .join(F.broadcast(src_keys), list(on), "left_semi"))
+        hit = outside.take(1)
+        if hit:
+            raise ValueError(
+                f"source key {tuple(hit[0])} exists in a partition "
+                f"outside the touched set -- its source row's "
+                f"{pcol!r} does not match the stored partition; the "
+                "pruned merge would duplicate the key (part_col must "
+                "equal the stored row's partition)")
     if n_buckets is not None:
         # the bucket is a pure function of the key: drop it through the
         # merge and recompute for every output row (insert exprs need

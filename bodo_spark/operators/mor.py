@@ -13,17 +13,35 @@ directories; the reference gets the equivalent from Iceberg
 (bodo/io/iceberg/merge_into.py:33).
 
 Layout under ``path``:
-    base/              the compacted table (payload + seq column)
+    base/                   the compacted table (payload + seq column;
+                            hive-partitioned by a key-hash bucket when
+                            initialized with ``n_buckets``)
     delta/d-<n>-*.parquet   one directory-free segment per batch,
-                       rows = (keys, payload, seq, _op 'U'|'D')
+                            rows = (keys, payload, seq, _op 'U'|'D');
+                            ``<n>`` is a GLOBAL monotone segment number
+    meta.json               {n_buckets, bucket_col, base_seg,
+                            archived_bases} -- base_seg = how many
+                            segments the current base has folded in
+    archive/                (retain_history compactions only) hardlink
+                            snapshots ``base-<g>`` of superseded bases
+                            plus the consumed delta segments -- the
+                            snapshot history that keeps as-of reads
+                            valid ACROSS compactions
 
 Reconcile semantics (mor_read): among a key's base row (op 'U') and
 all its delta rows, the HIGHEST seq wins; ties break delete-first
 ('D' < 'U' -- the apply_cdc_stream delete-wins convention); a winning
-'D' removes the key. One window over base+deltas keyed on the merge
-key -- at scale the deltas are a small fraction of the base between
-compactions, and compaction (mor_compact) restores zero read
-amplification with one COW publish (guarded swap, cow_publish).
+'D' removes the key.
+
+Read-path scale shape: between compactions the delta log is a small
+fraction of the base, so the reconcile SPLITS the base around the
+broadcast delta key set -- untouched keys pass through a broadcast
+left-anti join with NO base shuffle, and only the semi-joined slice +
+deltas enter the per-key window (a delta-sized exchange). The naive
+alternative (union the full base and window every key) hash-shuffles
+100% of the base per read -- the read-side analogue of the full-COW
+rewrite; ``pruned=False`` keeps it for the degenerate delta-log-~=
+-base case.
 
 Write-path contract mirrors apply_cdc_stream: per-key seq must be
 monotone across batches (a replayed batch re-appends rows, but
@@ -35,7 +53,9 @@ mor gate pins a full replay).
 from __future__ import annotations
 
 import glob
+import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame
@@ -46,12 +66,42 @@ __all__ = ["mor_init", "mor_apply", "mor_read", "mor_compact",
            "mor_delta_stats", "apply_cdc_stream_mor"]
 
 _OP = "_op"
+_META = "meta.json"
+
+
+def _read_meta(path: str) -> dict:
+    p = os.path.join(path, _META)
+    if os.path.exists(p):
+        with open(p) as f:
+            meta = json.load(f)
+    else:
+        meta = {}
+    meta.setdefault("n_buckets", None)
+    meta.setdefault("bucket_col", "mbucket")
+    meta.setdefault("base_seg", 0)
+    meta.setdefault("archived_bases", [])
+    return meta
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = os.path.join(path, f".{_META}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _META))  # atomic on POSIX
 
 
 def mor_init(df: DataFrame, path: str, *, seq_col: str = "_cdc_seq",
-             mode: str = "errorifexists") -> None:
+             mode: str = "errorifexists",
+             key_cols: list[str] | None = None,
+             n_buckets: int | None = None,
+             bucket_col: str = "mbucket") -> None:
     """Initialize the MoR table: ``df`` (payload + ``seq_col``) becomes
-    the base; the delta log starts empty."""
+    the base; the delta log starts empty.
+
+    ``n_buckets`` (with ``key_cols``): store the base key-hash-bucket
+    partitioned (merge.write_bucket_partitioned), so mor_compact folds
+    deltas into ONLY the touched bucket directories -- compaction cost
+    bound by the change mass, not the base size."""
     if seq_col not in df.columns:
         raise ValueError(f"df lacks seq column {seq_col!r}")
     clash = {c for c in df.columns} & {_OP, "_seq"}
@@ -59,12 +109,27 @@ def mor_init(df: DataFrame, path: str, *, seq_col: str = "_cdc_seq",
         raise ValueError(f"columns {sorted(clash)} collide with the "
                          "MoR bookkeeping columns (_op, _seq) -- "
                          "rename them")
-    df.write.mode(mode).parquet(os.path.join(path, "base"))
+    if n_buckets is not None:
+        if not key_cols:
+            raise ValueError("n_buckets requires key_cols at init "
+                             "(the bucket is a key hash)")
+        from .merge import write_bucket_partitioned
+        write_bucket_partitioned(df, os.path.join(path, "base"),
+                                 list(key_cols), int(n_buckets),
+                                 bucket_col=bucket_col, mode=mode)
+    else:
+        df.write.mode(mode).parquet(os.path.join(path, "base"))
     os.makedirs(os.path.join(path, "delta"), exist_ok=True)
+    _write_meta(path, {"n_buckets": n_buckets, "bucket_col": bucket_col,
+                       "base_seg": 0, "archived_bases": []})
 
 
 def _delta_dirs(path: str) -> list[str]:
     return sorted(glob.glob(os.path.join(path, "delta", "d-*")))
+
+
+def _seg_num(seg_dir: str) -> int:
+    return int(os.path.basename(seg_dir).split("-")[1])
 
 
 def mor_apply(changes: DataFrame, path: str, *, key_cols: list[str],
@@ -78,7 +143,8 @@ def mor_apply(changes: DataFrame, path: str, *, key_cols: list[str],
          .orderBy(F.col(src_seq_col).desc(), F.col(op_col).asc()))
     last = (changes.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
-    n = len(_delta_dirs(path))
+    meta = _read_meta(path)
+    n = meta["base_seg"] + len(_delta_dirs(path))
     seg = os.path.join(path, "delta",
                        f"d-{n:06d}-{uuid.uuid4().hex[:8]}")
     (last.withColumnRenamed(op_col, _OP)
@@ -87,50 +153,98 @@ def mor_apply(changes: DataFrame, path: str, *, key_cols: list[str],
     return seg
 
 
-def mor_read(spark, path: str, *, key_cols: list[str],
-             seq_col: str = "_cdc_seq",
-             as_of_segment: int | None = None) -> DataFrame:
-    """Reconciled current state: base UNION deltas -> one window per
-    key picks the highest (seq, delete-first) version; winning deletes
-    drop. Returns the base schema (payload + ``seq_col``). Read
-    amplification = delta mass scanned on top of the base -- watch
-    mor_delta_stats and compact.
-
-    ``as_of_segment=n``: TIME TRAVEL -- reconcile only the first ``n``
-    delta segments (0 = the base as-is), i.e. the table state as of
-    that append; the delta log doubles as the snapshot history for
-    free, exactly the Hudi/Iceberg incremental-read economics. Valid
-    between compactions (mor_compact folds consumed segments into the
-    base and truncates that history -- a real lakehouse keeps the old
-    snapshots; here sources/versioned.py is the retained-history
-    twin)."""
-    base = spark.read.parquet(os.path.join(path, "base"))
-    payload = [c for c in base.columns
-               if c not in key_cols and c != seq_col]
-    dd = _delta_dirs(path)
-    if as_of_segment is not None:
-        if not 0 <= as_of_segment <= len(dd):
-            raise ValueError(
-                f"as_of_segment must be in [0, {len(dd)}], "
-                f"got {as_of_segment}")
-        dd = dd[:as_of_segment]
-    if not dd:
-        return base
+def _reconcile(base: DataFrame, deltas: DataFrame,
+               key_cols: list[str], payload: list[str],
+               seq_col: str, *, pruned: bool) -> DataFrame:
+    """base + delta rows -> current state (one winner per key, winning
+    deletes dropped). ``pruned``: split the base around the broadcast
+    delta key set so untouched keys never shuffle (module docstring);
+    the two paths are value-identical (null-safe key match in the
+    joins, matching the window's NULL grouping)."""
     b = base.select(
-        *key_cols,
-        *payload,
-        F.col(seq_col).alias("_seq"),
-        F.lit("U").alias(_OP))
-    d = (spark.read.parquet(*dd)
-         .select(*key_cols, *payload, "_seq", _OP))
-    un = b.unionByName(d)
+        *key_cols, *payload,
+        F.col(seq_col).alias("_seq"), F.lit("U").alias(_OP))
+    d = deltas.select(*key_cols, *payload, "_seq", _OP)
     w = (W.partitionBy(*key_cols)
          .orderBy(F.col("_seq").desc(), F.col(_OP).asc()))
-    cur = (un.withColumn("_rn", F.row_number().over(w))
-           .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
-           .select(*key_cols, *payload,
-                   F.col("_seq").alias(seq_col)))
-    return cur
+    if not pruned:
+        un = b.unionByName(d)
+        return (un.withColumn("_rn", F.row_number().over(w))
+                .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
+                .select(*key_cols, *payload,
+                        F.col("_seq").alias(seq_col)))
+    dkeys = (d.select(*[F.col(k).alias(f"_dk_{k}") for k in key_cols])
+             .distinct())
+    cond = [F.col(k).eqNullSafe(F.col(f"_dk_{k}")) for k in key_cols]
+    untouched = (base.join(F.broadcast(dkeys), cond, "left_anti")
+                 .select(*key_cols, *payload, seq_col))
+    contested = (b.join(F.broadcast(dkeys), cond, "left_semi")
+                 .unionByName(d))
+    winners = (contested.withColumn("_rn", F.row_number().over(w))
+               .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
+               .select(*key_cols, *payload,
+                       F.col("_seq").alias(seq_col)))
+    return untouched.unionByName(winners)
+
+
+def mor_read(spark, path: str, *, key_cols: list[str],
+             seq_col: str = "_cdc_seq",
+             as_of_segment: int | None = None,
+             pruned: bool = True) -> DataFrame:
+    """Reconciled current state with the base schema (payload +
+    ``seq_col``). Read amplification = delta mass scanned on top of the
+    base -- watch mor_delta_stats and compact.
+
+    ``pruned`` (default): broadcast anti/semi split on the delta key
+    set -- untouched base rows bypass the reconcile window entirely (no
+    base shuffle; plan-contract-tested). ``pruned=False`` windows the
+    full union -- only sensible when the delta log rivals the base.
+
+    ``as_of_segment=n``: TIME TRAVEL -- the table state after the first
+    ``n`` delta segments GLOBALLY (0 = the initial base). Segments the
+    current base has folded in are replayed from the archive when the
+    folding compaction ran with ``retain_history=True`` (hardlink base
+    snapshots + archived segments -- the Iceberg retained-snapshot
+    economics); otherwise pre-compaction states raise cleanly."""
+    meta = _read_meta(path)
+    base_seg = meta["base_seg"]
+    live = _delta_dirs(path)
+    head = base_seg + len(live)
+    n = head if as_of_segment is None else as_of_segment
+    if not 0 <= n <= head:
+        raise ValueError(
+            f"as_of_segment must be in [0, {head}], got {n}")
+    if n >= base_seg:
+        base_path = os.path.join(path, "base")
+        segs = live[:n - base_seg]
+    else:
+        gens = sorted(int(g) for g in meta["archived_bases"])
+        cands = [g for g in gens if g <= n]
+        if not cands:
+            raise ValueError(
+                f"snapshot as_of_segment={n} predates the oldest "
+                "retained base -- the folding compaction ran without "
+                "retain_history=True, so that state is gone")
+        g = max(cands)
+        base_path = os.path.join(path, "archive", f"base-{g:06d}")
+        arch = sorted(glob.glob(os.path.join(path, "archive", "delta",
+                                             "d-*")))
+        segs = [s for s in arch if g <= _seg_num(s) < n]
+        if len(segs) != n - g:
+            raise ValueError(
+                f"archive is missing segments for [{g}, {n}) -- a "
+                "compaction in that range ran without "
+                "retain_history=True")
+    base = spark.read.parquet(base_path)
+    if meta["n_buckets"] is not None:
+        base = base.drop(meta["bucket_col"])
+    payload = [c for c in base.columns
+               if c not in key_cols and c != seq_col]
+    if not segs:
+        return base.select(*key_cols, *payload, seq_col)
+    deltas = spark.read.parquet(*segs)
+    return _reconcile(base, deltas, key_cols, payload, seq_col,
+                      pruned=pruned)
 
 
 def mor_delta_stats(spark, path: str) -> dict:
@@ -146,20 +260,87 @@ def mor_delta_stats(spark, path: str) -> dict:
                               if base_rows else float("inf"))}
 
 
+def _snapshot_dir(src: str, dst: str) -> None:
+    """Hardlink-copy a parquet directory tree: snapshots cost metadata,
+    not data movement, because parquet files are immutable once written
+    and the publish steps only move/unlink whole files -- exactly the
+    share-unchanged-files economics of an Iceberg/Delta snapshot (old
+    manifests keep referencing old files). Falls back to a real copy
+    where the filesystem refuses links."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tdir = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tdir, exist_ok=True)
+        for fn in files:
+            s, t = os.path.join(root, fn), os.path.join(tdir, fn)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+
+
 def mor_compact(spark, path: str, *, key_cols: list[str],
-                seq_col: str = "_cdc_seq") -> None:
-    """Fold the delta log into a fresh base (ONE reconcile pass + one
-    COW publish with the guarded-swap discipline) and clear the
-    consumed segments. Readers spanning the compaction see either the
-    old base+deltas or the new base -- the same state by the reconcile
-    invariant."""
-    from .merge import cow_publish
+                seq_col: str = "_cdc_seq",
+                retain_history: bool = False) -> None:
+    """Fold the delta log into the base and clear the consumed
+    segments. Readers spanning the compaction see either the old
+    base+deltas or the new base -- the same state by the reconcile
+    invariant.
+
+    Cost shape: on a bucketed table (mor_init ``n_buckets``) only the
+    partitions whose buckets the deltas touch are reconciled and
+    swapped (merge._publish_partitions) -- compaction work is bound by
+    the CHANGE mass; untouched bucket directories are never opened. A
+    plain table pays one full reconcile + COW publish (guarded swap,
+    cow_publish).
+
+    ``retain_history``: snapshot the superseded base into ``archive/``
+    (hardlinks -- metadata cost only) and move the consumed segments
+    there instead of deleting, so mor_read(as_of_segment=) keeps
+    replaying PRE-compaction states."""
+    from .merge import _bucket_expr, _publish_partitions, cow_publish
+    meta = _read_meta(path)
     consumed = _delta_dirs(path)
-    cur = mor_read(spark, path, key_cols=key_cols, seq_col=seq_col)
-    cow_publish(cur, os.path.join(path, "base"))
-    import shutil
-    for seg in consumed:
-        shutil.rmtree(seg, ignore_errors=True)
+    if not consumed:
+        return
+    base_path = os.path.join(path, "base")
+    if retain_history:
+        snap = os.path.join(path, "archive",
+                            f"base-{meta['base_seg']:06d}")
+        if not os.path.isdir(snap):
+            _snapshot_dir(base_path, snap)
+    nb = meta["n_buckets"]
+    deltas = spark.read.parquet(*consumed)
+    if nb is not None:
+        bcol = meta["bucket_col"]
+        touched = sorted(
+            r[0] for r in deltas
+            .select(_bucket_expr(list(key_cols), nb).alias("_b"))
+            .distinct().collect())
+        base_slice = (spark.read.parquet(base_path)
+                      .where(F.col(bcol).isin(touched)).drop(bcol))
+        payload = [c for c in base_slice.columns
+                   if c not in key_cols and c != seq_col]
+        cur = _reconcile(base_slice, deltas, list(key_cols), payload,
+                         seq_col, pruned=True)
+        merged = cur.withColumn(bcol, _bucket_expr(list(key_cols), nb))
+        _publish_partitions(merged, base_path, bcol, touched)
+    else:
+        cur = mor_read(spark, path, key_cols=key_cols, seq_col=seq_col)
+        cow_publish(cur, base_path)
+    if retain_history:
+        adelta = os.path.join(path, "archive", "delta")
+        os.makedirs(adelta, exist_ok=True)
+        for seg in consumed:
+            shutil.move(seg, os.path.join(adelta,
+                                          os.path.basename(seg)))
+        meta["archived_bases"] = sorted(
+            set(meta["archived_bases"]) | {meta["base_seg"]})
+    else:
+        for seg in consumed:
+            shutil.rmtree(seg, ignore_errors=True)
+    meta["base_seg"] += len(consumed)
+    _write_meta(path, meta)
 
 
 def apply_cdc_stream_mor(changes: DataFrame, path: str, *,
@@ -167,12 +348,14 @@ def apply_cdc_stream_mor(changes: DataFrame, path: str, *,
                          src_seq_col: str = "seq",
                          seq_col: str = "_cdc_seq",
                          compact_every: int | None = None,
+                         retain_history: bool = False,
                          query_name: str = "cdc_apply_mor",
                          available_now: bool = True):
     """Streaming CDC apply, merge-on-read mode: each micro-batch is ONE
     O(batch) delta append (vs the COW modes' read+rewrite);
     ``compact_every`` folds the log into the base every N batches (the
-    maintenance knob -- readers pay the delta scan until then). The
+    maintenance knob -- readers pay the delta scan until then;
+    ``retain_history`` keeps the superseded snapshots replayable). The
     stream_cdc_apply_mor gate pins the reconciled table against the
     SAME oracle as the COW modes: three designs, one state."""
 
@@ -183,7 +366,7 @@ def apply_cdc_stream_mor(changes: DataFrame, path: str, *,
                   src_seq_col=src_seq_col)
         if compact_every and len(_delta_dirs(path)) >= compact_every:
             mor_compact(bdf.sparkSession, path, key_cols=key_cols,
-                        seq_col=seq_col)
+                        seq_col=seq_col, retain_history=retain_history)
 
     q = (changes.writeStream.queryName(query_name)
          .foreachBatch(apply_batch)

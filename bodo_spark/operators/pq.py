@@ -322,7 +322,10 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list, *,
                 .take(max_driver_queries + 1))
         if len(head) <= max_driver_queries:
             qrows = head
-    if qrows is not None:
+    # an EMPTY query frame must take the Spark-LUT path in every mode:
+    # _driver_luts derives the q_id type from the first row, so [] would
+    # crash where the Spark path correctly returns an empty result
+    if qrows:
         luts_df = _driver_luts(queries.sparkSession, qrows, codebooks,
                                q_id_col=q_id_col, q_vec_col=q_vec_col)
     else:
@@ -461,18 +464,18 @@ def _pq_search_fused(vectors: DataFrame, codebooks: list, qrows: list,
                 for j in range(m):
                     adist += QL[qi, j][codes[:, j]]
                 yield pd.DataFrame({
-                    "q_id": np.full(len(pdf), qid),
+                    q_id_col: np.full(len(pdf), qid),
                     id_col: pdf[id_col].to_numpy(),
                     "adist": _round_half_up(adist, 6)})
 
     scored = (vectors.select(id_col, vec_col)
               .mapInPandas(enc_score,
-                           f"q_id {q_typ}, {id_col} {id_typ}, "
+                           f"{q_id_col} {q_typ}, {id_col} {id_typ}, "
                            "adist double"))
-    w = W.partitionBy("q_id").orderBy("adist", id_col)
+    w = W.partitionBy(q_id_col).orderBy("adist", id_col)
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
-            .select("q_id", id_col, "adist",
+            .select(q_id_col, id_col, "adist",
                     F.col("rn").cast("bigint").alias("rn")))
 
 

@@ -78,8 +78,12 @@ def apply_cdc_stream(changes: DataFrame, path: str, *,
         last = (bdf.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1).drop("_rn"))
         table_cols = spark.read.parquet(path).columns
+        # bucket_col is bookkeeping ONLY in file-pruned mode; in plain
+        # mode a real table column that happens to share the name is
+        # ordinary payload and must keep updating
+        skip = {seq_col, bucket_col} if n_buckets is not None else {seq_col}
         payload = [c for c in table_cols
-                   if c not in key_cols and c not in (seq_col, bucket_col)]
+                   if c not in key_cols and c not in skip]
         newer = F.col(f"src_{src_seq_col}") > F.col(seq_col)
         upd = {c: F.when(newer, F.col(f"src_{c}")).otherwise(F.col(c))
                for c in payload}

@@ -180,3 +180,65 @@ def test_natural_mode_null_part_value_refused(spark, tmp_path):
             when_matched_update={"v": F.col("src_v")})
     assert sorted(map(tuple, spark.read.parquet(path)
                       .select("k", "v").collect())) == before
+
+
+def test_natural_mode_rejects_unsupported_part_types(spark, tmp_path):
+    """Natural part_col mode is int/string only: str(v) diverges from
+    hive directory rendering for e.g. booleans ('True' vs 'true'), so
+    other types are rejected EARLY instead of failing at publish."""
+    t = spark.createDataFrame([(1, True, 1.0), (2, False, 2.0)],
+                              "k long, flag boolean, v double")
+    path = str(tmp_path / "tbl")
+    t.write.partitionBy("flag").parquet(path)
+    src = spark.createDataFrame([(1, True, 9.0)],
+                                "k long, flag boolean, v double")
+    with pytest.raises(ValueError, match="int/string"):
+        merge_into_partitioned(
+            spark, path, src, ["k"], part_col="flag",
+            when_matched_update={"v": F.col("src_v")})
+
+
+def test_natural_mode_validate_cross_partition(spark, tmp_path):
+    """validate_cross_partition=True catches a source row whose
+    part_col points at the WRONG partition for its key (the silent-
+    duplication hazard); without it the merge quietly duplicates."""
+    t = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        "k long, region string, v double")
+    path = str(tmp_path / "tbl")
+    t.write.partitionBy("region").parquet(path)
+    # key 2 lives in region 'b' but the source claims 'a'
+    bad = spark.createDataFrame([(2, "a", 9.0)],
+                                "k long, region string, v double")
+    with pytest.raises(ValueError, match="outside the touched set"):
+        merge_into_partitioned(
+            spark, path, bad, ["k"], part_col="region",
+            validate_cross_partition=True,
+            when_matched_update={"v": F.col("src_v")},
+            when_not_matched_insert={"k": F.col("src_k"),
+                                     "region": F.col("src_region"),
+                                     "v": F.col("src_v")})
+    # table unchanged
+    got = sorted(map(tuple, spark.read.parquet(path)
+                     .select("k", "region", "v").collect()))
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_natural_mode_touched_cap_guards_driver(spark, tmp_path):
+    t = spark.createDataFrame(
+        [(i, f"r{i}", float(i)) for i in range(20)],
+        "k long, region string, v double")
+    path = str(tmp_path / "tbl")
+    t.write.partitionBy("region").parquet(path)
+    src = spark.createDataFrame(
+        [(i, f"r{i}", 0.0) for i in range(20)],
+        "k long, region string, v double")
+    with pytest.raises(ValueError, match="max_touched"):
+        merge_into_partitioned(
+            spark, path, src, ["k"], part_col="region", max_touched=8,
+            when_matched_update={"v": F.col("src_v")})
+    # under the cap it succeeds
+    touched = merge_into_partitioned(
+        spark, path, src, ["k"], part_col="region", max_touched=64,
+        when_matched_update={"v": F.col("src_v")})
+    assert len(touched) == 20

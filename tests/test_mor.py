@@ -143,3 +143,113 @@ def test_mor_init_refuses_bookkeeping_collisions(spark, tmp_path):
         M.mor_init(spark.createDataFrame(
             [(1, "x", 0)], "k long, _op string, _cdc_seq long"),
             str(tmp_path / "y"))
+
+
+def test_mor_pruned_read_equals_full_window_read(spark, tmp_path):
+    """The broadcast anti/semi split and the full-union window must be
+    value-identical, including NULL keys (null-safe key match)."""
+    path = str(tmp_path / "t")
+    M.mor_init(spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (None, "nul", 0), (4, "d", 0)],
+        "k long, seg string, _cdc_seq long"), path)
+    b = spark.createDataFrame(
+        [(1, "a2", "U", 1), (None, "nul2", "U", 1), (4, None, "D", 1),
+         (9, "new", "U", 1)],
+        "k long, seg string, op string, seq long")
+    M.mor_apply(b, path, key_cols=["k"])
+
+    def st(pruned):
+        return sorted(map(tuple, M.mor_read(
+            spark, path, key_cols=["k"], pruned=pruned)
+            .select("k", "seg", "_cdc_seq").collect()),
+            key=lambda t: (t[0] is None, t))
+
+    got = st(True)
+    assert got == st(False)
+    assert (None, "nul2", 1) in got and (2, "b", 0) in got
+    assert all(k != 4 for k, _, _ in got)
+
+
+def test_mor_bucketed_pruned_compact_leaves_untouched_files(spark,
+                                                            tmp_path):
+    """Bucketed MoR: compaction must rewrite ONLY the touched bucket
+    directories -- untouched bucket files stay byte-identical -- and
+    the folded state must equal the plain reconcile."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"s{i}", 0) for i in range(200)],
+        "k long, seg string, _cdc_seq long")
+    M.mor_init(base, path, key_cols=["k"], n_buckets=32)
+    ch = spark.createDataFrame(
+        [(3, "upd", "U", 1), (7, None, "D", 1), (900, "new", "U", 1)],
+        "k long, seg string, op string, seq long")
+    M.mor_apply(ch, path, key_cols=["k"])
+    want = sorted(map(tuple, M.mor_read(spark, path, key_cols=["k"])
+                      .select("k", "seg", "_cdc_seq").collect()))
+    from bodo_spark.operators.merge import _bucket_expr
+    touched = {r[0] for r in ch.select(
+        _bucket_expr(["k"], 32).alias("b")).distinct().collect()}
+    tdirs = [f"mbucket={t}" for t in touched]
+
+    def files():
+        return {(p, os.path.getmtime(p), os.path.getsize(p))
+                for p in glob.glob(os.path.join(path, "base", "**",
+                                                "*.parquet"),
+                                   recursive=True)
+                if not any(os.sep + d + os.sep in p for d in tdirs)}
+
+    before = files()
+    M.mor_compact(spark, path, key_cols=["k"])
+    assert files() == before and len(touched) < 32
+    assert M.mor_delta_stats(spark, path)["n_segments"] == 0
+    got = sorted(map(tuple, M.mor_read(spark, path, key_cols=["k"])
+                     .select("k", "seg", "_cdc_seq").collect()))
+    assert got == want
+    assert (3, "upd", 1) in got and (900, "new", 1) in got
+    assert all(k != 7 for k, _, _ in got)
+
+
+def test_mor_retained_time_travel_across_compaction(spark, tmp_path):
+    """retain_history=True keeps PRE-compaction snapshots replayable:
+    as-of reads for every global segment number must return the same
+    states before and after compacting, and numbering stays global."""
+    path = _init(spark, tmp_path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "a2", "U", 1)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    M.mor_apply(spark.createDataFrame(
+        [(2, None, "D", 2), (9, "new", "U", 2)],
+        "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+
+    def st(n):
+        return sorted(map(tuple, M.mor_read(
+            spark, path, key_cols=["k"], as_of_segment=n)
+            .select("k", "seg", "_cdc_seq").collect()))
+
+    pre = {n: st(n) for n in (0, 1, 2)}
+    M.mor_compact(spark, path, key_cols=["k"], retain_history=True)
+    for n in (0, 1, 2):
+        assert st(n) == pre[n], n
+    # a post-compaction batch gets the next GLOBAL number and as-of
+    # spanning base generations still resolves
+    M.mor_apply(spark.createDataFrame(
+        [(3, "c2", "U", 3)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    assert st(3) != pre[2]
+    assert st(2) == pre[2]
+    M.mor_compact(spark, path, key_cols=["k"], retain_history=True)
+    for n in (0, 1, 2):
+        assert st(n) == pre[n], n
+
+
+def test_mor_unretained_compaction_raises_on_old_as_of(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "a2", "U", 1)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    M.mor_compact(spark, path, key_cols=["k"])  # no retention
+    with pytest.raises(ValueError, match="retain_history"):
+        M.mor_read(spark, path, key_cols=["k"], as_of_segment=0)
+    # the head read is unaffected
+    assert (1, "a2", 1) in _state(spark, path)

@@ -402,3 +402,40 @@ def test_mmr_all_jvm(spark):
                          "embedding AS vec"))
     p = plan_str(mmr_rerank(cands, k=2))
     assert "EvalPython" not in p, p
+
+
+def test_mor_pruned_read_no_full_base_exchange(spark, tmp_path):
+    """MoR pruned-read plan contract: the base table reaches the output
+    through BROADCAST anti/semi joins only -- untouched base rows are
+    never hash-shuffled (the read-side analogue of the file-pruned
+    merge); the only hashpartitioning exchanges are delta-key-sized
+    (the key-set distinct and the contested-slice window)."""
+    import re
+
+    from bodo_spark.operators import mor as M
+    path = str(tmp_path / "t")
+    M.mor_init(spark.createDataFrame(
+        [(i, "s", 0) for i in range(100)],
+        "k long, seg string, _cdc_seq long"), path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "u", "U", 1)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    df = M.mor_read(spark, path, key_cols=["k"])
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p, p
+    assert "LeftAnti" in p and "LeftSemi" in p, p
+    # untouched branch: the anti join is broadcast (base side streams)
+    anti = p.split("LeftAnti")[0].rsplit("\n", 1)[-1]
+    assert "BroadcastHashJoin" in anti, p
+    # every base FileScan is the streamed child of a broadcast join --
+    # base rows never enter an Exchange: each hashpartitioning exchange
+    # subtree scans only delta segments
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*\n", p):
+        # the exchange's input is everything nested deeper until the
+        # indentation returns; approximate: the next FileScan line
+        tail = p[m.end():]
+        scan = re.search(r"FileScan parquet[^\n]*", tail)
+        # (locations are truncated in explain output; the base dir is
+        # short enough to survive truncation when present)
+        assert scan and "/base" not in scan.group(0), \
+            scan and scan.group(0)

@@ -602,3 +602,32 @@ def test_pq_search_fused_matches_jvm_ranking(spark):
     assert jvm[["q_id", "vec_id", "rn"]].values.tolist() == \
         fused[["q_id", "vec_id", "rn"]].values.tolist()
     assert (jvm.adist - fused.adist).abs().max() <= 1e-6
+
+
+def test_pq_topk_empty_query_frame_all_lut_modes(spark):
+    """An empty query batch must return an empty result in EVERY luts
+    mode (driver/auto previously crashed indexing the first query
+    row), and a custom q_id_col must survive the fused path."""
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators import pq as PQ
+    from bodo_spark.queries._util import tbl
+
+    from .conftest import SF_DIR
+    emb = tbl(spark, SF_DIR, "embeddings").limit(50)
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=8)
+    codes = PQ.pq_encode(emb, cbs)
+    empty = (emb.where(F.lit(False))
+             .select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_vec")))
+    for luts in ("spark", "driver", "auto"):
+        assert PQ.pq_topk(codes, empty, cbs, k=3, luts=luts).count() == 0
+    assert PQ.pq_search(emb, cbs, empty, k=3).count() == 0
+    # custom q_id_col: both pq_search paths share one output schema
+    q = (emb.where(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("qq"),
+                 F.col("embedding").alias("q_vec")))
+    fused = PQ._pq_search_fused(emb, cbs, q.collect(), k=2,
+                                id_col="vec_id", vec_col="embedding",
+                                q_id_col="qq", q_vec_col="q_vec")
+    assert fused.columns == ["qq", "vec_id", "adist", "rn"]

@@ -548,3 +548,28 @@ def test_cdc_apply_replay_idempotent(spark, tmp_path_factory):
     first = run("one")
     assert first == [(1, "a3", 2), (3, "c", 0), (9, "new", 1)]
     assert run("two") == first  # full replay is a no-op
+
+
+def test_cdc_plain_mode_updates_real_mbucket_column(spark,
+                                                    tmp_path_factory):
+    """In plain (non-bucketed) CDC mode a real table column named
+    'mbucket' is ordinary payload: it must update and insert like any
+    other column (it is bookkeeping ONLY under n_buckets)."""
+    from bodo_spark.streaming import apply_cdc_stream, read_stream_parquet
+
+    stage = str(tmp_path_factory.mktemp("cdcmb"))
+    spark.createDataFrame([(1, "a", 7, 0)],
+                          "k long, seg string, mbucket int, "
+                          "_cdc_seq long") \
+        .write.parquet(f"{stage}/tbl")
+    ch = spark.createDataFrame(
+        [(1, "a2", 8, "U", 1), (2, "new", 9, "U", 1)],
+        "k long, seg string, mbucket int, op string, seq long")
+    ch.coalesce(1).write.mode("append").parquet(f"{stage}/ch")
+    src = spark.read.parquet(f"{stage}/ch")
+    stream = read_stream_parquet(spark, f"{stage}/ch", src.schema)
+    apply_cdc_stream(stream, f"{stage}/tbl", key_cols=["k"],
+                     query_name="cdc_mb")
+    got = sorted(map(tuple, spark.read.parquet(f"{stage}/tbl")
+                     .select("k", "seg", "mbucket").collect()))
+    assert got == [(1, "a2", 8), (2, "new", 9)]
