@@ -41,7 +41,7 @@ from .similarity import _ensure_scan_width, _round_half_up, dot
 __all__ = ["lowest_id_pq_codebooks", "train_pq_codebooks", "pq_encode",
            "pq_topk", "pq_search", "ivf_pq_index", "ivf_pq_topk",
            "pq_reconstruction_mse", "pq_compact", "pq_append",
-           "ivf_pq_topk_segments"]
+           "ivf_pq_topk_segments", "pq_store_index", "pq_stored_topk"]
 
 
 def lowest_id_pq_codebooks(vectors: DataFrame, *, m: int = 4, k: int = 16,
@@ -751,4 +751,86 @@ def ivf_pq_topk_segments(segments: list, queries: DataFrame,
                            vec_col=vec_col, q_id_col=q_id_col,
                            q_vec_col=q_vec_col, coarse_dim=coarse_dim)
         scored = s if scored is None else scored.unionByName(s)
+    return _topk_by_adist(scored, k, q_id_col, id_col)
+
+
+# --------------------------------------------------------------------------
+# Stored serving (the sq_store_index discipline for the PQ tier): the
+# inverted file persisted hive-partitioned BY CELL, so the query batch's
+# probed-cell set becomes a PartitionFilters IN list on the index scan
+# -- serving I/O bound by the probed cells' directories. Codebooks and
+# the centroid probe table ride along as tiny metadata tables.
+
+def pq_store_index(index: DataFrame, path: str, codebooks: list, *,
+                   n_cells: int = 8, centroids: list | None = None,
+                   seed_vectors: DataFrame | None = None,
+                   coarse_dim: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   mode: str = "errorifexists") -> None:
+    """Persist an IVF-PQ inverted file as the serving artifact:
+    ``index/`` hive-partitioned by cell (repartitioned BY the cell
+    first -- one file per cell directory), ``centroids/`` the
+    (_cid, _cvec, _cn) probe table, ``meta/`` one row pinning the
+    m x k x d codebooks, coarse_dim and id_col. Pass the SAME centroid
+    source as the build so the stored probe table routes queries
+    exactly like the build routed the corpus."""
+    from .similarity import _centroid_table
+    if seed_vectors is None and centroids is None:
+        raise ValueError("pass centroids or seed_vectors (the stored "
+                         "probe table must match the build's routing)")
+    spark = index.sparkSession
+    cents = _centroid_table(
+        seed_vectors if seed_vectors is not None else index,
+        centroids, n_cells, coarse_dim, id_col, vec_col)
+    (index.repartition(int(n_cells), F.col("cell"))
+     .write.mode(mode).partitionBy("cell").parquet(f"{path}/index"))
+    cents.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+    cbs = [[[float(x) for x in cw] for cw in book] for book in codebooks]
+    meta = spark.createDataFrame(
+        [(cbs, int(coarse_dim), id_col)],
+        "codebooks array<array<array<double>>>, coarse_dim int, "
+        "id_col string")
+    meta.write.mode(mode).parquet(f"{path}/meta")
+
+
+def pq_stored_topk(spark, path: str, queries: DataFrame, *,
+                   k: int = 5, n_probe: int = 2,
+                   q_id_col: str = "q_id",
+                   q_vec_col: str = "q_vec") -> DataFrame:
+    """Serving-path IVF-PQ search over a stored index: queries probe
+    their ``n_probe`` nearest cells against the stored centroid table,
+    the probed-cell set (bounded driver list) prunes the index scan to
+    those partition directories (static PartitionFilters), and the
+    ranking is the shared broadcast-LUT ADC pass -- value-identical to
+    ivf_pq_topk over the in-memory index (the ann_pq_stored_prune gate
+    shares ann_ivf_pq_topk's oracle)."""
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    codebooks = [[list(cw) for cw in book] for book in m["codebooks"]]
+    coarse_dim, id_col = int(m["coarse_dim"]), m["id_col"]
+    cents = spark.read.parquet(f"{path}/centroids")
+    tv = F.slice(F.col(q_vec_col), 1, coarse_dim)
+    tn = F.sqrt(dot(tv, tv))
+    qscored = (queries.select(q_id_col, q_vec_col)
+               .crossJoin(F.broadcast(cents))
+               .withColumn("_ccos",
+                           F.round(dot(tv, F.col("_cvec"))
+                                   / (tn * F.col("_cn")), 9)))
+    w = W.partitionBy(q_id_col).orderBy(F.col("_ccos").desc(), "_cid")
+    qprobe = (qscored.withColumn("_crn", F.row_number().over(w))
+              .where(F.col("_crn") <= n_probe)
+              .select(q_id_col, F.col("_cid").alias("cell")))
+    cells = [r[0] for r in qprobe.select("cell").distinct().collect()]
+    pruned = (spark.read.parquet(f"{path}/index")
+              .where(F.col("cell").isin(cells)))
+    luts = _query_luts(queries, codebooks, q_id_col=q_id_col,
+                       q_vec_col=q_vec_col)
+    cand = (pruned.join(F.broadcast(qprobe), "cell")
+            .join(F.broadcast(luts), q_id_col))
+    score = F.round(F.aggregate(
+        F.zip_with(F.col("code"), F.col("_lut"),
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, x: (acc + x.cast("decimal(28,9)"))
+        .cast("decimal(28,9)")).cast("double"), 6)
+    scored = cand.select(q_id_col, id_col, score.alias("adist"))
     return _topk_by_adist(scored, k, q_id_col, id_col)

@@ -39,7 +39,7 @@ from .similarity import dot
 __all__ = ["sq_train", "sq_encode", "sq_topk", "ivf_sq_index",
            "ivf_sq_topk", "sq_append", "sq_clamp_fraction",
            "sq_reconstruction_mse", "sq_compact",
-           "ivf_sq_topk_segments"]
+           "ivf_sq_topk_segments", "sq_store_index", "sq_stored_topk"]
 
 
 def sq_train(vectors: DataFrame, *,
@@ -290,6 +290,94 @@ def ivf_sq_topk_segments(segments: list, queries: DataFrame,
                            q_vec_col=q_vec_col, coarse_dim=coarse_dim,
                            bits=bits)
         scored = s if scored is None else scored.unionByName(s)
+    return _sq_topk_by_adist(scored, k, q_id_col, id_col)
+
+
+# --------------------------------------------------------------------------
+# Stored serving: the bm25_store_index discipline applied to the vector
+# tier. The inverted file is persisted hive-partitioned BY CELL, so a
+# query batch's probed-cell set (a bounded driver value -- <= n_probe x
+# n_queries ints) becomes a PartitionFilters IN list on the index scan:
+# serving I/O is bound by the probed cells' directories, not the corpus
+# (asserted in test_plans). The centroid table and the (lo, hi) bounds
+# ride along as tiny metadata tables, so searches never touch the raw
+# vectors OR recompute the model artifacts.
+
+def sq_store_index(index: DataFrame, path: str, los: list, his: list, *,
+                   n_cells: int = 8, centroids: list | None = None,
+                   seed_vectors: DataFrame | None = None,
+                   coarse_dim: int = 16, bits: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   mode: str = "errorifexists") -> None:
+    """Persist an IVF-SQ inverted file as the serving artifact:
+    ``index/`` hive-partitioned by cell (repartitioned BY the cell
+    first -- one file per cell directory, the dynamic-partition
+    file-explosion fix), ``centroids/`` the (_cid, _cvec, _cn) probe
+    table, ``meta/`` one row pinning (los, his, bits, coarse_dim,
+    id_col). Pass the SAME centroid source as the build
+    (centroids/seed_vectors -- the ivf_sq_index lifecycle contract) so
+    the stored probe table routes queries exactly like the build
+    routed the corpus."""
+    from .similarity import _centroid_table
+    if seed_vectors is None and centroids is None:
+        raise ValueError("pass centroids or seed_vectors (the stored "
+                         "probe table must match the build's routing)")
+    spark = index.sparkSession
+    # with explicit centroids, _centroid_table only needs a session
+    cents = _centroid_table(
+        seed_vectors if seed_vectors is not None else index,
+        centroids, n_cells, coarse_dim, id_col, vec_col)
+    (index.repartition(int(n_cells), F.col("cell"))
+     .write.mode(mode).partitionBy("cell").parquet(f"{path}/index"))
+    cents.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+    meta = spark.createDataFrame(
+        [([float(v) for v in los], [float(v) for v in his],
+          int(bits), int(coarse_dim), id_col)],
+        "los array<double>, his array<double>, bits int, "
+        "coarse_dim int, id_col string")
+    meta.write.mode(mode).parquet(f"{path}/meta")
+
+
+def sq_stored_topk(spark, path: str, queries: DataFrame, *,
+                   k: int = 5, n_probe: int = 2,
+                   q_id_col: str = "q_id",
+                   q_vec_col: str = "q_vec") -> DataFrame:
+    """Serving-path IVF-SQ search over a stored index: queries probe
+    their ``n_probe`` nearest cells against the stored centroid table,
+    the probed-cell set (bounded driver list) prunes the index scan to
+    those partition directories (static PartitionFilters), and the
+    ranking is the shared dequantize-and-fold pass -- value-identical
+    to ivf_sq_topk over the in-memory index (the ann_sq_stored_prune
+    gate shares ann_ivf_sq_topk's oracle). Per query batch, I/O is
+    bound by the probed shards, not the corpus."""
+    from pyspark.sql import Window as Wnd
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    los, his = list(m["los"]), list(m["his"])
+    bits, coarse_dim = int(m["bits"]), int(m["coarse_dim"])
+    id_col = m["id_col"]
+    cents = spark.read.parquet(f"{path}/centroids")
+    tv = F.slice(F.col(q_vec_col), 1, coarse_dim)
+    tn = F.sqrt(dot(tv, tv))
+    qscored = (queries.select(q_id_col, q_vec_col)
+               .crossJoin(F.broadcast(cents))
+               .withColumn("_ccos",
+                           F.round(dot(tv, F.col("_cvec"))
+                                   / (tn * F.col("_cn")), 9)))
+    w = Wnd.partitionBy(q_id_col).orderBy(F.col("_ccos").desc(), "_cid")
+    qprobe = (qscored.withColumn("_crn", F.row_number().over(w))
+              .where(F.col("_crn") <= n_probe)
+              .select(q_id_col, F.col("_cid").alias("cell")))
+    cells = [r[0] for r in qprobe.select("cell").distinct().collect()]
+    pruned = (spark.read.parquet(f"{path}/index")
+              .where(F.col("cell").isin(cells)))
+    qv = queries.select(q_id_col, F.col(q_vec_col).alias("_qv"))
+    dq = sq_dequantize("code", los, his, bits=bits)
+    cand = (pruned.withColumn("_dq", dq)
+            .withColumn("_dd", dot(F.col("_dq"), F.col("_dq")))
+            .join(F.broadcast(qprobe), "cell")
+            .join(F.broadcast(qv), q_id_col))
+    adist = F.round(F.col("_dd") - 2 * dot(F.col("_dq"), F.col("_qv")), 6)
+    scored = cand.select(q_id_col, id_col, adist.alias("adist"))
     return _sq_topk_by_adist(scored, k, q_id_col, id_col)
 
 

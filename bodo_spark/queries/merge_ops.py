@@ -645,7 +645,128 @@ ORDER BY phase
 """
 
 
+def merge_mor_retained_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot retention ACROSS compaction: after batches A and B the
+    log is compacted with retain_history=True (hardlink base snapshot +
+    archived segments), then batch C lands; as-of reads for segments
+    0/1/2 must replay the PRE-compaction states from the archive and
+    the head must reflect all three batches -- the Iceberg
+    retained-snapshot economics over plain parquet."""
+    import shutil
+    import uuid
+
+    from ..operators import mor as M
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_morrt_{uuid.uuid4().hex[:8]}"
+    try:
+        M.mor_init(c.withColumn("_cdc_seq", F.lit(0).cast("long")),
+                   stage)
+
+        def ch(pred, seg, op, seq, shift=0):
+            return (c.where(pred)
+                    .select((F.col("k") + shift).alias("k"),
+                            seg.alias("seg"), F.lit(op).alias("op"),
+                            F.lit(seq).cast("long").alias("seq")))
+
+        batch_a = ch(F.col("k") % 3 == 0, F.lit("SEG_V1"), "U", 1) \
+            .unionByName(ch(F.col("k") < 5, F.lit("NEWSEG"), "U", 1,
+                            shift=1_000_000))
+        batch_b = ch(F.col("k") % 6 == 0, F.lit("SEG_V2"), "U", 2) \
+            .unionByName(ch(F.col("k") % 5 == 0,
+                            F.lit(None).cast("string"), "D", 3))
+        batch_c = ch(F.col("k") % 7 == 0, F.lit("SEG_V3"), "U", 4)
+        M.mor_apply(batch_a, stage, key_cols=["k"])
+        M.mor_apply(batch_b, stage, key_cols=["k"])
+        M.mor_compact(spark, stage, key_cols=["k"],
+                      retain_history=True)
+        M.mor_apply(batch_c, stage, key_cols=["k"])
+        rows = []
+        for phase, n in (("asof0", 0), ("asof1", 1), ("asof2", 2),
+                         ("head", 3)):
+            st = M.mor_read(spark, stage, key_cols=["k"],
+                            as_of_segment=n)
+            a = st.agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.bit_xor("k").alias("key_xor"),
+                       F.max("_cdc_seq").alias("max_seq")).collect()[0]
+            rows.append((phase, a["n_rows"], a["key_xor"],
+                         a["max_seq"]))
+        return spark.createDataFrame(
+            rows, "phase string, n_rows bigint, key_xor bigint, "
+                  "max_seq bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_MOR_RETAINED_TT_SQL = """
+WITH init AS (
+  SELECT c_custkey AS k, CAST(0 AS BIGINT) AS sq FROM customer),
+cha AS (
+  SELECT c_custkey AS k, 'U' AS op, CAST(1 AS BIGINT) AS sq
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'U', 1 FROM customer WHERE c_custkey < 5),
+chb AS (
+  SELECT c_custkey AS k, 'U' AS op, CAST(2 AS BIGINT) AS sq
+  FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT c_custkey, 'D', 3 FROM customer WHERE c_custkey % 5 = 0),
+chc AS (
+  SELECT c_custkey AS k, 'U' AS op, CAST(4 AS BIGINT) AS sq
+  FROM customer WHERE c_custkey % 7 = 0),
+state1 AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN (
+    SELECT k, op, sq,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY sq DESC, op ASC) AS rn
+    FROM cha QUALIFY rn = 1) l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D'),
+state2 AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN (
+    SELECT k, op, sq,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY sq DESC, op ASC) AS rn
+    FROM (SELECT * FROM cha UNION ALL SELECT * FROM chb)
+    QUALIFY rn = 1) l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D'),
+state3 AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN (
+    SELECT k, op, sq,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY sq DESC, op ASC) AS rn
+    FROM (SELECT * FROM cha UNION ALL SELECT * FROM chb
+          UNION ALL SELECT * FROM chc)
+    QUALIFY rn = 1) l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D')
+SELECT * FROM (
+  SELECT 'asof0' AS phase, COUNT(*) AS n_rows, bit_xor(k) AS key_xor,
+         CAST(MAX(sq) AS BIGINT) AS max_seq FROM init
+  UNION ALL
+  SELECT 'asof1', COUNT(*), bit_xor(k), CAST(MAX(sq) AS BIGINT)
+  FROM state1
+  UNION ALL
+  SELECT 'asof2', COUNT(*), bit_xor(k), CAST(MAX(sq) AS BIGINT)
+  FROM state2
+  UNION ALL
+  SELECT 'head', COUNT(*), bit_xor(k), CAST(MAX(sq) AS BIGINT)
+  FROM state3)
+ORDER BY phase
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "merge_mor_retained_time_travel": QueryDef(
+        merge_mor_retained_time_travel, _MOR_RETAINED_TT_SQL,
+        doc="MoR snapshot retention: pre-compaction as-of states "
+            "replayed from the hardlink archive"),
     "merge_mor_time_travel": QueryDef(
         merge_mor_time_travel, _MOR_TT_SQL,
         doc="MoR delta log as snapshot history: three as-of states "

@@ -1537,7 +1537,77 @@ FROM fused QUALIFY rn <= 5 ORDER BY q_id, rn
 """
 
 
+def ann_sq_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored-index SERVING path for the vector tier (operators/sq.py
+    sq_store_index + sq_stored_topk): the IVF-SQ inverted file is
+    persisted hive-partitioned BY CELL with the centroid/bounds
+    artifacts, then the SAME 3 queries are served reading ONLY their
+    probed cells' directories (static PartitionFilters, plan-asserted
+    in test_plans). Shares ann_ivf_sq_topk's oracle verbatim: pruned
+    stored serving must rank identically to the in-memory index."""
+    import shutil
+    import uuid
+
+    from ..operators import sq as Q
+    emb = tbl(spark, sf, "embeddings")
+    los, his = Q.sq_train(emb)
+    idx = Q.ivf_sq_index(emb, los, his, n_cells=8)
+    stage = f"/tmp/bodo_spark_sqstore_{uuid.uuid4().hex[:8]}"
+    try:
+        Q.sq_store_index(idx, stage, los, his, n_cells=8,
+                         seed_vectors=emb)
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        out = (Q.sq_stored_topk(spark, stage, queries, k=5, n_probe=2)
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def ann_pq_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored-index SERVING path for the PQ tier (operators/pq.py
+    pq_store_index + pq_stored_topk): the IVF-PQ inverted file
+    persisted hive-partitioned BY CELL with codebook/centroid
+    artifacts; the 3 queries' probed-cell set prunes the index scan to
+    those directories and the broadcast-LUT ADC pass ranks them.
+    Shares ann_ivf_pq_topk's oracle verbatim."""
+    import shutil
+    import uuid
+
+    from ..operators import pq as PQ
+    emb = tbl(spark, sf, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    idx = PQ.ivf_pq_index(emb, cbs, n_cells=8)
+    stage = f"/tmp/bodo_spark_pqstore_{uuid.uuid4().hex[:8]}"
+    try:
+        PQ.pq_store_index(idx, stage, cbs, n_cells=8, seed_vectors=emb)
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        out = (PQ.pq_stored_topk(spark, stage, queries, k=5, n_probe=2)
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 QUERIES: dict[str, QueryDef] = {
+    "ann_sq_stored_prune": QueryDef(
+        ann_sq_stored_prune, _IVF_SQ_SQL,
+        doc="cell-partitioned stored IVF-SQ serving: probed cells as "
+            "PartitionFilters; shares the in-memory oracle"),
+    "ann_pq_stored_prune": QueryDef(
+        ann_pq_stored_prune, _IVF_PQ_SQL,
+        doc="cell-partitioned stored IVF-PQ serving: probed cells as "
+            "PartitionFilters; shares the in-memory oracle"),
     "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
     "ann_ivf_sq_topk": QueryDef(ann_ivf_sq_topk, _IVF_SQ_SQL),
     "ann_sq_append": QueryDef(

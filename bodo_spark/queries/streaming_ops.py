@@ -1103,6 +1103,114 @@ QUERIES["stream_cdc_apply_mor"] = QueryDef(
         "read-time reconcile + mid-stream compaction")
 
 
+def stream_cdc_apply_mor_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed MoR: the same CDC machinery as stream_cdc_apply_mor,
+    but the MoR BASE is key-hash-bucket partitioned (256 dirs) and the
+    change mass is SPARSE (~25 keys), so compaction folds the delta
+    log into ONLY the touched bucket directories
+    (merge._publish_partitions) -- compaction cost bound by the change
+    mass, not the base size. The gate pins (a) the folded state
+    against a full CDC-fold oracle and (b) the untouched bucket files
+    physically byte-identical across the compaction."""
+    import glob as g
+    import os
+
+    from ..operators import mor as M
+    from ..operators.merge import _bucket_expr
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_cdcmb_{uuid.uuid4().hex[:8]}"
+    try:
+        M.mor_init(c.withColumn("_cdc_seq", F.lit(0).cast("long")),
+                   f"{stage}/tbl", key_cols=["k"], n_buckets=256)
+
+        def ch(pred, seg, op, seq, shift=0):
+            return (c.where(pred)
+                    .select((F.col("k") + shift).alias("k"),
+                            seg.alias("seg"), F.lit(op).alias("op"),
+                            F.lit(seq).cast("long").alias("seq")))
+
+        batch_a = ch(F.col("k") % 100 == 0, F.lit("SEG_V1"), "U", 1) \
+            .unionByName(ch(F.col("k") < 5, F.lit("NEWSEG"), "U", 1,
+                            shift=1_000_000))
+        batch_b = ch(F.col("k") % 200 == 0, F.lit("SEG_V2"), "U", 2) \
+            .unionByName(ch(F.col("k") % 500 == 0,
+                            F.lit(None).cast("string"), "D", 3))
+        M.mor_apply(batch_a, f"{stage}/tbl", key_cols=["k"])
+        M.mor_apply(batch_b, f"{stage}/tbl", key_cols=["k"])
+        touched = {r[0] for r in batch_a.unionByName(batch_b)
+                   .select(_bucket_expr(["k"], 256).alias("b"))
+                   .distinct().collect()}
+        tdirs = [f"mbucket={t}" for t in touched]
+
+        def files():
+            return {(p, os.path.getmtime(p), os.path.getsize(p))
+                    for p in g.glob(os.path.join(
+                        stage, "tbl", "base", "**", "*.parquet"),
+                        recursive=True)
+                    if not any(os.sep + d + os.sep in p
+                               for d in tdirs)}
+
+        before = files()
+        M.mor_compact(spark, f"{stage}/tbl", key_cols=["k"])
+        intact = (files() == before and len(touched) < 256
+                  and M.mor_delta_stats(spark,
+                                        f"{stage}/tbl")["n_segments"] == 0)
+        agg = (M.mor_read(spark, f"{stage}/tbl", key_cols=["k"])
+               .groupBy("seg").agg(
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.bit_xor("k").alias("key_xor"),
+                   F.max("_cdc_seq").alias("max_seq"))
+               .withColumn("untouched_intact", F.lit(bool(intact)))
+               .orderBy("seg"))
+        rows = [tuple(r) for r in agg.collect()]
+        return spark.createDataFrame(
+            rows, "seg string, n_rows bigint, key_xor bigint, "
+                  "max_seq bigint, untouched_intact boolean")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_STREAM_CDC_BUCKETED_SQL = """
+WITH init AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, CAST(0 AS BIGINT) AS sq
+  FROM customer),
+ch AS (
+  SELECT c_custkey AS k, 'SEG_V1' AS seg, 'U' AS op,
+         CAST(1 AS BIGINT) AS sq
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWSEG', 'U', 1 FROM customer
+  WHERE c_custkey < 5
+  UNION ALL
+  SELECT c_custkey, 'SEG_V2', 'U', 2 FROM customer
+  WHERE c_custkey % 200 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS VARCHAR), 'D', 3 FROM customer
+  WHERE c_custkey % 500 = 0),
+last AS (
+  SELECT k, seg, op, sq,
+         row_number() OVER (PARTITION BY k ORDER BY sq DESC) AS rn
+  FROM ch QUALIFY rn = 1),
+final AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.seg ELSE l.seg END AS seg,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN last l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D')
+SELECT seg, COUNT(*) AS n_rows, bit_xor(k) AS key_xor,
+       MAX(sq) AS max_seq, TRUE AS untouched_intact
+FROM final GROUP BY seg ORDER BY seg
+"""
+
+QUERIES["stream_cdc_apply_mor_bucketed"] = QueryDef(
+    stream_cdc_apply_mor_bucketed, _STREAM_CDC_BUCKETED_SQL,
+    doc="bucketed MoR CDC: compaction folds deltas into ONLY the "
+        "touched bucket dirs; untouched files pinned byte-identical")
+
+
 def stream_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming rollup maintenance (streaming/cdc.py
     maintain_rollup_stream): order facts replay as a 2-file stream;

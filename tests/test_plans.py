@@ -439,3 +439,52 @@ def test_mor_pruned_read_no_full_base_exchange(spark, tmp_path):
         # short enough to survive truncation when present)
         assert scan and "/base" not in scan.group(0), \
             scan and scan.group(0)
+
+
+def test_sq_stored_serving_partition_prunes(spark, tmp_path):
+    """Stored-IVF-SQ serving plan contract: the index scan carries the
+    probed-cell IN list as PartitionFilters -- only the probed cells'
+    directories are opened (serving I/O bound by the probe set, not
+    the corpus)."""
+    import re
+
+    from bodo_spark.operators import sq as Q
+    emb = tbl(spark, SF_DIR, "embeddings")
+    los, his = Q.sq_train(emb)
+    idx = Q.ivf_sq_index(emb, los, his, n_cells=8)
+    path = str(tmp_path / "sqidx")
+    Q.sq_store_index(idx, path, los, his, n_cells=8, seed_vectors=emb)
+    q = (emb.where("vec_id < 2")
+         .selectExpr("vec_id AS q_id", "embedding AS q_vec"))
+    out = Q.sq_stored_topk(spark, path, q, k=3, n_probe=2)
+    p = plan_str(out)
+    assert "PartitionFilters" in p, p
+    seg = p.split("PartitionFilters")[1][:300]
+    assert "cell" in seg, seg
+    # 2 queries x 2 probes -> <= 4 of 8 cells in the IN list
+    m = re.search(r"cell[^\]]*IN \(([^)]*)\)", seg)
+    assert m and len(m.group(1).split(",")) <= 4, seg
+    # value parity with the in-memory search
+    mem = sorted(map(tuple, Q.ivf_sq_topk(
+        idx, q, emb, los, his, k=3, n_probe=2, n_cells=8).collect()))
+    assert sorted(map(tuple, out.collect())) == mem
+
+
+def test_pq_stored_serving_partition_prunes(spark, tmp_path):
+    """Stored-IVF-PQ serving plan contract: probed-cell PartitionFilters
+    on the index scan + value parity with the in-memory search."""
+    from bodo_spark.operators import pq as PQ
+    emb = tbl(spark, SF_DIR, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    idx = PQ.ivf_pq_index(emb, cbs, n_cells=8)
+    path = str(tmp_path / "pqidx")
+    PQ.pq_store_index(idx, path, cbs, n_cells=8, seed_vectors=emb)
+    q = (emb.where("vec_id < 2")
+         .selectExpr("vec_id AS q_id", "embedding AS q_vec"))
+    out = PQ.pq_stored_topk(spark, path, q, k=3, n_probe=2)
+    p = plan_str(out)
+    assert "PartitionFilters" in p, p
+    assert "cell" in p.split("PartitionFilters")[1][:300], p
+    mem = sorted(map(tuple, PQ.ivf_pq_topk(
+        idx, q, emb, cbs, k=3, n_probe=2, n_cells=8).collect()))
+    assert sorted(map(tuple, out.collect())) == mem
