@@ -572,7 +572,9 @@ def pq_append(index: DataFrame, new_vectors: DataFrame, codebooks: list,
 def pq_reconstruction_mse(vectors: DataFrame, index: DataFrame,
                           codebooks: list, *, id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          code_col: str = "code") -> DataFrame:
+                          code_col: str = "code",
+                          sample_frac: float | None = None,
+                          sample_seed: int = 0) -> DataFrame:
     """Codebook staleness measure: the mean squared reconstruction
     error ``mean_i ||x_i - decode(code_i)||^2`` of the indexed corpus
     under its codebooks -- one row ``(n, mse)``. Rising MSE after
@@ -587,9 +589,17 @@ def pq_reconstruction_mse(vectors: DataFrame, index: DataFrame,
     9 dp and decimal-summed -- order-independent, so the DuckDB oracle
     reproduces every bit. One corpus scan, one broadcast of the m*k
     codebook frame, one global aggregate; this is a maintenance pass,
-    not a search-path cost."""
+    not a search-path cost. ``sample_frac``: estimate on a
+    deterministic seeded-hash row sample instead (the
+    sq_reconstruction_mse sampling discipline -- md5-based, unbiased
+    for a mean, engine-reproducible) to bound the cost on a huge
+    corpus."""
     m = len(codebooks)
     d = len(codebooks[0][0])
+    if sample_frac is not None:
+        from .similarity import seeded_hash_sample_pred
+        vectors = vectors.where(
+            seeded_hash_sample_pred(id_col, sample_frac, sample_seed))
     cb = _codebook_frame(vectors.sparkSession, codebooks)
     ex = (vectors.select(id_col, vec_col)
           .join(index.select(id_col, code_col), id_col)

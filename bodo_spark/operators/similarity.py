@@ -36,6 +36,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def seeded_hash_sample_pred(id_col, frac: float, seed: int = 0) -> Column:
+    """Deterministic seeded row-sample predicate: keep rows whose
+    md5(seed:id) first hex byte falls under the quantized fraction
+    (``frac`` rounds to n/256). md5 of the same string is identical in
+    every engine (unlike xxhash64), so a DuckDB oracle re-derives the
+    EXACT sample -- the property the sampled staleness gates pin; and
+    it is content- and partitioning-independent, the train_pq_codebooks
+    sampling requirement (a .sample().limit() would see only the first
+    partitions). Lowercase fixed-width hex compares lexically ==
+    numerically, so both engines can use a plain string comparison."""
+    n = int(round(frac * 256))
+    if not 1 <= n <= 256:
+        raise ValueError(
+            f"frac must quantize to [1/256, 1], got {frac}")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (F.substring(
+        F.md5(F.concat(F.lit(f"{int(seed)}:"), c.cast("string"))),
+        1, 2) < F.lit(format(n, "02x")))
+
+
 def sign_bucket(vec: Column, bits: int = 4) -> Column:
     """LSH-ish bucket: sign pattern of the first ``bits`` components.
     Deterministic, computable on both engines."""

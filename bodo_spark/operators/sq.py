@@ -442,7 +442,9 @@ def sq_reconstruction_mse(vectors: DataFrame, index: DataFrame,
                           los: list, his: list, *, bits: int = 8,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          code_col: str = "code") -> DataFrame:
+                          code_col: str = "code",
+                          sample_frac: float | None = None,
+                          sample_seed: int = 0) -> DataFrame:
     """Bounds-staleness signal #2: mean squared reconstruction error
     ``mean_i ||x_i - dq(code_i)||^2`` of the indexed corpus under the
     STORED bounds -- the pq_reconstruction_mse analogue, one row
@@ -451,9 +453,21 @@ def sq_reconstruction_mse(vectors: DataFrame, index: DataFrame,
     degrade); compare against the freshly-trained MSE (sq_compact) to
     decide when re-encoding pays. Per-element error rounded to 9 dp
     and decimal-summed per vector (order-independent, so the DuckDB
-    oracle reproduces every bit), then ONE double division."""
+    oracle reproduces every bit), then ONE double division.
+
+    ``sample_frac``: bound the maintenance cost on a 100x corpus by
+    measuring a deterministic seeded-hash sample of the rows
+    (similarity.seeded_hash_sample_pred -- md5-based, so the sample is
+    engine-reproducible and partitioning-independent). MSE is a mean,
+    so a uniform row sample is an unbiased estimator; the
+    ann_sq_staleness_sampled gate pins sample and full values exactly
+    and their agreement is visible in the pinned numbers."""
     levels = (1 << bits) - 1
     lo, hi = _bound_arrays(los, his)
+    if sample_frac is not None:
+        from .similarity import seeded_hash_sample_pred
+        vectors = vectors.where(
+            seeded_hash_sample_pred(id_col, sample_frac, sample_seed))
     ex = (vectors.select(id_col, vec_col)
           .join(index.select(id_col, code_col), id_col)
           .select(id_col, vec_col,

@@ -1443,6 +1443,68 @@ ORDER BY phase
 """
 
 
+def ann_sq_staleness_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampled staleness signal (sq_reconstruction_mse sample_frac=):
+    the full MSE pass over a drifted two-batch index vs the SAME
+    signal on a 25% seeded-md5-hash row sample -- the maintenance-cost
+    bound for a 100x corpus (the signal is a mean, so a uniform sample
+    is unbiased). The oracle re-derives BOTH numbers exactly,
+    including the md5 sample membership (md5 is engine-identical,
+    unlike xxhash64), so the pinned values also evidence the
+    sample-vs-full agreement."""
+    from ..operators import sq as Q
+    emb = tbl(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 10 != 9)
+    drift = (emb.where(F.col("vec_id") % 10 == 9)
+             .select((F.col("vec_id") - F.lit(1000000)).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: (x * F.lit(2.0)).cast("float"))
+                     .alias("embedding")))
+    un = base.unionByName(drift)
+    los0, his0 = Q.sq_train(base)
+    idx0 = Q.sq_append(
+        Q.ivf_sq_index(base, los0, his0, n_cells=8, seed_vectors=base),
+        drift, los0, his0, n_cells=8, seed_vectors=base)
+    full = (Q.sq_reconstruction_mse(un, idx0, los0, his0)
+            .select(F.lit("full").alias("scope"), "n", "mse"))
+    samp = (Q.sq_reconstruction_mse(un, idx0, los0, his0,
+                                    sample_frac=0.25, sample_seed=7)
+            .select(F.lit("sample").alias("scope"), "n", "mse"))
+    return full.unionByName(samp).orderBy("scope")
+
+
+_SQ_STALENESS_SAMPLED_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 9),
+drift AS (
+  SELECT vec_id - 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 2 AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 9),
+un AS (SELECT * FROM base UNION ALL SELECT * FROM drift),
+flatb AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM base),
+flatu AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM un),
+{_sq_err_block('0', 'flatb')},
+aggs AS (
+  SELECT COUNT(DISTINCT vec_id) AS n,
+         round(CAST(SUM(CAST(round((x - dq) * (x - dq), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE)
+               / COUNT(DISTINCT vec_id), 6) AS mse
+  FROM err0
+  WHERE substring(md5('7:' || CAST(vec_id AS VARCHAR)), 1, 2) < '40')
+SELECT * FROM (
+  SELECT 'full' AS scope, n, mse FROM agg0
+  UNION ALL
+  SELECT 'sample' AS scope, n, mse FROM aggs)
+ORDER BY scope
+"""
+
+
 def ann_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval (operators/retrieval.py rrf_fuse): BM25 top-10
     over the documents table fused with exact-cosine top-10 over the
@@ -1618,6 +1680,10 @@ QUERIES: dict[str, QueryDef] = {
         ann_sq_staleness, _SQ_STALENESS_SQL,
         doc="SQ bounds staleness: clamp fraction + reconstruction MSE, "
             "stale vs compacted"),
+    "ann_sq_staleness_sampled": QueryDef(
+        ann_sq_staleness_sampled, _SQ_STALENESS_SAMPLED_SQL,
+        doc="seeded-md5-hash sampled reconstruction MSE vs full: the "
+            "bounded-cost staleness signal, sample pinned exactly"),
     "ann_sq_segments": QueryDef(
         ann_sq_segments, _SQ_SEGMENTS_SQL,
         doc="mixed-bounds-version SQ search: each segment dequantized "

@@ -184,3 +184,39 @@ def test_sq_segments_degenerate_and_mixed(spark, emb):
         sorted(map(key, whole.collect()))
     with pytest.raises(ValueError):
         Q.ivf_sq_topk_segments([], q, ev)
+
+
+def test_sampled_reconstruction_mse_deterministic_and_sane(spark):
+    """sample_frac must pick a deterministic seeded-md5 subset: same
+    seed -> identical (n, mse) on re-run; different seed -> (almost
+    surely) different n; and the sampled estimate sits in the same
+    ballpark as the full MSE (it is an unbiased mean estimate)."""
+    from bodo_spark.operators import pq as PQ
+    from bodo_spark.operators import sq as Q
+    from bodo_spark.queries._util import tbl
+
+    from .conftest import SF_DIR
+    emb = tbl(spark, SF_DIR, "embeddings")
+    los, his = Q.sq_train(emb)
+    idx = Q.ivf_sq_index(emb, los, his, n_cells=4)
+    full = Q.sq_reconstruction_mse(emb, idx, los, his).collect()[0]
+    s1 = Q.sq_reconstruction_mse(emb, idx, los, his,
+                                 sample_frac=0.5,
+                                 sample_seed=3).collect()[0]
+    s1b = Q.sq_reconstruction_mse(emb, idx, los, his,
+                                  sample_frac=0.5,
+                                  sample_seed=3).collect()[0]
+    assert tuple(s1) == tuple(s1b)
+    assert 0 < s1["n"] < full["n"]
+    assert s1["mse"] <= 4 * full["mse"] and full["mse"] <= 4 * s1["mse"]
+    # PQ twin shares the discipline
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=8)
+    pidx = PQ.pq_encode(emb, cbs)
+    pf = PQ.pq_reconstruction_mse(emb, pidx, cbs).collect()[0]
+    ps = PQ.pq_reconstruction_mse(emb, pidx, cbs, sample_frac=0.5,
+                                  sample_seed=3).collect()[0]
+    assert 0 < ps["n"] < pf["n"]
+    import pytest
+
+    with pytest.raises(ValueError, match="quantize"):
+        Q.sq_reconstruction_mse(emb, idx, los, his, sample_frac=0.001)
