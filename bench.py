@@ -65,6 +65,10 @@ HEADLINE = [
     # text -> vector -> indexed-ANN route
     "merge_file_pruned",
     "emb_tfidf_ivf_sq_topk",
+    # round-13 tiers: cell-pruned stored ANN serving and the bucketed
+    # MoR lifecycle (pruned read + touched-dirs-only compaction)
+    "ann_sq_stored_prune",
+    "stream_cdc_apply_mor_bucketed",
 ]
 
 

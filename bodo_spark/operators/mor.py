@@ -157,34 +157,69 @@ def _reconcile(base: DataFrame, deltas: DataFrame,
                key_cols: list[str], payload: list[str],
                seq_col: str, *, pruned: bool) -> DataFrame:
     """base + delta rows -> current state (one winner per key, winning
-    deletes dropped). ``pruned``: split the base around the broadcast
-    delta key set so untouched keys never shuffle (module docstring);
-    the two paths are value-identical (null-safe key match in the
-    joins, matching the window's NULL grouping)."""
-    b = base.select(
-        *key_cols, *payload,
-        F.col(seq_col).alias("_seq"), F.lit("U").alias(_OP))
+    deletes dropped). Base keys are assumed unique (the keyed-table
+    invariant mor_init/compaction maintain).
+
+    ``pruned`` (the scale path): reduce the delta log FIRST to one
+    winner per key (a delta-sized window), then resolve the base in
+    ONE full-width scan against the broadcast winner set -- a base row
+    keeps or swaps by a scalar comparison (delta wins on higher seq;
+    equal seq -> delete-wins, the apply_cdc_stream tiebreak), no base
+    shuffle, no window over base rows. Delta-only inserts come from a
+    second base scan that column-prunes to THE KEYS ONLY (a few bytes
+    per row) feeding a broadcast semi join. The naive alternative
+    (pruned=False) unions the full base and windows every key -- a
+    full-table hash shuffle per read; value-identical (null-safe key
+    match mirrors the window's NULL grouping)."""
     d = deltas.select(*key_cols, *payload, "_seq", _OP)
     w = (W.partitionBy(*key_cols)
          .orderBy(F.col("_seq").desc(), F.col(_OP).asc()))
     if not pruned:
+        b = base.select(
+            *key_cols, *payload,
+            F.col(seq_col).alias("_seq"), F.lit("U").alias(_OP))
         un = b.unionByName(d)
         return (un.withColumn("_rn", F.row_number().over(w))
                 .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
                 .select(*key_cols, *payload,
                         F.col("_seq").alias(seq_col)))
-    dkeys = (d.select(*[F.col(k).alias(f"_dk_{k}") for k in key_cols])
-             .distinct())
+    dw = (d.withColumn("_rn", F.row_number().over(w))
+          .where(F.col("_rn") == 1).drop("_rn"))
+    dwr = dw.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_dv_{c}") for c in payload],
+        F.col("_seq").alias("_dseq"), F.col(_OP).alias("_dop"))
     cond = [F.col(k).eqNullSafe(F.col(f"_dk_{k}")) for k in key_cols]
-    untouched = (base.join(F.broadcast(dkeys), cond, "left_anti")
-                 .select(*key_cols, *payload, seq_col))
-    contested = (b.join(F.broadcast(dkeys), cond, "left_semi")
-                 .unionByName(d))
-    winners = (contested.withColumn("_rn", F.row_number().over(w))
-               .where((F.col("_rn") == 1) & (F.col(_OP) == "U"))
+    j = base.join(F.broadcast(dwr), cond, "left")
+    dwin = (F.col("_dseq").isNotNull()
+            & ((F.col("_dseq") > F.col(seq_col))
+               | ((F.col("_dseq") == F.col(seq_col))
+                  & (F.col("_dop") == "D"))))
+    resolved = (j.where(~(dwin & (F.col("_dop") == "D")))
+                .select(*key_cols,
+                        *[F.when(dwin, F.col(f"_dv_{c}"))
+                          .otherwise(F.col(c)).alias(c)
+                          for c in payload],
+                        F.when(dwin, F.col("_dseq"))
+                        .otherwise(F.col(seq_col)).alias(seq_col)))
+    # delta-only inserts: which winner keys already exist in the base?
+    # keys-only scan (column pruning: a sliver of the base bytes) x
+    # broadcast semi -> a small set we can broadcast back into an anti
+    # join on the winner frame. No full-width base rescan, no shuffle.
+    dkeys = dw.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in key_cols]).distinct()
+    # no distinct: base keys are unique (invariant) and the semi join
+    # cannot duplicate them -- skipping it keeps the branch shuffle-free
+    in_base = (base.select(*key_cols)
+               .join(F.broadcast(dkeys), cond, "left_semi")
+               .select(*[F.col(k).alias(f"_ib_{k}")
+                         for k in key_cols]))
+    icond = [F.col(k).eqNullSafe(F.col(f"_ib_{k}")) for k in key_cols]
+    inserts = (dw.join(F.broadcast(in_base), icond, "left_anti")
+               .where(F.col(_OP) == "U")
                .select(*key_cols, *payload,
                        F.col("_seq").alias(seq_col)))
-    return untouched.unionByName(winners)
+    return resolved.unionByName(inserts)
 
 
 def mor_read(spark, path: str, *, key_cols: list[str],
@@ -317,14 +352,31 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
             r[0] for r in deltas
             .select(_bucket_expr(list(key_cols), nb).alias("_b"))
             .distinct().collect())
-        base_slice = (spark.read.parquet(base_path)
-                      .where(F.col(bcol).isin(touched)).drop(bcol))
-        payload = [c for c in base_slice.columns
-                   if c not in key_cols and c != seq_col]
-        cur = _reconcile(base_slice, deltas, list(key_cols), payload,
-                         seq_col, pruned=True)
-        merged = cur.withColumn(bcol, _bucket_expr(list(key_cols), nb))
-        _publish_partitions(merged, base_path, bcol, touched)
+        if len(touched) > nb // 2:
+            # change mass ~ table: the per-directory publish would pay
+            # a near-full shuffle PLUS per-dir swap overhead -- one
+            # bulk bucketed rewrite (repartition by bucket, the
+            # write_bucket_partitioned discipline, under cow_publish's
+            # guarded swap) is strictly better and keeps the layout
+            base_all = spark.read.parquet(base_path).drop(bcol)
+            payload = [c for c in base_all.columns
+                       if c not in key_cols and c != seq_col]
+            cur = _reconcile(base_all, deltas, list(key_cols), payload,
+                             seq_col, pruned=True)
+            merged = (cur.withColumn(bcol,
+                                     _bucket_expr(list(key_cols), nb))
+                      .repartition(int(nb), F.col(bcol)))
+            cow_publish(merged, base_path, partition_by=[bcol])
+        else:
+            base_slice = (spark.read.parquet(base_path)
+                          .where(F.col(bcol).isin(touched)).drop(bcol))
+            payload = [c for c in base_slice.columns
+                       if c not in key_cols and c != seq_col]
+            cur = _reconcile(base_slice, deltas, list(key_cols),
+                             payload, seq_col, pruned=True)
+            merged = cur.withColumn(bcol,
+                                    _bucket_expr(list(key_cols), nb))
+            _publish_partitions(merged, base_path, bcol, touched)
     else:
         cur = mor_read(spark, path, key_cols=key_cols, seq_col=seq_col)
         cow_publish(cur, base_path)

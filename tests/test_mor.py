@@ -253,3 +253,35 @@ def test_mor_unretained_compaction_raises_on_old_as_of(spark, tmp_path):
         M.mor_read(spark, path, key_cols=["k"], as_of_segment=0)
     # the head read is unaffected
     assert (1, "a2", 1) in _state(spark, path)
+
+
+def test_mor_bucketed_compact_wide_touch_bulk_rewrite(spark, tmp_path):
+    """When the delta log touches MOST buckets, compaction must fall
+    back to one bulk bucketed rewrite (same state, layout preserved)
+    instead of per-directory swaps."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"s{i}", 0) for i in range(64)],
+        "k long, seg string, _cdc_seq long")
+    M.mor_init(base, path, key_cols=["k"], n_buckets=4)
+    ch = spark.createDataFrame(
+        [(i, "upd", "U", 1) for i in range(0, 64, 2)],
+        "k long, seg string, op string, seq long")
+    M.mor_apply(ch, path, key_cols=["k"])
+    want = sorted(map(tuple, M.mor_read(spark, path, key_cols=["k"])
+                      .select("k", "seg", "_cdc_seq").collect()))
+    M.mor_compact(spark, path, key_cols=["k"])
+    got = sorted(map(tuple, M.mor_read(spark, path, key_cols=["k"])
+                     .select("k", "seg", "_cdc_seq").collect()))
+    assert got == want
+    # layout preserved: the base is still bucket-partitioned
+    assert glob.glob(os.path.join(path, "base", "mbucket=*"))
+    assert M.mor_delta_stats(spark, path)["n_segments"] == 0
+    # and a follow-up SMALL batch still prunes through the same table
+    M.mor_apply(spark.createDataFrame(
+        [(1, "v2", "U", 2)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    M.mor_compact(spark, path, key_cols=["k"])
+    got2 = sorted(map(tuple, M.mor_read(spark, path, key_cols=["k"])
+                      .select("k", "seg", "_cdc_seq").collect()))
+    assert (1, "v2", 2) in got2 and len(got2) == 64
