@@ -39,7 +39,8 @@ from .similarity import dot
 __all__ = ["sq_train", "sq_encode", "sq_topk", "ivf_sq_index",
            "ivf_sq_topk", "sq_append", "sq_clamp_fraction",
            "sq_reconstruction_mse", "sq_compact",
-           "ivf_sq_topk_segments", "sq_store_index", "sq_stored_topk"]
+           "ivf_sq_topk_segments", "sq_store_index", "sq_stored_topk",
+           "sq_stored_append"]
 
 
 def sq_train(vectors: DataFrame, *,
@@ -336,6 +337,37 @@ def sq_store_index(index: DataFrame, path: str, los: list, his: list, *,
         "los array<double>, his array<double>, bits int, "
         "coarse_dim int, id_col string")
     meta.write.mode(mode).parquet(f"{path}/meta")
+
+
+def sq_stored_append(new_vectors: DataFrame, path: str, *,
+                     vec_col: str = "embedding") -> None:
+    """Append a batch into the STORED cell-partitioned index under the
+    stored model artifacts: encode + route ONLY the batch (reading the
+    bounds and the centroid probe table back from the store -- the
+    sq_append lifecycle contract, so batches route identically to the
+    original build) and APPEND its rows into the touched cell
+    directories (dynamic-partition append, repartitioned by cell
+    first). Cost is O(batch): the existing index files are never
+    opened. Out-of-range values clamp to the stored bounds by the
+    sq_encode contract -- watch sq_clamp_fraction and compact."""
+    from .similarity import _ensure_scan_width, assign_nearest_cell
+    spark = new_vectors.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    los, his = list(m["los"]), list(m["his"])
+    bits, coarse_dim = int(m["bits"]), int(m["coarse_dim"])
+    id_col = m["id_col"]
+    cents = spark.read.parquet(f"{path}/centroids")
+    cells = assign_nearest_cell(
+        _ensure_scan_width(new_vectors).select(id_col, vec_col), cents,
+        vec_col=vec_col, key_col=id_col,
+        coarse_dim=coarse_dim).select(id_col, "_cell")
+    codes = sq_encode(new_vectors, los, his, id_col=id_col,
+                      vec_col=vec_col, bits=bits)
+    batch = (codes.join(cells, id_col)
+             .select(id_col, F.col("_cell").alias("cell"), "code"))
+    (batch.repartition(F.col("cell"))
+     .write.mode("append").partitionBy("cell")
+     .parquet(f"{path}/index"))
 
 
 def sq_stored_topk(spark, path: str, queries: DataFrame, *,

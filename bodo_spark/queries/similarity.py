@@ -1631,6 +1631,43 @@ def ann_sq_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def ann_sq_stored_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored-index incremental APPEND (operators/sq.py
+    sq_stored_append): batch 1 builds and stores the cell-partitioned
+    index (bounds + centroids trained on batch 1 only -- the stored
+    model artifacts); batch 2 is appended INTO the stored directories
+    (O(batch): encode + route the batch under the stored artifacts
+    read back from the store, dynamic-partition append; existing files
+    never opened). Serving the two-batch store shares ann_sq_append's
+    one-shot oracle verbatim: staged stored construction must be
+    row-identical to fresh construction, batch-2 clamping included."""
+    import shutil
+    import uuid
+
+    from ..operators import sq as Q
+    emb = tbl(spark, sf, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 3 != 0)
+    b2 = emb.where(F.col("vec_id") % 3 == 0)
+    los, his = Q.sq_train(b1)
+    idx1 = Q.ivf_sq_index(b1, los, his, n_cells=8, seed_vectors=b1)
+    stage = f"/tmp/bodo_spark_sqsapp_{uuid.uuid4().hex[:8]}"
+    try:
+        Q.sq_store_index(idx1, stage, los, his, n_cells=8,
+                         seed_vectors=b1)
+        Q.sq_stored_append(b2, stage)
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        out = (Q.sq_stored_topk(spark, stage, queries, k=5, n_probe=2)
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def ann_pq_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Stored-index SERVING path for the PQ tier (operators/pq.py
     pq_store_index + pq_stored_topk): the IVF-PQ inverted file
@@ -1670,6 +1707,10 @@ QUERIES: dict[str, QueryDef] = {
         ann_pq_stored_prune, _IVF_PQ_SQL,
         doc="cell-partitioned stored IVF-PQ serving: probed cells as "
             "PartitionFilters; shares the in-memory oracle"),
+    "ann_sq_stored_append": QueryDef(
+        ann_sq_stored_append, _SQ_APPEND_SQL,
+        doc="O(batch) append into the stored cell dirs under stored "
+            "artifacts; shares the one-shot append oracle"),
     "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
     "ann_ivf_sq_topk": QueryDef(ann_ivf_sq_topk, _IVF_SQ_SQL),
     "ann_sq_append": QueryDef(
