@@ -41,7 +41,8 @@ from .similarity import _ensure_scan_width, _round_half_up, dot
 __all__ = ["lowest_id_pq_codebooks", "train_pq_codebooks", "pq_encode",
            "pq_topk", "pq_search", "ivf_pq_index", "ivf_pq_topk",
            "pq_reconstruction_mse", "pq_compact", "pq_append",
-           "ivf_pq_topk_segments", "pq_store_index", "pq_stored_topk"]
+           "ivf_pq_topk_segments", "pq_store_index", "pq_stored_topk",
+           "pq_stored_append"]
 
 
 def lowest_id_pq_codebooks(vectors: DataFrame, *, m: int = 4, k: int = 16,
@@ -801,6 +802,33 @@ def pq_store_index(index: DataFrame, path: str, codebooks: list, *,
         "codebooks array<array<array<double>>>, coarse_dim int, "
         "id_col string")
     meta.write.mode(mode).parquet(f"{path}/meta")
+
+
+def pq_stored_append(new_vectors: DataFrame, path: str, *,
+                     vec_col: str = "embedding") -> None:
+    """Append a batch into the STORED cell-partitioned IVF-PQ index
+    under the stored model artifacts (the sq_stored_append discipline
+    for the codebook family): encode + route ONLY the batch with the
+    codebooks and centroid probe table read back from the store, then
+    dynamic-partition-append into the touched cell directories --
+    O(batch), existing index files never opened."""
+    from .similarity import _ensure_scan_width, assign_nearest_cell
+    spark = new_vectors.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    codebooks = [[list(cw) for cw in book] for book in m["codebooks"]]
+    coarse_dim, id_col = int(m["coarse_dim"]), m["id_col"]
+    cents = spark.read.parquet(f"{path}/centroids")
+    cells = assign_nearest_cell(
+        _ensure_scan_width(new_vectors).select(id_col, vec_col), cents,
+        vec_col=vec_col, key_col=id_col,
+        coarse_dim=coarse_dim).select(id_col, "_cell")
+    codes = pq_encode(new_vectors, codebooks, id_col=id_col,
+                      vec_col=vec_col)
+    batch = (codes.join(cells, id_col)
+             .select(id_col, F.col("_cell").alias("cell"), "code"))
+    (batch.repartition(F.col("cell"))
+     .write.mode("append").partitionBy("cell")
+     .parquet(f"{path}/index"))
 
 
 def pq_stored_topk(spark, path: str, queries: DataFrame, *,

@@ -1668,6 +1668,40 @@ def ann_sq_stored_append(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def ann_pq_stored_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored IVF-PQ incremental APPEND (operators/pq.py
+    pq_stored_append): even ids build and store the cell-partitioned
+    index, odd ids are appended INTO the stored directories under the
+    codebooks/centroids read back from the store; serving the
+    two-batch store shares ann_index_append's one-shot oracle verbatim
+    (same batches, same pinned codebooks and centroid seed)."""
+    import shutil
+    import uuid
+
+    from ..operators import pq as PQ
+    emb = tbl(spark, sf, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    idx1 = PQ.ivf_pq_index(b1, cbs, n_cells=8, seed_vectors=emb)
+    stage = f"/tmp/bodo_spark_pqsapp_{uuid.uuid4().hex[:8]}"
+    try:
+        PQ.pq_store_index(idx1, stage, cbs, n_cells=8,
+                          seed_vectors=emb)
+        PQ.pq_stored_append(b2, stage)
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        out = (PQ.pq_stored_topk(spark, stage, queries, k=5, n_probe=2)
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def ann_pq_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Stored-index SERVING path for the PQ tier (operators/pq.py
     pq_store_index + pq_stored_topk): the IVF-PQ inverted file
@@ -1711,6 +1745,10 @@ QUERIES: dict[str, QueryDef] = {
         ann_sq_stored_append, _SQ_APPEND_SQL,
         doc="O(batch) append into the stored cell dirs under stored "
             "artifacts; shares the one-shot append oracle"),
+    "ann_pq_stored_append": QueryDef(
+        ann_pq_stored_append, _IVF_PQ_SQL,
+        doc="O(batch) append into the stored IVF-PQ cell dirs; shares "
+            "the one-shot append oracle"),
     "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
     "ann_ivf_sq_topk": QueryDef(ann_ivf_sq_topk, _IVF_SQ_SQL),
     "ann_sq_append": QueryDef(
