@@ -762,7 +762,108 @@ ORDER BY phase
 """
 
 
+def merge_mor_incremental_pull(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental pull (operators/mor.mor_changes -- the Hudi
+    incremental-query economics): after batches A, B, a retained
+    compaction, and batch C, pull the net changes of segments [1, 3)
+    (spanning the archive) and apply them onto the as-of-1 snapshot in
+    a SECOND MoR table; the replayed table must equal the head state
+    exactly. The gate pins BOTH the direct head read and the
+    replayed-from-pull state against one SQL head derivation."""
+    import shutil
+    import uuid
+
+    from ..operators import mor as M
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_morip_{uuid.uuid4().hex[:8]}"
+    try:
+        M.mor_init(c.withColumn("_cdc_seq", F.lit(0).cast("long")),
+                   f"{stage}/t")
+
+        def ch(pred, seg, op, seq, shift=0):
+            return (c.where(pred)
+                    .select((F.col("k") + shift).alias("k"),
+                            seg.alias("seg"), F.lit(op).alias("op"),
+                            F.lit(seq).cast("long").alias("seq")))
+
+        batch_a = ch(F.col("k") % 3 == 0, F.lit("SEG_V1"), "U", 1) \
+            .unionByName(ch(F.col("k") < 5, F.lit("NEWSEG"), "U", 1,
+                            shift=1_000_000))
+        batch_b = ch(F.col("k") % 6 == 0, F.lit("SEG_V2"), "U", 2) \
+            .unionByName(ch(F.col("k") % 5 == 0,
+                            F.lit(None).cast("string"), "D", 3))
+        batch_c = ch(F.col("k") % 7 == 0, F.lit("SEG_V3"), "U", 4)
+        M.mor_apply(batch_a, f"{stage}/t", key_cols=["k"])
+        M.mor_apply(batch_b, f"{stage}/t", key_cols=["k"])
+        M.mor_compact(spark, f"{stage}/t", key_cols=["k"],
+                      retain_history=True)
+        M.mor_apply(batch_c, f"{stage}/t", key_cols=["k"])
+        snap1 = M.mor_read(spark, f"{stage}/t", key_cols=["k"],
+                           as_of_segment=1)
+        pull = M.mor_changes(spark, f"{stage}/t", key_cols=["k"],
+                             since_segment=1)
+        M.mor_init(snap1, f"{stage}/replay")
+        M.mor_apply(pull, f"{stage}/replay", key_cols=["k"],
+                    op_col="op", src_seq_col="_cdc_seq")
+
+        def agg(df, phase):
+            a = df.agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.bit_xor("k").alias("key_xor"),
+                       F.max("_cdc_seq").alias("max_seq")).collect()[0]
+            return (phase, a["n_rows"], a["key_xor"], a["max_seq"])
+
+        rows = [agg(M.mor_read(spark, f"{stage}/t", key_cols=["k"]),
+                    "direct"),
+                agg(M.mor_read(spark, f"{stage}/replay",
+                               key_cols=["k"]), "replayed")]
+        return spark.createDataFrame(
+            rows, "phase string, n_rows bigint, key_xor bigint, "
+                  "max_seq bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_MOR_PULL_SQL = """
+WITH init AS (
+  SELECT c_custkey AS k, CAST(0 AS BIGINT) AS sq FROM customer),
+ch AS (
+  SELECT c_custkey AS k, 'U' AS op, CAST(1 AS BIGINT) AS sq
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'U', 1 FROM customer WHERE c_custkey < 5
+  UNION ALL
+  SELECT c_custkey, 'U', 2 FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT c_custkey, 'D', 3 FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, 'U', 4 FROM customer WHERE c_custkey % 7 = 0),
+head AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN (
+    SELECT k, op, sq,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY sq DESC, op ASC) AS rn
+    FROM ch QUALIFY rn = 1) l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D')
+SELECT * FROM (
+  SELECT 'direct' AS phase, COUNT(*) AS n_rows, bit_xor(k) AS key_xor,
+         CAST(MAX(sq) AS BIGINT) AS max_seq FROM head
+  UNION ALL
+  SELECT 'replayed', COUNT(*), bit_xor(k), CAST(MAX(sq) AS BIGINT)
+  FROM head)
+ORDER BY phase
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "merge_mor_incremental_pull": QueryDef(
+        merge_mor_incremental_pull, _MOR_PULL_SQL,
+        doc="Hudi-style incremental pull: net changes [since, until) "
+            "replayed onto the since snapshot == head, both pinned"),
     "merge_mor_retained_time_travel": QueryDef(
         merge_mor_retained_time_travel, _MOR_RETAINED_TT_SQL,
         doc="MoR snapshot retention: pre-compaction as-of states "

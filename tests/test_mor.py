@@ -285,3 +285,52 @@ def test_mor_bucketed_compact_wide_touch_bulk_rewrite(spark, tmp_path):
     got2 = sorted(map(tuple, M.mor_read(spark, path, key_cols=["k"])
                       .select("k", "seg", "_cdc_seq").collect()))
     assert (1, "v2", 2) in got2 and len(got2) == 64
+
+
+def test_mor_changes_incremental_pull(spark, tmp_path):
+    """mor_changes([since, until)) applied onto the since snapshot must
+    reproduce the until snapshot exactly -- including keys created and
+    deleted within the range -- and cross a retained compaction."""
+    path = _init(spark, tmp_path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "a2", "U", 1), (9, "tmp", "U", 1)],
+        "k long, seg string, op string, seq long"), path,
+        key_cols=["k"])
+    M.mor_apply(spark.createDataFrame(
+        [(9, None, "D", 2), (2, "b2", "U", 2)],
+        "k long, seg string, op string, seq long"), path,
+        key_cols=["k"])
+    M.mor_compact(spark, path, key_cols=["k"], retain_history=True)
+    M.mor_apply(spark.createDataFrame(
+        [(3, "c2", "U", 3)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    # pull [1, 3): batch 2 (archived) + batch 3 (live)
+    pull = M.mor_changes(spark, path, key_cols=["k"], since_segment=1)
+    got_ops = {(r["k"], r["op"]) for r in pull.collect()}
+    assert got_ops == {(9, "D"), (2, "U"), (3, "U")}
+    # replay: since-snapshot + pull == head
+    snap1 = M.mor_read(spark, path, key_cols=["k"], as_of_segment=1)
+    p2 = str(tmp_path / "replay")
+    M.mor_init(snap1, p2)
+    M.mor_apply(pull, p2, key_cols=["k"], op_col="op",
+                src_seq_col="_cdc_seq")
+    head = sorted(map(tuple, M.mor_read(spark, path, key_cols=["k"])
+                      .select("k", "seg", "_cdc_seq").collect()))
+    replayed = sorted(map(tuple, M.mor_read(spark, p2, key_cols=["k"])
+                          .select("k", "seg", "_cdc_seq").collect()))
+    assert replayed == head
+    # empty range; bad ranges
+    assert M.mor_changes(spark, path, key_cols=["k"],
+                         since_segment=3).count() == 0
+    with pytest.raises(ValueError, match="need 0 <= since"):
+        M.mor_changes(spark, path, key_cols=["k"], since_segment=4)
+
+
+def test_mor_changes_unretained_range_raises(spark, tmp_path):
+    path = _init(spark, tmp_path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "a2", "U", 1)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    M.mor_compact(spark, path, key_cols=["k"])  # no retention
+    with pytest.raises(ValueError, match="retain_history"):
+        M.mor_changes(spark, path, key_cols=["k"], since_segment=0)
