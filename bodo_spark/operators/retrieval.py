@@ -251,6 +251,58 @@ def bm25_store_index(postings: DataFrame, path: str, *,
             pass
 
 
+def bm25_stored_append(new_docs: DataFrame, path: str, *,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+    """Append a document batch to a STORED index in place -- the full
+    serving lifecycle without a rebuild. Work is proportional to the
+    batch: (1) the batch's postings (bm25_index over the batch only)
+    are dynamic-partition-APPENDED into their term-bucket directories;
+    (2) ``term_stats`` is maintained by an additive file-pruned MERGE
+    (merge_into_partitioned on term with the SAME xxhash bucket scheme
+    the store used -- only the batch terms' shards are read and
+    rewritten); (3) the one-row ``corpus_stats`` adds the batch's
+    n_docs/sum_dl under the guarded cow_publish swap. One-shot
+    equivalence: postings rows are per-(term, doc) pure functions of
+    the document and both stats are additive over disjoint doc ids
+    (the bm25_append contract), so the appended store serves
+    identically to a fresh one -- the text_bm25_stored_append gate
+    shares the one-shot oracle verbatim."""
+    from pyspark import StorageLevel
+
+    from .merge import cow_publish, merge_into_partitioned
+    spark = new_docs.sparkSession
+    nb = int(spark.read.parquet(f"{path}/meta")
+             .collect()[0]["n_term_buckets"])
+    batch = (bm25_index(new_docs, id_col=id_col, text_col=text_col)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        tb = _term_bucket(nb)
+        (batch.withColumn("tbucket", tb)
+         .repartition(F.col("tbucket"))
+         .write.mode("append").partitionBy("tbucket")
+         .parquet(f"{path}/postings"))
+        bts, bcs = bm25_corpus_stats(batch)
+        merge_into_partitioned(
+            spark, f"{path}/term_stats", bts, ["term"], n_buckets=nb,
+            bucket_col="tbucket",
+            when_matched_update={"df": F.col("df") + F.col("src_df")},
+            when_not_matched_insert={"term": F.col("src_term"),
+                                     "df": F.col("src_df")})
+        b = bcs.collect()[0]
+        new_cs = (spark.read.parquet(f"{path}/corpus_stats")
+                  .select((F.col("n_docs") + F.lit(int(b["n_docs"])))
+                          .cast("bigint").alias("n_docs"),
+                          (F.col("sum_dl") + F.lit(int(b["sum_dl"])))
+                          .cast("bigint").alias("sum_dl")))
+        cow_publish(new_cs, f"{path}/corpus_stats")
+    finally:
+        try:
+            batch.unpersist()
+        except Exception:
+            pass
+
+
 def bm25_stored_topk(spark, path: str, queries: DataFrame, *,
                      q_id_col: str = "q_id", q_text_col: str = "q_text",
                      k: int = 10, k1: float = 1.2,

@@ -660,6 +660,43 @@ def text_bm25_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def text_bm25_stored_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored-index incremental APPEND (operators/retrieval.py
+    bm25_stored_append): even doc ids build and store the sharded
+    index; odd ids are appended IN PLACE -- postings into their term
+    shards, term_stats via an additive file-pruned MERGE, corpus_stats
+    under the guarded swap. Serving the appended store shares the
+    one-shot oracle verbatim (the bm25_append one-shot-equivalence
+    argument, now for the STORED layout end-to-end)."""
+    import shutil
+    import uuid
+
+    from ..operators import retrieval as R
+    d = tbl(spark, sf, "documents")
+    b1 = d.where(F.col("doc_id") % 2 == 0)
+    b2 = d.where(F.col("doc_id") % 2 == 1)
+    stage = f"/tmp/bodo_spark_bm25sapp_{uuid.uuid4().hex[:8]}"
+    try:
+        R.bm25_store_index(R.bm25_index(b1), stage, n_term_buckets=64)
+        R.bm25_stored_append(b2, stage)
+        queries = (d.where(F.col("doc_id") < 3)
+                   .select(F.col("doc_id").alias("q_id"),
+                           F.array_join(F.slice(T.tokenize_ws("text"),
+                                                1, 8), " ")
+                           .alias("q_text")))
+        out = R.bm25_stored_topk(spark, stage, queries, k=5) \
+            .orderBy("q_id", "rn")
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, doc_id long, score double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        import glob as g
+        for dd in g.glob(f"{stage}/term_stats.__cow_*") + \
+                g.glob(f"{stage}/corpus_stats.__cow_*"):
+            shutil.rmtree(dd, ignore_errors=True)
+
+
 def text_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """PMI collocation extraction (operators/text.pmi_collocations):
     the top-20 adjacent bigrams by pointwise mutual information with
@@ -696,6 +733,10 @@ FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 20
 QUERIES: dict[str, QueryDef] = {
     "text_collocations": QueryDef(text_collocations, _TEXT_COLLOC_SQL),
     "text_bm25_append": QueryDef(text_bm25_append, _bm25_sql()),
+    "text_bm25_stored_append": QueryDef(
+        text_bm25_stored_append, _bm25_sql(),
+        doc="in-place stored-index append: postings into term shards, "
+            "term_stats via additive file-pruned MERGE"),
     "text_bm25_stored_prune": QueryDef(
         text_bm25_stored_prune, _bm25_sql(),
         doc="stored term-sharded BM25 serving with partition pruning"),

@@ -488,3 +488,21 @@ def test_pq_stored_serving_partition_prunes(spark, tmp_path):
     mem = sorted(map(tuple, PQ.ivf_pq_topk(
         idx, q, emb, cbs, k=3, n_probe=2, n_cells=8).collect()))
     assert sorted(map(tuple, out.collect())) == mem
+
+
+def test_mor_changes_never_scans_base(spark, tmp_path):
+    """Incremental pull reads ONLY the range's delta segments -- the
+    base table must not appear in the plan at all (cost bound by the
+    change mass, the downstream-consumer contract)."""
+    from bodo_spark.operators import mor as M
+    path = str(tmp_path / "t")
+    M.mor_init(spark.createDataFrame(
+        [(i, "s", 0) for i in range(50)],
+        "k long, seg string, _cdc_seq long"), path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "u", "U", 1)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    p = plan_str(M.mor_changes(spark, path, key_cols=["k"],
+                               since_segment=0))
+    assert "/base" not in p, p
+    assert "d-0000" in p or "delta" in p, p
