@@ -175,3 +175,52 @@ def test_fuzzy_join_blocks_thresholds_best(spark):
                       right_block=F.col("name").substr(1, 1),
                       threshold=0.8, keep="all").collect()
     assert len(allp) >= 3                        # looser: jon smith too
+
+
+def test_bm25_stored_append_rewrites_only_batch_term_shards(spark,
+                                                            tmp_path):
+    """The in-place stored append must leave postings/term_stats files
+    OUTSIDE the batch terms' buckets byte-identical, and the appended
+    store must serve exactly like a one-shot store."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators import retrieval as R
+    from bodo_spark.operators.merge import _bucket_expr
+    d1 = spark.createDataFrame(
+        [(i, f"alpha bravo w{i} w{i} common") for i in range(20)],
+        "doc_id long, text string")
+    d2 = spark.createDataFrame(
+        [(100 + i, f"zulu yankee z{i}") for i in range(3)],
+        "doc_id long, text string")
+    p_inc = str(tmp_path / "inc")
+    R.bm25_store_index(R.bm25_index(d1), p_inc, n_term_buckets=32)
+    batch_terms = (R.bm25_index(d2).select("term").distinct()
+                   .select(_bucket_expr(["term"], 32).alias("b")))
+    touched = {r[0] for r in batch_terms.distinct().collect()}
+    tdirs = [f"tbucket={t}" for t in touched]
+
+    def files(sub):
+        return {(p, os.path.getmtime(p), os.path.getsize(p))
+                for p in glob.glob(os.path.join(p_inc, sub, "**",
+                                                "*.parquet"),
+                                   recursive=True)
+                if not any(os.sep + t + os.sep in p for t in tdirs)}
+
+    before_p, before_t = files("postings"), files("term_stats")
+    R.bm25_stored_append(d2, p_inc)
+    assert files("postings") == before_p
+    assert files("term_stats") == before_t and len(touched) < 32
+    # value parity with a one-shot store
+    p_one = str(tmp_path / "one")
+    R.bm25_store_index(R.bm25_index(d1.unionByName(d2)), p_one,
+                       n_term_buckets=32)
+    q = spark.createDataFrame([(1, "common zulu alpha")],
+                              "q_id long, q_text string")
+    a = sorted(map(tuple,
+                   R.bm25_stored_topk(spark, p_inc, q, k=5).collect()))
+    b = sorted(map(tuple,
+                   R.bm25_stored_topk(spark, p_one, q, k=5).collect()))
+    assert a == b and len(a) == 5
