@@ -802,6 +802,58 @@ def _stream_ann_sql() -> str:
 QUERIES["stream_ann_topk"] = QueryDef(stream_ann_topk, _stream_ann_sql())
 
 
+def stream_ann_stored_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming serving over the cell-partitioned STORED IVF-SQ index
+    (streaming/ann.serve_sq_stored_stream): the index is built and
+    stored once (sq_store_index), then the 3 query vectors replay as a
+    2-file stream and each micro-batch reads only its probed cells'
+    directories (sq_stored_topk inside foreachBatch -- the probed-cell
+    PartitionFilters list is a per-batch driver value). Shares
+    ann_ivf_sq_topk's oracle verbatim: the served stream must return
+    the identical ranking the batch search computes."""
+    from ..operators import sq as Q
+    from ..streaming import read_stream_parquet
+    from ..streaming.ann import serve_sq_stored_stream
+
+    emb = tbl(spark, sf, "embeddings")
+    los, his = Q.sq_train(emb)
+    idx = Q.ivf_sq_index(emb, los, his, n_cells=8)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    stage = f"/tmp/bodo_spark_sannst_{uuid.uuid4().hex[:8]}"
+    try:
+        Q.sq_store_index(idx, f"{stage}/idx", los, his, n_cells=8,
+                         seed_vectors=emb)
+        queries.repartition(2).write.mode("overwrite") \
+            .parquet(f"{stage}/q")
+        stream = read_stream_parquet(spark, f"{stage}/q",
+                                     queries.schema,
+                                     max_files_per_trigger=1)
+        serve_sq_stored_stream(
+            stream, f"{stage}/idx", f"{stage}/out", k=5, n_probe=2,
+            query_name=f"sqst_{uuid.uuid4().hex[:8]}")
+        out = (spark.read.parquet(f"{stage}/out")
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stream_ann_stored_sql() -> str:
+    from .similarity import _IVF_SQ_SQL
+    return _IVF_SQ_SQL
+
+
+QUERIES["stream_ann_stored_topk"] = QueryDef(
+    stream_ann_stored_topk, _stream_ann_stored_sql(),
+    doc="query stream served from the cell-partitioned stored index; "
+        "per-batch I/O bound by the probed shards")
+
+
 def stream_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming BM25 search (streaming/retrieval.py stream_bm25_topk):
     the inverted index, term stats and corpus scalars are staged to

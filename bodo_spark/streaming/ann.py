@@ -26,7 +26,7 @@ import pandas as pd  # module-level: pandas_udf resolves the hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stream_ivf_pq_topk"]
+__all__ = ["stream_ivf_pq_topk", "serve_sq_stored_stream"]
 
 
 def _probe_expr(centroids: list[tuple[int, list[float]]], n_probe: int,
@@ -165,3 +165,39 @@ def stream_ivf_pq_topk(
                 topk,
                 f"{q_id_col} long, {id_col} long, adist double, rn long",
                 "dummy int", "update", GroupStateTimeout.NoTimeout))
+
+
+def serve_sq_stored_stream(queries_stream, index_path: str,
+                           out_path: str, *, k: int = 5,
+                           n_probe: int = 2, q_id_col: str = "q_id",
+                           q_vec_col: str = "q_vec",
+                           query_name: str = "sq_stored_serve",
+                           available_now: bool = True):
+    """Streaming serving over the CELL-PARTITIONED stored IVF-SQ index
+    (operators/sq.sq_store_index): each query micro-batch probes its
+    cells and reads ONLY those partition directories through
+    sq_stored_topk (the probed-cell PartitionFilters list is a
+    per-batch bounded driver value, which is exactly why this runs in
+    foreachBatch rather than as a pure stream transform), appending
+    ranked results to ``out_path``. Per batch, I/O is bound by the
+    probed shards -- the stored-serving economics under a query
+    stream; the stream_ann_stored_topk gate pins the served results
+    against the batch search's oracle."""
+    from ..operators.sq import sq_stored_topk
+
+    def serve(bdf, batch_id: int) -> None:
+        if not bdf.take(1):
+            return
+        out = sq_stored_topk(bdf.sparkSession, index_path, bdf, k=k,
+                             n_probe=n_probe, q_id_col=q_id_col,
+                             q_vec_col=q_vec_col)
+        out.write.mode("append").parquet(out_path)
+
+    q = (queries_stream.writeStream.queryName(query_name)
+         .foreachBatch(serve)
+         .option("checkpointLocation", f"{out_path}__ckpt"))
+    if available_now:
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return sq
+    return q.start()
