@@ -63,7 +63,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["mor_init", "mor_apply", "mor_read", "mor_compact",
-           "mor_delta_stats", "mor_changes", "apply_cdc_stream_mor"]
+           "mor_delta_stats", "mor_changes", "mor_expire_snapshots",
+           "apply_cdc_stream_mor"]
 
 _OP = "_op"
 _META = "meta.json"
@@ -452,6 +453,42 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
             shutil.rmtree(seg, ignore_errors=True)
     meta["base_seg"] += len(consumed)
     _write_meta(path, meta)
+
+
+def mor_expire_snapshots(path: str, *, keep_from: int) -> dict:
+    """Retention-horizon maintenance (the Iceberg expire_snapshots
+    analogue): drop archived history no longer needed to replay any
+    ``as_of_segment >= keep_from`` -- archived BASE generations older
+    than the newest generation <= keep_from, and archived delta
+    segments below that generation. as-of reads and incremental pulls
+    at or after the horizon keep working exactly; older ones raise the
+    same clean error an unretained compaction produces. Driver-local
+    metadata work plus directory unlinks (hardlinked snapshot files
+    free only when their last reference goes). Returns
+    ``{expired_bases, expired_segments, kept_from_gen}``."""
+    meta = _read_meta(path)
+    gens = sorted(int(g) for g in meta["archived_bases"])
+    cands = [g for g in gens if g <= keep_from]
+    if not cands:
+        # nothing at or below the horizon -- no-op (the horizon is
+        # already unreachable or nothing is archived)
+        return {"expired_bases": 0, "expired_segments": 0,
+                "kept_from_gen": None}
+    floor_gen = max(cands)
+    drop_bases = [g for g in gens if g < floor_gen]
+    n_segs = 0
+    for seg in sorted(glob.glob(os.path.join(path, "archive", "delta",
+                                             "d-*"))):
+        if _seg_num(seg) < floor_gen:
+            shutil.rmtree(seg, ignore_errors=True)
+            n_segs += 1
+    for g in drop_bases:
+        shutil.rmtree(os.path.join(path, "archive", f"base-{g:06d}"),
+                      ignore_errors=True)
+    meta["archived_bases"] = [g for g in gens if g >= floor_gen]
+    _write_meta(path, meta)
+    return {"expired_bases": len(drop_bases),
+            "expired_segments": n_segs, "kept_from_gen": floor_gen}
 
 
 def apply_cdc_stream_mor(changes: DataFrame, path: str, *,

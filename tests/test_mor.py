@@ -334,3 +334,41 @@ def test_mor_changes_unretained_range_raises(spark, tmp_path):
     M.mor_compact(spark, path, key_cols=["k"])  # no retention
     with pytest.raises(ValueError, match="retain_history"):
         M.mor_changes(spark, path, key_cols=["k"], since_segment=0)
+
+
+def test_mor_expire_snapshots_keeps_horizon(spark, tmp_path):
+    """Expiry drops history strictly below the newest retained base
+    generation <= keep_from; as-of reads at/after the horizon still
+    replay exactly, older ones raise the unretained-compaction error."""
+    path = _init(spark, tmp_path)
+
+    def batch(k, seg, seq):
+        return spark.createDataFrame(
+            [(k, seg, "U", seq)], "k long, seg string, op string, "
+                                  "seq long")
+
+    M.mor_apply(batch(1, "v1", 1), path, key_cols=["k"])
+    M.mor_compact(spark, path, key_cols=["k"], retain_history=True)
+    M.mor_apply(batch(2, "v2", 2), path, key_cols=["k"])
+    M.mor_compact(spark, path, key_cols=["k"], retain_history=True)
+    M.mor_apply(batch(3, "v3", 3), path, key_cols=["k"])
+
+    def st(n):
+        return sorted(map(tuple, M.mor_read(
+            spark, path, key_cols=["k"], as_of_segment=n)
+            .select("k", "seg", "_cdc_seq").collect()))
+
+    pre = {n: st(n) for n in (0, 1, 2, 3)}
+    out = M.mor_expire_snapshots(path, keep_from=1)
+    assert out["expired_bases"] == 1 and out["kept_from_gen"] == 1
+    assert out["expired_segments"] == 1          # segment 0
+    for n in (1, 2, 3):
+        assert st(n) == pre[n], n
+    with pytest.raises(ValueError, match="retain_history"):
+        M.mor_read(spark, path, key_cols=["k"], as_of_segment=0)
+    # incremental pull across the kept range still works
+    assert M.mor_changes(spark, path, key_cols=["k"],
+                         since_segment=1).count() == 2
+    # expiring with nothing below the horizon is a no-op
+    assert M.mor_expire_snapshots(path, keep_from=1)[
+        "expired_bases"] == 0
