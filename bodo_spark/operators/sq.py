@@ -40,7 +40,7 @@ __all__ = ["sq_train", "sq_encode", "sq_topk", "ivf_sq_index",
            "ivf_sq_topk", "sq_append", "sq_clamp_fraction",
            "sq_reconstruction_mse", "sq_compact",
            "ivf_sq_topk_segments", "sq_store_index", "sq_stored_topk",
-           "sq_stored_append"]
+           "sq_stored_append", "sq_stored_compact"]
 
 
 def sq_train(vectors: DataFrame, *,
@@ -368,6 +368,51 @@ def sq_stored_append(new_vectors: DataFrame, path: str, *,
     (batch.repartition(F.col("cell"))
      .write.mode("append").partitionBy("cell")
      .parquet(f"{path}/index"))
+
+
+def sq_stored_compact(vectors: DataFrame, path: str, *,
+                      n_cells: int = 8, centroids: list | None = None,
+                      coarse_dim: int = 16, bits: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      seed_vectors: DataFrame | None = None) -> None:
+    """Re-train + re-encode compaction of a STORED index (sq_compact
+    for the cell-partitioned layout): derive fresh bounds from the
+    CURRENT raw corpus, rebuild the inverted file, and REPLACE the
+    whole store -- index, centroids, bounds -- in one guarded swap
+    (bounds and codes must switch together; a reader sees either the
+    old store or the new one, never a mix -- the dequantization-is-
+    bounds-bound contract). Needs the raw ``vectors`` (codes alone
+    cannot retrain; the store keeps only the serving artifacts)."""
+    import os
+    import shutil
+    import uuid
+    idx, los, his = sq_compact(vectors, n_cells=n_cells,
+                               centroids=centroids, id_col=id_col,
+                               vec_col=vec_col, coarse_dim=coarse_dim,
+                               seed_vectors=seed_vectors, bits=bits)
+    norm = path.rstrip("/")
+    staging = f"{norm}.__sqc_staging_{uuid.uuid4().hex[:8]}"
+    backup = f"{norm}.__sqc_backup_{uuid.uuid4().hex[:8]}"
+    try:
+        sq_store_index(idx, staging, los, his, n_cells=n_cells,
+                       centroids=centroids, coarse_dim=coarse_dim,
+                       bits=bits, id_col=id_col, vec_col=vec_col,
+                       seed_vectors=(seed_vectors
+                                     if seed_vectors is not None
+                                     else vectors))
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    try:
+        shutil.move(norm, backup)
+        shutil.move(staging, norm)
+    except Exception:
+        if not os.path.isdir(norm) and os.path.isdir(backup):
+            shutil.move(backup, norm)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
 
 
 def sq_stored_topk(spark, path: str, queries: DataFrame, *,

@@ -1668,6 +1668,47 @@ def ann_sq_stored_append(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def ann_sq_stored_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored-index COMPACTION (operators/sq.py sq_stored_compact --
+    completing the stored lifecycle: store / serve / append /
+    compact): batch 1 builds the store under ITS OWN bounds, batch 2
+    is appended (clamping under the stale bounds), then the store is
+    compacted against the full raw corpus -- fresh bounds, rebuilt
+    inverted file, the whole store swapped atomically. Serving the
+    compacted store shares ann_ivf_sq_topk's one-shot oracle verbatim
+    (full-corpus bounds + lowest-id seeds = exactly what compaction
+    derives)."""
+    import shutil
+    import uuid
+
+    from ..operators import sq as Q
+    emb = tbl(spark, sf, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 3 != 0)
+    b2 = emb.where(F.col("vec_id") % 3 == 0)
+    los1, his1 = Q.sq_train(b1)
+    idx1 = Q.ivf_sq_index(b1, los1, his1, n_cells=8, seed_vectors=b1)
+    stage = f"/tmp/bodo_spark_sqsc_{uuid.uuid4().hex[:8]}"
+    try:
+        Q.sq_store_index(idx1, stage, los1, his1, n_cells=8,
+                         seed_vectors=b1)
+        Q.sq_stored_append(b2, stage)
+        Q.sq_stored_compact(emb, stage, n_cells=8)
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        out = (Q.sq_stored_topk(spark, stage, queries, k=5, n_probe=2)
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        import glob as g
+        for dd in g.glob(f"{stage}.__sqc_*"):
+            shutil.rmtree(dd, ignore_errors=True)
+
+
 def ann_pq_stored_append(spark: SparkSession, sf: str) -> DataFrame:
     """Stored IVF-PQ incremental APPEND (operators/pq.py
     pq_stored_append): even ids build and store the cell-partitioned
@@ -1749,6 +1790,10 @@ QUERIES: dict[str, QueryDef] = {
         ann_pq_stored_append, _IVF_PQ_SQL,
         doc="O(batch) append into the stored IVF-PQ cell dirs; shares "
             "the one-shot append oracle"),
+    "ann_sq_stored_compact": QueryDef(
+        ann_sq_stored_compact, _IVF_SQ_SQL,
+        doc="stored-index compaction: fresh bounds + rebuilt file + "
+            "whole-store swap; shares the one-shot oracle"),
     "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
     "ann_ivf_sq_topk": QueryDef(ann_ivf_sq_topk, _IVF_SQ_SQL),
     "ann_sq_append": QueryDef(
