@@ -42,7 +42,7 @@ __all__ = ["lowest_id_pq_codebooks", "train_pq_codebooks", "pq_encode",
            "pq_topk", "pq_search", "ivf_pq_index", "ivf_pq_topk",
            "pq_reconstruction_mse", "pq_compact", "pq_append",
            "ivf_pq_topk_segments", "pq_store_index", "pq_stored_topk",
-           "pq_stored_append"]
+           "pq_stored_append", "pq_stored_compact"]
 
 
 def lowest_id_pq_codebooks(vectors: DataFrame, *, m: int = 4, k: int = 16,
@@ -829,6 +829,52 @@ def pq_stored_append(new_vectors: DataFrame, path: str, *,
     (batch.repartition(F.col("cell"))
      .write.mode("append").partitionBy("cell")
      .parquet(f"{path}/index"))
+
+
+def pq_stored_compact(vectors: DataFrame, path: str, *, m: int = 4,
+                      k: int = 16, n_cells: int = 8,
+                      coarse_dim: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      trainer: str = "lowest_id",
+                      sample_size: int = 4096, iters: int = 10,
+                      seed: int = 0,
+                      seed_vectors: DataFrame | None = None) -> None:
+    """Re-train + re-encode compaction of a STORED IVF-PQ index
+    (sq_stored_compact for the codebook family): fresh codebooks from
+    the CURRENT raw corpus (pq_compact), rebuilt inverted file, and
+    the whole store -- index, centroids, codebooks -- replaced in one
+    guarded swap (ADC LUTs are codebook-bound: a reader must see old
+    or new store, never a mix)."""
+    import os
+    import shutil
+    import uuid
+    idx, cbs = pq_compact(vectors, m=m, k=k, n_cells=n_cells,
+                          id_col=id_col, vec_col=vec_col,
+                          coarse_dim=coarse_dim, trainer=trainer,
+                          sample_size=sample_size, iters=iters,
+                          seed=seed)
+    norm = path.rstrip("/")
+    staging = f"{norm}.__pqc_staging_{uuid.uuid4().hex[:8]}"
+    backup = f"{norm}.__pqc_backup_{uuid.uuid4().hex[:8]}"
+    try:
+        pq_store_index(idx, staging, cbs, n_cells=n_cells,
+                       coarse_dim=coarse_dim, id_col=id_col,
+                       vec_col=vec_col,
+                       seed_vectors=(seed_vectors
+                                     if seed_vectors is not None
+                                     else vectors))
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    try:
+        shutil.move(norm, backup)
+        shutil.move(staging, norm)
+    except Exception:
+        if not os.path.isdir(norm) and os.path.isdir(backup):
+            shutil.move(backup, norm)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
 
 
 def pq_stored_topk(spark, path: str, queries: DataFrame, *,

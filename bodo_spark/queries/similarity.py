@@ -1743,6 +1743,46 @@ def ann_pq_stored_append(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def ann_pq_stored_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored IVF-PQ compaction (operators/pq.py pq_stored_compact):
+    batch 1 (even ids) builds the store under its OWN lowest-id
+    codebooks, batch 2 is appended under those stale codebooks, then
+    the store is compacted against the full raw corpus -- fresh
+    codebooks, rebuilt inverted file, whole store swapped. Serving the
+    compacted store shares ann_ivf_pq_topk's one-shot oracle verbatim
+    (full-corpus lowest-id codebooks + seeds = what compaction
+    derives)."""
+    import shutil
+    import uuid
+
+    from ..operators import pq as PQ
+    emb = tbl(spark, sf, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    cbs1 = PQ.lowest_id_pq_codebooks(b1, m=4, k=16)
+    idx1 = PQ.ivf_pq_index(b1, cbs1, n_cells=8, seed_vectors=b1)
+    stage = f"/tmp/bodo_spark_pqsc_{uuid.uuid4().hex[:8]}"
+    try:
+        PQ.pq_store_index(idx1, stage, cbs1, n_cells=8,
+                          seed_vectors=b1)
+        PQ.pq_stored_append(b2, stage)
+        PQ.pq_stored_compact(emb, stage, m=4, k=16, n_cells=8)
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        out = (PQ.pq_stored_topk(spark, stage, queries, k=5, n_probe=2)
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        import glob as g
+        for dd in g.glob(f"{stage}.__pqc_*"):
+            shutil.rmtree(dd, ignore_errors=True)
+
+
 def ann_pq_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Stored-index SERVING path for the PQ tier (operators/pq.py
     pq_store_index + pq_stored_topk): the IVF-PQ inverted file
@@ -1794,6 +1834,10 @@ QUERIES: dict[str, QueryDef] = {
         ann_sq_stored_compact, _IVF_SQ_SQL,
         doc="stored-index compaction: fresh bounds + rebuilt file + "
             "whole-store swap; shares the one-shot oracle"),
+    "ann_pq_stored_compact": QueryDef(
+        ann_pq_stored_compact, _IVF_PQ_SQL,
+        doc="stored IVF-PQ compaction: fresh codebooks + whole-store "
+            "swap; shares the one-shot oracle"),
     "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
     "ann_ivf_sq_topk": QueryDef(ann_ivf_sq_topk, _IVF_SQ_SQL),
     "ann_sq_append": QueryDef(
