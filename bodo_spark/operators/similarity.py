@@ -51,6 +51,12 @@ def seeded_hash_sample_pred(id_col, frac: float, seed: int = 0) -> Column:
         raise ValueError(
             f"frac must quantize to [1/256, 1], got {frac}")
     c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if n == 256:
+        # format(256,'02x') is the 3-char '100', and a LEXICAL compare
+        # of 2-char prefixes against it keeps only '00'..'0f' -- frac=1
+        # would silently sample ~6.6%. Every byte is < 256, so the
+        # full-sample predicate is simply TRUE.
+        return F.lit(True)
     return (F.substring(
         F.md5(F.concat(F.lit(f"{int(seed)}:"), c.cast("string"))),
         1, 2) < F.lit(format(n, "02x")))

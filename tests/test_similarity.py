@@ -631,3 +631,19 @@ def test_pq_topk_empty_query_frame_all_lut_modes(spark):
                                 id_col="vec_id", vec_col="embedding",
                                 q_id_col="qq", q_vec_col="q_vec")
     assert fused.columns == ["qq", "vec_id", "adist", "rn"]
+
+
+def test_seeded_hash_sample_pred_full_fraction(spark):
+    """frac=1.0 quantizes to n=256, whose '100' hex literal compares
+    lexically ABOVE every 2-char md5 prefix only for '0f'-and-below --
+    the upper bound must special-case to keep-everything (r13 ADVICE)."""
+    from pyspark.sql import functions as F
+    df = spark.range(1000).select(F.col("id").alias("vec_id"))
+    full = df.where(S.seeded_hash_sample_pred("vec_id", 1.0)).count()
+    assert full == 1000
+    # interior fractions still sample a strict, deterministic subset
+    half = df.where(S.seeded_hash_sample_pred("vec_id", 0.5, seed=7))
+    n1, n2 = half.count(), half.count()
+    assert n1 == n2 and 0 < n1 < 1000
+    with pytest.raises(ValueError):
+        S.seeded_hash_sample_pred("vec_id", 1.0 / 1024)
