@@ -626,6 +626,8 @@ def pq_compact(vectors: DataFrame, *, m: int = 4, k: int = 16,
                vec_col: str = "embedding", coarse_dim: int = 16,
                trainer: str = "lowest_id", sample_size: int = 4096,
                iters: int = 10, seed: int = 0,
+               centroids: list | None = None,
+               seed_vectors: DataFrame | None = None,
                scorer: str = "auto") -> tuple[DataFrame, list]:
     """Re-train + re-encode compaction: derive fresh codebooks from the
     CURRENT corpus (``trainer='lowest_id'`` for the deterministic
@@ -635,7 +637,12 @@ def pq_compact(vectors: DataFrame, *, m: int = 4, k: int = 16,
     switch codebooks and index together (ADC LUTs are codebook-bound,
     so mixing an old segment with new codebooks is a correctness bug,
     not a recall loss). By construction the compacted index equals a
-    fresh one-shot build over the same corpus."""
+    fresh one-shot build over the same corpus.
+
+    ``centroids``/``seed_vectors`` pin the CELL ROUTING source exactly
+    as in ivf_pq_index -- a caller that serves under a stored centroid
+    probe table (pq_stored_compact) must rebuild under the same source,
+    or queries would probe cells the corpus was not routed by."""
     if trainer == "lowest_id":
         cbs = lowest_id_pq_codebooks(vectors, m=m, k=k, id_col=id_col,
                                      vec_col=vec_col)
@@ -647,6 +654,7 @@ def pq_compact(vectors: DataFrame, *, m: int = 4, k: int = 16,
         raise ValueError(f"unknown trainer {trainer!r}")
     idx = ivf_pq_index(vectors, cbs, n_cells=n_cells, id_col=id_col,
                        vec_col=vec_col, coarse_dim=coarse_dim,
+                       centroids=centroids, seed_vectors=seed_vectors,
                        scorer=scorer)
     return idx, cbs
 
@@ -837,14 +845,18 @@ def pq_stored_compact(vectors: DataFrame, path: str, *, m: int = 4,
                       vec_col: str = "embedding",
                       trainer: str = "lowest_id",
                       sample_size: int = 4096, iters: int = 10,
-                      seed: int = 0,
+                      seed: int = 0, centroids: list | None = None,
                       seed_vectors: DataFrame | None = None) -> None:
     """Re-train + re-encode compaction of a STORED IVF-PQ index
     (sq_stored_compact for the codebook family): fresh codebooks from
     the CURRENT raw corpus (pq_compact), rebuilt inverted file, and
     the whole store -- index, centroids, codebooks -- replaced in one
     guarded swap (ADC LUTs are codebook-bound: a reader must see old
-    or new store, never a mix)."""
+    or new store, never a mix). ``centroids``/``seed_vectors`` pin the
+    routing source; they are threaded into BOTH the rebuild and the
+    stored probe table (a probe table derived from a different source
+    than the rebuild's routing would silently probe the wrong cells --
+    r13 ADVICE)."""
     import os
     import shutil
     import uuid
@@ -852,17 +864,19 @@ def pq_stored_compact(vectors: DataFrame, path: str, *, m: int = 4,
                           id_col=id_col, vec_col=vec_col,
                           coarse_dim=coarse_dim, trainer=trainer,
                           sample_size=sample_size, iters=iters,
-                          seed=seed)
+                          seed=seed, centroids=centroids,
+                          seed_vectors=seed_vectors)
     norm = path.rstrip("/")
     staging = f"{norm}.__pqc_staging_{uuid.uuid4().hex[:8]}"
     backup = f"{norm}.__pqc_backup_{uuid.uuid4().hex[:8]}"
     try:
         pq_store_index(idx, staging, cbs, n_cells=n_cells,
                        coarse_dim=coarse_dim, id_col=id_col,
-                       vec_col=vec_col,
+                       vec_col=vec_col, centroids=centroids,
                        seed_vectors=(seed_vectors
                                      if seed_vectors is not None
-                                     else vectors))
+                                     else (None if centroids is not None
+                                           else vectors)))
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise

@@ -647,3 +647,36 @@ def test_seeded_hash_sample_pred_full_fraction(spark):
     assert n1 == n2 and 0 < n1 < 1000
     with pytest.raises(ValueError):
         S.seeded_hash_sample_pred("vec_id", 1.0 / 1024)
+
+
+def test_pq_stored_compact_threads_seed_vectors(spark, tmp_path):
+    """pq_stored_compact(seed_vectors=) must rebuild the inverted file
+    under the SAME routing source it stores as the probe table (r13
+    ADVICE: the rebuild seeded from the corpus while the probe table
+    came from seed_vectors -- queries probed cells the corpus was not
+    routed by). Twin: in-memory pq_compact with the pinned seeds."""
+    from pyspark.sql import functions as F
+
+    from bodo_spark.operators import pq as PQ
+    from bodo_spark.queries._util import tbl
+
+    from .conftest import SF_DIR
+    emb = tbl(spark, SF_DIR, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 3 != 0)
+    path = str(tmp_path / "pqstore")
+    cbs = PQ.lowest_id_pq_codebooks(b1, m=4, k=8)
+    idx = PQ.ivf_pq_index(b1, cbs, n_cells=8, seed_vectors=b1)
+    PQ.pq_store_index(idx, path, cbs, n_cells=8, seed_vectors=b1)
+    PQ.pq_stored_compact(emb, path, m=4, k=8, n_cells=8,
+                         seed_vectors=b1)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    served = PQ.pq_stored_topk(spark, path, queries, k=5, n_probe=2)
+    idx2, cbs2 = PQ.pq_compact(emb, m=4, k=8, n_cells=8,
+                               seed_vectors=b1)
+    expect = PQ.ivf_pq_topk(idx2, queries, b1, cbs2, k=5, n_probe=2,
+                            n_cells=8)
+    got = {tuple(r) for r in served.collect()}
+    want = {tuple(r) for r in expect.collect()}
+    assert got == want and len(want) > 0
