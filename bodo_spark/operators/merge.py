@@ -17,10 +17,67 @@ parquet write.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer holds (or took) the table's publish lock.
+
+    The reference gets real commit-conflict detection from Iceberg's
+    optimistic transactions (reference bodo/io/iceberg/merge_into.py:33
+    commits through the catalog, which rejects a stale snapshot); plain
+    parquet directories have no catalog, so the engine enforces the
+    SINGLE-WRITER contract explicitly -- every mutating publish
+    (cow_publish, _publish_partitions, MoR apply/compact, stored-index
+    swaps) takes a lockfile for the duration of the operation and a
+    concurrent mutator raises THIS instead of silently folding past or
+    double-publishing. Readers never take the lock (swaps stay atomic
+    renames)."""
+
+
+@contextlib.contextmanager
+def publish_lock(path: str, *, owner: str = ""):
+    """Single-writer lockfile scoped to one table/store directory:
+    ``O_CREAT|O_EXCL`` on ``<path>.__lock`` is atomic on POSIX (and on
+    the object-store emulations that matter), so exactly one mutator
+    enters; the file records pid/owner for the error message. Crash
+    recovery is explicit by design -- a dead writer leaves the lock and
+    the next mutator raises with its identity, and the operator removes
+    the stale file after confirming the writer is gone (auto-breaking
+    on pid-liveness would be wrong across hosts)."""
+    import json
+    import os
+    import time
+
+    lock = f"{path.rstrip('/')}.__lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            with open(lock) as f:
+                holder = f.read().strip()
+        except OSError:
+            holder = "<unreadable>"
+        raise ConcurrentWriteError(
+            f"another writer holds {lock} ({holder}) -- concurrent "
+            "mutations of one table are unsupported (single-writer "
+            "contract); retry after it finishes, or remove the "
+            "lockfile if that writer crashed") from None
+    try:
+        os.write(fd, json.dumps(
+            {"pid": os.getpid(), "owner": owner,
+             "ts": int(time.time())}).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 def merge_into(
@@ -289,7 +346,8 @@ def merge_into_partitioned(
     n_buckets: int | None = None,
     bucket_col: str = "mbucket",
     max_touched: int = 4096,
-    validate_cross_partition: bool = False,
+    validate_cross_partition: bool | None = None,
+    auto_validate_max_files: int = 256,
     **merge_kwargs,
 ) -> list:
     """File-pruned MERGE against a partitioned parquet table: only the
@@ -321,7 +379,12 @@ def merge_into_partitioned(
       set; ``validate_cross_partition=True`` closes the remaining gap
       by anti-checking source keys against the table OUTSIDE the
       touched slice (one extra scan of the untouched partitions --
-      key-only, broadcast semi join, no shuffle -- so opt-in).
+      key-only, broadcast semi join, no shuffle). The default (None)
+      AUTO-VALIDATES when the check is provably cheap -- the table has
+      at most ``auto_validate_max_files`` data files (a driver-local
+      listing) -- and otherwise stays off with a one-line warning, so
+      small tables get the duplication hazard closed for free while
+      big tables keep the pruned economics and opt in explicitly.
       ``when_not_matched_insert`` must map ``part_col``.
 
     ``max_touched``: driver-memory guard -- the touched-partition list
@@ -389,7 +452,21 @@ def merge_into_partitioned(
             "natural part_col mode (the pruned scan cannot match them); "
             "use n_buckets mode")
     tgt = spark.read.parquet(path).where(F.col(pcol).isin(touched))
-    if validate_cross_partition and n_buckets is None:
+    validate = validate_cross_partition
+    if validate is None and n_buckets is None:
+        nfiles = _count_data_files(path)
+        validate = nfiles <= int(auto_validate_max_files)
+        if not validate:
+            import warnings
+            warnings.warn(
+                f"natural-mode merge on {path!r} ({nfiles} files) "
+                "skips the cross-partition key validation above "
+                f"auto_validate_max_files={auto_validate_max_files}; "
+                "a source row whose part_col mismatches its key's "
+                "stored partition would duplicate the key -- pass "
+                "validate_cross_partition=True to force the check",
+                stacklevel=2)
+    if validate and n_buckets is None:
         # natural mode's silent-duplication hazard: a source row whose
         # part_col differs from its key's STORED partition never meets
         # its match in the pruned slice. Check: no source key may exist
@@ -421,6 +498,17 @@ def merge_into_partitioned(
     return touched
 
 
+def _count_data_files(path: str) -> int:
+    """Driver-local data-file count of a parquet table tree (skips
+    _SUCCESS/metadata and hidden files) -- the cheap bound the
+    auto-validation default keys on."""
+    import os
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n
+
+
 def _escape_part(v) -> str:
     """Hive partition directory value for simple values; raises on
     values that hive-escapes (use bucket mode for arbitrary keys)."""
@@ -448,6 +536,17 @@ def _publish_partitions(merged: DataFrame, path: str, pcol: str,
 
     norm = path.rstrip("/")
     staging = f"{norm}.__cow_parts_{uuid.uuid4().hex[:8]}"
+    with publish_lock(norm, owner="publish_partitions"):
+        _publish_partitions_locked(merged, norm, staging, pcol, touched)
+
+
+def _publish_partitions_locked(merged: DataFrame, norm: str,
+                               staging: str, pcol: str,
+                               touched: list) -> None:
+    import os
+    import shutil
+    import uuid
+
     try:
         # one shuffle keyed on the partition col bounds the staged
         # write to ~one file per touched partition (vs tasks x touched
@@ -508,34 +607,37 @@ def cow_publish(merged: DataFrame, path: str, *,
     merge_into_parquet, maintain_rollup_stream and the file-pruned
     merge). A failed staging write leaves the table untouched and
     removes the staging dir; a failure between the two moves restores
-    the original from the backup."""
+    the original from the backup. Serialized per table by publish_lock
+    (two concurrent publishers would each stage from the same snapshot
+    and the loser's changes would silently vanish)."""
     import shutil
     import uuid
 
     norm = path.rstrip("/")
     staging = f"{norm}.__cow_staging_{uuid.uuid4().hex[:8]}"
     backup = f"{norm}.__cow_backup_{uuid.uuid4().hex[:8]}"
-    w = merged.write.mode("errorifexists")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    try:
-        w.parquet(staging)
-    except Exception:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    try:
-        shutil.move(norm, backup)
-        shutil.move(staging, norm)
-    except Exception:
-        # Local-FS path only; on object stores callers should point a
-        # catalog/table pointer at `staging` instead of renaming.
-        # shutil can raise shutil.Error (partial cross-device copy) as
-        # well as OSError; restore the original and drop staging.
-        if not _exists_dir(norm) and _exists_dir(backup):
-            shutil.move(backup, norm)
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    shutil.rmtree(backup, ignore_errors=True)
+    with publish_lock(norm, owner="cow_publish"):
+        w = merged.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        try:
+            w.parquet(staging)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        try:
+            shutil.move(norm, backup)
+            shutil.move(staging, norm)
+        except Exception:
+            # Local-FS path only; on object stores callers should point
+            # a catalog/table pointer at `staging` instead of renaming.
+            # shutil can raise shutil.Error (partial cross-device copy)
+            # as well as OSError; restore the original, drop staging.
+            if not _exists_dir(norm) and _exists_dir(backup):
+                shutil.move(backup, norm)
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
 
 
 def _exists_dir(p: str) -> bool:

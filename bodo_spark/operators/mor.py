@@ -125,12 +125,51 @@ def mor_init(df: DataFrame, path: str, *, seq_col: str = "_cdc_seq",
                        "base_seg": 0, "archived_bases": []})
 
 
-def _delta_dirs(path: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(path, "delta", "d-*")))
+def _delta_dirs(path: str, *, base_seg: int | None = None) -> list[str]:
+    """LIVE delta segments: numbered at or above the base's fold point.
+    Segments below ``base_seg`` are already folded into the base --
+    they exist on disk only in the crash window between a compaction's
+    meta commit and its segment removal (meta is written FIRST so that
+    window is harmless: every reader filters them out here, and the
+    next compaction sweeps them)."""
+    if base_seg is None:
+        base_seg = _read_meta(path)["base_seg"]
+    return [s for s in
+            sorted(glob.glob(os.path.join(path, "delta", "d-*")))
+            if _seg_num(s) >= base_seg]
 
 
 def _seg_num(seg_dir: str) -> int:
     return int(os.path.basename(seg_dir).split("-")[1])
+
+
+def _next_seg_num(path: str, meta: dict) -> int:
+    """Next GLOBAL segment number: one past everything ever written --
+    live segments, stale folded leftovers, and archived segments alike
+    -- floored at base_seg. Derived from the directory listing rather
+    than counts so a crashed compaction (stale segments on disk) or a
+    retained archive can never collide numbering."""
+    nums = [_seg_num(s) for s in
+            glob.glob(os.path.join(path, "delta", "d-*"))]
+    nums += [_seg_num(s) for s in
+             glob.glob(os.path.join(path, "archive", "delta", "d-*"))]
+    return max([meta["base_seg"]] + [n + 1 for n in nums])
+
+
+def _tree_bytes(*roots: str) -> int:
+    """Driver-local on-disk size of parquet directory trees -- the
+    cheap delta-mass statistic the self-defending read path keys its
+    broadcast-vs-shuffle choice on (a filesystem stat walk; no Spark
+    job, no data read)."""
+    total = 0
+    for root in roots:
+        for r, _dirs, files in os.walk(root):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(r, fn))
+                except OSError:
+                    pass
+    return total
 
 
 def mor_apply(changes: DataFrame, path: str, *, key_cols: list[str],
@@ -144,13 +183,15 @@ def mor_apply(changes: DataFrame, path: str, *, key_cols: list[str],
          .orderBy(F.col(src_seq_col).desc(), F.col(op_col).asc()))
     last = (changes.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
-    meta = _read_meta(path)
-    n = meta["base_seg"] + len(_delta_dirs(path))
-    seg = os.path.join(path, "delta",
-                       f"d-{n:06d}-{uuid.uuid4().hex[:8]}")
-    (last.withColumnRenamed(op_col, _OP)
-     .withColumnRenamed(src_seq_col, "_seq")
-     .write.mode("errorifexists").parquet(seg))
+    from .merge import publish_lock
+    with publish_lock(path, owner="mor_apply"):
+        meta = _read_meta(path)
+        n = _next_seg_num(path, meta)
+        seg = os.path.join(path, "delta",
+                           f"d-{n:06d}-{uuid.uuid4().hex[:8]}")
+        (last.withColumnRenamed(op_col, _OP)
+         .withColumnRenamed(src_seq_col, "_seq")
+         .write.mode("errorifexists").parquet(seg))
     return seg
 
 
@@ -223,18 +264,58 @@ def _reconcile(base: DataFrame, deltas: DataFrame,
     return resolved.unionByName(inserts)
 
 
+def _resolve_pruned(pruned, segs: list[str], base_path: str, *,
+                    broadcast_budget_bytes: int,
+                    fail_above_amplification: float | None) -> bool:
+    """The self-defending read switch: the pruned reconcile BROADCASTS
+    the full-width delta winner set, which is only safe while the delta
+    mass fits a driver/executor broadcast budget. ``pruned='auto'``
+    consults the on-disk delta byte mass (a driver-local stat walk --
+    no job) and falls back to the shuffle-based full window past the
+    budget, so scale posture never relies on operator discipline.
+    ``fail_above_amplification=r`` additionally REFUSES the read when
+    delta bytes exceed ``r x`` base bytes -- at that amplification
+    every read repays the un-run compaction, so raising with guidance
+    beats silently paying it (opt-in: toy-scale tables hit parquet
+    per-file floors long before real amplification)."""
+    if not isinstance(pruned, str):
+        return bool(pruned)
+    if pruned != "auto":
+        raise ValueError(f"pruned must be True/False/'auto', "
+                         f"got {pruned!r}")
+    db = _tree_bytes(*segs)
+    if fail_above_amplification is not None:
+        bb = _tree_bytes(base_path)
+        if bb and db > fail_above_amplification * bb:
+            raise ValueError(
+                f"delta log is {db / bb:.1f}x the base on disk "
+                f"(> fail_above_amplification="
+                f"{fail_above_amplification}) -- run mor_compact "
+                "before reading, or pass pruned=False to pay the "
+                "full-window reconcile explicitly")
+    return db <= int(broadcast_budget_bytes)
+
+
 def mor_read(spark, path: str, *, key_cols: list[str],
              seq_col: str = "_cdc_seq",
              as_of_segment: int | None = None,
-             pruned: bool = True) -> DataFrame:
+             pruned: bool | str = "auto",
+             broadcast_budget_bytes: int = 64 << 20,
+             fail_above_amplification: float | None = None) -> DataFrame:
     """Reconciled current state with the base schema (payload +
     ``seq_col``). Read amplification = delta mass scanned on top of the
     base -- watch mor_delta_stats and compact.
 
-    ``pruned`` (default): broadcast anti/semi split on the delta key
+    ``pruned=True``: broadcast anti/semi split on the delta key
     set -- untouched base rows bypass the reconcile window entirely (no
     base shuffle; plan-contract-tested). ``pruned=False`` windows the
     full union -- only sensible when the delta log rivals the base.
+    ``pruned='auto'`` (default) picks between them from the on-disk
+    delta byte mass vs ``broadcast_budget_bytes`` (the pruned path
+    broadcasts the full-width delta winner set, so past the budget the
+    shuffle window is the safe plan), and with
+    ``fail_above_amplification`` set refuses pathologically
+    amplified reads with mor_compact guidance -- see _resolve_pruned.
 
     ``as_of_segment=n``: TIME TRAVEL -- the table state after the first
     ``n`` delta segments GLOBALLY (0 = the initial base). Segments the
@@ -244,7 +325,7 @@ def mor_read(spark, path: str, *, key_cols: list[str],
     economics); otherwise pre-compaction states raise cleanly."""
     meta = _read_meta(path)
     base_seg = meta["base_seg"]
-    live = _delta_dirs(path)
+    live = _delta_dirs(path, base_seg=base_seg)
     head = base_seg + len(live)
     n = head if as_of_segment is None else as_of_segment
     if not 0 <= n <= head:
@@ -279,8 +360,12 @@ def mor_read(spark, path: str, *, key_cols: list[str],
     if not segs:
         return base.select(*key_cols, *payload, seq_col)
     deltas = spark.read.parquet(*segs)
+    use_pruned = _resolve_pruned(
+        pruned, segs, base_path,
+        broadcast_budget_bytes=broadcast_budget_bytes,
+        fail_above_amplification=fail_above_amplification)
     return _reconcile(base, deltas, key_cols, payload, seq_col,
-                      pruned=pruned)
+                      pruned=use_pruned)
 
 
 def mor_changes(spark, path: str, *, key_cols: list[str],
@@ -303,7 +388,7 @@ def mor_changes(spark, path: str, *, key_cols: list[str],
     100 TB tails a maintained table without re-reading it."""
     meta = _read_meta(path)
     base_seg = meta["base_seg"]
-    live = _delta_dirs(path)
+    live = _delta_dirs(path, base_seg=base_seg)
     head = base_seg + len(live)
     until = head if until_segment is None else until_segment
     if not 0 <= since_segment <= until <= head:
@@ -351,6 +436,8 @@ def mor_delta_stats(spark, path: str) -> dict:
     delta_rows = (spark.read.parquet(*dd).count() if dd else 0)
     return {"n_segments": len(dd), "base_rows": base_rows,
             "delta_rows": delta_rows,
+            "delta_bytes": _tree_bytes(*dd) if dd else 0,
+            "base_bytes": _tree_bytes(os.path.join(path, "base")),
             "amplification": (delta_rows / base_rows
                               if base_rows else float("inf"))}
 
@@ -376,7 +463,8 @@ def _snapshot_dir(src: str, dst: str) -> None:
 
 def mor_compact(spark, path: str, *, key_cols: list[str],
                 seq_col: str = "_cdc_seq",
-                retain_history: bool = False) -> None:
+                retain_history: bool = False,
+                broadcast_budget_bytes: int = 64 << 20) -> None:
     """Fold the delta log into the base and clear the consumed
     segments. Readers spanning the compaction see either the old
     base+deltas or the new base -- the same state by the reconcile
@@ -392,67 +480,114 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
     ``retain_history``: snapshot the superseded base into ``archive/``
     (hardlinks -- metadata cost only) and move the consumed segments
     there instead of deleting, so mor_read(as_of_segment=) keeps
-    replaying PRE-compaction states."""
-    from .merge import _bucket_expr, _publish_partitions, cow_publish
-    meta = _read_meta(path)
-    consumed = _delta_dirs(path)
-    if not consumed:
-        return
-    base_path = os.path.join(path, "base")
-    if retain_history:
-        snap = os.path.join(path, "archive",
-                            f"base-{meta['base_seg']:06d}")
-        if not os.path.isdir(snap):
-            _snapshot_dir(base_path, snap)
-    nb = meta["n_buckets"]
-    deltas = spark.read.parquet(*consumed)
-    if nb is not None:
-        bcol = meta["bucket_col"]
-        touched = sorted(
-            r[0] for r in deltas
-            .select(_bucket_expr(list(key_cols), nb).alias("_b"))
-            .distinct().collect())
-        if len(touched) > nb // 2:
-            # change mass ~ table: the per-directory publish would pay
-            # a near-full shuffle PLUS per-dir swap overhead -- one
-            # bulk bucketed rewrite (repartition by bucket, the
-            # write_bucket_partitioned discipline, under cow_publish's
-            # guarded swap) is strictly better and keeps the layout
-            base_all = spark.read.parquet(base_path).drop(bcol)
-            payload = [c for c in base_all.columns
-                       if c not in key_cols and c != seq_col]
-            cur = _reconcile(base_all, deltas, list(key_cols), payload,
-                             seq_col, pruned=True)
-            merged = (cur.withColumn(bcol,
-                                     _bucket_expr(list(key_cols), nb))
-                      .repartition(int(nb), F.col(bcol)))
-            cow_publish(merged, base_path, partition_by=[bcol])
+    replaying PRE-compaction states.
+
+    Concurrency/crash posture: the whole compaction runs under the
+    table's publish_lock (a concurrent mor_apply/mor_compact raises
+    ConcurrentWriteError instead of being folded past), and the meta
+    commit is ordered so every crash window reads consistently --
+    consumed segments are archived (or the bumped base_seg is written)
+    BEFORE anything is deleted, and readers filter live segments by
+    base_seg, so a leftover folded segment is inert and swept by the
+    next compaction. The reconcile picks broadcast-pruned vs
+    shuffle-window from the on-disk delta mass (the delta log is at
+    its LARGEST at compaction time, exactly when an unconditional
+    broadcast would be most dangerous)."""
+    from .merge import (ConcurrentWriteError, _bucket_expr,
+                        _publish_partitions, cow_publish, publish_lock)
+    with publish_lock(path, owner="mor_compact"):
+        meta = _read_meta(path)
+        # sweep leftovers from a crashed prior compaction (folded
+        # segments whose removal never completed -- readers already
+        # ignore them)
+        for seg in glob.glob(os.path.join(path, "delta", "d-*")):
+            if _seg_num(seg) < meta["base_seg"]:
+                shutil.rmtree(seg, ignore_errors=True)
+        consumed = _delta_dirs(path, base_seg=meta["base_seg"])
+        if not consumed:
+            return
+        pruned = _tree_bytes(*consumed) <= int(broadcast_budget_bytes)
+        base_path = os.path.join(path, "base")
+        if retain_history:
+            snap = os.path.join(path, "archive",
+                                f"base-{meta['base_seg']:06d}")
+            if not os.path.isdir(snap):
+                _snapshot_dir(base_path, snap)
+        nb = meta["n_buckets"]
+        deltas = spark.read.parquet(*consumed)
+        if nb is not None:
+            bcol = meta["bucket_col"]
+            touched = sorted(
+                r[0] for r in deltas
+                .select(_bucket_expr(list(key_cols), nb).alias("_b"))
+                .distinct().collect())
+            if len(touched) > nb // 2:
+                # change mass ~ table: the per-directory publish would
+                # pay a near-full shuffle PLUS per-dir swap overhead --
+                # one bulk bucketed rewrite (repartition by bucket, the
+                # write_bucket_partitioned discipline, under
+                # cow_publish's guarded swap) is strictly better and
+                # keeps the layout
+                base_all = spark.read.parquet(base_path).drop(bcol)
+                payload = [c for c in base_all.columns
+                           if c not in key_cols and c != seq_col]
+                cur = _reconcile(base_all, deltas, list(key_cols),
+                                 payload, seq_col, pruned=pruned)
+                merged = (cur.withColumn(
+                    bcol, _bucket_expr(list(key_cols), nb))
+                    .repartition(int(nb), F.col(bcol)))
+                cow_publish(merged, base_path, partition_by=[bcol])
+            else:
+                base_slice = (spark.read.parquet(base_path)
+                              .where(F.col(bcol).isin(touched))
+                              .drop(bcol))
+                payload = [c for c in base_slice.columns
+                           if c not in key_cols and c != seq_col]
+                cur = _reconcile(base_slice, deltas, list(key_cols),
+                                 payload, seq_col, pruned=pruned)
+                merged = cur.withColumn(bcol,
+                                        _bucket_expr(list(key_cols), nb))
+                _publish_partitions(merged, base_path, bcol, touched)
         else:
-            base_slice = (spark.read.parquet(base_path)
-                          .where(F.col(bcol).isin(touched)).drop(bcol))
-            payload = [c for c in base_slice.columns
-                       if c not in key_cols and c != seq_col]
-            cur = _reconcile(base_slice, deltas, list(key_cols),
-                             payload, seq_col, pruned=True)
-            merged = cur.withColumn(bcol,
-                                    _bucket_expr(list(key_cols), nb))
-            _publish_partitions(merged, base_path, bcol, touched)
-    else:
-        cur = mor_read(spark, path, key_cols=key_cols, seq_col=seq_col)
-        cow_publish(cur, base_path)
-    if retain_history:
-        adelta = os.path.join(path, "archive", "delta")
-        os.makedirs(adelta, exist_ok=True)
-        for seg in consumed:
-            shutil.move(seg, os.path.join(adelta,
-                                          os.path.basename(seg)))
-        meta["archived_bases"] = sorted(
-            set(meta["archived_bases"]) | {meta["base_seg"]})
-    else:
-        for seg in consumed:
-            shutil.rmtree(seg, ignore_errors=True)
-    meta["base_seg"] += len(consumed)
-    _write_meta(path, meta)
+            cur = mor_read(spark, path, key_cols=key_cols,
+                           seq_col=seq_col, pruned=pruned)
+            cow_publish(cur, base_path)
+        # belt-and-braces under the lock: a writer that bypassed the
+        # lockfile (removed it manually, or raced from another host
+        # where O_EXCL is not honored) would have moved base_seg --
+        # refuse to commit over it rather than corrupt the numbering
+        if _read_meta(path)["base_seg"] != meta["base_seg"]:
+            raise ConcurrentWriteError(
+                f"meta.json moved during compaction of {path} -- "
+                "another writer bypassed the publish lock; the new "
+                "base was published but the segment fold was NOT "
+                "committed; re-run mor_compact")
+        if retain_history:
+            # archive the consumed segments BEFORE the meta commit:
+            # a crash in between leaves head reads exact (the new base
+            # already holds the fold; live filtering hides nothing
+            # because the segments are gone from delta/) and the
+            # archive complete; only the archived_bases registration
+            # is lost, which as-of reads surface as a clean error.
+            adelta = os.path.join(path, "archive", "delta")
+            os.makedirs(adelta, exist_ok=True)
+            for seg in consumed:
+                shutil.move(seg, os.path.join(adelta,
+                                              os.path.basename(seg)))
+            meta["archived_bases"] = sorted(
+                set(meta["archived_bases"]) | {meta["base_seg"]})
+            meta["base_seg"] += len(consumed)
+            _write_meta(path, meta)
+        else:
+            # meta FIRST, deletion after: the reverse order's crash
+            # window left base_seg stale while the segments were gone,
+            # so the next apply reused GLOBAL numbers already folded
+            # (r13 ADVICE). This order's window leaves folded segments
+            # on disk, which every reader filters out by number.
+            meta["base_seg"] += len(consumed)
+            _write_meta(path, meta)
+            for seg in consumed:
+                shutil.rmtree(seg, ignore_errors=True)
 
 
 def mor_expire_snapshots(path: str, *, keep_from: int) -> dict:
@@ -466,6 +601,12 @@ def mor_expire_snapshots(path: str, *, keep_from: int) -> dict:
     metadata work plus directory unlinks (hardlinked snapshot files
     free only when their last reference goes). Returns
     ``{expired_bases, expired_segments, kept_from_gen}``."""
+    from .merge import publish_lock
+    with publish_lock(path, owner="mor_expire_snapshots"):
+        return _expire_snapshots_locked(path, keep_from=keep_from)
+
+
+def _expire_snapshots_locked(path: str, *, keep_from: int) -> dict:
     meta = _read_meta(path)
     gens = sorted(int(g) for g in meta["archived_bases"])
     cands = [g for g in gens if g <= keep_from]

@@ -242,3 +242,36 @@ def test_natural_mode_touched_cap_guards_driver(spark, tmp_path):
         spark, path, src, ["k"], part_col="region", max_touched=64,
         when_matched_update={"v": F.col("src_v")})
     assert len(touched) == 20
+
+
+def test_natural_mode_auto_validation_default(spark, tmp_path):
+    """The None default must auto-enable the cross-partition key check
+    on small tables (driver-local file count under the bound), so the
+    silent-duplication hazard is caught WITHOUT the flag; above the
+    bound it stays off with a warning (the pruned economics)."""
+    import warnings as W
+    t = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        "k long, region string, v double")
+    path = str(tmp_path / "tbl")
+    t.write.partitionBy("region").parquet(path)
+    bad = spark.createDataFrame([(2, "a", 9.0)],
+                                "k long, region string, v double")
+    kwargs = dict(
+        when_matched_update={"v": F.col("src_v")},
+        when_not_matched_insert={"k": F.col("src_k"),
+                                 "region": F.col("src_region"),
+                                 "v": F.col("src_v")})
+    with pytest.raises(ValueError, match="outside the touched set"):
+        merge_into_partitioned(spark, path, bad, ["k"],
+                               part_col="region", **kwargs)
+    # above the file bound the default skips the check but warns
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        merge_into_partitioned(spark, path, bad, ["k"],
+                               part_col="region",
+                               auto_validate_max_files=0, **kwargs)
+    assert any("duplicate the key" in str(w.message) for w in rec)
+    # ... and the hazard really happens: key 2 now exists twice
+    k2 = spark.read.parquet(path).where(F.col("k") == 2).count()
+    assert k2 == 2

@@ -372,3 +372,107 @@ def test_mor_expire_snapshots_keeps_horizon(spark, tmp_path):
     # expiring with nothing below the horizon is a no-op
     assert M.mor_expire_snapshots(path, keep_from=1)[
         "expired_bases"] == 0
+
+
+def test_mor_auto_pruned_budget_switch_and_value_parity(spark, tmp_path):
+    """pruned='auto' (the self-defending default) must pick the
+    broadcast-pruned reconcile under the byte budget and the
+    shuffle-window reconcile past it, with identical values either
+    way; fail_above_amplification refuses pathological logs with
+    compact guidance."""
+    path = _init(spark, tmp_path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "a2", "U", 1), (9, "new", "U", 1), (2, None, "D", 1)],
+        "k long, seg string, op string, seq long"), path, key_cols=["k"])
+    segs = M._delta_dirs(path)
+    assert 0 < M._tree_bytes(*segs) < (64 << 20)
+    # under the default budget auto resolves to the pruned plan ...
+    assert M._resolve_pruned("auto", segs, os.path.join(path, "base"),
+                            broadcast_budget_bytes=64 << 20,
+                            fail_above_amplification=None) is True
+    # ... and past a 1-byte budget to the shuffle window
+    assert M._resolve_pruned("auto", segs, os.path.join(path, "base"),
+                            broadcast_budget_bytes=1,
+                            fail_above_amplification=None) is False
+    want = _state(spark, path)
+    got_full = sorted(map(tuple, M.mor_read(
+        spark, path, key_cols=["k"], broadcast_budget_bytes=1)
+        .select("k", "seg", "_cdc_seq").collect()))
+    assert got_full == want
+    # a delta log larger than r x base refuses the read with guidance
+    with pytest.raises(ValueError, match="mor_compact"):
+        M.mor_read(spark, path, key_cols=["k"],
+                   fail_above_amplification=0.001).collect()
+    # explicit booleans and bad strings keep their contracts
+    assert M._resolve_pruned(False, segs, path,
+                            broadcast_budget_bytes=1,
+                            fail_above_amplification=None) is False
+    with pytest.raises(ValueError, match="auto"):
+        M._resolve_pruned("always", segs, path,
+                          broadcast_budget_bytes=1,
+                          fail_above_amplification=None)
+
+
+def test_mor_single_writer_lock(spark, tmp_path):
+    """mor_apply/mor_compact are single-writer: a held publish lock
+    makes the second mutator raise ConcurrentWriteError instead of
+    interleaving (the Iceberg commit-conflict analogue)."""
+    from bodo_spark.operators.merge import (ConcurrentWriteError,
+                                            publish_lock)
+    path = _init(spark, tmp_path)
+    b = spark.createDataFrame(
+        [(1, "a2", "U", 1)], "k long, seg string, op string, seq long")
+    with publish_lock(path, owner="test-holder"):
+        with pytest.raises(ConcurrentWriteError, match="test-holder"):
+            M.mor_apply(b, path, key_cols=["k"])
+        with pytest.raises(ConcurrentWriteError):
+            M.mor_compact(spark, path, key_cols=["k"])
+    # released -> both proceed
+    M.mor_apply(b, path, key_cols=["k"])
+    M.mor_compact(spark, path, key_cols=["k"])
+    assert _state(spark, path) == [(1, "a2", 1), (2, "b", 0),
+                                   (3, "c", 0)]
+    assert not os.path.exists(f"{path}.__lock")
+
+
+def test_mor_stale_folded_segment_is_inert(spark, tmp_path):
+    """The crash window between a compaction's meta commit and its
+    segment removal leaves folded segments on disk: readers must
+    filter them by number, numbering must not collide, and the next
+    compaction must sweep them."""
+    path = _init(spark, tmp_path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "a2", "U", 1)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    seg0 = M._delta_dirs(path)[0]
+    M.mor_compact(spark, path, key_cols=["k"])
+    want = _state(spark, path)
+    # simulate the crash: resurrect the folded segment under its old
+    # number (below base_seg)
+    stale = os.path.join(path, "delta", os.path.basename(seg0))
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "leftover"), "w") as f:
+        f.write("x")
+    assert M._delta_dirs(path) == []          # readers ignore it
+    assert _state(spark, path) == want
+    meta = M._read_meta(path)
+    assert M._next_seg_num(path, meta) == meta["base_seg"]
+    M.mor_apply(spark.createDataFrame(
+        [(7, "z", "U", 2)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    M.mor_compact(spark, path, key_cols=["k"])  # sweeps the leftover
+    assert not os.path.isdir(stale)
+    assert (1, "a2", 1) in _state(spark, path)
+
+
+def test_cow_publish_single_writer(spark, tmp_path):
+    from bodo_spark.operators.merge import (ConcurrentWriteError,
+                                            cow_publish, publish_lock)
+    p = str(tmp_path / "tbl")
+    df = spark.range(5)
+    df.write.parquet(p)
+    with publish_lock(p, owner="other"):
+        with pytest.raises(ConcurrentWriteError):
+            cow_publish(spark.range(3), p)
+    cow_publish(spark.range(3), p)
+    assert spark.read.parquet(p).count() == 3
