@@ -819,7 +819,11 @@ def pq_stored_append(new_vectors: DataFrame, path: str, *,
     for the codebook family): encode + route ONLY the batch with the
     codebooks and centroid probe table read back from the store, then
     dynamic-partition-append into the touched cell directories --
-    O(batch), existing index files never opened."""
+    O(batch), existing index files never opened. Single-writer: holds
+    the store's publish lock so an append cannot interleave with a
+    compaction swap (it would land in the superseded tree and
+    vanish)."""
+    from .merge import publish_lock
     from .similarity import _ensure_scan_width, assign_nearest_cell
     spark = new_vectors.sparkSession
     m = spark.read.parquet(f"{path}/meta").collect()[0]
@@ -834,9 +838,10 @@ def pq_stored_append(new_vectors: DataFrame, path: str, *,
                       vec_col=vec_col)
     batch = (codes.join(cells, id_col)
              .select(id_col, F.col("_cell").alias("cell"), "code"))
-    (batch.repartition(F.col("cell"))
-     .write.mode("append").partitionBy("cell")
-     .parquet(f"{path}/index"))
+    with publish_lock(path.rstrip("/"), owner="pq_stored_append"):
+        (batch.repartition(F.col("cell"))
+         .write.mode("append").partitionBy("cell")
+         .parquet(f"{path}/index"))
 
 
 def pq_stored_compact(vectors: DataFrame, path: str, *, m: int = 4,
@@ -846,7 +851,8 @@ def pq_stored_compact(vectors: DataFrame, path: str, *, m: int = 4,
                       trainer: str = "lowest_id",
                       sample_size: int = 4096, iters: int = 10,
                       seed: int = 0, centroids: list | None = None,
-                      seed_vectors: DataFrame | None = None) -> None:
+                      seed_vectors: DataFrame | None = None,
+                      retain_history: bool = False) -> int | None:
     """Re-train + re-encode compaction of a STORED IVF-PQ index
     (sq_stored_compact for the codebook family): fresh codebooks from
     the CURRENT raw corpus (pq_compact), rebuilt inverted file, and
@@ -856,10 +862,14 @@ def pq_stored_compact(vectors: DataFrame, path: str, *, m: int = 4,
     routing source; they are threaded into BOTH the rebuild and the
     stored probe table (a probe table derived from a different source
     than the rebuild's routing would silently probe the wrong cells --
-    r13 ADVICE)."""
-    import os
+    r13 ADVICE). ``retain_history``: keep the superseded store as a
+    numbered generation under ``<path>/archive`` for rollback
+    (store_swap.restore_store_generation); returns the generation
+    number (else None)."""
     import shutil
     import uuid
+
+    from .store_swap import guarded_store_swap
     idx, cbs = pq_compact(vectors, m=m, k=k, n_cells=n_cells,
                           id_col=id_col, vec_col=vec_col,
                           coarse_dim=coarse_dim, trainer=trainer,
@@ -868,7 +878,6 @@ def pq_stored_compact(vectors: DataFrame, path: str, *, m: int = 4,
                           seed_vectors=seed_vectors)
     norm = path.rstrip("/")
     staging = f"{norm}.__pqc_staging_{uuid.uuid4().hex[:8]}"
-    backup = f"{norm}.__pqc_backup_{uuid.uuid4().hex[:8]}"
     try:
         pq_store_index(idx, staging, cbs, n_cells=n_cells,
                        coarse_dim=coarse_dim, id_col=id_col,
@@ -880,15 +889,8 @@ def pq_stored_compact(vectors: DataFrame, path: str, *, m: int = 4,
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    try:
-        shutil.move(norm, backup)
-        shutil.move(staging, norm)
-    except Exception:
-        if not os.path.isdir(norm) and os.path.isdir(backup):
-            shutil.move(backup, norm)
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    shutil.rmtree(backup, ignore_errors=True)
+    return guarded_store_swap(norm, staging,
+                              retain_history=retain_history)
 
 
 def pq_stored_topk(spark, path: str, queries: DataFrame, *,

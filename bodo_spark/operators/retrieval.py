@@ -253,54 +253,79 @@ def bm25_store_index(postings: DataFrame, path: str, *,
 
 def bm25_stored_append(new_docs: DataFrame, path: str, *,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> None:
-    """Append a document batch to a STORED index in place -- the full
-    serving lifecycle without a rebuild. Work is proportional to the
-    batch: (1) the batch's postings (bm25_index over the batch only)
-    are dynamic-partition-APPENDED into their term-bucket directories;
+                       text_col: str = "text",
+                       retain_history: bool = False) -> int | None:
+    """Append a document batch to a STORED index -- the full serving
+    lifecycle without a rebuild. Work is proportional to the batch:
+    (1) the batch's postings (bm25_index over the batch only) are
+    dynamic-partition-APPENDED into their term-bucket directories;
     (2) ``term_stats`` is maintained by an additive file-pruned MERGE
     (merge_into_partitioned on term with the SAME xxhash bucket scheme
     the store used -- only the batch terms' shards are read and
     rewritten); (3) the one-row ``corpus_stats`` adds the batch's
-    n_docs/sum_dl under the guarded cow_publish swap. One-shot
-    equivalence: postings rows are per-(term, doc) pure functions of
-    the document and both stats are additive over disjoint doc ids
-    (the bm25_append contract), so the appended store serves
-    identically to a fresh one -- the text_bm25_stored_append gate
-    shares the one-shot oracle verbatim."""
+    n_docs/sum_dl. One-shot equivalence: postings rows are per-(term,
+    doc) pure functions of the document and both stats are additive
+    over disjoint doc ids (the bm25_append contract), so the appended
+    store serves identically to a fresh one -- the
+    text_bm25_stored_append gate shares the one-shot oracle verbatim.
+
+    Atomicity (r13 ADVICE -- the three artifacts used to mutate in
+    place sequentially, so a crash or concurrent reader between steps
+    saw postings without matching df/corpus stats): the mutations now
+    run against a HARDLINK COPY of the store (metadata cost -- parquet
+    files are immutable, the merge/append steps only add or swap whole
+    files, and the touched term shards are rewritten copy-on-write so
+    the live store's inodes are never modified through the links) and
+    the whole store swaps once, under the publish lock. A reader sees
+    the pre-append store or the post-append store, never a torn one;
+    a failed append leaves the live store untouched. ``retain_history``
+    keeps the superseded store as an archive generation (rollback via
+    store_swap.restore_store_generation); returns its number."""
+    import shutil
+    import uuid
+
     from pyspark import StorageLevel
 
     from .merge import cow_publish, merge_into_partitioned
+    from .store_swap import guarded_store_swap, snapshot_hardlink
     spark = new_docs.sparkSession
-    nb = int(spark.read.parquet(f"{path}/meta")
+    norm = path.rstrip("/")
+    staging = f"{norm}.__bm25a_staging_{uuid.uuid4().hex[:8]}"
+    nb = int(spark.read.parquet(f"{norm}/meta")
              .collect()[0]["n_term_buckets"])
     batch = (bm25_index(new_docs, id_col=id_col, text_col=text_col)
              .persist(StorageLevel.MEMORY_AND_DISK))
     try:
+        snapshot_hardlink(norm, staging)
         tb = _term_bucket(nb)
         (batch.withColumn("tbucket", tb)
          .repartition(F.col("tbucket"))
          .write.mode("append").partitionBy("tbucket")
-         .parquet(f"{path}/postings"))
+         .parquet(f"{staging}/postings"))
         bts, bcs = bm25_corpus_stats(batch)
         merge_into_partitioned(
-            spark, f"{path}/term_stats", bts, ["term"], n_buckets=nb,
-            bucket_col="tbucket",
+            spark, f"{staging}/term_stats", bts, ["term"],
+            n_buckets=nb, bucket_col="tbucket",
             when_matched_update={"df": F.col("df") + F.col("src_df")},
             when_not_matched_insert={"term": F.col("src_term"),
                                      "df": F.col("src_df")})
         b = bcs.collect()[0]
-        new_cs = (spark.read.parquet(f"{path}/corpus_stats")
+        new_cs = (spark.read.parquet(f"{staging}/corpus_stats")
                   .select((F.col("n_docs") + F.lit(int(b["n_docs"])))
                           .cast("bigint").alias("n_docs"),
                           (F.col("sum_dl") + F.lit(int(b["sum_dl"])))
                           .cast("bigint").alias("sum_dl")))
-        cow_publish(new_cs, f"{path}/corpus_stats")
+        cow_publish(new_cs, f"{staging}/corpus_stats")
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     finally:
         try:
             batch.unpersist()
         except Exception:
             pass
+    return guarded_store_swap(norm, staging,
+                              retain_history=retain_history)
 
 
 def bm25_stored_topk(spark, path: str, queries: DataFrame, *,

@@ -349,7 +349,11 @@ def sq_stored_append(new_vectors: DataFrame, path: str, *,
     directories (dynamic-partition append, repartitioned by cell
     first). Cost is O(batch): the existing index files are never
     opened. Out-of-range values clamp to the stored bounds by the
-    sq_encode contract -- watch sq_clamp_fraction and compact."""
+    sq_encode contract -- watch sq_clamp_fraction and compact.
+    Single-writer: holds the store's publish lock so an append cannot
+    interleave with a compaction swap (it would land in the superseded
+    tree and vanish)."""
+    from .merge import publish_lock
     from .similarity import _ensure_scan_width, assign_nearest_cell
     spark = new_vectors.sparkSession
     m = spark.read.parquet(f"{path}/meta").collect()[0]
@@ -365,9 +369,10 @@ def sq_stored_append(new_vectors: DataFrame, path: str, *,
                       vec_col=vec_col, bits=bits)
     batch = (codes.join(cells, id_col)
              .select(id_col, F.col("_cell").alias("cell"), "code"))
-    (batch.repartition(F.col("cell"))
-     .write.mode("append").partitionBy("cell")
-     .parquet(f"{path}/index"))
+    with publish_lock(path.rstrip("/"), owner="sq_stored_append"):
+        (batch.repartition(F.col("cell"))
+         .write.mode("append").partitionBy("cell")
+         .parquet(f"{path}/index"))
 
 
 def sq_stored_compact(vectors: DataFrame, path: str, *,
@@ -375,7 +380,8 @@ def sq_stored_compact(vectors: DataFrame, path: str, *,
                       coarse_dim: int = 16, bits: int = 8,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      seed_vectors: DataFrame | None = None) -> None:
+                      seed_vectors: DataFrame | None = None,
+                      retain_history: bool = False) -> int | None:
     """Re-train + re-encode compaction of a STORED index (sq_compact
     for the cell-partitioned layout): derive fresh bounds from the
     CURRENT raw corpus, rebuild the inverted file, and REPLACE the
@@ -383,17 +389,23 @@ def sq_stored_compact(vectors: DataFrame, path: str, *,
     (bounds and codes must switch together; a reader sees either the
     old store or the new one, never a mix -- the dequantization-is-
     bounds-bound contract). Needs the raw ``vectors`` (codes alone
-    cannot retrain; the store keeps only the serving artifacts)."""
-    import os
+    cannot retrain; the store keeps only the serving artifacts).
+
+    ``retain_history``: keep the superseded store as a numbered
+    generation under ``<path>/archive`` (hardlink snapshot -- metadata
+    cost) so serving can roll back a bad compaction via
+    store_swap.restore_store_generation; returns the generation
+    number (else None)."""
     import shutil
     import uuid
+
+    from .store_swap import guarded_store_swap
     idx, los, his = sq_compact(vectors, n_cells=n_cells,
                                centroids=centroids, id_col=id_col,
                                vec_col=vec_col, coarse_dim=coarse_dim,
                                seed_vectors=seed_vectors, bits=bits)
     norm = path.rstrip("/")
     staging = f"{norm}.__sqc_staging_{uuid.uuid4().hex[:8]}"
-    backup = f"{norm}.__sqc_backup_{uuid.uuid4().hex[:8]}"
     try:
         sq_store_index(idx, staging, los, his, n_cells=n_cells,
                        centroids=centroids, coarse_dim=coarse_dim,
@@ -404,15 +416,8 @@ def sq_stored_compact(vectors: DataFrame, path: str, *,
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    try:
-        shutil.move(norm, backup)
-        shutil.move(staging, norm)
-    except Exception:
-        if not os.path.isdir(norm) and os.path.isdir(backup):
-            shutil.move(backup, norm)
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    shutil.rmtree(backup, ignore_errors=True)
+    return guarded_store_swap(norm, staging,
+                              retain_history=retain_history)
 
 
 def sq_stored_topk(spark, path: str, queries: DataFrame, *,
