@@ -69,6 +69,10 @@ HEADLINE = [
     # MoR lifecycle (pruned read + touched-dirs-only compaction)
     "ann_sq_stored_prune",
     "stream_cdc_apply_mor_bucketed",
+    # round-14 tier: the incremental index-maintenance composition
+    # (CDC-maintained MoR table -> incremental pull -> stored-index
+    # append, nothing rebuilt)
+    "ann_mor_incremental_index",
 ]
 
 

@@ -859,7 +859,101 @@ ORDER BY phase
 """
 
 
+def merge_mor_auto_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-defending MoR read (operators/mor.mor_read pruned='auto'
+    + _resolve_pruned): the pruned reconcile BROADCASTS the full-width
+    delta winner set, so the default read keys its plan choice off the
+    on-disk delta byte mass -- under the broadcast budget it takes the
+    anti/semi split, past it the shuffle-based full window, with no
+    operator discipline required. The gate reads the SAME table under
+    a normal budget (pruned plan) and a 1-byte budget (forced
+    full-window plan) and pins BOTH aggregate states against one SQL
+    head derivation: two physical plans, one truth."""
+    import shutil
+    import uuid
+
+    from ..operators import mor as M
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_morar_{uuid.uuid4().hex[:8]}"
+    try:
+        M.mor_init(c.withColumn("_cdc_seq", F.lit(0).cast("long")),
+                   f"{stage}/t")
+
+        def ch(pred, seg, op, seq, shift=0):
+            return (c.where(pred)
+                    .select((F.col("k") + shift).alias("k"),
+                            seg.alias("seg"), F.lit(op).alias("op"),
+                            F.lit(seq).cast("long").alias("seq")))
+
+        M.mor_apply(
+            ch(F.col("k") % 3 == 0, F.lit("SEG_V1"), "U", 1)
+            .unionByName(ch(F.col("k") < 5, F.lit("NEWSEG"), "U", 1,
+                            shift=1_000_000)),
+            f"{stage}/t", key_cols=["k"])
+        M.mor_apply(
+            ch(F.col("k") % 6 == 0, F.lit("SEG_V2"), "U", 2)
+            .unionByName(ch(F.col("k") % 5 == 0,
+                            F.lit(None).cast("string"), "D", 3)),
+            f"{stage}/t", key_cols=["k"])
+
+        def agg(df, phase):
+            a = df.agg(F.count(F.lit(1)).alias("n"),
+                       F.bit_xor("k").alias("kx"),
+                       F.max("_cdc_seq").alias("ms")).collect()[0]
+            return (phase, a["n"], a["kx"], a["ms"])
+
+        rows = [agg(M.mor_read(spark, f"{stage}/t", key_cols=["k"]),
+                    "auto_pruned"),
+                agg(M.mor_read(spark, f"{stage}/t", key_cols=["k"],
+                               broadcast_budget_bytes=1),
+                    "auto_window")]
+        return spark.createDataFrame(
+            rows, "phase string, n_rows bigint, key_xor bigint, "
+                  "max_seq bigint").orderBy("phase")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_MOR_AUTO_SQL = """
+WITH init AS (
+  SELECT c_custkey AS k, CAST(0 AS BIGINT) AS sq FROM customer),
+ch AS (
+  SELECT c_custkey AS k, 'U' AS op, CAST(1 AS BIGINT) AS sq
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'U', 1 FROM customer WHERE c_custkey < 5
+  UNION ALL
+  SELECT c_custkey, 'U', 2 FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT c_custkey, 'D', 3 FROM customer WHERE c_custkey % 5 = 0),
+head AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN (
+    SELECT k, op, sq,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY sq DESC, op ASC) AS rn
+    FROM ch QUALIFY rn = 1) l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D')
+SELECT * FROM (
+  SELECT 'auto_pruned' AS phase, COUNT(*) AS n_rows,
+         bit_xor(k) AS key_xor, CAST(MAX(sq) AS BIGINT) AS max_seq
+  FROM head
+  UNION ALL
+  SELECT 'auto_window', COUNT(*), bit_xor(k), CAST(MAX(sq) AS BIGINT)
+  FROM head)
+ORDER BY phase
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "merge_mor_auto_read": QueryDef(
+        merge_mor_auto_read, _MOR_AUTO_SQL,
+        doc="self-defending MoR read: broadcast-budget auto plan "
+            "choice, pruned and full-window states pinned equal"),
     "merge_mor_incremental_pull": QueryDef(
         merge_mor_incremental_pull, _MOR_PULL_SQL,
         doc="Hudi-style incremental pull: net changes [since, until) "

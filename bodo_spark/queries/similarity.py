@@ -1709,6 +1709,124 @@ def ann_sq_stored_compact(spark: SparkSession, sf: str) -> DataFrame:
             shutil.rmtree(dd, ignore_errors=True)
 
 
+def ann_sq_stored_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored-index generation ROLLBACK (operators/store_swap.py --
+    the expire_snapshots/rollback discipline applied to the serving
+    tier): batch 1 builds + stores the index under ITS bounds, batch 2
+    appends, then a compaction retrains over the full corpus with
+    ``retain_history=True`` (the superseded store becomes
+    archive/gen-0000) -- and is ROLLED BACK. Serving after the
+    rollback must be byte-identical to the PRE-compaction store, so
+    the gate shares ann_sq_stored_append's one-shot oracle verbatim:
+    only a real snapshot restore (bounds + centroids + codes switching
+    back TOGETHER) can reproduce it, because the compacted store's
+    full-corpus bounds rank differently."""
+    import shutil
+    import uuid
+
+    from ..operators import sq as Q
+    from ..operators.store_swap import (restore_store_generation,
+                                        store_generations)
+    emb = tbl(spark, sf, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 3 != 0)
+    b2 = emb.where(F.col("vec_id") % 3 == 0)
+    los, his = Q.sq_train(b1)
+    idx1 = Q.ivf_sq_index(b1, los, his, n_cells=8, seed_vectors=b1)
+    stage = f"/tmp/bodo_spark_sqrb_{uuid.uuid4().hex[:8]}"
+    try:
+        Q.sq_store_index(idx1, stage, los, his, n_cells=8,
+                         seed_vectors=b1)
+        Q.sq_stored_append(b2, stage)
+        gen = Q.sq_stored_compact(emb, stage, n_cells=8,
+                                  retain_history=True)
+        assert gen == 0 and store_generations(stage) == [0]
+        restore_store_generation(stage, 0)
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        out = (Q.sq_stored_topk(spark, stage, queries, k=5, n_probe=2)
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        import glob as g
+        for dd in g.glob(f"{stage}.__*"):
+            shutil.rmtree(dd, ignore_errors=True)
+
+
+def ann_mor_incremental_index(spark: SparkSession, sf: str) -> DataFrame:
+    """The incremental index-maintenance LOOP a 100-TB pipeline runs,
+    composed from the engine's own tiers (operators/mor.py +
+    operators/sq.py): the embedding corpus lives in a MoR table
+    maintained by streaming CDC (apply_cdc_stream_mor -- O(batch)
+    delta appends), a downstream consumer TAILS it with mor_changes
+    (incremental pull: net per-key winners of the new segments, base
+    never read) and feeds the pull's upserts into sq_stored_append
+    (O(batch) dynamic-partition append under the stored model
+    artifacts). Neither the table nor the index is ever rebuilt. The
+    CDC stream deliberately contains a SUPERSEDED version of every new
+    vector (reversed embedding, lower seq) so the pull must pick range
+    winners -- feeding raw changes instead of winners would index the
+    wrong vectors. Shares ann_sq_stored_append's one-shot oracle
+    verbatim: the composition must serve exactly like a direct append
+    of the final vectors."""
+    import shutil
+    import uuid
+
+    from ..operators import mor as M
+    from ..operators import sq as Q
+    from ..streaming import read_stream_parquet
+    emb = tbl(spark, sf, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 3 != 0)
+    b2 = emb.where(F.col("vec_id") % 3 == 0)
+    los, his = Q.sq_train(b1)
+    idx1 = Q.ivf_sq_index(b1, los, his, n_cells=8, seed_vectors=b1)
+    stage = f"/tmp/bodo_spark_morannx_{uuid.uuid4().hex[:8]}"
+    try:
+        Q.sq_store_index(idx1, f"{stage}/idx", los, his, n_cells=8,
+                         seed_vectors=b1)
+        M.mor_init(b1.select("vec_id", "embedding")
+                   .withColumn("_cdc_seq", F.lit(0).cast("long")),
+                   f"{stage}/t", key_cols=["vec_id"])
+        fake = b2.select("vec_id",
+                         F.reverse("embedding").alias("embedding"),
+                         F.lit("U").alias("op"),
+                         F.lit(1).cast("long").alias("seq"))
+        real = b2.select("vec_id", "embedding",
+                         F.lit("U").alias("op"),
+                         F.lit(2).cast("long").alias("seq"))
+        changes = fake.unionByName(real)
+        changes.repartition(2).write.mode("overwrite") \
+            .parquet(f"{stage}/cdc")
+        stream = read_stream_parquet(spark, f"{stage}/cdc",
+                                     changes.schema,
+                                     max_files_per_trigger=1)
+        M.apply_cdc_stream_mor(stream, f"{stage}/t",
+                               key_cols=["vec_id"],
+                               query_name=f"mx_{uuid.uuid4().hex[:8]}")
+        pull = M.mor_changes(spark, f"{stage}/t", key_cols=["vec_id"],
+                             since_segment=0)
+        Q.sq_stored_append(
+            pull.where(F.col("op") == "U")
+            .select("vec_id", "embedding"), f"{stage}/idx")
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        out = (Q.sq_stored_topk(spark, f"{stage}/idx", queries, k=5,
+                                n_probe=2)
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(f"{stage}/t__mor_ckpt", ignore_errors=True)
+
+
 def ann_pq_stored_append(spark: SparkSession, sf: str) -> DataFrame:
     """Stored IVF-PQ incremental APPEND (operators/pq.py
     pq_stored_append): even ids build and store the cell-partitioned
@@ -1834,6 +1952,17 @@ QUERIES: dict[str, QueryDef] = {
         ann_sq_stored_compact, _IVF_SQ_SQL,
         doc="stored-index compaction: fresh bounds + rebuilt file + "
             "whole-store swap; shares the one-shot oracle"),
+    "ann_sq_stored_rollback": QueryDef(
+        ann_sq_stored_rollback, _SQ_APPEND_SQL,
+        doc="retained-generation rollback of a stored-index "
+            "compaction: serving must revert to the pre-compaction "
+            "store exactly (bounds+centroids+codes together)"),
+    "ann_mor_incremental_index": QueryDef(
+        ann_mor_incremental_index, _SQ_APPEND_SQL,
+        doc="CDC-maintained MoR embedding table tailed by "
+            "mor_changes feeding sq_stored_append: the no-rebuild "
+            "incremental index-maintenance loop, served == direct "
+            "append of the final vectors"),
     "ann_pq_stored_compact": QueryDef(
         ann_pq_stored_compact, _IVF_PQ_SQL,
         doc="stored IVF-PQ compaction: fresh codebooks + whole-store "

@@ -854,6 +854,55 @@ QUERIES["stream_ann_stored_topk"] = QueryDef(
         "per-batch I/O bound by the probed shards")
 
 
+def stream_ann_pq_stored_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming serving over the cell-partitioned STORED IVF-PQ index
+    (streaming/ann.serve_pq_stored_stream -- the SQ stored serve's twin
+    for the codebook family): the inverted file + codebooks + centroid
+    probe table are stored once (pq_store_index), then the 3 query
+    vectors replay as a 2-file stream and each micro-batch ADC-scores
+    only its probed cells' directories (pq_stored_topk inside
+    foreachBatch). Shares ann_ivf_pq_topk's oracle verbatim: the
+    served stream must return the identical ranking the batch search
+    computes."""
+    from ..operators import pq as PQ
+    from ..streaming import read_stream_parquet
+    from ..streaming.ann import serve_pq_stored_stream
+
+    emb = tbl(spark, sf, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    idx = PQ.ivf_pq_index(emb, cbs, n_cells=8)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    stage = f"/tmp/bodo_spark_pannst_{uuid.uuid4().hex[:8]}"
+    try:
+        PQ.pq_store_index(idx, f"{stage}/idx", cbs, n_cells=8,
+                          seed_vectors=emb)
+        queries.repartition(2).write.mode("overwrite") \
+            .parquet(f"{stage}/q")
+        stream = read_stream_parquet(spark, f"{stage}/q",
+                                     queries.schema,
+                                     max_files_per_trigger=1)
+        serve_pq_stored_stream(
+            stream, f"{stage}/idx", f"{stage}/out", k=5, n_probe=2,
+            query_name=f"pqst_{uuid.uuid4().hex[:8]}")
+        out = (spark.read.parquet(f"{stage}/out")
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+QUERIES["stream_ann_pq_stored_topk"] = QueryDef(
+    stream_ann_pq_stored_topk, _stream_ann_sql(),
+    doc="query stream ADC-served from the cell-partitioned stored "
+        "IVF-PQ index; per-batch I/O bound by the probed cells' "
+        "code rows")
+
+
 def stream_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming BM25 search (streaming/retrieval.py stream_bm25_topk):
     the inverted index, term stats and corpus scalars are staged to

@@ -26,7 +26,8 @@ import pandas as pd  # module-level: pandas_udf resolves the hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stream_ivf_pq_topk", "serve_sq_stored_stream"]
+__all__ = ["stream_ivf_pq_topk", "serve_sq_stored_stream",
+           "serve_pq_stored_stream"]
 
 
 def _probe_expr(centroids: list[tuple[int, list[float]]], n_probe: int,
@@ -189,6 +190,44 @@ def serve_sq_stored_stream(queries_stream, index_path: str,
         if not bdf.take(1):
             return
         out = sq_stored_topk(bdf.sparkSession, index_path, bdf, k=k,
+                             n_probe=n_probe, q_id_col=q_id_col,
+                             q_vec_col=q_vec_col)
+        out.write.mode("append").parquet(out_path)
+
+    q = (queries_stream.writeStream.queryName(query_name)
+         .foreachBatch(serve)
+         .option("checkpointLocation", f"{out_path}__ckpt"))
+    if available_now:
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return sq
+    return q.start()
+
+
+def serve_pq_stored_stream(queries_stream, index_path: str,
+                           out_path: str, *, k: int = 5,
+                           n_probe: int = 2, q_id_col: str = "q_id",
+                           q_vec_col: str = "q_vec",
+                           query_name: str = "pq_stored_serve",
+                           available_now: bool = True):
+    """Streaming serving over the CELL-PARTITIONED stored IVF-PQ index
+    (operators/pq.pq_store_index) -- serve_sq_stored_stream's twin for
+    the codebook family: each query micro-batch probes its cells
+    against the stored centroid table and reads ONLY those partition
+    directories through pq_stored_topk (the probed-cell
+    PartitionFilters list is a per-batch bounded driver value, which
+    is exactly why this runs in foreachBatch rather than as a pure
+    stream transform), appending ranked results to ``out_path``. Per
+    batch, I/O is the probed cells' m-int code rows -- the IVF pruning
+    and PQ compression multiply under a query stream just as in batch;
+    the stream_ann_pq_stored_topk gate pins the served results against
+    the batch search's oracle."""
+    from ..operators.pq import pq_stored_topk
+
+    def serve(bdf, batch_id: int) -> None:
+        if not bdf.take(1):
+            return
+        out = pq_stored_topk(bdf.sparkSession, index_path, bdf, k=k,
                              n_probe=n_probe, q_id_col=q_id_col,
                              q_vec_col=q_vec_col)
         out.write.mode("append").parquet(out_path)

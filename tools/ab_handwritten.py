@@ -646,8 +646,92 @@ def hand_merge_cow(spark, sf):
         shutil.rmtree(f"{path}__stage", ignore_errors=True)
 
 
+_ANN_STATE: dict = {}
+
+
+def _ann_store(spark, sf):
+    """Build the SAME IVF-SQ index once per (session, sf) in two
+    layouts: the engine's cell-partitioned store (sq_store_index) and
+    the flat single-parquet layout a straightforward user keeps (one
+    (id, cell, code) table + a bounds/centroids sidecar). Both serves
+    then answer the same queries with the same n_probe semantics, so
+    the A/B isolates WHERE THE BYTES COME FROM: probed-cell partition
+    directories vs a full index scan filtered after the fact."""
+    if sf in _ANN_STATE:
+        return _ANN_STATE[sf]
+    import shutil
+    import uuid
+
+    from bodo_spark.operators import sq as Q
+    emb = _t(spark, sf, "embeddings")
+    los, his = Q.sq_train(emb)
+    idx = Q.ivf_sq_index(emb, los, his, n_cells=32, seed_vectors=emb)
+    root = f"/tmp/bodo_ab_annstore_{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    Q.sq_store_index(idx, f"{root}/store", los, his, n_cells=32,
+                     seed_vectors=emb)
+    idx.write.parquet(f"{root}/flat")
+    _ANN_STATE[sf] = (root, los, his)
+    return _ANN_STATE[sf]
+
+
+def _ann_queries(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return (emb.where(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+
+
+def eng_sq_stored_serve(spark, sf):
+    from bodo_spark.operators import sq as Q
+    root, _los, _his = _ann_store(spark, sf)
+    return Q.sq_stored_topk(spark, f"{root}/store",
+                            _ann_queries(spark, sf), k=10, n_probe=2)
+
+
+def hand_sq_stored_serve(spark, sf):
+    # what a user writes with a FLAT stored index: compute the probe
+    # list the same way, then filter the one big code table by cell --
+    # a join can only drop rows AFTER the scan, so every serve reads
+    # the whole index; the engine's cell-partitioned store turns the
+    # same filter into PartitionFilters and reads 2/32 of it
+    from pyspark.sql import Window as W
+
+    from bodo_spark.operators.similarity import dot
+    from bodo_spark.operators.sq import sq_dequantize
+    root, los, his = _ann_store(spark, sf)
+    queries = _ann_queries(spark, sf)
+    cents = spark.read.parquet(f"{root}/store/centroids")
+    tv = F.slice(F.col("q_vec"), 1, 16)
+    tn = F.sqrt(dot(tv, tv))
+    qscored = (queries.crossJoin(F.broadcast(cents))
+               .withColumn("_ccos", F.round(dot(tv, F.col("_cvec"))
+                                            / (tn * F.col("_cn")), 9)))
+    w = W.partitionBy("q_id").orderBy(F.col("_ccos").desc(), "_cid")
+    qprobe = (qscored.withColumn("_crn", F.row_number().over(w))
+              .where(F.col("_crn") <= 2)
+              .select("q_id", F.col("_cid").alias("cell")))
+    idx = spark.read.parquet(f"{root}/flat")
+    qv = queries.select("q_id", F.col("q_vec").alias("_qv"))
+    dq = sq_dequantize("code", los, his, bits=8)
+    cand = (idx.withColumn("_dq", dq)
+            .withColumn("_dd", dot(F.col("_dq"), F.col("_dq")))
+            .join(F.broadcast(qprobe), "cell")
+            .join(F.broadcast(qv), "q_id"))
+    adist = F.round(F.col("_dd") - 2 * dot(F.col("_dq"),
+                                           F.col("_qv")), 6)
+    scored = cand.select("q_id", "vec_id", adist.alias("adist"))
+    w2 = W.partitionBy("q_id").orderBy(F.col("adist"), "vec_id")
+    return (scored.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= 10)
+            .select("q_id", "vec_id", "adist",
+                    F.col("rn").cast("bigint").alias("rn")))
+
+
 PAIRS = {"mor_read": (eng_mor_read, hand_mor_read),
-         "merge_pruned_maintain": (eng_merge_pruned, hand_merge_cow)}
+         "merge_pruned_maintain": (eng_merge_pruned, hand_merge_cow),
+         "ann_sq_stored_serve": (eng_sq_stored_serve,
+                                 hand_sq_stored_serve)}
 
 
 HAND = {"q1_pricing_summary": hand_q1, "q3_shipping_priority": hand_q3,
@@ -731,6 +815,8 @@ def main() -> None:
                       "anchor_q1_end": anchor_end, "ab": out}), flush=True)
     import shutil as _sh
     for p in _MOR_STATE.values():
+        _sh.rmtree(p, ignore_errors=True)
+    for p, _l, _h in _ANN_STATE.values():
         _sh.rmtree(p, ignore_errors=True)
     spark.stop()
 
