@@ -63,8 +63,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["mor_init", "mor_apply", "mor_read", "mor_compact",
-           "mor_delta_stats", "mor_changes", "mor_expire_snapshots",
-           "apply_cdc_stream_mor"]
+           "mor_maintain", "mor_delta_stats", "mor_changes",
+           "mor_expire_snapshots", "apply_cdc_stream_mor"]
 
 _OP = "_op"
 _META = "meta.json"
@@ -440,6 +440,43 @@ def mor_delta_stats(spark, path: str) -> dict:
             "base_bytes": _tree_bytes(os.path.join(path, "base")),
             "amplification": (delta_rows / base_rows
                               if base_rows else float("inf"))}
+
+
+def mor_maintain(spark, path: str, *, key_cols: list[str],
+                 seq_col: str = "_cdc_seq",
+                 max_delta_fraction: float = 0.2,
+                 max_segments: int = 64,
+                 retain_history: bool = False,
+                 broadcast_budget_bytes: int = 64 << 20) -> dict:
+    """The TABLE SERVICE loop (the Hudi inline-compaction scheduling
+    analogue; the reference leans on warehouse-side Iceberg maintenance
+    jobs): consult the table's read-amplification signals and compact
+    ONLY when a budget is crossed -- delta on-disk byte mass above
+    ``max_delta_fraction`` x base bytes, or live segment count above
+    ``max_segments`` (each segment is an extra parquet listing + scan
+    per read, a per-file floor that byte mass misses). The decision is
+    a driver-local stat walk -- declining costs NO Spark job, so a
+    scheduler can call this after every ingest batch; compaction, when
+    triggered, runs under the table's publish lock like any direct
+    mor_compact. Returns the decision and the stats it was keyed on:
+    ``{compacted, reason, n_segments, delta_bytes, base_bytes}``."""
+    base_bytes = _tree_bytes(os.path.join(path, "base"))
+    live = _delta_dirs(path)
+    delta_bytes = _tree_bytes(*live) if live else 0
+    reason = None
+    if live and delta_bytes > max_delta_fraction * base_bytes:
+        reason = (f"delta bytes {delta_bytes} > "
+                  f"{max_delta_fraction} x base {base_bytes}")
+    elif len(live) > max_segments:
+        reason = (f"{len(live)} live segments > "
+                  f"max_segments={max_segments}")
+    if reason is not None:
+        mor_compact(spark, path, key_cols=key_cols, seq_col=seq_col,
+                    retain_history=retain_history,
+                    broadcast_budget_bytes=broadcast_budget_bytes)
+    return {"compacted": reason is not None, "reason": reason,
+            "n_segments": len(live), "delta_bytes": delta_bytes,
+            "base_bytes": base_bytes}
 
 
 def _snapshot_dir(src: str, dst: str) -> None:

@@ -1901,6 +1901,56 @@ def ann_pq_stored_compact(spark: SparkSession, sf: str) -> DataFrame:
             shutil.rmtree(dd, ignore_errors=True)
 
 
+def ann_pq_stored_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored IVF-PQ generation ROLLBACK (operators/store_swap.py --
+    ann_sq_stored_rollback's twin for the codebook family, completing
+    rollback parity across the stored index families): the two-batch
+    store is built the ann_pq_stored_append way (full-corpus pinned
+    codebooks, batch 2 appended under the STORED artifacts), then a
+    BAD compaction -- fed only batch 1, the wrong-trainer/corrupt-
+    corpus failure rollback exists for -- replaces it with
+    ``retain_history=True``, and the retained generation is restored.
+    Serving after the rollback shares ann_ivf_pq_topk's one-shot
+    oracle verbatim: the bad compaction's store is missing half the
+    corpus AND carries different codebooks, so only a real whole-store
+    snapshot restore (codebooks + centroids + codes together) can
+    reproduce the ranking."""
+    import shutil
+    import uuid
+
+    from ..operators import pq as PQ
+    from ..operators.store_swap import (restore_store_generation,
+                                        store_generations)
+    emb = tbl(spark, sf, "embeddings")
+    cbs = PQ.lowest_id_pq_codebooks(emb, m=4, k=16)
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    idx1 = PQ.ivf_pq_index(b1, cbs, n_cells=8, seed_vectors=emb)
+    stage = f"/tmp/bodo_spark_pqrb_{uuid.uuid4().hex[:8]}"
+    try:
+        PQ.pq_store_index(idx1, stage, cbs, n_cells=8,
+                          seed_vectors=emb)
+        PQ.pq_stored_append(b2, stage)
+        gen = PQ.pq_stored_compact(b1, stage, m=4, k=16, n_cells=8,
+                                   retain_history=True)
+        assert gen == 0 and store_generations(stage) == [0]
+        restore_store_generation(stage, 0)
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        out = (PQ.pq_stored_topk(spark, stage, queries, k=5, n_probe=2)
+               .where(F.col("vec_id") != F.col("q_id"))
+               .orderBy("q_id", "rn"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, vec_id long, adist double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        import glob as g
+        for dd in g.glob(f"{stage}.__*"):
+            shutil.rmtree(dd, ignore_errors=True)
+
+
 def ann_pq_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Stored-index SERVING path for the PQ tier (operators/pq.py
     pq_store_index + pq_stored_topk): the IVF-PQ inverted file
@@ -1967,6 +2017,12 @@ QUERIES: dict[str, QueryDef] = {
         ann_pq_stored_compact, _IVF_PQ_SQL,
         doc="stored IVF-PQ compaction: fresh codebooks + whole-store "
             "swap; shares the one-shot oracle"),
+    "ann_pq_stored_rollback": QueryDef(
+        ann_pq_stored_rollback, _IVF_PQ_SQL,
+        doc="retained-generation rollback of a BAD stored IVF-PQ "
+            "compaction (partial corpus): serving must revert to the "
+            "appended store exactly (codebooks+centroids+codes "
+            "together)"),
     "ann_sq_topk": QueryDef(ann_sq_topk, _SQ_TOPK_SQL),
     "ann_ivf_sq_topk": QueryDef(ann_ivf_sq_topk, _IVF_SQ_SQL),
     "ann_sq_append": QueryDef(

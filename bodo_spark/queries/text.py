@@ -697,6 +697,56 @@ def text_bm25_stored_append(spark: SparkSession, sf: str) -> DataFrame:
             shutil.rmtree(dd, ignore_errors=True)
 
 
+def text_bm25_stored_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """Stored BM25 generation ROLLBACK (operators/store_swap.py --
+    completing rollback parity across ALL THREE stored index families
+    after ann_sq_stored_rollback / ann_pq_stored_rollback): the
+    two-batch store is built the text_bm25_stored_append way (now
+    serving == the one-shot oracle), then a GARBAGE batch -- the same
+    even docs re-keyed to fresh ids, the double-ingest failure a
+    dedup-upstream crash produces -- is appended with
+    ``retain_history=True``, and the retained generation is restored.
+    Serving after the rollback shares text_bm25_topk's oracle
+    verbatim: the garbage append shifted N/avgdl/df for EVERY query
+    term (BM25 scores are corpus-global), so only a real whole-store
+    snapshot restore (postings + term_stats + corpus_stats together)
+    can reproduce the scores."""
+    import shutil
+    import uuid
+
+    from ..operators import retrieval as R
+    from ..operators.store_swap import (restore_store_generation,
+                                        store_generations)
+    d = tbl(spark, sf, "documents")
+    b1 = d.where(F.col("doc_id") % 2 == 0)
+    b2 = d.where(F.col("doc_id") % 2 == 1)
+    garbage = b1.withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(10_000_000)).cast("long"))
+    stage = f"/tmp/bodo_spark_bm25rb_{uuid.uuid4().hex[:8]}"
+    try:
+        R.bm25_store_index(R.bm25_index(b1), stage, n_term_buckets=64)
+        R.bm25_stored_append(b2, stage)
+        gen = R.bm25_stored_append(garbage, stage,
+                                   retain_history=True)
+        assert gen == 0 and store_generations(stage) == [0]
+        restore_store_generation(stage, 0)
+        queries = (d.where(F.col("doc_id") < 3)
+                   .select(F.col("doc_id").alias("q_id"),
+                           F.array_join(F.slice(T.tokenize_ws("text"),
+                                                1, 8), " ")
+                           .alias("q_text")))
+        out = R.bm25_stored_topk(spark, stage, queries, k=5) \
+            .orderBy("q_id", "rn")
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "q_id long, doc_id long, score double, rn long")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        import glob as g
+        for dd in g.glob(f"{stage}.__*"):
+            shutil.rmtree(dd, ignore_errors=True)
+
+
 def text_collocations(spark: SparkSession, sf: str) -> DataFrame:
     """PMI collocation extraction (operators/text.pmi_collocations):
     the top-20 adjacent bigrams by pointwise mutual information with
@@ -737,6 +787,11 @@ QUERIES: dict[str, QueryDef] = {
         text_bm25_stored_append, _bm25_sql(),
         doc="in-place stored-index append: postings into term shards, "
             "term_stats via additive file-pruned MERGE"),
+    "text_bm25_stored_rollback": QueryDef(
+        text_bm25_stored_rollback, _bm25_sql(),
+        doc="retained-generation rollback of a garbage stored append: "
+            "serving must revert to the pre-append store exactly "
+            "(postings+term_stats+corpus_stats together)"),
     "text_bm25_stored_prune": QueryDef(
         text_bm25_stored_prune, _bm25_sql(),
         doc="stored term-sharded BM25 serving with partition pruning"),

@@ -476,3 +476,40 @@ def test_cow_publish_single_writer(spark, tmp_path):
             cow_publish(spark.range(3), p)
     cow_publish(spark.range(3), p)
     assert spark.read.parquet(p).count() == 3
+
+
+def test_mor_maintain_budgeted_compaction(spark, tmp_path):
+    """The table service compacts ONLY past a budget: a small delta
+    declines (base untouched -- same files), byte amplification past
+    max_delta_fraction triggers the fold, and the segment-count bound
+    fires even when the byte mass stays tiny."""
+    path = _init(spark, tmp_path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "a2", "U", 1)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    base_files = sorted(glob.glob(os.path.join(path, "base", "*")))
+    # generous byte budget + segment budget: declines, no Spark job
+    r = M.mor_maintain(spark, path, key_cols=["k"],
+                       max_delta_fraction=100.0, max_segments=64)
+    assert not r["compacted"] and r["n_segments"] == 1
+    assert sorted(glob.glob(os.path.join(path, "base", "*"))) \
+        == base_files
+    # byte-amplification trigger
+    r = M.mor_maintain(spark, path, key_cols=["k"],
+                       max_delta_fraction=0.0, max_segments=64)
+    assert r["compacted"] and "delta bytes" in r["reason"]
+    assert M.mor_delta_stats(spark, path)["n_segments"] == 0
+    assert _state(spark, path) == [(1, "a2", 1), (2, "b", 0),
+                                   (3, "c", 0)]
+    # segment-count trigger under an infinite byte budget
+    for s in (2, 3, 4):
+        M.mor_apply(spark.createDataFrame(
+            [(1, f"a{s + 1}", "U", s)],
+            "k long, seg string, op string, seq long"),
+            path, key_cols=["k"])
+    r = M.mor_maintain(spark, path, key_cols=["k"],
+                       max_delta_fraction=float("inf"), max_segments=2)
+    assert r["compacted"] and "live segments" in r["reason"]
+    assert M.mor_delta_stats(spark, path)["n_segments"] == 0
+    assert _state(spark, path) == [(1, "a5", 4), (2, "b", 0),
+                                   (3, "c", 0)]
