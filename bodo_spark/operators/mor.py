@@ -674,6 +674,7 @@ def apply_cdc_stream_mor(changes: DataFrame, path: str, *,
                          src_seq_col: str = "seq",
                          seq_col: str = "_cdc_seq",
                          compact_every: int | None = None,
+                         max_delta_fraction: float | None = None,
                          retain_history: bool = False,
                          query_name: str = "cdc_apply_mor",
                          available_now: bool = True):
@@ -683,14 +684,31 @@ def apply_cdc_stream_mor(changes: DataFrame, path: str, *,
     maintenance knob -- readers pay the delta scan until then;
     ``retain_history`` keeps the superseded snapshots replayable). The
     stream_cdc_apply_mor gate pins the reconciled table against the
-    SAME oracle as the COW modes: three designs, one state."""
+    SAME oracle as the COW modes: three designs, one state.
+
+    ``max_delta_fraction`` routes maintenance through mor_maintain
+    instead: after each append the table's own BYTE amplification
+    (on-disk delta mass vs base -- a driver-local stat walk) decides
+    whether to fold, with ``compact_every`` as the segment-count bound
+    when both are given. Segment COUNT misses batch-size variance --
+    ten tiny batches are cheap to keep, one table-sized backfill batch
+    is not -- so the byte budget is the knob a 100-TB ingest loop
+    actually wants; with it set the stream is fully self-maintaining
+    (the stream_cdc_apply_mor_maintained gate pins the same state AND
+    an empty delta log at stream end)."""
 
     def apply_batch(bdf: DataFrame, batch_id: int) -> None:
         if not bdf.take(1):
             return
         mor_apply(bdf, path, key_cols=key_cols, op_col=op_col,
                   src_seq_col=src_seq_col)
-        if compact_every and len(_delta_dirs(path)) >= compact_every:
+        if max_delta_fraction is not None:
+            mor_maintain(bdf.sparkSession, path, key_cols=key_cols,
+                         seq_col=seq_col,
+                         max_delta_fraction=max_delta_fraction,
+                         max_segments=compact_every or (1 << 30),
+                         retain_history=retain_history)
+        elif compact_every and len(_delta_dirs(path)) >= compact_every:
             mor_compact(bdf.sparkSession, path, key_cols=key_cols,
                         seq_col=seq_col, retain_history=retain_history)
 

@@ -1204,6 +1204,75 @@ QUERIES["stream_cdc_apply_mor"] = QueryDef(
         "read-time reconcile + mid-stream compaction")
 
 
+def stream_cdc_apply_mor_maintained(spark: SparkSession,
+                                    sf: str) -> DataFrame:
+    """SELF-MAINTAINING merge-on-read streaming CDC ingest
+    (operators/mor.py apply_cdc_stream_mor(max_delta_fraction=) ->
+    mor_maintain): the SAME change stream and oracle as the other CDC
+    modes, but maintenance is keyed off the table's own on-disk BYTE
+    amplification after every micro-batch instead of a caller-chosen
+    cadence -- the ingest loop a 100-TB pipeline runs unattended
+    (segment count misses batch-size variance; the byte budget does
+    not). A fraction of 0.0 forces the fold after each batch, so the
+    gate additionally pins an EMPTY delta log at stream end: the state
+    must come out of maintained bases alone."""
+    from ..operators import mor as M
+    from ..streaming import read_stream_parquet
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_cdcmm_{uuid.uuid4().hex[:8]}"
+    try:
+        M.mor_init(c.withColumn("_cdc_seq", F.lit(0).cast("long")),
+                   f"{stage}/tbl")
+
+        def ch(pred, seg, op, seq, shift=0):
+            return (c.where(pred)
+                    .select((F.col("k") + shift).alias("k"),
+                            seg.alias("seg"), F.lit(op).alias("op"),
+                            F.lit(seq).cast("long").alias("seq")))
+
+        batch_a = ch(F.col("k") % 3 == 0, F.lit("SEG_V1"), "U", 1) \
+            .unionByName(ch(F.col("k") < 5, F.lit("NEWSEG"), "U", 1,
+                            shift=1_000_000))
+        batch_b = ch(F.col("k") % 6 == 0, F.lit("SEG_V2"), "U", 2) \
+            .unionByName(ch(F.col("k") % 5 == 0,
+                            F.lit(None).cast("string"), "D", 3))
+        batch_a.coalesce(1).write.mode("append").parquet(f"{stage}/ch")
+        batch_b.coalesce(1).write.mode("append").parquet(f"{stage}/ch")
+        src = spark.read.parquet(f"{stage}/ch")
+        stream = read_stream_parquet(spark, f"{stage}/ch", src.schema,
+                                     max_files_per_trigger=1)
+        M.apply_cdc_stream_mor(
+            stream, f"{stage}/tbl", key_cols=["k"],
+            max_delta_fraction=0.0,
+            query_name=f"cdcmm_{uuid.uuid4().hex[:8]}")
+        assert M.mor_delta_stats(
+            spark, f"{stage}/tbl")["n_segments"] == 0, \
+            "self-maintenance left live delta segments"
+        agg = (M.mor_read(spark, f"{stage}/tbl", key_cols=["k"])
+               .groupBy("seg").agg(
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.bit_xor("k").alias("key_xor"),
+                   F.max("_cdc_seq").alias("max_seq"))
+               .orderBy("seg"))
+        rows = [tuple(r) for r in agg.collect()]
+        return spark.createDataFrame(
+            rows, "seg string, n_rows bigint, key_xor bigint, "
+                  "max_seq bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(f"{stage}/tbl__mor_ckpt", ignore_errors=True)
+
+
+QUERIES["stream_cdc_apply_mor_maintained"] = QueryDef(
+    stream_cdc_apply_mor_maintained, _STREAM_CDC_SQL,
+    doc="self-maintaining MoR streaming CDC: byte-amplification-"
+        "budgeted mor_maintain after every micro-batch; empty delta "
+        "log pinned at stream end")
+
+
 def stream_cdc_apply_mor_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed MoR: the same CDC machinery as stream_cdc_apply_mor,
     but the MoR BASE is key-hash-bucket partitioned (256 dirs) and the
