@@ -81,6 +81,8 @@ def _read_meta(path: str) -> dict:
     meta.setdefault("bucket_col", "mbucket")
     meta.setdefault("base_seg", 0)
     meta.setdefault("archived_bases", [])
+    meta.setdefault("seq_col", "_cdc_seq")
+    meta.setdefault("evolved", {})
     return meta
 
 
@@ -122,7 +124,8 @@ def mor_init(df: DataFrame, path: str, *, seq_col: str = "_cdc_seq",
         df.write.mode(mode).parquet(os.path.join(path, "base"))
     os.makedirs(os.path.join(path, "delta"), exist_ok=True)
     _write_meta(path, {"n_buckets": n_buckets, "bucket_col": bucket_col,
-                       "base_seg": 0, "archived_bases": []})
+                       "base_seg": 0, "archived_bases": [],
+                       "seq_col": seq_col, "evolved": {}})
 
 
 def _delta_dirs(path: str, *, base_seg: int | None = None) -> list[str]:
@@ -172,13 +175,61 @@ def _tree_bytes(*roots: str) -> int:
     return total
 
 
+def _read_deltas(spark, segs: list[str]) -> DataFrame:
+    """Delta-segment read with schema union across segments
+    (``mergeSchema``): segments written before a column evolution lack
+    the new columns and read as NULL for them -- exactly the
+    versions-predate-the-column semantics the reconcile needs."""
+    return spark.read.option("mergeSchema", "true").parquet(*segs)
+
+
+def _widen_evolved(base: DataFrame, deltas: DataFrame,
+                   payload: list[str]
+                   ) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Schema-evolution read support, both directions: columns present
+    in the delta log but not (yet) in the base -- added by
+    mor_apply(allow_schema_evolution=True) and folded into the base
+    only at the next compaction -- are backfilled onto the base as
+    typed NULLs; base payload columns ABSENT from the delta log --
+    every live segment written by an old producer after the fold --
+    are backfilled onto the deltas the same way (an old producer's row
+    versions the evolved column as NULL: full-row semantics). The
+    reconcile then runs over the UNION schema (the Iceberg add-column
+    economics, no catalog)."""
+    extra = [f for f in deltas.schema.fields
+             if f.name not in base.columns
+             and f.name not in ("_seq", _OP)]
+    for f in extra:
+        base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+    btypes = {f.name: f.dataType for f in base.schema.fields}
+    for c in payload:
+        if c not in deltas.columns:
+            deltas = deltas.withColumn(c, F.lit(None).cast(btypes[c]))
+    return base, deltas, payload + [f.name for f in extra]
+
+
 def mor_apply(changes: DataFrame, path: str, *, key_cols: list[str],
-              op_col: str = "op", src_seq_col: str = "seq") -> str:
+              op_col: str = "op", src_seq_col: str = "seq",
+              allow_schema_evolution: bool = False) -> str:
     """Apply a change batch as ONE appended delta segment -- the write
     cost is O(batch) regardless of table size (no read of the base, no
     rewrite of anything). Intra-batch disorder is resolved here
     (last-change-per-key by seq desc, delete-wins tiebreak), so each
-    segment carries at most one row per key. Returns the segment dir."""
+    segment carries at most one row per key. Returns the segment dir.
+
+    Schema contract (rows are FULL-ROW versions): the batch must carry
+    every payload column of the current table schema -- a
+    partial-column batch would silently null what it meant to keep, so
+    missing columns RAISE -- except columns added by a prior
+    evolution, which an old producer may omit (they version as NULL).
+    NEW columns require ``allow_schema_evolution=True``: they are
+    registered in the table meta as PERMANENTLY OPTIONAL (old
+    producers keep working even after a compaction folds the column
+    into the base), reads backfill pre-evolution rows with typed
+    NULLs (_widen_evolved), and the next compaction folds them into
+    the base -- the Iceberg/Delta add-column path without a catalog.
+    Unknown columns without the flag RAISE (they were previously
+    dropped silently at read time, the worst failure mode)."""
     w = (W.partitionBy(*key_cols)
          .orderBy(F.col(src_seq_col).desc(), F.col(op_col).asc()))
     last = (changes.withColumn("_rn", F.row_number().over(w))
@@ -186,6 +237,34 @@ def mor_apply(changes: DataFrame, path: str, *, key_cols: list[str],
     from .merge import publish_lock
     with publish_lock(path, owner="mor_apply"):
         meta = _read_meta(path)
+        spark = changes.sparkSession
+        base_cols = set(spark.read.parquet(
+            os.path.join(path, "base")).columns)
+        evolved = dict(meta.get("evolved", {}))
+        known = base_cols | set(evolved)
+        batch = [c for c in changes.columns
+                 if c not in (op_col, src_seq_col)]
+        missing = sorted(base_cols - set(batch) - set(key_cols)
+                         - {meta.get("bucket_col") or "",
+                            meta["seq_col"]} - set(evolved))
+        if missing:
+            raise ValueError(
+                f"change batch is missing payload columns {missing} "
+                "of the table schema -- MoR rows are full-row "
+                "versions; a partial batch would null what it meant "
+                "to keep")
+        new = sorted(set(batch) - known)
+        if new and not allow_schema_evolution:
+            raise ValueError(
+                f"change batch carries columns {new} not in the "
+                "table schema -- pass allow_schema_evolution=True to "
+                "add them (pre-evolution rows will read NULL)")
+        if new:
+            sch = {f.name: f.dataType.simpleString()
+                   for f in changes.schema.fields}
+            evolved.update({c: sch[c] for c in new})
+            meta["evolved"] = evolved
+            _write_meta(path, meta)
         n = _next_seg_num(path, meta)
         seg = os.path.join(path, "delta",
                            f"d-{n:06d}-{uuid.uuid4().hex[:8]}")
@@ -359,7 +438,8 @@ def mor_read(spark, path: str, *, key_cols: list[str],
                if c not in key_cols and c != seq_col]
     if not segs:
         return base.select(*key_cols, *payload, seq_col)
-    deltas = spark.read.parquet(*segs)
+    deltas = _read_deltas(spark, segs)
+    base, deltas, payload = _widen_evolved(base, deltas, payload)
     use_pruned = _resolve_pruned(
         pruned, segs, base_path,
         broadcast_budget_bytes=broadcast_budget_bytes,
@@ -415,7 +495,7 @@ def mor_changes(spark, path: str, *, key_cols: list[str],
         return (base.select(*key_cols, *payload, seq_col,
                             F.lit("U").alias(op_col))
                 .where(F.lit(False)))
-    d = spark.read.parquet(*segs)
+    d = _read_deltas(spark, segs)
     payload = [c for c in d.columns
                if c not in key_cols and c not in ("_seq", _OP)]
     w = (W.partitionBy(*key_cols)
@@ -551,14 +631,23 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
             if not os.path.isdir(snap):
                 _snapshot_dir(base_path, snap)
         nb = meta["n_buckets"]
-        deltas = spark.read.parquet(*consumed)
+        deltas = _read_deltas(spark, consumed)
+        bcols = set(spark.read.parquet(base_path).columns)
+        evolving = any(f.name not in bcols
+                       for f in deltas.schema.fields
+                       if f.name not in ("_seq", _OP))
         if nb is not None:
             bcol = meta["bucket_col"]
             touched = sorted(
                 r[0] for r in deltas
                 .select(_bucket_expr(list(key_cols), nb).alias("_b"))
                 .distinct().collect())
-            if len(touched) > nb // 2:
+            if evolving or len(touched) > nb // 2:
+                # evolving: a touched-dirs-only publish would leave
+                # the new columns present in some bucket dirs and
+                # absent in others (partitioned tables keep ONE
+                # schema) -- the evolution fold must rewrite every
+                # bucket once.
                 # change mass ~ table: the per-directory publish would
                 # pay a near-full shuffle PLUS per-dir swap overhead --
                 # one bulk bucketed rewrite (repartition by bucket, the
@@ -568,6 +657,8 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
                 base_all = spark.read.parquet(base_path).drop(bcol)
                 payload = [c for c in base_all.columns
                            if c not in key_cols and c != seq_col]
+                base_all, deltas, payload = _widen_evolved(
+                    base_all, deltas, payload)
                 cur = _reconcile(base_all, deltas, list(key_cols),
                                  payload, seq_col, pruned=pruned)
                 merged = (cur.withColumn(
@@ -580,6 +671,8 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
                               .drop(bcol))
                 payload = [c for c in base_slice.columns
                            if c not in key_cols and c != seq_col]
+                base_slice, deltas, payload = _widen_evolved(
+                    base_slice, deltas, payload)
                 cur = _reconcile(base_slice, deltas, list(key_cols),
                                  payload, seq_col, pruned=pruned)
                 merged = cur.withColumn(bcol,
@@ -676,6 +769,7 @@ def apply_cdc_stream_mor(changes: DataFrame, path: str, *,
                          compact_every: int | None = None,
                          max_delta_fraction: float | None = None,
                          retain_history: bool = False,
+                         allow_schema_evolution: bool = False,
                          query_name: str = "cdc_apply_mor",
                          available_now: bool = True):
     """Streaming CDC apply, merge-on-read mode: each micro-batch is ONE
@@ -701,7 +795,8 @@ def apply_cdc_stream_mor(changes: DataFrame, path: str, *,
         if not bdf.take(1):
             return
         mor_apply(bdf, path, key_cols=key_cols, op_col=op_col,
-                  src_seq_col=src_seq_col)
+                  src_seq_col=src_seq_col,
+                  allow_schema_evolution=allow_schema_evolution)
         if max_delta_fraction is not None:
             mor_maintain(bdf.sparkSession, path, key_cols=key_cols,
                          seq_col=seq_col,

@@ -917,6 +917,129 @@ def merge_mor_auto_read(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def merge_mor_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """MoR SCHEMA EVOLUTION (operators/mor.py mor_apply(
+    allow_schema_evolution=True) + _widen_evolved -- the Iceberg/Delta
+    add-column path without a catalog; the reference gets this from
+    Iceberg schema evolution): a normal batch versions the table, then
+    an EVOLVED batch adds a ``tier`` column -- refused without the
+    flag (unknown columns used to be silently dropped at read time,
+    the worst failure mode; the gate asserts the refusal), accepted
+    with it. Reads reconcile over the union schema: pre-evolution rows
+    read NULL tier (pinned via tier_nulls per segment group), evolved
+    winners carry their values (tier_sum). The compaction folds the
+    column into the base, after which the SAME aggregate state must
+    hold -- two physical layouts (delta-widened and base-folded), one
+    truth, both pinned against one SQL derivation."""
+    import shutil
+    import uuid
+
+    from ..operators import mor as M
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_morse_{uuid.uuid4().hex[:8]}"
+    try:
+        M.mor_init(c.withColumn("_cdc_seq", F.lit(0).cast("long")),
+                   f"{stage}/t")
+        M.mor_apply(
+            c.where(F.col("k") % 3 == 0)
+            .select("k", F.lit("SEG_V1").alias("seg"),
+                    F.lit("U").alias("op"),
+                    F.lit(1).cast("long").alias("seq")),
+            f"{stage}/t", key_cols=["k"])
+        evolved = (c.where(F.col("k") % 4 == 0)
+                   .select("k", F.lit("SEG_V2").alias("seg"),
+                           (F.col("k") % 7).cast("long").alias("tier"),
+                           F.lit("U").alias("op"),
+                           F.lit(2).cast("long").alias("seq"))
+                   .unionByName(
+                       c.where(F.col("k") % 5 == 0)
+                       .select("k", F.lit(None).cast("string")
+                               .alias("seg"),
+                               F.lit(None).cast("long").alias("tier"),
+                               F.lit("D").alias("op"),
+                               F.lit(3).cast("long").alias("seq"))))
+        try:
+            M.mor_apply(evolved, f"{stage}/t", key_cols=["k"])
+            raise AssertionError(
+                "unknown column must be refused without "
+                "allow_schema_evolution")
+        except ValueError:
+            pass
+        M.mor_apply(evolved, f"{stage}/t", key_cols=["k"],
+                    allow_schema_evolution=True)
+
+        def agg(phase):
+            df = (M.mor_read(spark, f"{stage}/t", key_cols=["k"])
+                  .groupBy("seg").agg(
+                      F.count(F.lit(1)).alias("n_rows"),
+                      F.bit_xor("k").alias("key_xor"),
+                      F.sum("tier").alias("tier_sum"),
+                      F.sum(F.when(F.col("tier").isNull(), 1)
+                            .otherwise(0)).cast("long")
+                      .alias("tier_nulls"),
+                      F.max("_cdc_seq").alias("max_seq")))
+            return [(phase, *r) for r in
+                    sorted(map(tuple, df.collect()))]
+        rows = agg("a_pre_compact")
+        M.mor_compact(spark, f"{stage}/t", key_cols=["k"])
+        assert "tier" in spark.read.parquet(
+            f"{stage}/t/base").columns, \
+            "compaction must fold the evolved column into the base"
+        rows += agg("b_post_compact")
+        return spark.createDataFrame(
+            rows, "phase string, seg string, n_rows bigint, "
+                  "key_xor bigint, tier_sum bigint, "
+                  "tier_nulls bigint, max_seq bigint") \
+            .orderBy("phase", "seg")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_MOR_EVOLVE_SQL = """
+WITH init AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(NULL AS BIGINT) AS tier, CAST(0 AS BIGINT) AS sq
+  FROM customer),
+ch AS (
+  SELECT c_custkey AS k, 'SEG_V1' AS seg,
+         CAST(NULL AS BIGINT) AS tier, CAST(1 AS BIGINT) AS sq,
+         'U' AS op
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, 'SEG_V2', CAST(c_custkey % 7 AS BIGINT), 2, 'U'
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, NULL, 3, 'D'
+  FROM customer WHERE c_custkey % 5 = 0),
+head AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.seg ELSE l.seg END AS seg,
+         CASE WHEN l.k IS NULL THEN i.tier ELSE l.tier END AS tier,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN (
+    SELECT k, seg, tier, sq, op,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY sq DESC, op ASC) AS rn
+    FROM ch QUALIFY rn = 1) l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D'),
+agg AS (
+  SELECT seg, COUNT(*) AS n_rows, bit_xor(k) AS key_xor,
+         CAST(SUM(tier) AS BIGINT) AS tier_sum,
+         CAST(SUM(CASE WHEN tier IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS tier_nulls,
+         CAST(MAX(sq) AS BIGINT) AS max_seq
+  FROM head GROUP BY seg)
+SELECT * FROM (
+  SELECT 'a_pre_compact' AS phase, * FROM agg
+  UNION ALL
+  SELECT 'b_post_compact', * FROM agg)
+ORDER BY phase, seg
+"""
+
+
 _MOR_AUTO_SQL = """
 WITH init AS (
   SELECT c_custkey AS k, CAST(0 AS BIGINT) AS sq FROM customer),
@@ -954,6 +1077,11 @@ QUERIES: dict[str, QueryDef] = {
         merge_mor_auto_read, _MOR_AUTO_SQL,
         doc="self-defending MoR read: broadcast-budget auto plan "
             "choice, pruned and full-window states pinned equal"),
+    "merge_mor_schema_evolution": QueryDef(
+        merge_mor_schema_evolution, _MOR_EVOLVE_SQL,
+        doc="MoR add-column schema evolution: refused without the "
+            "flag, union-schema reads (pre-evolution rows NULL), "
+            "compaction folds the column -- both layouts pinned"),
     "merge_mor_incremental_pull": QueryDef(
         merge_mor_incremental_pull, _MOR_PULL_SQL,
         doc="Hudi-style incremental pull: net changes [since, until) "

@@ -513,3 +513,80 @@ def test_mor_maintain_budgeted_compaction(spark, tmp_path):
     assert M.mor_delta_stats(spark, path)["n_segments"] == 0
     assert _state(spark, path) == [(1, "a5", 4), (2, "b", 0),
                                    (3, "c", 0)]
+
+
+def test_mor_schema_evolution_lifecycle(spark, tmp_path):
+    """Add-column evolution end-to-end: unknown columns refused
+    without the flag (they used to be silently dropped at read);
+    union-schema reads backfill pre-evolution rows with NULL in BOTH
+    reconcile modes; compaction folds the column into the base; an
+    OLD-PRODUCER batch (no evolved column) still applies after the
+    fold and versions the column as NULL."""
+    path = _init(spark, tmp_path)
+    ev = spark.createDataFrame(
+        [(2, "b2", 7, "U", 1), (9, "new", 3, "U", 1)],
+        "k long, seg string, tier long, op string, seq long")
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        M.mor_apply(ev, path, key_cols=["k"])
+    M.mor_apply(ev, path, key_cols=["k"], allow_schema_evolution=True)
+
+    def state(**kw):
+        return sorted(map(tuple,
+                          M.mor_read(spark, path, key_cols=["k"], **kw)
+                          .select("k", "seg", "tier", "_cdc_seq")
+                          .collect()))
+    want = [(1, "a", None, 0), (2, "b2", 7, 1), (3, "c", None, 0),
+            (9, "new", 3, 1)]
+    assert state(pruned=True) == want
+    assert state(pruned=False) == want
+    M.mor_compact(spark, path, key_cols=["k"])
+    assert "tier" in spark.read.parquet(f"{path}/base").columns
+    assert state() == want
+    # old producer keeps working after the fold: tier versions as NULL
+    old = spark.createDataFrame(
+        [(2, "b3", "U", 2)], "k long, seg string, op string, seq long")
+    M.mor_apply(old, path, key_cols=["k"])
+    assert state() == [(1, "a", None, 0), (2, "b3", None, 2),
+                       (3, "c", None, 0), (9, "new", 3, 1)]
+    M.mor_compact(spark, path, key_cols=["k"])
+    assert state() == [(1, "a", None, 0), (2, "b3", None, 2),
+                       (3, "c", None, 0), (9, "new", 3, 1)]
+
+
+def test_mor_apply_rejects_partial_batch(spark, tmp_path):
+    """Full-row contract: a batch missing a payload column raises
+    instead of silently nulling what it meant to keep."""
+    path = _init(spark, tmp_path)
+    partial = spark.createDataFrame(
+        [(1, "U", 1)], "k long, op string, seq long")
+    with pytest.raises(ValueError, match="missing payload columns"):
+        M.mor_apply(partial, path, key_cols=["k"])
+
+
+def test_mor_schema_evolution_bucketed_bulk_fold(spark, tmp_path):
+    """Evolution on a BUCKETED base: the touched-dirs-only compaction
+    would leave the new column in some bucket dirs only (partitioned
+    tables keep ONE schema), so the evolving fold must take the bulk
+    rewrite -- every bucket dir carries the column afterwards and the
+    state is exact."""
+    path = str(tmp_path / "tb")
+    M.mor_init(spark.createDataFrame(
+        [(k, f"s{k}", 0) for k in range(1, 9)],
+        "k long, seg string, _cdc_seq long"), path,
+        key_cols=["k"], n_buckets=4)
+    ev = spark.createDataFrame(
+        [(1, "s1b", 5, "U", 1)],
+        "k long, seg string, tier long, op string, seq long")
+    M.mor_apply(ev, path, key_cols=["k"], allow_schema_evolution=True)
+    M.mor_compact(spark, path, key_cols=["k"])
+    import pyarrow.parquet as pq_
+    for d in glob.glob(os.path.join(path, "base", "mbucket=*")):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert files and all(
+            "tier" in pq_.read_schema(f).names for f in files), \
+            f"bucket dir {d} missing evolved column"
+    got = sorted(map(tuple,
+                     M.mor_read(spark, path, key_cols=["k"])
+                     .select("k", "seg", "tier").collect()))
+    assert got == [(1, "s1b", 5)] + [(k, f"s{k}", None)
+                                     for k in range(2, 9)]
