@@ -581,7 +581,8 @@ def _snapshot_dir(src: str, dst: str) -> None:
 def mor_compact(spark, path: str, *, key_cols: list[str],
                 seq_col: str = "_cdc_seq",
                 retain_history: bool = False,
-                broadcast_budget_bytes: int = 64 << 20) -> None:
+                broadcast_budget_bytes: int = 64 << 20,
+                n_buckets: int | None | str = "keep") -> None:
     """Fold the delta log into the base and clear the consumed
     segments. Readers spanning the compaction see either the old
     base+deltas or the new base -- the same state by the reconcile
@@ -598,6 +599,15 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
     (hardlinks -- metadata cost only) and move the consumed segments
     there instead of deleting, so mor_read(as_of_segment=) keeps
     replaying PRE-compaction states.
+
+    ``n_buckets``: PARTITION EVOLUTION (the Iceberg
+    rewrite-with-new-spec economics). The default ``"keep"`` preserves
+    the layout; an int re-buckets the base to that count (the knob for
+    a table that outgrew the bucket count chosen at init -- at 100x
+    growth the per-bucket file mass stops fitting compaction memory),
+    ``None`` flattens a bucketed base. A re-layout is a full rewrite
+    by nature (every row moves buckets) and also folds the delta log;
+    it runs even with an empty log.
 
     Concurrency/crash posture: the whole compaction runs under the
     table's publish_lock (a concurrent mor_apply/mor_compact raises
@@ -621,9 +631,12 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
             if _seg_num(seg) < meta["base_seg"]:
                 shutil.rmtree(seg, ignore_errors=True)
         consumed = _delta_dirs(path, base_seg=meta["base_seg"])
-        if not consumed:
+        relayout = (n_buckets != "keep"
+                    and n_buckets != meta["n_buckets"])
+        if not consumed and not relayout:
             return
-        pruned = _tree_bytes(*consumed) <= int(broadcast_budget_bytes)
+        pruned = (_tree_bytes(*consumed)
+                  <= int(broadcast_budget_bytes)) if consumed else True
         base_path = os.path.join(path, "base")
         if retain_history:
             snap = os.path.join(path, "archive",
@@ -631,12 +644,35 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
             if not os.path.isdir(snap):
                 _snapshot_dir(base_path, snap)
         nb = meta["n_buckets"]
-        deltas = _read_deltas(spark, consumed)
-        bcols = set(spark.read.parquet(base_path).columns)
-        evolving = any(f.name not in bcols
-                       for f in deltas.schema.fields
-                       if f.name not in ("_seq", _OP))
-        if nb is not None:
+        if relayout:
+            # partition evolution (the Iceberg rewrite-with-new-spec
+            # economics): fold the log AND re-layout the base in one
+            # full rewrite -- re-bucket to a new count when the table
+            # outgrew the one chosen at init, bucket a plain table, or
+            # flatten a bucketed one. Always a bulk rewrite by nature.
+            nbt = n_buckets
+            bcol = meta["bucket_col"]
+            cur = mor_read(spark, path, key_cols=key_cols,
+                           seq_col=seq_col, pruned=pruned)
+            if nbt is None:
+                cow_publish(cur, base_path)
+            else:
+                if bcol in cur.columns:
+                    raise ValueError(
+                        f"payload column {bcol!r} collides with the "
+                        "bucket bookkeeping column -- rename it "
+                        "before re-bucketing")
+                merged = (cur.withColumn(
+                    bcol, _bucket_expr(list(key_cols), int(nbt)))
+                    .repartition(int(nbt), F.col(bcol)))
+                cow_publish(merged, base_path, partition_by=[bcol])
+            meta["n_buckets"] = None if nbt is None else int(nbt)
+        elif nb is not None:
+            deltas = _read_deltas(spark, consumed)
+            bcols = set(spark.read.parquet(base_path).columns)
+            evolving = any(f.name not in bcols
+                           for f in deltas.schema.fields
+                           if f.name not in ("_seq", _OP))
             bcol = meta["bucket_col"]
             touched = sorted(
                 r[0] for r in deltas

@@ -590,3 +590,44 @@ def test_mor_schema_evolution_bucketed_bulk_fold(spark, tmp_path):
                      .select("k", "seg", "tier").collect()))
     assert got == [(1, "s1b", 5)] + [(k, f"s{k}", None)
                                      for k in range(2, 9)]
+
+
+def test_mor_compact_rebucket_partition_evolution(spark, tmp_path):
+    """Partition evolution at compaction: plain -> bucketed,
+    re-bucketed to a new count, and flattened back -- each re-layout
+    folds the log, preserves the state exactly, updates the table
+    meta, and leaves the base in the target layout (pruned compaction
+    and bucketed reads pick it up)."""
+    path = _init(spark, tmp_path)
+    M.mor_apply(spark.createDataFrame(
+        [(1, "a2", "U", 1), (9, "new", "U", 1)],
+        "k long, seg string, op string, seq long"), path,
+        key_cols=["k"])
+    want = [(1, "a2", 1), (2, "b", 0), (3, "c", 0), (9, "new", 1)]
+    # plain -> 4 buckets (fold + re-layout in one rewrite)
+    M.mor_compact(spark, path, key_cols=["k"], n_buckets=4)
+    assert M._read_meta(path)["n_buckets"] == 4
+    assert len(glob.glob(os.path.join(path, "base", "mbucket=*"))) > 0
+    assert _state(spark, path) == want
+    # 4 -> 8 with a fresh delta folded in the same pass
+    M.mor_apply(spark.createDataFrame(
+        [(2, None, "D", 2)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    M.mor_compact(spark, path, key_cols=["k"], n_buckets=8)
+    assert M._read_meta(path)["n_buckets"] == 8
+    want2 = [(1, "a2", 1), (3, "c", 0), (9, "new", 1)]
+    assert _state(spark, path) == want2
+    assert M.mor_delta_stats(spark, path)["n_segments"] == 0
+    # bucketed -> flat (re-layout with an EMPTY delta log)
+    M.mor_compact(spark, path, key_cols=["k"], n_buckets=None)
+    assert M._read_meta(path)["n_buckets"] is None
+    assert not glob.glob(os.path.join(path, "base", "mbucket=*"))
+    assert _state(spark, path) == want2
+    # a later touched-dirs compaction works under the evolved layout
+    M.mor_compact(spark, path, key_cols=["k"], n_buckets=16)
+    M.mor_apply(spark.createDataFrame(
+        [(3, "c2", "U", 3)], "k long, seg string, op string, seq long"),
+        path, key_cols=["k"])
+    M.mor_compact(spark, path, key_cols=["k"])
+    assert _state(spark, path) == [(1, "a2", 1), (3, "c2", 3),
+                                   (9, "new", 1)]
