@@ -62,9 +62,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["mor_init", "mor_apply", "mor_read", "mor_compact",
-           "mor_maintain", "mor_delta_stats", "mor_changes",
-           "mor_expire_snapshots", "apply_cdc_stream_mor"]
+__all__ = ["mor_init", "mor_apply", "mor_read", "mor_lookup",
+           "mor_compact", "mor_maintain", "mor_delta_stats",
+           "mor_changes", "mor_expire_snapshots",
+           "apply_cdc_stream_mor"]
 
 _OP = "_op"
 _META = "meta.json"
@@ -446,6 +447,69 @@ def mor_read(spark, path: str, *, key_cols: list[str],
         fail_above_amplification=fail_above_amplification)
     return _reconcile(base, deltas, key_cols, payload, seq_col,
                       pruned=use_pruned)
+
+
+def mor_lookup(spark, path: str, keys: list, *, key_cols: list[str],
+               seq_col: str = "_cdc_seq") -> DataFrame:
+    """POINT LOOKUP on a MoR table -- the serving-side read. A filter
+    on the key pushes into the scans but can NEVER prune the bucket
+    directories (the bucket is a hash Catalyst cannot derive from
+    ``k = 7``; probed: PartitionFilters stays empty), so a filtered
+    mor_read still lists and opens every bucket dir of a 100-TB base.
+    This path computes the looked-up keys' buckets ENGINE-SIDE (a
+    bounded tiny-frame evaluation of the same bucket expression --
+    engine-identical hashing, never reimplemented driver-side) and
+    reads the base with a literal ``bucket IN (...)`` partition filter
+    plus the key predicate: I/O is a few bucket dirs + the delta log,
+    then the standard reconcile runs over the sliver (per-key
+    semantics make the restricted reconcile exact). On an unbucketed
+    table the key predicate still pushes into every scan branch.
+
+    ``keys``: scalars for single-column keys, tuples for composite.
+    NULL keys are refused (a NULL never equals a stored key; use
+    mor_read + eqNullSafe for forensic reads)."""
+    import functools
+
+    meta = _read_meta(path)
+    rows = [(k,) if not isinstance(k, tuple) else tuple(k)
+            for k in keys]
+    if any(v is None for r in rows for v in r):
+        raise ValueError("NULL lookup keys are not supported -- use "
+                         "mor_read and filter with eqNullSafe")
+    base = spark.read.parquet(os.path.join(path, "base"))
+    payload = [c for c in base.columns
+               if c not in key_cols and c != seq_col
+               and c != meta["bucket_col"]]
+    empty = (base.drop(meta["bucket_col"])
+             if meta["n_buckets"] is not None else base) \
+        .select(*key_cols, *payload, seq_col).where(F.lit(False))
+    if not rows:
+        return empty
+    keyf = functools.reduce(
+        lambda a, b: a | b,
+        [functools.reduce(lambda a, b: a & b,
+                          [F.col(c) == F.lit(v)
+                           for c, v in zip(key_cols, r)])
+         for r in rows])
+    nb = meta["n_buckets"]
+    if nb is not None:
+        from .merge import _bucket_expr
+        ktypes = [base.schema[c] for c in key_cols]
+        from pyspark.sql import types as _T
+        kdf = spark.createDataFrame(rows, _T.StructType(ktypes))
+        buckets = sorted({r[0] for r in kdf.select(
+            _bucket_expr(list(key_cols), nb).alias("_b"))
+            .distinct().collect()})
+        base = (base.where(F.col(meta["bucket_col"]).isin(buckets))
+                .drop(meta["bucket_col"]))
+    base = base.where(keyf)
+    segs = _delta_dirs(path, base_seg=meta["base_seg"])
+    if not segs:
+        return base.select(*key_cols, *payload, seq_col)
+    deltas = _read_deltas(spark, segs).where(keyf)
+    base, deltas, payload = _widen_evolved(base, deltas, payload)
+    return _reconcile(base, deltas, key_cols, payload, seq_col,
+                      pruned=True)
 
 
 def mor_changes(spark, path: str, *, key_cols: list[str],

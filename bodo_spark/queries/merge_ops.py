@@ -998,6 +998,92 @@ def merge_mor_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def merge_mor_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """MoR POINT LOOKUP -- the serving-side read (operators/mor.py
+    mor_lookup): on a bucketed table the looked-up keys' buckets are
+    computed engine-side (tiny-frame evaluation of the same bucket
+    hash -- never reimplemented driver-side) and the base is read with
+    a literal bucket IN partition filter plus the key predicate, so
+    the lookup opens a few bucket dirs + the delta log instead of the
+    whole base (a plain filtered read can never prune the dirs: the
+    bucket hash is underivable from ``k = 7``; plan-contract-tested in
+    test_mor). The key list spans every reconcile case -- updated,
+    re-updated, deleted, untouched, delta-only insert, and absent --
+    and the returned rows pin exact values against the head SQL
+    derivation restricted to the same keys."""
+    import shutil
+    import uuid
+
+    from ..operators import mor as M
+
+    c = tbl(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"))
+    stage = f"/tmp/bodo_spark_morpl_{uuid.uuid4().hex[:8]}"
+    try:
+        M.mor_init(c.withColumn("_cdc_seq", F.lit(0).cast("long")),
+                   f"{stage}/t", key_cols=["k"], n_buckets=16)
+
+        def ch(pred, seg, op, seq, shift=0):
+            return (c.where(pred)
+                    .select((F.col("k") + shift).alias("k"),
+                            seg.alias("seg"), F.lit(op).alias("op"),
+                            F.lit(seq).cast("long").alias("seq")))
+
+        M.mor_apply(
+            ch(F.col("k") % 3 == 0, F.lit("SEG_V1"), "U", 1)
+            .unionByName(ch(F.col("k") < 5, F.lit("NEWSEG"), "U", 1,
+                            shift=1_000_000)),
+            f"{stage}/t", key_cols=["k"])
+        M.mor_apply(
+            ch(F.col("k") % 6 == 0, F.lit("SEG_V2"), "U", 2)
+            .unionByName(ch(F.col("k") % 5 == 0,
+                            F.lit(None).cast("string"), "D", 3)),
+            f"{stage}/t", key_cols=["k"])
+        keys = [3, 4, 5, 6, 12, 30, 1000001, 999999]
+        out = (M.mor_lookup(spark, f"{stage}/t", keys,
+                            key_cols=["k"])
+               .orderBy("k"))
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "k bigint, seg string, _cdc_seq bigint")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+_MOR_LOOKUP_SQL = """
+WITH init AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg, CAST(0 AS BIGINT) AS sq
+  FROM customer),
+ch AS (
+  SELECT c_custkey AS k, 'SEG_V1' AS seg, CAST(1 AS BIGINT) AS sq,
+         'U' AS op
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWSEG', 1, 'U'
+  FROM customer WHERE c_custkey < 5
+  UNION ALL
+  SELECT c_custkey, 'SEG_V2', 2, 'U'
+  FROM customer WHERE c_custkey % 6 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, 3, 'D'
+  FROM customer WHERE c_custkey % 5 = 0),
+head AS (
+  SELECT COALESCE(l.k, i.k) AS k,
+         CASE WHEN l.k IS NULL THEN i.seg ELSE l.seg END AS seg,
+         CASE WHEN l.k IS NULL THEN i.sq ELSE l.sq END AS sq
+  FROM init i FULL OUTER JOIN (
+    SELECT k, seg, sq, op,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY sq DESC, op ASC) AS rn
+    FROM ch QUALIFY rn = 1) l ON i.k = l.k
+  WHERE COALESCE(l.op, 'U') <> 'D')
+SELECT k, seg, CAST(sq AS BIGINT) AS _cdc_seq
+FROM head WHERE k IN (3, 4, 5, 6, 12, 30, 1000001, 999999)
+ORDER BY k
+"""
+
+
 _MOR_EVOLVE_SQL = """
 WITH init AS (
   SELECT c_custkey AS k, c_mktsegment AS seg,
@@ -1077,6 +1163,11 @@ QUERIES: dict[str, QueryDef] = {
         merge_mor_auto_read, _MOR_AUTO_SQL,
         doc="self-defending MoR read: broadcast-budget auto plan "
             "choice, pruned and full-window states pinned equal"),
+    "merge_mor_point_lookup": QueryDef(
+        merge_mor_point_lookup, _MOR_LOOKUP_SQL,
+        doc="serving-side point lookup: engine-derived bucket IN "
+            "partition filter + key pushdown, reconcile over the "
+            "sliver; every reconcile case in the key list"),
     "merge_mor_schema_evolution": QueryDef(
         merge_mor_schema_evolution, _MOR_EVOLVE_SQL,
         doc="MoR add-column schema evolution: refused without the "
