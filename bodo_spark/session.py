@@ -35,6 +35,17 @@ _ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    # AQE inside cached plans: by default Spark pins a persisted frame's
+    # output partitioning (canChangeCachedPlanOutputPartitioning=false),
+    # so a cache fed by a 256-partition shuffle (initialPartitionNum
+    # above) materializes 256 tiny blocks and EVERY consumer launches
+    # 256 scan tasks with per-task overhead dwarfing the work. Allowing
+    # AQE to re-optimize under the cache coalesces those to size-based
+    # partitions exactly like any other shuffle (guide: fewer, larger
+    # partitions). Measured on the persisted-postings BM25 ranker at
+    # sf0.1: 4 consumer stages x 256 tasks -> a handful; 12-30 s wall
+    # -> 3-9 s. Value-neutral: partitioning only, results unchanged.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Default creationSideThreshold (10MB) silently disables bloom
     # pruning exactly where it pays most: a dimension join whose build
@@ -96,6 +107,25 @@ def get_spark(app_name: str = "bodo_spark", master: str | None = None) -> SparkS
             builder = builder.config("spark.driver.memory",
                                      os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
             builder = builder.config("spark.sql.shuffle.partitions", "32")
+            # Containers without libhadoop.so pay a /bin/chmod process
+            # fork per partition directory created (RawLocalFileSystem.
+            # setPermission falls back to Shell.execCommand) -- the
+            # dominant cost of every hive-partitioned publish here
+            # (bucketed MoR/merge tables, cell-partitioned ANN stores).
+            # bodo-localfs.jar overrides setPermission with the java.nio
+            # equivalent; no-op change on clusters with the native lib.
+            jar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "jvm", "bodo-localfs.jar")
+            if os.path.exists(jar):
+                builder = builder.config("spark.driver.extraClassPath", jar)
+                builder = builder.config(
+                    "spark.hadoop.fs.file.impl",
+                    "bodospark.fs.FastLocalFileSystem")
+                # the FileContext route (streaming checkpoint manager)
+                # resolves file:// separately
+                builder = builder.config(
+                    "spark.hadoop.fs.AbstractFileSystem.file.impl",
+                    "bodospark.fs.FastLocalFileSystem$FastLocalFs")
     for k, v in _ENGINE_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
