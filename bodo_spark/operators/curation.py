@@ -229,7 +229,9 @@ def domain_mix_sample(df: DataFrame, weights: dict[str, float], *,
     """
     mass = F.count(F.lit(1)) if size_col is None \
         else F.sum(size_col).cast("double")
-    wdf = df.sparkSession.createDataFrame(
+    from ..rowframe import local_df
+    wdf = local_df(
+        df.sparkSession,
         [(d, float(w)) for d, w in sorted(weights.items())],
         f"{domain_col} string, _w double")
     counts = (df.groupBy(domain_col).agg(mass.alias("_n"))
@@ -625,7 +627,8 @@ def train_hashed_quality(df: DataFrame, *, label_col: str,
         wdf = (spark.range(n_buckets)
                .select(F.col("id").cast("int").alias("_b"),
                        F.lit(0.0).alias("_w")))
-        bias_df = spark.createDataFrame([(0.0,)], "_bias double")
+        from ..rowframe import local_df
+        bias_df = local_df(spark, [(0.0,)], "_bias double")
         for _ in range(steps):
             edf, gdf = _step(wdf, bias_df, 0.0)
             wdf = (wdf.join(gdf, "_b", "left")
@@ -646,8 +649,9 @@ def train_hashed_quality(df: DataFrame, *, label_col: str,
     w = [0.0] * n_buckets
     bias = 0.0
     for _ in range(steps):
-        wdf = spark.createDataFrame(
-            [(b, float(w[b])) for b in range(n_buckets)],
+        from ..rowframe import local_df
+        wdf = local_df(
+            spark, [(b, float(w[b])) for b in range(n_buckets)],
             "_b int, _w double")
         edf, gdf = _step(wdf, None, bias)
         rows = (wdf.join(gdf, "_b", "left")

@@ -513,6 +513,7 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
             if not len(pdf):
                 return spark.createDataFrame([], schema=out_schema)
             rows = zip(pdf["u"].tolist(), pdf["v"].tolist())
+            # pandas input: Arrow conversion path, no Python workers
             return spark.createDataFrame(_union_find_labels(rows),
                                          schema=out_schema)
         pairs = sel  # reuse the materialized edges in the loop below

@@ -126,9 +126,9 @@ def _codebook_frame(spark, cbs: list) -> DataFrame:
     trap the IVF centroid table avoids)."""
     rows = [(j, c, cw) for j, book in enumerate(cbs)
             for c, cw in enumerate(book)]
-    return (spark.createDataFrame(
-        rows, "_j int, _cid int, _cw array<double>")
-        .withColumn("_cc", dot(F.col("_cw"), F.col("_cw"))))
+    from ..rowframe import local_df
+    return (local_df(spark, rows, "_j int, _cid int, _cw array<double>")
+            .withColumn("_cc", dot(F.col("_cw"), F.col("_cw"))))
 
 
 def pq_encode(vectors: DataFrame, codebooks: list, *,
@@ -259,7 +259,8 @@ def _driver_luts(spark, qrows: list, codebooks: list, *,
     schema = StructType([
         StructField(q_id_col, _py_type(data[0][0])),
         StructField("_lut", ArrayType(ArrayType(DoubleType())))])
-    return spark.createDataFrame(data, schema)
+    from ..rowframe import local_df
+    return local_df(spark, data, schema)
 
 
 def _py_type(v):
@@ -805,8 +806,9 @@ def pq_store_index(index: DataFrame, path: str, codebooks: list, *,
      .write.mode(mode).partitionBy("cell").parquet(f"{path}/index"))
     cents.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
     cbs = [[[float(x) for x in cw] for cw in book] for book in codebooks]
-    meta = spark.createDataFrame(
-        [(cbs, int(coarse_dim), id_col)],
+    from ..rowframe import local_df
+    meta = local_df(
+        spark, [(cbs, int(coarse_dim), id_col)],
         "codebooks array<array<array<double>>>, coarse_dim int, "
         "id_col string")
     meta.write.mode(mode).parquet(f"{path}/meta")

@@ -241,8 +241,9 @@ def bm25_store_index(postings: DataFrame, path: str, *,
          .write.mode(mode)
          .partitionBy("tbucket").parquet(f"{path}/term_stats"))
         cs.write.mode(mode).parquet(f"{path}/corpus_stats")
-        spark.createDataFrame([(int(n_term_buckets),)],
-                              "n_term_buckets int") \
+        from ..rowframe import local_df
+        local_df(spark, [(int(n_term_buckets),)],
+                 "n_term_buckets int") \
             .write.mode(mode).parquet(f"{path}/meta")
     finally:
         try:

@@ -220,9 +220,11 @@ def _centroid_table(vectors: DataFrame, centroids: list | None,
         # image is exact.
         rows = [(i, [float(x) for x in list(c)[:coarse_dim]])
                 for i, c in enumerate(centroids)]
-        return (vectors.sparkSession.createDataFrame(
-            rows, "_cid bigint, _cvec array<double>")
-            .withColumn("_cn", F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
+        from ..rowframe import local_df
+        return (local_df(vectors.sparkSession, rows,
+                         "_cid bigint, _cvec array<double>")
+                .withColumn("_cn",
+                            F.sqrt(dot(F.col("_cvec"), F.col("_cvec")))))
     trunc = F.slice(F.col("_cvec"), 1, coarse_dim)
     return (vectors.select(F.col(id_col).alias("_cid"),
                            F.col(vec_col).alias("_cvec"))

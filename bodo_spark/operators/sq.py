@@ -331,9 +331,10 @@ def sq_store_index(index: DataFrame, path: str, los: list, his: list, *,
     (index.repartition(int(n_cells), F.col("cell"))
      .write.mode(mode).partitionBy("cell").parquet(f"{path}/index"))
     cents.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
-    meta = spark.createDataFrame(
-        [([float(v) for v in los], [float(v) for v in his],
-          int(bits), int(coarse_dim), id_col)],
+    from ..rowframe import local_df
+    meta = local_df(
+        spark, [([float(v) for v in los], [float(v) for v in his],
+                 int(bits), int(coarse_dim), id_col)],
         "los array<double>, his array<double>, bits int, "
         "coarse_dim int, id_col string")
     meta.write.mode(mode).parquet(f"{path}/meta")

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import ai
+from ..rowframe import local_df
 from ._util import QueryDef, tbl
 
 
@@ -167,7 +168,8 @@ def ai_llm_generate_stats(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         srv.shutdown()
         srv.server_close()
-    return spark.createDataFrame(
+    return local_df(
+            spark,
         [tuple(r) for r in rows],
         "lang string, n_docs bigint, n_match bigint, sum_resp_len bigint")
 
@@ -189,7 +191,7 @@ def ai_vector_sink_count(spark: SparkSession, sf: str) -> DataFrame:
     a non-trivial batch size so the tail-batch flush path runs."""
     emb = tbl(spark, sf, "embeddings")
     n = ai.to_vector_sink(emb, "vec_id", "embedding", batch_size=64)
-    return spark.createDataFrame([(int(n),)], "n_vectors bigint")
+    return local_df(spark, [(int(n),)], "n_vectors bigint")
 
 
 _AI_VSINK_SQL = """

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import curation as C
+from ..rowframe import local_df
 from ..operators import text as T
 from ._util import QueryDef, tbl
 
@@ -1228,7 +1229,7 @@ def cur_quality_train(spark: SparkSession, sf: str) -> DataFrame:
     w, b = C.train_hashed_quality(lab, label_col="y", n_buckets=32,
                                   steps=_QT_STEPS, lr=0.5)
     rows = [(i, float(x)) for i, x in enumerate(w)] + [(-1, float(b))]
-    return (spark.createDataFrame(rows, "bucket bigint, weight double")
+    return (local_df(spark, rows, "bucket bigint, weight double")
             .select("bucket", F.round("weight", 9).alias("weight"))
             .orderBy("bucket"))
 
@@ -1454,7 +1455,8 @@ def cur_expectations(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_totalprice").alias("price"))
     c = tbl(spark, sf, "customer")
     first = o.orderBy("o_orderkey").limit(1)
-    planted = spark.createDataFrame(
+    planted = local_df(
+            spark,
         [(1000000001, None, "1-URGENT", 10.0),
          (1000000002, 1, "1-URGENT", -5.0),
          (1000000003, 1, "9-BOGUS", 10.0),

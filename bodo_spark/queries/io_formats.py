@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._util import QueryDef, dec, tbl
+from ..rowframe import local_df
 
 
 def _tag(sf: str) -> str:
@@ -40,7 +41,7 @@ def _materialize(df: DataFrame, schema: str) -> DataFrame:
     """Collect a TINY aggregate and rewrap it, so the returned frame no
     longer depends on staging files the caller is about to delete."""
     rows = [tuple(r) for r in df.collect()]
-    return df.sparkSession.createDataFrame(rows, schema)
+    return local_df(df.sparkSession, rows, schema)
 
 
 def io_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:

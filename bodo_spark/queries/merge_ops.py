@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.merge import merge_into
+from ..rowframe import local_df
 from ._util import QueryDef, dec, tbl
 
 
@@ -512,7 +513,8 @@ def merge_file_pruned(spark: SparkSession, sf: str) -> DataFrame:
                .withColumn("untouched_intact", F.lit(bool(intact)))
                .orderBy("seg"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "seg string, n bigint, total_bal double, "
                   "untouched_intact boolean")
     finally:
@@ -593,7 +595,8 @@ def merge_mor_time_travel(spark: SparkSession, sf: str) -> DataFrame:
                        F.max("_cdc_seq").alias("max_seq")).collect()[0]
             rows.append((phase, a["n_rows"], a["key_xor"],
                          a["max_seq"]))
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "phase string, n_rows bigint, key_xor bigint, "
                   "max_seq bigint")
     finally:
@@ -693,7 +696,8 @@ def merge_mor_retained_time_travel(spark: SparkSession, sf: str) -> DataFrame:
                        F.max("_cdc_seq").alias("max_seq")).collect()[0]
             rows.append((phase, a["n_rows"], a["key_xor"],
                          a["max_seq"]))
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "phase string, n_rows bigint, key_xor bigint, "
                   "max_seq bigint")
     finally:
@@ -819,7 +823,8 @@ def merge_mor_incremental_pull(spark: SparkSession, sf: str) -> DataFrame:
                     "direct"),
                 agg(M.mor_read(spark, f"{stage}/replay",
                                key_cols=["k"]), "replayed")]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "phase string, n_rows bigint, key_xor bigint, "
                   "max_seq bigint")
     finally:
@@ -910,7 +915,8 @@ def merge_mor_auto_read(spark: SparkSession, sf: str) -> DataFrame:
                 agg(M.mor_read(spark, f"{stage}/t", key_cols=["k"],
                                broadcast_budget_bytes=1),
                     "auto_window")]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "phase string, n_rows bigint, key_xor bigint, "
                   "max_seq bigint").orderBy("phase")
     finally:
@@ -989,7 +995,8 @@ def merge_mor_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
             f"{stage}/t/base").columns, \
             "compaction must fold the evolved column into the base"
         rows += agg("b_post_compact")
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "phase string, seg string, n_rows bigint, "
                   "key_xor bigint, tier_sum bigint, "
                   "tier_nulls bigint, max_seq bigint") \
@@ -1045,7 +1052,8 @@ def merge_mor_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
                             key_cols=["k"])
                .orderBy("k"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "k bigint, seg string, _cdc_seq bigint")
     finally:
         shutil.rmtree(stage, ignore_errors=True)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._util import QueryDef, tbl
+from ..rowframe import local_df
 
 
 def _cust_keys(spark, sf):
@@ -75,7 +76,8 @@ def setop_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").alias("nationkey")))
     b = (tbl(spark, sf, "supplier").crossJoin(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [("AUTOMOBILE",), ("BUILDING",)], ["seg"]))
         .select("seg", F.col("s_nationkey").alias("nationkey")))
     return (a.intersectAll(b)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._util import QueryDef, tbl
+from ..rowframe import local_df
 
 
 def stream_tumbling_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -837,7 +838,8 @@ def stream_ann_stored_topk(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -890,7 +892,8 @@ def stream_ann_pq_stored_topk(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1039,7 +1042,8 @@ def stream_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
                    F.max("_cdc_seq").alias("max_seq"))
                .orderBy("seg"))
         rows = [tuple(r) for r in agg.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "seg string, n_rows bigint, key_xor bigint, "
                   "max_seq bigint")
     finally:
@@ -1131,7 +1135,8 @@ def stream_cdc_apply_pruned(spark: SparkSession, sf: str) -> DataFrame:
                    F.max("_cdc_seq").alias("max_seq"))
                .orderBy("seg"))
         rows = [tuple(r) for r in agg.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "seg string, n_rows bigint, key_xor bigint, "
                   "max_seq bigint")
     finally:
@@ -1190,7 +1195,8 @@ def stream_cdc_apply_mor(spark: SparkSession, sf: str) -> DataFrame:
                    F.max("_cdc_seq").alias("max_seq"))
                .orderBy("seg"))
         rows = [tuple(r) for r in agg.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "seg string, n_rows bigint, key_xor bigint, "
                   "max_seq bigint")
     finally:
@@ -1258,7 +1264,8 @@ def stream_cdc_apply_mor_maintained(spark: SparkSession,
                    F.max("_cdc_seq").alias("max_seq"))
                .orderBy("seg"))
         rows = [tuple(r) for r in agg.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "seg string, n_rows bigint, key_xor bigint, "
                   "max_seq bigint")
     finally:
@@ -1336,7 +1343,8 @@ def stream_cdc_apply_mor_bucketed(spark: SparkSession, sf: str) -> DataFrame:
                .withColumn("untouched_intact", F.lit(bool(intact)))
                .orderBy("seg"))
         rows = [tuple(r) for r in agg.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "seg string, n_rows bigint, key_xor bigint, "
                   "max_seq bigint, untouched_intact boolean")
     finally:
@@ -1422,7 +1430,8 @@ def stream_rollup(spark: SparkSession, sf: str) -> DataFrame:
                          .alias("sum_price"))
                  .orderBy("o_orderpriority"))
         rows = [tuple(r) for r in final.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "o_orderpriority string, n_orders bigint, "
                   "sum_price double")
     finally:

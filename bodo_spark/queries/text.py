@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text as T
+from ..rowframe import local_df
 from ._util import QueryDef, bint, tbl
 
 # DuckDB twin of operators.text.tokenize_ws size
@@ -654,7 +655,8 @@ def text_bm25_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
         out = R.bm25_stored_topk(spark, stage, queries, k=5) \
             .orderBy("q_id", "rn")
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, doc_id long, score double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -687,7 +689,8 @@ def text_bm25_stored_append(spark: SparkSession, sf: str) -> DataFrame:
         out = R.bm25_stored_topk(spark, stage, queries, k=5) \
             .orderBy("q_id", "rn")
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, doc_id long, score double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -738,7 +741,8 @@ def text_bm25_stored_rollback(spark: SparkSession, sf: str) -> DataFrame:
         out = R.bm25_stored_topk(spark, stage, queries, k=5) \
             .orderBy("q_id", "rn")
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, doc_id long, score double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)

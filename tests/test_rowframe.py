@@ -1,0 +1,59 @@
+"""rowframe.local_df: the driver-local tiny-frame constructor must be
+value-identical to stock createDataFrame while occupying exactly ONE
+partition (the r14 fan-out fix: a 4-row result frame must not become a
+defaultParallelism-wide PythonRDD whose first evaluation spawns a
+Python worker per core). Also pins the r14 local-FS posture: the
+no-fork chmod FS is active and hive-partitioned writes still come out
+0755 / readable."""
+
+from __future__ import annotations
+
+import os
+import stat
+
+from pyspark.sql import functions as F
+
+from bodo_spark.rowframe import local_df
+
+
+def test_local_df_values_and_single_partition(spark):
+    rows = [(1, "a", [1.0, 2.0]), (2, None, []), (3, "c", None)]
+    schema = "k long, s string, v array<double>"
+    got = local_df(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert got.rdd.getNumPartitions() == 1
+
+
+def test_local_df_empty(spark):
+    got = local_df(spark, [], "k long, s string")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "s"]
+
+
+def test_local_df_struct_type_schema(spark):
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("w", T.DoubleType())])
+    got = local_df(spark, [(5, 0.5)], schema)
+    assert [tuple(r) for r in got.collect()] == [(5, 0.5)]
+    assert got.rdd.getNumPartitions() == 1
+
+
+def test_fast_local_fs_partitioned_write_roundtrip(spark, tmp_path):
+    # the no-fork chmod FS must be wired for local masters, and a
+    # hive-partitioned write through it must produce the same 0755
+    # directories + readable files the stock path produced
+    assert spark.conf.get("spark.hadoop.fs.file.impl",
+                          "") == "bodospark.fs.FastLocalFileSystem"
+    path = str(tmp_path / "t")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p"))
+    df.repartition(F.col("p")).write.partitionBy("p").parquet(path)
+    pdirs = [d for d in os.listdir(path) if d.startswith("p=")]
+    assert len(pdirs) == 4
+    mode = stat.S_IMODE(os.stat(os.path.join(path, pdirs[0])).st_mode)
+    assert mode == 0o755
+    assert spark.read.parquet(path).count() == 20
