@@ -324,15 +324,22 @@ def write_bucket_partitioned(df: DataFrame, path: str,
     # bucket directory -- tasks x n_buckets tiny files whose per-file
     # writer overhead dominates (measured 5x on the BM25 store, same
     # pattern; SCALE.md r12). files_per_bucket > 1 restores
-    # within-bucket write parallelism for big tables.
+    # within-bucket write parallelism for big tables. No explicit
+    # partition count (r14): a keyed repartition WITHOUT a number is
+    # AQE-coalescible, so the write task count follows the actual byte
+    # mass (guide 2.2/6: partitions sized by data, files near the
+    # advisory size) instead of pinning n_buckets tasks at every scale
+    # -- each bucket value still lands wholly in one task, so the
+    # one-file-per-bucket-dir layout is unchanged. The width ceiling is
+    # initialPartitionNum (session posture: raise it on a real
+    # cluster).
     b = df.withColumn(bucket_col, _bucket_expr(key_cols, n_buckets))
     if files_per_bucket == 1:
-        b = b.repartition(int(n_buckets), F.col(bucket_col))
+        b = b.repartition(F.col(bucket_col))
     else:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols],
                                  F.lit(7)), F.lit(files_per_bucket))
-        b = b.repartition(int(n_buckets * files_per_bucket),
-                          F.col(bucket_col), salt)
+        b = b.repartition(F.col(bucket_col), salt)
     b.write.mode(mode).partitionBy(bucket_col).parquet(path)
 
 
@@ -551,9 +558,10 @@ def _publish_partitions_locked(merged: DataFrame, norm: str,
         # one shuffle keyed on the partition col bounds the staged
         # write to ~one file per touched partition (vs tasks x touched
         # tiny files -- the per-file overhead measured on the BM25
-        # store); the touched slice is small by construction, so the
-        # reduced write parallelism is the right trade
-        (merged.repartition(max(len(touched), 1), F.col(pcol))
+        # store); no explicit count (r14): AQE sizes the write tasks
+        # from the staged bytes (the touched slice is change-mass-
+        # sized), each partition value still wholly in one task
+        (merged.repartition(F.col(pcol))
          .write.mode("errorifexists").partitionBy(pcol)
          .parquet(staging))
     except Exception:

@@ -496,7 +496,8 @@ def mor_lookup(spark, path: str, keys: list, *, key_cols: list[str],
         from .merge import _bucket_expr
         ktypes = [base.schema[c] for c in key_cols]
         from pyspark.sql import types as _T
-        kdf = spark.createDataFrame(rows, _T.StructType(ktypes))
+        from ..rowframe import local_df
+        kdf = local_df(spark, rows, _T.StructType(ktypes))
         buckets = sorted({r[0] for r in kdf.select(
             _bucket_expr(list(key_cols), nb).alias("_b"))
             .distinct().collect()})
@@ -728,7 +729,7 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
                         "before re-bucketing")
                 merged = (cur.withColumn(
                     bcol, _bucket_expr(list(key_cols), int(nbt)))
-                    .repartition(int(nbt), F.col(bcol)))
+                    .repartition(F.col(bcol)))
                 cow_publish(merged, base_path, partition_by=[bcol])
             meta["n_buckets"] = None if nbt is None else int(nbt)
         elif nb is not None:
@@ -763,7 +764,7 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
                                  payload, seq_col, pruned=pruned)
                 merged = (cur.withColumn(
                     bcol, _bucket_expr(list(key_cols), nb))
-                    .repartition(int(nb), F.col(bcol)))
+                    .repartition(F.col(bcol)))
                 cow_publish(merged, base_path, partition_by=[bcol])
             else:
                 base_slice = (spark.read.parquet(base_path)

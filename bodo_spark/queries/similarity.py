@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
+from ..rowframe import local_df
 from ._util import QueryDef, tbl
 
 _SQL_COS = (
@@ -282,7 +283,8 @@ def emb_gram_slice(spark: SparkSession, sf: str) -> DataFrame:
     gram, sums, n = gram_stats(emb, "embedding", dim=_DIM)
     rows = [(i, j, round(float(gram[i, j]), 4), round(float(sums[i]), 4), n)
             for i in range(8) for j in range(8)]
-    return (spark.createDataFrame(
+    return (local_df(
+            spark,
         rows, "i int, j int, g double, s_i double, n long")
         .orderBy("i", "j"))
 
@@ -310,7 +312,8 @@ def emb_pca_trace(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.embeddings import pca_fit
     emb = tbl(spark, sf, "embeddings")
     model = pca_fit(emb, "embedding", dim=_DIM, k=_DIM)
-    return spark.createDataFrame(
+    return local_df(
+            spark,
         [(int(model["n"]),
           round(float(model["explained_variance"].sum()), 4))],
         "n long, trace double")
@@ -960,10 +963,21 @@ def emb_tfidf_ivf_sq_topk(spark: SparkSession, sf: str) -> DataFrame:
     the corpus. The oracle re-derives the ENTIRE composition: buckets,
     tf/df/idf, dense vectors, cells, bounds, codes, probe lists,
     reconstruction and the full l2 ranking."""
+    from pyspark import StorageLevel
+
     from ..operators import sq as Q
     from ..operators import text as T
+    from ..operators.dedup import _PERSISTED
     d = tbl(spark, sf, "documents")
-    vecs = T.hashed_tfidf_vectors(d, dim=32)
+    # the vectorizer output feeds FIVE consumers of one final action
+    # (bounds collect, centroid seeds, cell assignment, codes, query
+    # slice) and Catalyst has no common-subtree reuse across them --
+    # uncached, each re-runs the whole tokenize/explode/tf/df pipeline
+    # (guide 5: cache when reused AND recompute is expensive). Released
+    # by the bench via dedup.unpersist_cached, the house discipline.
+    vecs = T.hashed_tfidf_vectors(d, dim=32) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(vecs)
     los, his = Q.sq_train(vecs, vec_col="vec")
     idx = Q.ivf_sq_index(vecs, los, his, n_cells=8, id_col="doc_id",
                          vec_col="vec", coarse_dim=16)
@@ -1625,7 +1639,8 @@ def ann_sq_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1662,7 +1677,8 @@ def ann_sq_stored_append(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1700,7 +1716,8 @@ def ann_sq_stored_compact(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1748,7 +1765,8 @@ def ann_sq_stored_rollback(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1820,7 +1838,8 @@ def ann_mor_incremental_index(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1855,7 +1874,8 @@ def ann_pq_stored_append(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1892,7 +1912,8 @@ def ann_pq_stored_compact(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1942,7 +1963,8 @@ def ann_pq_stored_rollback(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1975,7 +1997,8 @@ def ann_pq_stored_prune(spark: SparkSession, sf: str) -> DataFrame:
                .where(F.col("vec_id") != F.col("q_id"))
                .orderBy("q_id", "rn"))
         rows = [tuple(r) for r in out.collect()]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows, "q_id long, vec_id long, adist double, rn long")
     finally:
         shutil.rmtree(stage, ignore_errors=True)

@@ -275,3 +275,23 @@ def test_natural_mode_auto_validation_default(spark, tmp_path):
     # ... and the hazard really happens: key 2 now exists twice
     k2 = spark.read.parquet(path).where(F.col("k") == 2).count()
     assert k2 == 2
+
+
+def test_bucket_write_one_file_per_bucket_dir(spark, tmp_path):
+    """write_bucket_partitioned keys the pre-write repartition on the
+    bucket column WITHOUT an explicit partition count (r14: AQE sizes
+    the write tasks from the byte mass instead of pinning n_buckets
+    tasks). The layout contract must survive that: every bucket value
+    lands wholly in one task, so each mbucket dir holds exactly ONE
+    data file."""
+    t = spark.createDataFrame(
+        [(i, float(i)) for i in range(500)], "k long, v double")
+    path = str(tmp_path / "tbl")
+    write_bucket_partitioned(t, path, ["k"], 16)
+    dirs = [d for d in os.listdir(path) if d.startswith("mbucket=")]
+    assert dirs
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(path, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    assert spark.read.parquet(path).count() == 500
