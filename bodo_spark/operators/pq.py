@@ -825,13 +825,16 @@ def pq_stored_append(new_vectors: DataFrame, path: str, *,
     the store's publish lock so an append cannot interleave with a
     compaction swap (it would land in the superseded tree and
     vanish)."""
+    from ..rowframe import artifact_df, read_artifact_rows
     from .merge import publish_lock
     from .similarity import _ensure_scan_width, assign_nearest_cell
     spark = new_vectors.sparkSession
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    # meta/centroids are bounded store artifacts -- driver-local pyarrow
+    # read, no Spark job per append (see rowframe.read_artifact_rows)
+    m = read_artifact_rows(f"{path}/meta")[0][0]
     codebooks = [[list(cw) for cw in book] for book in m["codebooks"]]
     coarse_dim, id_col = int(m["coarse_dim"]), m["id_col"]
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = artifact_df(spark, f"{path}/centroids")
     cells = assign_nearest_cell(
         _ensure_scan_width(new_vectors).select(id_col, vec_col), cents,
         vec_col=vec_col, key_col=id_col,
@@ -906,10 +909,13 @@ def pq_stored_topk(spark, path: str, queries: DataFrame, *,
     ranking is the shared broadcast-LUT ADC pass -- value-identical to
     ivf_pq_topk over the in-memory index (the ann_pq_stored_prune gate
     shares ann_ivf_pq_topk's oracle)."""
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    from ..rowframe import artifact_df, read_artifact_rows
+    # meta/centroids are bounded store artifacts -- driver-local pyarrow
+    # read, no Spark job per serve (see rowframe.read_artifact_rows)
+    m = read_artifact_rows(f"{path}/meta")[0][0]
     codebooks = [[list(cw) for cw in book] for book in m["codebooks"]]
     coarse_dim, id_col = int(m["coarse_dim"]), m["id_col"]
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = artifact_df(spark, f"{path}/centroids")
     tv = F.slice(F.col(q_vec_col), 1, coarse_dim)
     tn = F.sqrt(dot(tv, tv))
     qscored = (queries.select(q_id_col, q_vec_col)

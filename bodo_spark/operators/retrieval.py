@@ -292,8 +292,8 @@ def bm25_stored_append(new_docs: DataFrame, path: str, *,
     spark = new_docs.sparkSession
     norm = path.rstrip("/")
     staging = f"{norm}.__bm25a_staging_{uuid.uuid4().hex[:8]}"
-    nb = int(spark.read.parquet(f"{norm}/meta")
-             .collect()[0]["n_term_buckets"])
+    from ..rowframe import artifact_df, read_artifact_rows
+    nb = int(read_artifact_rows(f"{norm}/meta")[0][0]["n_term_buckets"])
     batch = (bm25_index(new_docs, id_col=id_col, text_col=text_col)
              .persist(StorageLevel.MEMORY_AND_DISK))
     try:
@@ -311,7 +311,7 @@ def bm25_stored_append(new_docs: DataFrame, path: str, *,
             when_not_matched_insert={"term": F.col("src_term"),
                                      "df": F.col("src_df")})
         b = bcs.collect()[0]
-        new_cs = (spark.read.parquet(f"{staging}/corpus_stats")
+        new_cs = (artifact_df(spark, f"{staging}/corpus_stats")
                   .select((F.col("n_docs") + F.lit(int(b["n_docs"])))
                           .cast("bigint").alias("n_docs"),
                           (F.col("sum_dl") + F.lit(int(b["sum_dl"])))
@@ -344,8 +344,8 @@ def bm25_stored_topk(spark, path: str, queries: DataFrame, *,
     verbatim). This is the read side of the "write partitioned by
     term" claim: per query batch, I/O is bound by the touched shards,
     not the corpus."""
-    nb = int(spark.read.parquet(f"{path}/meta")
-             .collect()[0]["n_term_buckets"])
+    from ..rowframe import artifact_df, read_artifact_rows
+    nb = int(read_artifact_rows(f"{path}/meta")[0][0]["n_term_buckets"])
     buckets = [r[0] for r in
                (queries.select(F.explode(tokenize_ws(q_text_col))
                                .alias("term"))
@@ -355,7 +355,7 @@ def bm25_stored_topk(spark, path: str, queries: DataFrame, *,
                 .where(F.col("tbucket").isin(buckets)).drop("tbucket"))
     ts = (spark.read.parquet(f"{path}/term_stats")
           .where(F.col("tbucket").isin(buckets)).drop("tbucket"))
-    cs = spark.read.parquet(f"{path}/corpus_stats")
+    cs = artifact_df(spark, f"{path}/corpus_stats")
     return bm25_topk(postings, queries, q_id_col=q_id_col,
                      q_text_col=q_text_col, k=k, k1=k1, b=b,
                      term_stats=ts, corpus_stats=cs)

@@ -354,14 +354,17 @@ def sq_stored_append(new_vectors: DataFrame, path: str, *,
     Single-writer: holds the store's publish lock so an append cannot
     interleave with a compaction swap (it would land in the superseded
     tree and vanish)."""
+    from ..rowframe import artifact_df, read_artifact_rows
     from .merge import publish_lock
     from .similarity import _ensure_scan_width, assign_nearest_cell
     spark = new_vectors.sparkSession
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    # meta/centroids are bounded store artifacts -- driver-local pyarrow
+    # read, no Spark job per append (see rowframe.read_artifact_rows)
+    m = read_artifact_rows(f"{path}/meta")[0][0]
     los, his = list(m["los"]), list(m["his"])
     bits, coarse_dim = int(m["bits"]), int(m["coarse_dim"])
     id_col = m["id_col"]
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = artifact_df(spark, f"{path}/centroids")
     cells = assign_nearest_cell(
         _ensure_scan_width(new_vectors).select(id_col, vec_col), cents,
         vec_col=vec_col, key_col=id_col,
@@ -434,11 +437,15 @@ def sq_stored_topk(spark, path: str, queries: DataFrame, *,
     gate shares ann_ivf_sq_topk's oracle). Per query batch, I/O is
     bound by the probed shards, not the corpus."""
     from pyspark.sql import Window as Wnd
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+
+    from ..rowframe import artifact_df, read_artifact_rows
+    # meta/centroids are bounded store artifacts -- driver-local pyarrow
+    # read, no Spark job per serve (see rowframe.read_artifact_rows)
+    m = read_artifact_rows(f"{path}/meta")[0][0]
     los, his = list(m["los"]), list(m["his"])
     bits, coarse_dim = int(m["bits"]), int(m["coarse_dim"])
     id_col = m["id_col"]
-    cents = spark.read.parquet(f"{path}/centroids")
+    cents = artifact_df(spark, f"{path}/centroids")
     tv = F.slice(F.col(q_vec_col), 1, coarse_dim)
     tn = F.sqrt(dot(tv, tv))
     qscored = (queries.select(q_id_col, q_vec_col)

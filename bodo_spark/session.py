@@ -46,6 +46,19 @@ _ENGINE_CONFS: dict[str, str] = {
     # sf0.1: 4 consumer stages x 256 tasks -> a handful; 12-30 s wall
     # -> 3-9 s. Value-neutral: partitioning only, results unchanged.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Partition discovery: below this many paths the driver lists
+    # directories itself; above it Spark launches a DISTRIBUTED listing
+    # job (one task per dir). The default (32) turns every read of a
+    # bucketed/cell-partitioned table here (256 bucket dirs, 8+ cell
+    # dirs x stores) into a 256-task listing job costing ~0.5-1 s per
+    # spark.read.parquet call -- and the lakehouse gates construct such
+    # readers 5-15x per query (measured: construct 0.65-1.1 s -> 0.17 s
+    # at 256 dirs). Engine layouts bound partition dirs (n_buckets /
+    # n_cells <= 4096 by the merge/mor/store contracts), and listing
+    # 4096 local/posix dirs on the driver is single-digit ms; on an
+    # object store with very wide tables, lower it back toward the
+    # default.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "4096",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Default creationSideThreshold (10MB) silently disables bloom
     # pruning exactly where it pays most: a dimension join whose build

@@ -57,3 +57,39 @@ def test_fast_local_fs_partitioned_write_roundtrip(spark, tmp_path):
     mode = stat.S_IMODE(os.stat(os.path.join(path, pdirs[0])).st_mode)
     assert mode == 0o755
     assert spark.read.parquet(path).count() == 20
+
+
+def test_artifact_df_matches_spark_read(spark, tmp_path):
+    """read_artifact_rows/artifact_df replace spark.read.parquet on
+    bounded store artifacts (meta one-rowers, centroid tables): same
+    rows, same schema as the Spark read of the same directory."""
+    from bodo_spark.rowframe import artifact_df, read_artifact_rows
+    path = str(tmp_path / "art")
+    src = spark.createDataFrame(
+        [(0, [1.0, 2.5], "a", 3), (1, [0.0], None, -7)],
+        "cid bigint, vec array<double>, s string, n int")
+    src.coalesce(1).write.parquet(path)
+    want = spark.read.parquet(path)
+    got = artifact_df(spark, path)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    rows, schema = read_artifact_rows(path)
+    assert {r["cid"] for r in rows} == {0, 1}
+    assert rows[0]["vec"] == [1.0, 2.5] or rows[1]["vec"] == [1.0, 2.5]
+
+
+def test_artifact_df_nested_codebooks(spark, tmp_path):
+    """The PQ meta artifact carries array<array<array<double>>>; the
+    driver-local read must round-trip it exactly."""
+    from bodo_spark.rowframe import read_artifact_rows
+    path = str(tmp_path / "meta")
+    cbs = [[[1.0, 2.0], [3.0, 4.0]], [[5.0, 6.0], [7.0, 8.0]]]
+    spark.createDataFrame(
+        [(cbs, 16, "vec_id")],
+        "codebooks array<array<array<double>>>, coarse_dim int, "
+        "id_col string").coalesce(1).write.parquet(path)
+    rows, _ = read_artifact_rows(path)
+    m = rows[0]
+    assert [[list(cw) for cw in book] for book in m["codebooks"]] == cbs
+    assert int(m["coarse_dim"]) == 16 and m["id_col"] == "vec_id"

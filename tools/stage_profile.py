@@ -52,6 +52,14 @@ def main() -> None:
                   if st["stageId"] not in seen
                   and st.get("status") != "SKIPPED"]
     stages.sort(key=lambda s: -s.get("executorRunTime", 0))
+    jb = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/jobs"
+    with urllib.request.urlopen(jb, timeout=10) as r:
+        jobs = json.loads(r.read())
+    stage_job = {}
+    for j in jobs:
+        for sid in j.get("stageIds", []):
+            stage_job[sid] = (j["jobId"], (j.get("name") or "")
+                              .split("\n")[0][:60])
     tot_run = sum(s.get("executorRunTime", 0) for s in stages)
     tot_cpu = sum(s.get("executorCpuTime", 0) for s in stages) / 1e6
     print(f"query={name} wall={wall:.2f}s stages={len(stages)} "
@@ -60,13 +68,15 @@ def main() -> None:
     print(f"{'id':>5} {'tasks':>5} {'run_ms':>8} {'cpu_ms':>8} "
           f"{'gc_ms':>6} {'sh_r_kb':>8} {'sh_w_kb':>8}  name")
     for st in stages[:40]:
-        nm = (st.get("name") or "").split("\n")[0][:100]
+        nm = (st.get("name") or "").split("\n")[0][:60]
+        jid, jname = stage_job.get(st["stageId"], ("?", ""))
         print(f"{st['stageId']:>5} {st.get('numCompleteTasks', 0):>5} "
               f"{st.get('executorRunTime', 0):>8} "
               f"{int(st.get('executorCpuTime', 0)/1e6):>8} "
               f"{st.get('jvmGcTime', 0):>6} "
               f"{int(st.get('shuffleReadBytes', 0)/1024):>8} "
-              f"{int(st.get('shuffleWriteBytes', 0)/1024):>8}  {nm}")
+              f"{int(st.get('shuffleWriteBytes', 0)/1024):>8}  "
+              f"j{jid} {nm} | {jname}")
     spark.stop()
 
 
