@@ -176,6 +176,36 @@ def _tree_bytes(*roots: str) -> int:
     return total
 
 
+def _base_columns(path: str) -> set[str]:
+    """Column set of the MoR base, driver-locally: ONE parquet footer
+    (pyarrow) plus hive partition-col names parsed from the file's
+    directory path. Matches ``spark.read.parquet(base).columns`` --
+    which also takes the schema from a single footer (mergeSchema off)
+    -- without paying a reader construction (listing + schema job)
+    per ``mor_apply`` schema guard. Partitioned tables keep ONE schema
+    by the publish contract, so any footer is representative."""
+    import pyarrow.parquet as papq
+    base = os.path.join(path, "base")
+    first = None
+    for root, dirs, files in os.walk(base):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                first = os.path.join(root, fn)
+                break
+        if first:
+            break
+    if first is None:
+        raise FileNotFoundError(f"no base parquet files under {base!r}")
+    cols = set(papq.read_schema(first).names)
+    rel = os.path.relpath(os.path.dirname(first), base)
+    if rel != ".":
+        for part in rel.split(os.sep):
+            if "=" in part:
+                cols.add(part.split("=", 1)[0])
+    return cols
+
+
 def _read_deltas(spark, segs: list[str]) -> DataFrame:
     """Delta-segment read with schema union across segments
     (``mergeSchema``): segments written before a column evolution lack
@@ -238,9 +268,7 @@ def mor_apply(changes: DataFrame, path: str, *, key_cols: list[str],
     from .merge import publish_lock
     with publish_lock(path, owner="mor_apply"):
         meta = _read_meta(path)
-        spark = changes.sparkSession
-        base_cols = set(spark.read.parquet(
-            os.path.join(path, "base")).columns)
+        base_cols = _base_columns(path)
         evolved = dict(meta.get("evolved", {}))
         known = base_cols | set(evolved)
         batch = [c for c in changes.columns
@@ -734,7 +762,7 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
             meta["n_buckets"] = None if nbt is None else int(nbt)
         elif nb is not None:
             deltas = _read_deltas(spark, consumed)
-            bcols = set(spark.read.parquet(base_path).columns)
+            bcols = _base_columns(path)
             evolving = any(f.name not in bcols
                            for f in deltas.schema.fields
                            if f.name not in ("_seq", _OP))
