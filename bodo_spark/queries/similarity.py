@@ -963,21 +963,25 @@ def emb_tfidf_ivf_sq_topk(spark: SparkSession, sf: str) -> DataFrame:
     the corpus. The oracle re-derives the ENTIRE composition: buckets,
     tf/df/idf, dense vectors, cells, bounds, codes, probe lists,
     reconstruction and the full l2 ranking."""
-    from pyspark import StorageLevel
-
     from ..operators import sq as Q
     from ..operators import text as T
-    from ..operators.dedup import _PERSISTED
     d = tbl(spark, sf, "documents")
     # the vectorizer output feeds FIVE consumers of one final action
     # (bounds collect, centroid seeds, cell assignment, codes, query
     # slice) and Catalyst has no common-subtree reuse across them --
     # uncached, each re-runs the whole tokenize/explode/tf/df pipeline
-    # (guide 5: cache when reused AND recompute is expensive). Released
-    # by the bench via dedup.unpersist_cached, the house discipline.
-    vecs = T.hashed_tfidf_vectors(d, dim=32) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(vecs)
+    # (guide 5: cache when reused AND recompute is expensive).
+    # localCheckpoint rather than persist (guide 3.3/5 "materialising
+    # an intermediate truncates the plan"): a persist still re-ANALYZES
+    # the full tokenize/tf/df lineage for every consumer (cache
+    # substitution happens after analysis), while the checkpoint makes
+    # each consumer plan against a leaf RDD -- measured 7.4 -> 4.4 s
+    # warm for this query, values identical. Same executor-storage
+    # footprint as the persist; blocks are freed by GC after the query
+    # (the bench's between-query System.gc). Trade-off: checkpoint
+    # blocks are not recomputable on executor loss -- the query fails
+    # and re-runs, acceptable for an intra-query intermediate.
+    vecs = T.hashed_tfidf_vectors(d, dim=32).localCheckpoint(eager=True)
     los, his = Q.sq_train(vecs, vec_col="vec")
     idx = Q.ivf_sq_index(vecs, los, his, n_cells=8, id_col="doc_id",
                          vec_col="vec", coarse_dim=16)
