@@ -927,6 +927,10 @@ def pq_stored_topk(spark, path: str, queries: DataFrame, *,
     qprobe = (qscored.withColumn("_crn", F.row_number().over(w))
               .where(F.col("_crn") <= n_probe)
               .select(q_id_col, F.col("_cid").alias("cell")))
+    # consumed twice (cells collect + candidate join); see the
+    # sq_stored_topk note -- one materialization, leaf-RDD consumers,
+    # no driver collect so large query batches stay scale-safe
+    qprobe = qprobe.localCheckpoint(eager=True)
     cells = [r[0] for r in qprobe.select("cell").distinct().collect()]
     pruned = (spark.read.parquet(f"{path}/index")
               .where(F.col("cell").isin(cells)))

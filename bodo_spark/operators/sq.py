@@ -457,6 +457,13 @@ def sq_stored_topk(spark, path: str, queries: DataFrame, *,
     qprobe = (qscored.withColumn("_crn", F.row_number().over(w))
               .where(F.col("_crn") <= n_probe)
               .select(q_id_col, F.col("_cid").alias("cell")))
+    # qprobe is consumed twice -- the probed-cell collect below and the
+    # candidate join in the final plan -- and is top-n_probe-per-query
+    # small. localCheckpoint materializes it once and both consumers
+    # plan against a leaf RDD instead of re-deriving (and re-analyzing)
+    # the crossJoin+window subtree per action; no driver collect, so
+    # the serve stays scale-safe for arbitrarily large query batches.
+    qprobe = qprobe.localCheckpoint(eager=True)
     cells = [r[0] for r in qprobe.select("cell").distinct().collect()]
     pruned = (spark.read.parquet(f"{path}/index")
               .where(F.col("cell").isin(cells)))
