@@ -321,12 +321,15 @@ def minhash_lsh_pairs(
     # sig feeds three plan branches (banding explode + both verify-join
     # sides); column pruning gives each branch a different aggregate above
     # the groupBy shuffle, so ReuseExchange does NOT apply and the
-    # 16-hashes-per-shingle build would run up to 3x. Persist materializes
-    # it once (spills if large; ContextCleaner unpersists when the plan is
-    # garbage-collected). Profiled at sf0.1: this is the bulk of the
-    # operator's cost -- see bench.py's dedup note.
-    from pyspark.storagelevel import StorageLevel
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # 16-hashes-per-shingle build would run up to 3x. localCheckpoint
+    # (not plain persist): same MEMORY_AND_DISK blocks, spills if large,
+    # freed by ContextCleaner on plan GC -- AND it truncates lineage, so
+    # the three consumers plan against a leaf RDD instead of each
+    # re-analyzing the 16-hash signature subtree (the pretrain-pipeline
+    # bounded-plans discipline; cache substitution happens only AFTER
+    # analysis, so a persist saves execution but not Catalyst time).
+    # Lazy: materializes on the first action, exactly like persist.
+    sig = sig.localCheckpoint(eager=False)
     _PERSISTED.append(sig)
     band_cols = _band_sig_cols(num_perm, bands)
     # Banding carries ONLY (id, band_sig) -- never the shingle-hash set.

@@ -167,13 +167,15 @@ def bm25_topk(postings: DataFrame, queries: DataFrame, *,
         # the inline-stats path consumes postings THREE times (scored
         # join + term stats + corpus stats); without a boundary each
         # consumer re-executes the whole index build -- measured 3x+ on
-        # the append gate at 100x. Persist once (released via
-        # dedup.unpersist_cached, the house discipline); the
-        # stored-stats serving path skips this entirely.
-        from pyspark import StorageLevel
-
+        # the append gate at 100x. localCheckpoint, not plain persist:
+        # same MEMORY_AND_DISK blocks (released via ContextCleaner /
+        # dedup.unpersist_cached discipline), but lineage is truncated
+        # so the three consumers plan against a leaf RDD instead of
+        # each re-analyzing the tokenize/explode/groupBy index build
+        # (cache substitution happens only AFTER analysis). Lazy, like
+        # persist. The stored-stats serving path skips this entirely.
         from .dedup import _PERSISTED
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        postings = postings.localCheckpoint(eager=False)
         _PERSISTED.append(postings)
         ts, cs = bm25_corpus_stats(postings)
         term_stats = term_stats if term_stats is not None else ts
