@@ -500,36 +500,122 @@ def ivf_pq_index(vectors: DataFrame, codebooks: list, *,
     incremental build MUST pin this to the original corpus (or pass
     explicit ``centroids``): letting each batch derive its own seeds
     would route the same vector to different cells across batches --
-    the index-lifecycle invariant pq_append relies on."""
-    from .similarity import (_centroid_table, assign_nearest_cell,
-                             cell_assigner_udf)
+    the index-lifecycle invariant pq_append relies on.
 
+    ONE pass over the corpus for the default blas scorer (r14): the
+    encode gemm runs over the SAME rows the cell assignment produces
+    -- the former ``codes.join(cells, id)`` re-associated two
+    projections of the same rows through a second scan plus an id
+    exchange. Assignment math is UNCHANGED per branch (gemm UDF
+    semantics for explicit ``centroids`` -- list-position cells;
+    assign_nearest_cell's expr max_by for the seed path -- lowest-id
+    cells), so row values are identical. The retained 'expr' scorer
+    keeps the join: it is the zero-Python twin."""
+    from .similarity import _centroid_table, assign_nearest_cell
+
+    if scorer == "auto":
+        scorer = "blas"
+    if scorer != "blas":
+        if centroids is not None:
+            from .similarity import cell_assigner_udf
+            cells = (_ensure_scan_width(vectors).select(id_col, vec_col)
+                     .withColumn("_cell",
+                                 cell_assigner_udf(centroids, coarse_dim)(
+                                     F.col(vec_col)))
+                     .select(id_col, "_cell"))
+        else:
+            cents = _centroid_table(
+                seed_vectors if seed_vectors is not None else vectors,
+                None, n_cells, coarse_dim, id_col, vec_col)
+            cells = assign_nearest_cell(
+                _ensure_scan_width(vectors).select(id_col, vec_col),
+                cents, vec_col=vec_col, key_col=id_col,
+                coarse_dim=coarse_dim).select(id_col, "_cell")
+        codes = pq_encode(vectors, codebooks, id_col=id_col,
+                          vec_col=vec_col, scorer=scorer)
+        return (codes.join(cells, id_col)
+                .select(id_col, F.col("_cell").alias("cell"), "code"))
     if centroids is not None:
-        # driver-side centroid list -> gemm assignment (one
-        # (batch x k) matmul per Arrow batch, no crossJoin): at 200k
-        # vectors x 781 trained cells the expr path's 156M interpreted
-        # fold-dots measured 328 s of index build; the gemm UDF is the
-        # same cutover semantic_dedup's blas scorer uses, with
-        # identical rounding/tie rules. Cell ids are list POSITIONS
-        # here (matching ivf_pq_topk's probe list for explicit
-        # centroids).
-        cells = (_ensure_scan_width(vectors).select(id_col, vec_col)
-                 .withColumn("_cell",
-                             cell_assigner_udf(centroids, coarse_dim)(
-                                 F.col(vec_col)))
-                 .select(id_col, "_cell"))
-    else:
-        cents = _centroid_table(seed_vectors if seed_vectors is not None
-                                else vectors, None, n_cells, coarse_dim,
-                                id_col, vec_col)
-        cells = assign_nearest_cell(
-            _ensure_scan_width(vectors).select(id_col, vec_col), cents,
-            vec_col=vec_col, key_col=id_col,
-            coarse_dim=coarse_dim).select(id_col, "_cell")
-    codes = pq_encode(vectors, codebooks, id_col=id_col,
-                      vec_col=vec_col, scorer=scorer)
-    return (codes.join(cells, id_col)
-            .select(id_col, F.col("_cell").alias("cell"), "code"))
+        # fused gemm pass: assignment (cell_assigner_udf math -- same
+        # normalization, round-half-up 9dp, first-argmax tie, cells =
+        # list POSITIONS) + encode in one mapInPandas, zero shuffles
+        import numpy as np
+        import pandas as pd
+
+        C = np.array([list(c)[:coarse_dim] for c in centroids],
+                     dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True),
+                            1e-300)
+        m = len(codebooks)
+        d = len(codebooks[0][0])
+        CW = [np.array(b, dtype=np.float64) for b in codebooks]
+        CC = [(c * c).sum(axis=1) for c in CW]
+
+        def enc_cells(it):
+            for pdf in it:
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                T = X[:, :coarse_dim]
+                nrm = np.maximum(
+                    np.linalg.norm(T, axis=1, keepdims=True), 1e-300)
+                sim = _round_half_up((T / nrm) @ Cn.T, 9)
+                cell = np.argmax(sim, axis=1).astype("int64")
+                codes = np.empty((len(pdf), m), dtype=np.int32)
+                for j in range(m):
+                    S = X[:, j * d:(j + 1) * d]
+                    dist = _round_half_up(
+                        CC[j][None, :] - 2.0 * (S @ CW[j].T), 9)
+                    codes[:, j] = dist.argmin(axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col], "cell": cell,
+                                    "code": list(map(list, codes))})
+
+        return (_ensure_scan_width(vectors).select(id_col, vec_col)
+                .mapInPandas(enc_cells,
+                             f"{id_col} long, cell long, "
+                             "code array<int>"))
+    # seed path: expr assignment carries the vector through its max_by
+    # struct; the encode gemm runs over the assigned rows -- no second
+    # scan, no id join
+    cents = _centroid_table(
+        seed_vectors if seed_vectors is not None else vectors,
+        None, n_cells, coarse_dim, id_col, vec_col)
+    assigned = assign_nearest_cell(
+        _ensure_scan_width(vectors).select(id_col, vec_col), cents,
+        vec_col=vec_col, key_col=id_col, coarse_dim=coarse_dim)
+    return _pq_encode_assigned(assigned, codebooks, id_col=id_col,
+                               vec_col=vec_col, cell_col="_cell")
+
+
+def _pq_encode_assigned(assigned: DataFrame, codebooks: list, *,
+                        id_col: str, vec_col: str,
+                        cell_col: str) -> DataFrame:
+    """Encode rows that ALREADY carry a cell assignment: one
+    mapInPandas gemm pass (pq_encode's blas kernel verbatim) passing
+    the cell through -- the fused (id, cell, code) producer for the
+    seed-path index build and the stored append."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    CW = [np.array(b, dtype=np.float64) for b in codebooks]
+    CC = [(c * c).sum(axis=1) for c in CW]
+
+    def enc(it):
+        for pdf in it:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * d:(j + 1) * d]
+                dist = _round_half_up(
+                    CC[j][None, :] - 2.0 * (S @ CW[j].T), 9)
+                codes[:, j] = dist.argmin(axis=1)  # first-min tie
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "cell": pdf[cell_col],
+                                "code": list(map(list, codes))})
+
+    return (assigned.select(id_col, cell_col, vec_col)
+            .mapInPandas(enc, f"{id_col} long, cell long, "
+                              "code array<int>"))
 
 
 # --------------------------------------------------------------------------
@@ -835,14 +921,14 @@ def pq_stored_append(new_vectors: DataFrame, path: str, *,
     codebooks = [[list(cw) for cw in book] for book in m["codebooks"]]
     coarse_dim, id_col = int(m["coarse_dim"]), m["id_col"]
     cents = artifact_df(spark, f"{path}/centroids")
-    cells = assign_nearest_cell(
+    # one pass: the encode gemm runs over the rows the assignment
+    # carries through (the ivf_pq_index r14 fusion -- no second batch
+    # scan, no id join)
+    assigned = assign_nearest_cell(
         _ensure_scan_width(new_vectors).select(id_col, vec_col), cents,
-        vec_col=vec_col, key_col=id_col,
-        coarse_dim=coarse_dim).select(id_col, "_cell")
-    codes = pq_encode(new_vectors, codebooks, id_col=id_col,
-                      vec_col=vec_col)
-    batch = (codes.join(cells, id_col)
-             .select(id_col, F.col("_cell").alias("cell"), "code"))
+        vec_col=vec_col, key_col=id_col, coarse_dim=coarse_dim)
+    batch = _pq_encode_assigned(assigned, codebooks, id_col=id_col,
+                                vec_col=vec_col, cell_col="_cell")
     with publish_lock(path.rstrip("/"), owner="pq_stored_append"):
         (batch.repartition(F.col("cell"))
          .write.mode("append").partitionBy("cell")

@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 from .similarity import dot
 
-__all__ = ["sq_train", "sq_encode", "sq_topk", "ivf_sq_index",
+__all__ = ["sq_train", "sq_encode", "sq_code_expr", "sq_topk",
+           "ivf_sq_index",
            "ivf_sq_topk", "sq_append", "sq_clamp_fraction",
            "sq_reconstruction_mse", "sq_compact",
            "ivf_sq_topk_segments", "sq_store_index", "sq_stored_topk",
@@ -67,20 +68,22 @@ def _bound_arrays(los: list, his: list):
     return lo, hi
 
 
-def sq_encode(vectors: DataFrame, los: list, his: list, *,
-              id_col: str = "vec_id", vec_col: str = "embedding",
-              bits: int = 8) -> DataFrame:
-    """Encode to ``(id_col, code array<int>)`` -- the durable 1-byte/dim
-    index artifact. code_i = clamp(floor((x_i - lo_i) / (hi_i - lo_i)
-    * levels), 0, levels) with levels = 2^bits - 1; a constant
-    dimension (hi == lo) encodes 0. Pure JVM transform expression
-    (the bound arrays are two d-float literals), no shuffle."""
+def sq_code_expr(vec_col, los: list, his: list, *,
+                 bits: int = 8):
+    """The SQ code as a COLUMN over a vector column: code_i =
+    clamp(floor((x_i - lo_i) / (hi_i - lo_i) * levels), 0, levels)
+    with levels = 2^bits - 1; a constant dimension (hi == lo) encodes
+    0. Pure JVM transform expression (the bound arrays are two d-float
+    literals), so a consumer can compute it in the SAME pass that
+    assigns cells -- no second scan, no id join (ivf_sq_index /
+    sq_stored_append fuse on it)."""
     if not 2 <= bits <= 16:
         raise ValueError(f"bits must be in [2, 16], got {bits}")
     levels = (1 << bits) - 1
     lo, hi = _bound_arrays(los, his)
-    code = F.transform(
-        F.col(vec_col),
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        v,
         lambda x, i: F.when(
             F.element_at(hi, i + 1) == F.element_at(lo, i + 1),
             F.lit(0)).otherwise(
@@ -88,6 +91,14 @@ def sq_encode(vectors: DataFrame, los: list, his: list, *,
                 (x.cast("double") - F.element_at(lo, i + 1))
                 / (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
                 * levels).cast("int")))).cast("int"))
+
+
+def sq_encode(vectors: DataFrame, los: list, his: list, *,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              bits: int = 8) -> DataFrame:
+    """Encode to ``(id_col, code array<int>)`` -- the durable 1-byte/dim
+    index artifact (sq_code_expr over the vector column), no shuffle."""
+    code = sq_code_expr(vec_col, los, his, bits=bits)
     return vectors.select(id_col, code.alias("code"))
 
 
@@ -151,29 +162,35 @@ def ivf_sq_index(vectors: DataFrame, los: list, his: list, *,
     """The IVF-SQ inverted file: ``(id, cell, code)``. Cell routing is
     the shared IVF machinery (deterministic lowest-id centroid table,
     or explicit ``centroids`` via the gemm assigner); codes are
-    sq_encode's. Same lifecycle contract as ivf_pq_index: pin
+    sq_code_expr's. Same lifecycle contract as ivf_pq_index: pin
     ``seed_vectors``/``centroids`` across incremental builds so
-    batches route identically."""
+    batches route identically.
+
+    ONE pass over the corpus (r14): the code expression is computed on
+    the SAME rows the cell assignment carries through (assign_nearest_
+    cell's max_by struct keeps every input column), so the former
+    ``codes.join(cells, id)`` -- a second corpus scan plus an id
+    join/exchange re-associating two projections of the same rows --
+    is gone. Row values are identical: the join was 1:1 on the shared
+    id by construction."""
     from .similarity import (_centroid_table, _ensure_scan_width,
                              assign_nearest_cell, cell_assigner_udf)
+    code = sq_code_expr(vec_col, los, his, bits=bits)
     if centroids is not None:
-        cells = (_ensure_scan_width(vectors).select(id_col, vec_col)
-                 .withColumn("_cell",
-                             cell_assigner_udf(centroids, coarse_dim)(
-                                 F.col(vec_col)))
-                 .select(id_col, "_cell"))
-    else:
-        cents = _centroid_table(
-            seed_vectors if seed_vectors is not None else vectors,
-            None, n_cells, coarse_dim, id_col, vec_col)
-        cells = assign_nearest_cell(
-            _ensure_scan_width(vectors).select(id_col, vec_col), cents,
-            vec_col=vec_col, key_col=id_col,
-            coarse_dim=coarse_dim).select(id_col, "_cell")
-    codes = sq_encode(vectors, los, his, id_col=id_col,
-                      vec_col=vec_col, bits=bits)
-    return (codes.join(cells, id_col)
-            .select(id_col, F.col("_cell").alias("cell"), "code"))
+        # per-row gemm assignment + per-row encode: zero shuffles
+        return (_ensure_scan_width(vectors).select(id_col, vec_col)
+                .select(id_col,
+                        cell_assigner_udf(centroids, coarse_dim)(
+                            F.col(vec_col)).alias("cell"),
+                        code.alias("code")))
+    cents = _centroid_table(
+        seed_vectors if seed_vectors is not None else vectors,
+        None, n_cells, coarse_dim, id_col, vec_col)
+    assigned = assign_nearest_cell(
+        _ensure_scan_width(vectors).select(id_col, vec_col), cents,
+        vec_col=vec_col, key_col=id_col, coarse_dim=coarse_dim)
+    return assigned.select(id_col, F.col("_cell").alias("cell"),
+                           code.alias("code"))
 
 
 def ivf_sq_topk(index: DataFrame, queries: DataFrame, vectors: DataFrame,
@@ -365,14 +382,14 @@ def sq_stored_append(new_vectors: DataFrame, path: str, *,
     bits, coarse_dim = int(m["bits"]), int(m["coarse_dim"])
     id_col = m["id_col"]
     cents = artifact_df(spark, f"{path}/centroids")
-    cells = assign_nearest_cell(
+    # one pass: encode on the rows the assignment carries through
+    # (the ivf_sq_index r14 fusion -- no second batch scan, no id join)
+    assigned = assign_nearest_cell(
         _ensure_scan_width(new_vectors).select(id_col, vec_col), cents,
-        vec_col=vec_col, key_col=id_col,
-        coarse_dim=coarse_dim).select(id_col, "_cell")
-    codes = sq_encode(new_vectors, los, his, id_col=id_col,
-                      vec_col=vec_col, bits=bits)
-    batch = (codes.join(cells, id_col)
-             .select(id_col, F.col("_cell").alias("cell"), "code"))
+        vec_col=vec_col, key_col=id_col, coarse_dim=coarse_dim)
+    batch = assigned.select(
+        id_col, F.col("_cell").alias("cell"),
+        sq_code_expr(vec_col, los, his, bits=bits).alias("code"))
     with publish_lock(path.rstrip("/"), owner="sq_stored_append"):
         (batch.repartition(F.col("cell"))
          .write.mode("append").partitionBy("cell")
