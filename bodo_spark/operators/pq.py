@@ -879,25 +879,30 @@ def pq_store_index(index: DataFrame, path: str, codebooks: list, *,
     (_cid, _cvec, _cn) probe table, ``meta/`` one row pinning the
     m x k x d codebooks, coarse_dim and id_col. Pass the SAME centroid
     source as the build so the stored probe table routes queries
-    exactly like the build routed the corpus."""
+    exactly like the build routed the corpus.
+
+    The centroid probe table and the codebook meta one-rower are
+    bounded driver values, written driver-locally
+    (rowframe.write_artifact_rows -- no Spark job per artifact); only
+    the index write is a job."""
     from .similarity import _centroid_table
     if seed_vectors is None and centroids is None:
         raise ValueError("pass centroids or seed_vectors (the stored "
                          "probe table must match the build's routing)")
-    spark = index.sparkSession
+    from ..rowframe import write_artifact_rows
     cents = _centroid_table(
         seed_vectors if seed_vectors is not None else index,
         centroids, n_cells, coarse_dim, id_col, vec_col)
     (index.repartition(int(n_cells), F.col("cell"))
      .write.mode(mode).partitionBy("cell").parquet(f"{path}/index"))
-    cents.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+    write_artifact_rows(
+        f"{path}/centroids", [tuple(r) for r in cents.collect()],
+        cents.schema, mode=mode)
     cbs = [[[float(x) for x in cw] for cw in book] for book in codebooks]
-    from ..rowframe import local_df
-    meta = local_df(
-        spark, [(cbs, int(coarse_dim), id_col)],
+    write_artifact_rows(
+        f"{path}/meta", [(cbs, int(coarse_dim), id_col)],
         "codebooks array<array<array<double>>>, coarse_dim int, "
-        "id_col string")
-    meta.write.mode(mode).parquet(f"{path}/meta")
+        "id_col string", mode=mode)
 
 
 def pq_stored_append(new_vectors: DataFrame, path: str, *,

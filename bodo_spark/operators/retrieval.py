@@ -242,11 +242,15 @@ def bm25_store_index(postings: DataFrame, path: str, *,
          .repartition(int(n_term_buckets), F.col("tbucket"))
          .write.mode(mode)
          .partitionBy("tbucket").parquet(f"{path}/term_stats"))
-        cs.write.mode(mode).parquet(f"{path}/corpus_stats")
-        from ..rowframe import local_df
-        local_df(spark, [(int(n_term_buckets),)],
-                 "n_term_buckets int") \
-            .write.mode(mode).parquet(f"{path}/meta")
+        # corpus_stats is one aggregated row and meta a pure driver
+        # value -- bounded artifacts, written driver-locally (no write
+        # job / commit protocol each; see rowframe.write_artifact_rows)
+        from ..rowframe import write_artifact_rows
+        write_artifact_rows(f"{path}/corpus_stats",
+                            [tuple(r) for r in cs.collect()],
+                            cs.schema, mode=mode)
+        write_artifact_rows(f"{path}/meta", [(int(n_term_buckets),)],
+                            "n_term_buckets int", mode=mode)
     finally:
         try:
             postings.unpersist()
@@ -289,12 +293,12 @@ def bm25_stored_append(new_docs: DataFrame, path: str, *,
 
     from pyspark import StorageLevel
 
-    from .merge import cow_publish, merge_into_partitioned
+    from .merge import merge_into_partitioned
     from .store_swap import guarded_store_swap, snapshot_hardlink
     spark = new_docs.sparkSession
     norm = path.rstrip("/")
     staging = f"{norm}.__bm25a_staging_{uuid.uuid4().hex[:8]}"
-    from ..rowframe import artifact_df, read_artifact_rows
+    from ..rowframe import read_artifact_rows
     nb = int(read_artifact_rows(f"{norm}/meta")[0][0]["n_term_buckets"])
     batch = (bm25_index(new_docs, id_col=id_col, text_col=text_col)
              .persist(StorageLevel.MEMORY_AND_DISK))
@@ -313,12 +317,17 @@ def bm25_stored_append(new_docs: DataFrame, path: str, *,
             when_not_matched_insert={"term": F.col("src_term"),
                                      "df": F.col("src_df")})
         b = bcs.collect()[0]
-        new_cs = (artifact_df(spark, f"{staging}/corpus_stats")
-                  .select((F.col("n_docs") + F.lit(int(b["n_docs"])))
-                          .cast("bigint").alias("n_docs"),
-                          (F.col("sum_dl") + F.lit(int(b["sum_dl"])))
-                          .cast("bigint").alias("sum_dl")))
-        cow_publish(new_cs, f"{staging}/corpus_stats")
+        # additive one-row update of a bounded artifact: driver-local
+        # read + write (no local_df evaluation, no write job, no
+        # cow_publish swap -- the staging dir is private until the
+        # whole-store guarded_store_swap below publishes it)
+        from ..rowframe import write_artifact_rows
+        cur, cschema = read_artifact_rows(f"{staging}/corpus_stats")
+        write_artifact_rows(
+            f"{staging}/corpus_stats",
+            [(int(cur[0]["n_docs"]) + int(b["n_docs"]),
+              int(cur[0]["sum_dl"]) + int(b["sum_dl"]))],
+            cschema, mode="overwrite")
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise

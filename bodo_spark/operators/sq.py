@@ -335,26 +335,31 @@ def sq_store_index(index: DataFrame, path: str, los: list, his: list, *,
     id_col). Pass the SAME centroid source as the build
     (centroids/seed_vectors -- the ivf_sq_index lifecycle contract) so
     the stored probe table routes queries exactly like the build
-    routed the corpus."""
+    routed the corpus.
+
+    The centroid probe table and the meta one-rower are bounded driver
+    values (<= n_cells rows / one row), so they are written
+    driver-locally (rowframe.write_artifact_rows -- no Spark job, no
+    commit protocol per artifact); only the index write is a job."""
     from .similarity import _centroid_table
     if seed_vectors is None and centroids is None:
         raise ValueError("pass centroids or seed_vectors (the stored "
                          "probe table must match the build's routing)")
-    spark = index.sparkSession
-    # with explicit centroids, _centroid_table only needs a session
+    from ..rowframe import write_artifact_rows
     cents = _centroid_table(
         seed_vectors if seed_vectors is not None else index,
         centroids, n_cells, coarse_dim, id_col, vec_col)
     (index.repartition(int(n_cells), F.col("cell"))
      .write.mode(mode).partitionBy("cell").parquet(f"{path}/index"))
-    cents.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
-    from ..rowframe import local_df
-    meta = local_df(
-        spark, [([float(v) for v in los], [float(v) for v in his],
-                 int(bits), int(coarse_dim), id_col)],
+    write_artifact_rows(
+        f"{path}/centroids", [tuple(r) for r in cents.collect()],
+        cents.schema, mode=mode)
+    write_artifact_rows(
+        f"{path}/meta",
+        [([float(v) for v in los], [float(v) for v in his],
+          int(bits), int(coarse_dim), id_col)],
         "los array<double>, his array<double>, bits int, "
-        "coarse_dim int, id_col string")
-    meta.write.mode(mode).parquet(f"{path}/meta")
+        "coarse_dim int, id_col string", mode=mode)
 
 
 def sq_stored_append(new_vectors: DataFrame, path: str, *,

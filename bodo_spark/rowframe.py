@@ -69,6 +69,59 @@ def read_artifact_rows(path: str):
     return tbl.to_pylist(), from_arrow_schema(tbl.schema)
 
 
+def write_artifact_rows(path: str, rows, schema, *,
+                        mode: str = "errorifexists") -> None:
+    """Driver-local WRITE of a TINY parquet artifact directory -- the
+    symmetric twin of read_artifact_rows for the store artifacts that
+    are bounded driver-side values by construction (index ``meta``
+    one-rowers, centroid probe tables, corpus stats; <= n_cells /
+    n_buckets rows). A Spark ``df.write.parquet`` of such a frame costs
+    a local_df build, a scheduled job and the commit protocol
+    (~0.2-0.5 s of fixed cost PER artifact, repeated on every store/
+    compact); pyarrow writes the same bytes in single-digit ms with no
+    job. Read parity: the arrow schema is derived from the SPARK schema
+    (to_arrow_schema -- the exact inverse of the from_arrow_schema the
+    readers apply), so both read_artifact_rows and spark.read.parquet
+    see the same types the Spark writer would have produced. Artifact
+    types are simple by contract (numeric/string/arrays); anything
+    needing Spark writer semantics (timestamps, decimals) stays on the
+    Spark path.
+
+    ``rows``: list of tuples in field order (or dicts by field name).
+    ``schema``: StructType or DDL string (DDL needs an active session,
+    which every caller has). ``mode``: errorifexists | overwrite,
+    mirroring the DataFrameWriter contract."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if os.path.exists(path):
+        if mode == "overwrite":
+            shutil.rmtree(path)
+        elif mode == "errorifexists":
+            raise FileExistsError(
+                f"artifact path {path!r} already exists "
+                "(mode=errorifexists)")
+        else:
+            raise ValueError(f"unsupported mode {mode!r}")
+    names = [f.name for f in schema.fields]
+    pylist = [r if isinstance(r, dict) else dict(zip(names, r))
+              for r in rows]
+    tbl = pa.Table.from_pylist(pylist, schema=to_arrow_schema(schema))
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        tbl, os.path.join(path,
+                          f"part-00000-{uuid.uuid4().hex[:8]}.parquet"),
+        compression="snappy")
+
+
 def artifact_df(spark: SparkSession, path: str) -> DataFrame:
     """A TINY stored artifact as a one-partition DataFrame: the
     driver-local pyarrow read above + local_df. Drop-in for

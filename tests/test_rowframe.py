@@ -93,3 +93,35 @@ def test_artifact_df_nested_codebooks(spark, tmp_path):
     m = rows[0]
     assert [[list(cw) for cw in book] for book in m["codebooks"]] == cbs
     assert int(m["coarse_dim"]) == 16 and m["id_col"] == "vec_id"
+
+
+def test_write_artifact_rows_matches_spark_write(spark, tmp_path):
+    """write_artifact_rows replaces df.write.parquet on bounded store
+    artifacts: a Spark read of the pyarrow-written directory must see
+    the same schema and rows as a Spark read of the Spark-written twin
+    (incl. the nested codebook type), and mode semantics must mirror
+    the DataFrameWriter contract."""
+    import pytest
+
+    from bodo_spark.rowframe import read_artifact_rows, write_artifact_rows
+    ddl = ("los array<double>, his array<double>, bits int, "
+           "codebooks array<array<array<double>>>, id_col string")
+    row = ([1.0, -2.5], [3.5, 9.0], 8, [[[1.0, 2.0], [3.0, 4.0]]],
+           "vec_id")
+    p_spark = str(tmp_path / "spark")
+    p_arrow = str(tmp_path / "arrow")
+    spark.createDataFrame([row], ddl).coalesce(1).write.parquet(p_spark)
+    write_artifact_rows(p_arrow, [row], ddl)
+    want = spark.read.parquet(p_spark)
+    got = spark.read.parquet(p_arrow)
+    assert got.schema == want.schema
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+    rows, schema = read_artifact_rows(p_arrow)
+    assert schema == want.schema
+    assert rows[0]["bits"] == 8 and rows[0]["los"] == [1.0, -2.5]
+    # mode contract
+    with pytest.raises(FileExistsError):
+        write_artifact_rows(p_arrow, [row], ddl)
+    write_artifact_rows(p_arrow, [row], ddl, mode="overwrite")
+    assert spark.read.parquet(p_arrow).count() == 1
