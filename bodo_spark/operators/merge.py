@@ -471,7 +471,18 @@ def merge_into_partitioned(
             "source contains NULL partition values -- unsupported in "
             "natural part_col mode (the pruned scan cannot match them); "
             "use n_buckets mode")
-    tgt = spark.read.parquet(path).where(F.col(pcol).isin(touched))
+    if n_buckets is not None:
+        # bucket mode: read ONLY the touched bucket dirs as direct
+        # paths with an explicit schema -- listing O(touched) instead
+        # of O(n_buckets) and no schema-inference job per merge; same
+        # rows as the isin partition-pruned full read (bucket dirs are
+        # int-valued by _bucket_expr, and the slice drops the bucket
+        # col below, so partition-type inference cannot differ).
+        # Natural mode keeps the inference path: its partition-value
+        # type interacts with the stored schema.
+        tgt = _read_bucket_slice(spark, path, pcol, touched)
+    else:
+        tgt = spark.read.parquet(path).where(F.col(pcol).isin(touched))
     validate = validate_cross_partition
     if validate is None and n_buckets is None:
         nfiles = _count_data_files(path)
@@ -521,6 +532,44 @@ def merge_into_partitioned(
         # frame is garbage-collected
         src_cached.unpersist()
     return touched
+
+
+def _read_bucket_slice(spark, path: str, pcol: str, touched: list):
+    """Touched-bucket slice of a bucket-partitioned table: direct
+    partition-dir paths under basePath with an explicit schema derived
+    from ONE parquet footer (partitioned tables keep one schema by the
+    publish contract) -- no full-table listing, no schema-inference
+    job. Value-identical to
+    ``spark.read.parquet(path).where(pcol.isin(touched))``."""
+    import os
+
+    import pyarrow.parquet as papq
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    norm = path.rstrip("/")
+    paths = [os.path.join(norm, f"{pcol}={int(v)}") for v in touched]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return (spark.read.parquet(norm)
+                .where(F.col(pcol).isin(list(touched))))
+    first = None
+    for r, dirs, files in os.walk(paths[0]):
+        dirs.sort()
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                first = os.path.join(r, fn)
+                break
+        if first:
+            break
+    try:
+        sch = T.StructType(
+            list(from_arrow_schema(papq.read_schema(first)).fields)
+            + [T.StructField(pcol, T.IntegerType())])
+    except Exception:
+        return (spark.read.option("basePath", norm).parquet(*paths))
+    return (spark.read.schema(sch).option("basePath", norm)
+            .parquet(*paths))
 
 
 def _count_data_files(path: str) -> int:
