@@ -1023,7 +1023,14 @@ def pq_stored_topk(spark, path: str, queries: DataFrame, *,
     # no driver collect so large query batches stay scale-safe
     qprobe = qprobe.localCheckpoint(eager=True)
     cells = [r[0] for r in qprobe.select("cell").distinct().collect()]
-    pruned = (spark.read.parquet(f"{path}/index")
+    # explicit footer-derived schema: no inference job per serve; the
+    # probed-cell IN list stays a static PartitionFilters prune
+    from pyspark.sql.types import IntegerType
+
+    from ..rowframe import table_schema
+    isch = table_schema(f"{path}/index", {"cell": IntegerType()})
+    ird = spark.read if isch is None else spark.read.schema(isch)
+    pruned = (ird.parquet(f"{path}/index")
               .where(F.col("cell").isin(cells)))
     luts = _query_luts(queries, codebooks, q_id_col=q_id_col,
                        q_vec_col=q_vec_col)

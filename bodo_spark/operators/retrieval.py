@@ -362,9 +362,19 @@ def bm25_stored_topk(spark, path: str, queries: DataFrame, *,
                                .alias("term"))
                 .select(_term_bucket(nb).alias("tb"))
                 .distinct().collect())]
-    postings = (spark.read.parquet(f"{path}/postings")
+    # explicit footer-derived schemas: no inference job per serve; the
+    # bucket IN lists stay static PartitionFilters prunes
+    from pyspark.sql.types import IntegerType
+
+    from ..rowframe import table_schema
+    psch = table_schema(f"{path}/postings", {"tbucket": IntegerType()})
+    prd = spark.read if psch is None else spark.read.schema(psch)
+    postings = (prd.parquet(f"{path}/postings")
                 .where(F.col("tbucket").isin(buckets)).drop("tbucket"))
-    ts = (spark.read.parquet(f"{path}/term_stats")
+    tsch = table_schema(f"{path}/term_stats",
+                        {"tbucket": IntegerType()})
+    trd = spark.read if tsch is None else spark.read.schema(tsch)
+    ts = (trd.parquet(f"{path}/term_stats")
           .where(F.col("tbucket").isin(buckets)).drop("tbucket"))
     cs = artifact_df(spark, f"{path}/corpus_stats")
     return bm25_topk(postings, queries, q_id_col=q_id_col,
