@@ -299,6 +299,23 @@ def _bucket_expr(key_cols: list[str], n_buckets: int):
                   F.lit(int(n_buckets))).cast("int")
 
 
+def _keyed_write_width(df: DataFrame, n_values: int) -> int:
+    """Task width for a keyed repartition feeding a dynamic-partition
+    write: one task per partition value, capped by the cluster's
+    parallelism -- both scale-derived, no constants. The no-count
+    (AQE-coalesced) form sizes tasks by BYTES, which under-parallelizes
+    exactly here: a small staged write coalesces to 1-2 tasks that then
+    create hundreds of partition directories/files SERIALLY (file
+    creation is per-file fixed cost, invisible to byte-based sizing).
+    Measured on a 256-bucket stage write at sf0.1 (min of 4):
+    no-count 0.72 s (2 tasks) / explicit-256 1.33 s (task-launch bound)
+    / min(n_values, defaultParallelism) 0.42 s. At cluster scale
+    defaultParallelism >> n_values, so this pins one task per partition
+    value -- the one-file-per-dir layout contract unchanged."""
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(int(n_values), dp))
+
+
 def write_bucket_partitioned(df: DataFrame, path: str,
                              key_cols: list[str], n_buckets: int, *,
                              bucket_col: str = "mbucket",
@@ -324,22 +341,20 @@ def write_bucket_partitioned(df: DataFrame, path: str,
     # bucket directory -- tasks x n_buckets tiny files whose per-file
     # writer overhead dominates (measured 5x on the BM25 store, same
     # pattern; SCALE.md r12). files_per_bucket > 1 restores
-    # within-bucket write parallelism for big tables. No explicit
-    # partition count (r14): a keyed repartition WITHOUT a number is
-    # AQE-coalescible, so the write task count follows the actual byte
-    # mass (guide 2.2/6: partitions sized by data, files near the
-    # advisory size) instead of pinning n_buckets tasks at every scale
-    # -- each bucket value still lands wholly in one task, so the
-    # one-file-per-bucket-dir layout is unchanged. The width ceiling is
-    # initialPartitionNum (session posture: raise it on a real
-    # cluster).
+    # within-bucket write parallelism for big tables. Width =
+    # min(partition values, defaultParallelism) -- see
+    # _keyed_write_width for the measured rationale (byte-based AQE
+    # coalescing serializes the per-file creation cost).
     b = df.withColumn(bucket_col, _bucket_expr(key_cols, n_buckets))
     if files_per_bucket == 1:
-        b = b.repartition(F.col(bucket_col))
+        b = b.repartition(_keyed_write_width(df, n_buckets),
+                          F.col(bucket_col))
     else:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols],
                                  F.lit(7)), F.lit(files_per_bucket))
-        b = b.repartition(F.col(bucket_col), salt)
+        b = b.repartition(
+            _keyed_write_width(df, n_buckets * files_per_bucket),
+            F.col(bucket_col), salt)
     b.write.mode(mode).partitionBy(bucket_col).parquet(path)
 
 
@@ -625,10 +640,10 @@ def _publish_partitions_locked(merged: DataFrame, norm: str,
         # one shuffle keyed on the partition col bounds the staged
         # write to ~one file per touched partition (vs tasks x touched
         # tiny files -- the per-file overhead measured on the BM25
-        # store); no explicit count (r14): AQE sizes the write tasks
-        # from the staged bytes (the touched slice is change-mass-
-        # sized), each partition value still wholly in one task
-        (merged.repartition(F.col(pcol))
+        # store); width = min(touched, defaultParallelism) so the
+        # per-dir file creations run in parallel (_keyed_write_width)
+        (merged.repartition(_keyed_write_width(merged, len(touched)),
+                            F.col(pcol))
          .write.mode("errorifexists").partitionBy(pcol)
          .parquet(staging))
     except Exception:

@@ -863,9 +863,11 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
                         f"payload column {bcol!r} collides with the "
                         "bucket bookkeeping column -- rename it "
                         "before re-bucketing")
+                from .merge import _keyed_write_width
                 merged = (cur.withColumn(
                     bcol, _bucket_expr(list(key_cols), int(nbt)))
-                    .repartition(F.col(bcol)))
+                    .repartition(_keyed_write_width(cur, int(nbt)),
+                                 F.col(bcol)))
                 cow_publish(merged, base_path, partition_by=[bcol])
             meta["n_buckets"] = None if nbt is None else int(nbt)
         elif nb is not None:
@@ -899,9 +901,11 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
                     base_all, deltas, payload)
                 cur = _reconcile(base_all, deltas, list(key_cols),
                                  payload, seq_col, pruned=pruned)
+                from .merge import _keyed_write_width
                 merged = (cur.withColumn(
                     bcol, _bucket_expr(list(key_cols), nb))
-                    .repartition(F.col(bcol)))
+                    .repartition(_keyed_write_width(cur, nb),
+                                 F.col(bcol)))
                 cow_publish(merged, base_path, partition_by=[bcol])
             else:
                 # direct touched-dir paths: listing O(touched)

@@ -233,13 +233,15 @@ def bm25_store_index(postings: DataFrame, path: str, *,
         # files whose per-file writer overhead dominated the store
         # (measured 43.5 s vs 8.3 s for the same 10x write; SCALE.md
         # r12). One shuffle keyed on the bucket -> ~one file per shard.
+        from .merge import _keyed_write_width
+        width = _keyed_write_width(postings, n_term_buckets)
         (postings.withColumn("tbucket", tb)
-         .repartition(int(n_term_buckets), F.col("tbucket"))
+         .repartition(width, F.col("tbucket"))
          .write.mode(mode)
          .partitionBy("tbucket").parquet(f"{path}/postings"))
         ts, cs = bm25_corpus_stats(postings)
         (ts.withColumn("tbucket", tb)
-         .repartition(int(n_term_buckets), F.col("tbucket"))
+         .repartition(width, F.col("tbucket"))
          .write.mode(mode)
          .partitionBy("tbucket").parquet(f"{path}/term_stats"))
         # corpus_stats is one aggregated row and meta a pure driver
@@ -304,9 +306,10 @@ def bm25_stored_append(new_docs: DataFrame, path: str, *,
              .persist(StorageLevel.MEMORY_AND_DISK))
     try:
         snapshot_hardlink(norm, staging)
+        from .merge import _keyed_write_width
         tb = _term_bucket(nb)
         (batch.withColumn("tbucket", tb)
-         .repartition(F.col("tbucket"))
+         .repartition(_keyed_write_width(batch, nb), F.col("tbucket"))
          .write.mode("append").partitionBy("tbucket")
          .parquet(f"{staging}/postings"))
         bts, bcs = bm25_corpus_stats(batch)

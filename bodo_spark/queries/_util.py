@@ -42,6 +42,18 @@ class QueryDef:
     doc: str = ""
 
 
+# Session-level schema memo for the immutable test tables: every
+# `spark.read.parquet` constructs a fresh reader and SCHEDULES a
+# schema-inference job (~50-300 ms of job + planning gap per call --
+# guide §7.3 driver fixed costs; q5 alone constructs six readers, the
+# bench ~80). The first read of each table infers through Spark exactly
+# as before and the StructType is memoized by absolute path; later
+# reads pass it explicitly and skip the job. Metadata only -- the same
+# schema Spark would re-infer (test tables are immutable within a run);
+# every query still scans its parquet from disk.
+_SCHEMA_CACHE: dict = {}
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a test table; normalizes nanosecond parquet timestamps.
 
@@ -55,7 +67,14 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = os.path.abspath(path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     from pyspark.sql import types as T
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):

@@ -22,8 +22,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _arrow_safe(dt) -> bool:
+    """Types whose python -> arrow -> spark conversion is value-exact
+    and semantics-free: numerics, strings, booleans, binary, dates, and
+    arrays/structs thereof. Timestamps (session-timezone application
+    differs between the arrow and pickle ingestion paths), decimals and
+    maps stay on the pickle path."""
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                       T.LongType, T.FloatType, T.DoubleType,
+                       T.StringType, T.BooleanType, T.BinaryType,
+                       T.DateType, T.NullType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _arrow_safe(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_arrow_safe(f.dataType) for f in dt.fields)
+    return False
+
+
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
-    """``spark.createDataFrame(rows, schema)`` pinned to ONE partition.
+    """``spark.createDataFrame(rows, schema)`` without distributed
+    fan-out OR Python-worker evaluation.
+
+    For arrow-safe schemas the rows are converted driver-side to ONE
+    arrow batch (``pa.Table.from_pylist`` under ``to_arrow_schema`` --
+    the exact inverse of the ``from_arrow_schema`` the artifact readers
+    apply) and handed to ``spark.createDataFrame(pa.Table)``, which
+    plans as a **LocalTableScan**: evaluation is pure JVM -- no
+    PythonRDD, no Python worker round-trip per action. Measured warm at
+    sf0.1: 164 -> 39 ms per noop evaluation of a tiny frame, and these
+    frames are evaluated dozens of times per bench (gate results, probe
+    tables, meta one-rowers feeding broadcasts). Value parity is pinned
+    by test_rowframe (both paths collected and compared across the type
+    battery).
+
+    Schemas outside the safe set (timestamps, decimals, maps) -- and
+    any conversion surprise -- fall back to the prior pickle path
+    pinned to ONE partition: identical row values, one task, one Python
+    worker.
 
     ``rows``: a list of tuples/Rows (NOT a pandas frame -- those take
     the Arrow fast path already). ``schema``: DDL string or StructType,
@@ -34,6 +71,27 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         # createDataFrame on an empty RDD needs the schema anyway; the
         # plain list form builds the empty relation without a job.
         return spark.createDataFrame([], schema)
+    from pyspark.sql.types import StructType
+    st = schema
+    if isinstance(st, str):
+        try:
+            st = StructType.fromDDL(st)
+        except Exception:
+            st = None
+    if not isinstance(st, StructType):
+        st = None  # e.g. a bare column-name list: stock pickle path
+    if st is not None and all(_arrow_safe(f.dataType) for f in st.fields):
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+            names = [f.name for f in st.fields]
+            pylist = [r if isinstance(r, dict)
+                      else dict(zip(names, r)) for r in rows]
+            return spark.createDataFrame(
+                pa.Table.from_pylist(pylist,
+                                     schema=to_arrow_schema(st)))
+        except Exception:
+            pass  # fall through to the pickle path
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, numSlices=1), schema)
 

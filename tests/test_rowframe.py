@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from bodo_spark.rowframe import local_df
 
 
-def test_local_df_values_and_single_partition(spark):
+def test_local_df_values_and_no_python_fanout(spark):
     rows = [(1, "a", [1.0, 2.0]), (2, None, []), (3, "c", None)]
     schema = "k long, s string, v array<double>"
     got = local_df(spark, rows, schema)
@@ -24,7 +24,14 @@ def test_local_df_values_and_single_partition(spark):
     assert got.schema == want.schema
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
-    assert got.rdd.getNumPartitions() == 1
+    # the fan-out fix: never wider than the row count (a 3-row frame
+    # must not become a defaultParallelism-wide RDD), and on the arrow
+    # fast path evaluation is a pure-JVM LocalTableScan -- no
+    # Python-worker round-trip per action
+    assert got.rdd.getNumPartitions() <= len(rows)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ExistingRDD" not in plan
 
 
 def test_local_df_empty(spark):
@@ -40,6 +47,45 @@ def test_local_df_struct_type_schema(spark):
     got = local_df(spark, [(5, 0.5)], schema)
     assert [tuple(r) for r in got.collect()] == [(5, 0.5)]
     assert got.rdd.getNumPartitions() == 1
+
+
+def test_local_df_arrow_pickle_parity(spark):
+    """The arrow fast path must be value- and schema-identical to the
+    stock pickle conversion across the type battery local_df callers
+    use (numerics, strings, bools, binary, dates, nested arrays,
+    structs, NULLs everywhere)."""
+    import datetime
+
+    rows = [
+        (1, 2.5, float("nan"), "s", True, b"\x00\xff",
+         datetime.date(2021, 2, 3), [[1.0, -2.0], []], {"x": 7}),
+        (None, None, None, None, None, None, None, None, None),
+    ]
+    ddl = ("k long, d double, nn double, s string, b boolean, "
+           "bin binary, dt date, vv array<array<double>>, "
+           "st struct<x: long>")
+    got = local_df(spark, rows, ddl)
+    want = spark.createDataFrame(rows, ddl)
+    assert got.schema == want.schema
+    assert sorted(map(repr, got.collect())) == \
+        sorted(map(repr, want.collect()))
+
+
+def test_local_df_unsafe_types_fall_back(spark):
+    """Timestamps/decimals stay on the pickle path (session-timezone /
+    scale semantics), still one partition, values identical to stock."""
+    import datetime
+    from decimal import Decimal
+
+    rows = [(datetime.datetime(2020, 5, 1, 12, 30), Decimal("1.25")),
+            (None, None)]
+    ddl = "ts timestamp, d decimal(10,2)"
+    got = local_df(spark, rows, ddl)
+    want = spark.createDataFrame(rows, ddl)
+    assert got.rdd.getNumPartitions() == 1
+    assert got.schema == want.schema
+    assert sorted(map(repr, got.collect())) == \
+        sorted(map(repr, want.collect()))
 
 
 def test_fast_local_fs_partitioned_write_roundtrip(spark, tmp_path):
