@@ -56,9 +56,14 @@ def sq_train(vectors: DataFrame, *,
             .groupBy("pos")
             .agg(F.min(F.col("x").cast("double")).alias("lo"),
                  F.max(F.col("x").cast("double")).alias("hi"))
-            .orderBy("pos").collect())
+            .collect())
     if not rows:
         raise ValueError("sq_train needs a non-empty corpus")
+    # sort the d-row model driver-side: a Spark orderBy on a bounded
+    # aggregate output costs a range-partitioning exchange plus its
+    # sampling job per call (measured: sq_train ran 4 AQE jobs, 2 of
+    # them only for the sort of <=64 rows)
+    rows.sort(key=lambda r: r["pos"])
     return ([float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows])
 
 
