@@ -386,10 +386,69 @@ def mor_apply(changes: DataFrame, path: str, *, key_cols: list[str],
         n = _next_seg_num(path, meta)
         seg = os.path.join(path, "delta",
                            f"d-{n:06d}-{uuid.uuid4().hex[:8]}")
-        (last.withColumnRenamed(op_col, _OP)
-         .withColumnRenamed(src_seq_col, "_seq")
-         .write.mode("errorifexists").parquet(seg))
+        towrite = (last.withColumnRenamed(op_col, _OP)
+                   .withColumnRenamed(src_seq_col, "_seq"))
+        obs = None
+        if meta["n_buckets"] is not None:
+            # apply/compact phase fusion: capture the batch's touched
+            # bucket set DURING the segment write (Observation rides
+            # the write job -- no extra scheduled job) and persist it
+            # as a segment sidecar, so the folding compaction can skip
+            # its touched-bucket distinct+collect job over the delta
+            # log (one job per compaction, i.e. per micro-batch under
+            # a self-maintaining CDC stream). collect_set is bounded
+            # by n_buckets. The sidecar is purely an optimization:
+            # compaction falls back to the collect when any consumed
+            # segment lacks one (old producer) or was written under a
+            # different bucket count (pre-relayout).
+            from pyspark.sql import Observation
+
+            from .merge import _bucket_expr
+            obs = Observation()
+            towrite = towrite.observe(
+                obs, F.collect_set(
+                    _bucket_expr(list(key_cols),
+                                 meta["n_buckets"])).alias("b"))
+        towrite.write.mode("errorifexists").parquet(seg)
+        if obs is not None:
+            try:
+                _write_touched_sidecar(
+                    seg, int(meta["n_buckets"]),
+                    sorted(int(v) for v in obs.get["b"]))
+            except Exception:
+                pass  # optional fast path; compaction falls back
     return seg
+
+
+def _write_touched_sidecar(seg: str, n_buckets: int,
+                           touched: list[int]) -> None:
+    """``_touched.json`` inside a delta segment: the batch's bucket
+    set under the table's current bucket count. Underscore-prefixed,
+    so every parquet reader (Spark and the driver-local footer walks)
+    ignores it."""
+    tmp = os.path.join(seg, f"._touched.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump({"n_buckets": n_buckets, "touched": touched}, f)
+    os.replace(tmp, os.path.join(seg, "_touched.json"))
+
+
+def _touched_from_sidecars(segs: list[str],
+                           n_buckets: int) -> list[int] | None:
+    """Union of the segments' sidecar bucket sets, or None when any
+    segment lacks a sidecar (old producer) or recorded a different
+    bucket count (written before a partition re-layout) -- the caller
+    falls back to the distributed distinct+collect."""
+    out: set[int] = set()
+    for s in segs:
+        try:
+            with open(os.path.join(s, "_touched.json")) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            return None
+        if d.get("n_buckets") != n_buckets:
+            return None
+        out.update(int(v) for v in d["touched"])
+    return sorted(out)
 
 
 def _reconcile(base: DataFrame, deltas: DataFrame,
@@ -877,10 +936,17 @@ def mor_compact(spark, path: str, *, key_cols: list[str],
                            for f in deltas.schema.fields
                            if f.name not in ("_seq", _OP))
             bcol = meta["bucket_col"]
-            touched = sorted(
-                r[0] for r in deltas
-                .select(_bucket_expr(list(key_cols), nb).alias("_b"))
-                .distinct().collect())
+            # sidecar fast path (written by mor_apply during the
+            # segment write): the union of the consumed segments'
+            # touched sets IS the delta log's bucket set -- no
+            # distinct+collect job per compaction. Falls back to the
+            # collect for sidecar-less or pre-relayout segments.
+            touched = _touched_from_sidecars(consumed, nb)
+            if touched is None:
+                touched = sorted(
+                    r[0] for r in deltas
+                    .select(_bucket_expr(list(key_cols), nb).alias("_b"))
+                    .distinct().collect())
             if evolving or len(touched) > nb // 2:
                 # evolving: a touched-dirs-only publish would leave
                 # the new columns present in some bucket dirs and

@@ -1019,10 +1019,18 @@ def pq_stored_topk(spark, path: str, queries: DataFrame, *,
               .where(F.col("_crn") <= n_probe)
               .select(q_id_col, F.col("_cid").alias("cell")))
     # consumed twice (cells collect + candidate join); see the
-    # sq_stored_topk note -- one materialization, leaf-RDD consumers,
-    # no driver collect so large query batches stay scale-safe
-    qprobe = qprobe.localCheckpoint(eager=True)
-    cells = [r[0] for r in qprobe.select("cell").distinct().collect()]
+    # sq_stored_topk note -- bounded serving batches localize with ONE
+    # limit-collect (LocalTableScan consumer, no checkpoint/distinct
+    # jobs), over-budget batches keep the scale-safe distributed form
+    from ..rowframe import localize_if_small
+    qlocal, qrows = localize_if_small(qprobe)
+    if qlocal is not None:
+        qprobe = qlocal
+        cells = sorted({r[1] for r in qrows})
+    else:
+        qprobe = qprobe.localCheckpoint(eager=True)
+        cells = [r[0] for r in
+                 qprobe.select("cell").distinct().collect()]
     # explicit footer-derived schema: no inference job per serve; the
     # probed-cell IN list stays a static PartitionFilters prune
     from pyspark.sql.types import IntegerType

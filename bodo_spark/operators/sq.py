@@ -486,12 +486,20 @@ def sq_stored_topk(spark, path: str, queries: DataFrame, *,
               .select(q_id_col, F.col("_cid").alias("cell")))
     # qprobe is consumed twice -- the probed-cell collect below and the
     # candidate join in the final plan -- and is top-n_probe-per-query
-    # small. localCheckpoint materializes it once and both consumers
-    # plan against a leaf RDD instead of re-deriving (and re-analyzing)
-    # the crossJoin+window subtree per action; no driver collect, so
-    # the serve stays scale-safe for arbitrarily large query batches.
-    qprobe = qprobe.localCheckpoint(eager=True)
-    cells = [r[0] for r in qprobe.select("cell").distinct().collect()]
+    # small. For the bounded serving case ONE limit-collect localizes
+    # it (LocalTableScan consumer, driver-local broadcast) instead of
+    # paying a localCheckpoint job plus a distinct+collect job per
+    # serve; an over-budget query batch falls back to the distributed
+    # form (leaf-RDD consumers, no unbounded driver collect).
+    from ..rowframe import localize_if_small
+    qlocal, qrows = localize_if_small(qprobe)
+    if qlocal is not None:
+        qprobe = qlocal
+        cells = sorted({r[1] for r in qrows})
+    else:
+        qprobe = qprobe.localCheckpoint(eager=True)
+        cells = [r[0] for r in
+                 qprobe.select("cell").distinct().collect()]
     # explicit footer-derived schema: no inference job per serve; the
     # probed-cell IN list stays a static PartitionFilters prune
     from pyspark.sql.types import IntegerType

@@ -96,6 +96,27 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         spark.sparkContext.parallelize(rows, numSlices=1), schema)
 
 
+def localize_if_small(df: DataFrame, budget_rows: int = 4096):
+    """Collect a PROBABLY-tiny frame and rebuild it as a one-batch
+    local frame: returns ``(local_frame, rows)`` when the frame holds
+    at most ``budget_rows`` rows, else ``(None, None)`` -- the caller
+    keeps its scale-safe distributed plan (localCheckpoint + join).
+
+    Why: the stored-serve probe frames (qprobe: n_queries x n_probe
+    rows) feed TWO consumers (a cell-list collect and the candidate
+    join). The distributed form pays a localCheckpoint materialization
+    job PLUS a distinct+collect job per serve; for the bounded serving
+    case ONE limit-collect replaces both and the rebuilt frame plans as
+    a LocalTableScan whose broadcast collects driver-locally. The limit
+    probe bounds driver memory: an over-budget frame costs one wasted
+    CollectLimit (which stops early) and falls back unchanged."""
+    rows = df.limit(budget_rows + 1).collect()
+    if len(rows) > budget_rows:
+        return None, None
+    return (local_df(df.sparkSession, [tuple(r) for r in rows],
+                     df.schema), rows)
+
+
 def read_artifact_rows(path: str):
     """Driver-local read of a TINY parquet artifact directory (store
     ``meta`` one-rowers, centroid probe tables, corpus stats -- all
